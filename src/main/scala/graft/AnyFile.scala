@@ -1,0 +1,58 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.model.ParserAnswer
+import graft.sources._
+import org.apache.spark.sql.SparkSession
+
+/** Public entry point — the reference's `FileToPandasImporter.parse`
+  * (reference `main.py:118-168`): validate the path, route by lowercased
+  * extension to a per-format importer, return one [[ParserAnswer]] per
+  * sheet. No failure escapes as an exception; every error path yields a
+  * single Failed answer (`main.py:139-144`, `main.py:163-165`).
+  *
+  * Extension table parity (`main.py:147-165`):
+  *  - `.xlsx .xls .xlsb .odf .ods .odt` → Excel-family ([[ExcelImporter]];
+  *    binary `.xls`/`.xlsb` are documented gaps inside it)
+  *  - `.xml` → MS SpreadsheetML ([[XmlImporter]])
+  *  - `.txt .csv .ini` → sniffed text ([[TextImporter]])
+  *  - `.ant` → text with fixed delimiter `~~@~~` (`main.py:153-154`)
+  *  - `.pdf` → [[PdfImporter]] (documented gap)
+  *  - `.parquet` → [[ParquetImporter]]
+  *  - `.json` → [[JsonImporter]]
+  *  - `.pk1` and `.pickle` → [[PickleImporter]] (documented gap). The
+  *    reference matches the literal `"pickle"` without a dot, which
+  *    `Path.suffix` can never produce (`main.py:161` bug); per SURVEY.md §7
+  *    we honor `.pk1` and also accept `.pickle`.
+  */
+object AnyFile {
+
+  def parse(spark: SparkSession, path: String): Seq[ParserAnswer] = {
+    val p = Paths.get(path)
+    val extension = {
+      val name = p.getFileName.toString
+      val dot = name.lastIndexOf('.')
+      if (dot <= 0) "" else name.substring(dot).toLowerCase
+    }
+
+    // Check file (present, readable) — main.py:136-144
+    if (!Files.exists(p) || !Files.isReadable(p) || Files.isDirectory(p))
+      return Seq(ParserAnswer.failed(spark, path))
+
+    val importer: Importer = extension match {
+      case ".xlsx" | ".xls" | ".xlsb" | ".odf" | ".ods" | ".odt" =>
+        new ExcelImporter(spark, path, extension)
+      case ".xml" => new XmlImporter(spark, path)
+      case ".txt" | ".csv" | ".ini" => new TextImporter(spark, path)
+      case ".ant" =>
+        new TextImporter(spark, path, Some(TextImporter.AntDelimiter))
+      case ".pdf"     => new PdfImporter(spark, path, concat = true)
+      case ".parquet" => new ParquetImporter(spark, path)
+      case ".json"    => new JsonImporter(spark, path)
+      case ".pk1" | ".pickle" => new PickleImporter(spark, path)
+      case _ => return Seq(ParserAnswer.failed(spark, path))
+    }
+    importer.work()
+  }
+}

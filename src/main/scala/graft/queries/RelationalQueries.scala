@@ -1,0 +1,420 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** One declared query: Spark plan + (optionally) the equivalent DuckDB SQL
+  * the driver hash-checks it against. Column names/aliases MUST match
+  * between the two — the driver sorts columns by name before hashing. */
+final case class Q(
+    name: String,
+    spark: (SparkSession, String) => DataFrame,
+    oracle: Option[String]
+)
+
+/** The relational operator suite (SURVEY.md §2B): filters/projection,
+  * equi/semi/anti/theta joins, hash aggregation with distinct, rollup/cube,
+  * window functions, top-k, set ops, JSON extraction, time windows and
+  * sessionization. Each query is written Spark-first (declarative plan, let
+  * Catalyst choose physical operators; broadcast hints only where a side is
+  * known-small at any scale factor, e.g. nation/region are fixed at 25/5
+  * rows) and carries a deterministic total ORDER BY so the oracle hash is
+  * stable.
+  */
+object RelationalQueries {
+
+  /** TPC-H Q1-style pricing summary: scan → filter → project → hash agg.
+    * The filter and the 7-column projection push into the parquet scan;
+    * partial aggregation is map-side (4 distinct groups), so the shuffle
+    * carries ~4 rows per partition regardless of input size. */
+  val q01 = Q(
+    "q01_pricing_summary",
+    (s, dir) => {
+      lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          round(sum(revenueTerm(col("l_extendedprice"), col("l_discount"))), 2)
+            .cast("double").as("sum_disc_price"),
+          (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order")
+        )
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    Some(s"""
+      SELECT l_returnflag, l_linestatus,
+             ${dsumSql("l_quantity")} AS sum_qty,
+             ${dsumSql("l_extendedprice")} AS sum_base_price,
+             CAST(ROUND(SUM(${revenueTermSql("l_extendedprice", "l_discount")}), 2) AS DOUBLE) AS sum_disc_price,
+             ${dsumSql("l_quantity")} / COUNT(*) AS avg_qty,
+             COUNT(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""")
+  )
+
+  /** Filter + projection — the predicate and the 4-column read schema reach
+    * the parquet scan (PushedFilters), so at 100 TB only matching row
+    * groups/columns are read. */
+  val q02 = Q(
+    "q02_filter_project",
+    (s, dir) =>
+      lineitem(s, dir)
+        .filter(col("l_quantity") > 45 && col("l_returnflag") === "R")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber"),
+    Some("""
+      SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      FROM lineitem
+      WHERE l_quantity > 45 AND l_returnflag = 'R'
+      ORDER BY l_orderkey, l_linenumber""")
+  )
+
+  /** 3-way equi-join: orders ⋈ customer ⋈ nation, revenue per nation.
+    * nation is 25 rows at every scale factor → explicit broadcast; customer
+    * joins shuffle on the key (AQE will broadcast it at small SF anyway).
+    * Aggregation after the join is partial+final hash agg on 25 groups. */
+  val q03 = Q(
+    "q03_join_revenue_by_nation",
+    (s, dir) => {
+      orders(s, dir)
+        .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("revenue")
+        )
+        .orderBy(col("n_name"))
+    },
+    Some(s"""
+      SELECT n_name, COUNT(*) AS n_orders, ${dsumSql("o_totalprice")} AS revenue
+      FROM orders JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY n_name""")
+  )
+
+  /** Left-semi join (EXISTS): orders having a heavy lineitem. The semi join
+    * needs only the key column from the right side and stops probing on
+    * first match — no row multiplication, shuffle carries distinct keys. */
+  val q04 = Q(
+    "q04_semi_join",
+    (s, dir) => {
+      val heavy = lineitem(s, dir).filter(col("l_quantity") > 49)
+        .select(col("l_orderkey"))
+      orders(s, dir)
+        .join(heavy, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey, o_totalprice, o_orderpriority
+      FROM orders
+      WHERE EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_quantity > 49)
+      ORDER BY o_orderkey""")
+  )
+
+  /** Left-anti join (NOT EXISTS): customers with no high-value order. The
+    * filter on the right side applies before the join, shrinking the build
+    * input. */
+  val q05 = Q(
+    "q05_anti_join",
+    (s, dir) =>
+      customer(s, dir)
+        .join(
+          orders(s, dir).filter(col("o_totalprice") > 300000)
+            .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey"),
+    Some("""
+      SELECT c_custkey, c_name, c_acctbal
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+      ORDER BY c_custkey""")
+  )
+
+  /** Equi + theta (band) join: per supplier, count same-nation customers
+    * with a strictly larger account balance. The equi part keys the
+    * shuffle; the theta predicate is evaluated inside the join. supplier is
+    * dim-sized → broadcast keeps the big side unshuffled at scale. */
+  val q06 = Q(
+    "q06_theta_join",
+    (s, dir) => {
+      supplier(s, dir).as("s")
+        .join(
+          customer(s, dir).as("c"),
+          col("s.s_nationkey") === col("c.c_nationkey") &&
+            col("c.c_acctbal") > col("s.s_acctbal"))
+        .groupBy(col("s.s_suppkey").as("s_suppkey"))
+        .agg(count(lit(1)).as("n_richer_cust"))
+        .orderBy(col("s_suppkey"))
+    },
+    Some("""
+      SELECT s_suppkey, COUNT(*) AS n_richer_cust
+      FROM supplier JOIN customer
+        ON s_nationkey = c_nationkey AND c_acctbal > s_acctbal
+      GROUP BY s_suppkey ORDER BY s_suppkey""")
+  )
+
+  /** Ranking window: top-3 orders per customer by price. row_number over a
+    * (custkey)-partitioned window — shuffle by customer, sort within
+    * partition; the rank<=3 filter drops rows before the final sort. */
+  val q07 = Q(
+    "q07_window_topk_per_group",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      orders(s, dir)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("o_custkey", "rk", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rk")
+    },
+    Some("""
+      SELECT o_custkey, rk, o_orderkey, o_totalprice
+      FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+            FROM orders)
+      WHERE rk <= 3
+      ORDER BY o_custkey, rk""")
+  )
+
+  /** Running/offset windows: cumulative quantity + previous quantity per
+    * supplier in ship order. The frame order is made total with the
+    * (shipdate, orderkey, linenumber) tiebreak, and the running sum uses
+    * exact decimals, so the cumulative values are engine- and
+    * partitioning-independent. */
+  val q08 = Q(
+    "q08_window_running",
+    (s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      lineitem(s, dir)
+        .filter(col("l_suppkey") <= 10)
+        .select(
+          col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          round(
+            sum(col("l_quantity").cast(SumDec))
+              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+            2).cast("double").as("running_qty"),
+          lag(col("l_quantity"), 1).over(w).as("prev_qty")
+        )
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    },
+    Some("""
+      SELECT l_suppkey, l_orderkey, l_linenumber,
+             CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(28,10)))
+                  OVER (PARTITION BY l_suppkey
+                        ORDER BY l_shipdate, l_orderkey, l_linenumber
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_qty,
+             LAG(l_quantity, 1) OVER (PARTITION BY l_suppkey
+                        ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_qty
+      FROM lineitem
+      WHERE l_suppkey <= 10
+      ORDER BY l_suppkey, l_orderkey, l_linenumber""")
+  )
+
+  /** Global top-k: ORDER BY ... LIMIT. Catalyst rewrites this to
+    * TakeOrderedAndProject — each partition keeps its local top-100, only
+    * those reach the driver; no global sort of the full table. */
+  val q09 = Q(
+    "q09_topk_global",
+    (s, dir) =>
+      lineitem(s, dir)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(100),
+    Some("""
+      SELECT l_orderkey, l_linenumber, l_extendedprice
+      FROM lineitem
+      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+      LIMIT 100""")
+  )
+
+  /** ROLLUP over region → nation: hierarchical subtotals + grand total.
+    * Spark expands grouping sets in a single shuffle (Expand operator). */
+  val q10 = Q(
+    "q10_rollup",
+    (s, dir) => {
+      customer(s, dir)
+        .join(broadcast(nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_bal"))
+        .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+    },
+    Some(s"""
+      SELECT r_name, n_name, COUNT(*) AS n_cust, ${dsumSql("c_acctbal")} AS sum_bal
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP(r_name, n_name)
+      ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""")
+  )
+
+  /** CUBE over returnflag × linestatus: all 2^2 grouping sets. */
+  val q11 = Q(
+    "q11_cube",
+    (s, dir) =>
+      lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+    Some(s"""
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ${dsumSql("l_quantity")} AS sum_qty
+      FROM lineitem
+      GROUP BY CUBE(l_returnflag, l_linestatus)
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+  )
+
+  /** Set operations: (big-spender order custkeys ∪ negative-balance
+    * custkeys) ∩ all custkeys, minus custkeys of low-priced orders.
+    * Spark `union` is UNION ALL — the `.distinct()` reproduces SQL UNION;
+    * `intersect`/`except` are the DISTINCT variants in both engines. */
+  val q12 = Q(
+    "q12_set_ops",
+    (s, dir) => {
+      val bigSpenders = orders(s, dir).filter(col("o_totalprice") > 400000)
+        .select(col("o_custkey").as("custkey"))
+      val negBal = customer(s, dir).filter(col("c_acctbal") < 0)
+        .select(col("c_custkey").as("custkey"))
+      val allCust = customer(s, dir).select(col("c_custkey").as("custkey"))
+      val lowOrders = orders(s, dir).filter(col("o_totalprice") < 5000)
+        .select(col("o_custkey").as("custkey"))
+      bigSpenders.union(negBal).distinct()
+        .intersect(allCust)
+        .except(lowOrders)
+        .orderBy("custkey")
+    },
+    Some("""
+      SELECT custkey FROM (
+        (SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
+         UNION
+         SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0)
+        INTERSECT
+        SELECT c_custkey AS custkey FROM customer
+        EXCEPT
+        SELECT o_custkey AS custkey FROM orders WHERE o_totalprice < 5000)
+      ORDER BY custkey""")
+  )
+
+  /** Aggregation with DISTINCT: exact distinct customers per priority
+    * (two-stage shuffle) next to plain counts and an exact sum. */
+  val q13 = Q(
+    "q13_distinct_agg",
+    (s, dir) =>
+      orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          countDistinct(col("o_custkey")).as("n_customers"),
+          dsum(col("o_totalprice")).as("sum_price")
+        )
+        .orderBy("o_orderpriority"),
+    Some(s"""
+      SELECT o_orderpriority, COUNT(*) AS n_orders,
+             COUNT(DISTINCT o_custkey) AS n_customers,
+             ${dsumSql("o_totalprice")} AS sum_price
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+  )
+
+  /** JSON scalar extraction from the events.props string column. */
+  val q14 = Q(
+    "q14_json_extract",
+    (s, dir) =>
+      events(s, dir)
+        .select(
+          col("event_id"),
+          col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_val")
+        )
+        .filter(col("k_val") % 5 === 0)
+        .orderBy("event_id"),
+    Some("""
+      SELECT event_id, event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+      FROM events
+      WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) % 5 = 0
+      ORDER BY event_id""")
+  )
+
+  /** Batch tumbling window: hourly event aggregate. This is the
+    * oracle-checkable twin of the Structured Streaming query
+    * `events.withWatermark("ts","10 minutes").groupBy(window($"ts","1 hour"))`
+    * (demonstrated in StreamingSpec); timestamps serialize as formatted
+    * strings so both engines hash identically. */
+  val q15 = Q(
+    "q15_tumbling_window",
+    (s, dir) =>
+      events(s, dir)
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+            .as("hour_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .orderBy("hour_start", "event_type"),
+    Some(s"""
+      SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour_start,
+             event_type, COUNT(*) AS n_events, ${dsumSql("value")} AS sum_value
+      FROM events
+      GROUP BY 1, 2 ORDER BY hour_start, event_type""")
+  )
+
+  /** Gap-based sessionization (30-min inactivity): lag → new-session flag →
+    * running session id → per-session aggregate. Batch twin of
+    * `session_window($"ts", "30 minutes")`; microsecond-exact via
+    * unix_micros/epoch_us so both engines flag identical boundaries. */
+  val q16 = Q(
+    "q16_sessionize",
+    (s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val gapUs = unix_micros(col("ts")) -
+        unix_micros(lag(col("ts"), 1).over(byUser))
+      events(s, dir)
+        .withColumn("new_s",
+          when(gapUs.isNull || gapUs > 1800L * 1000000L, 1).otherwise(0))
+        .withColumn("session_id",
+          sum(col("new_s")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(
+          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          count(lit(1)).as("n_events"),
+          dsum(col("value")).as("sum_value")
+        )
+        .orderBy("user_id", "session_id")
+    },
+    Some(s"""
+      WITH ev AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      flagged AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN epoch_us(ts) - epoch_us(LAG(ts, 1) OVER w) > 1800000000
+                      OR LAG(ts, 1) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_s
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sess AS (
+        SELECT user_id, ts, value,
+               CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        FROM flagged)
+      SELECT user_id, session_id,
+             strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             COUNT(*) AS n_events, ${dsumSql("value")} AS sum_value
+      FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""")
+  )
+
+  val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08,
+    q09, q10, q11, q12, q13, q14, q15, q16)
+}

@@ -1,0 +1,251 @@
+package graft.sources
+
+import java.util.zip.ZipFile
+
+import graft.model.ParserAnswer
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+import scala.xml.{Elem, Node, XML}
+
+/** Excel-family importer — the reference's `ImportExcel`
+  * (reference `main.py:239-265`): enumerate sheet names, read EVERY sheet
+  * with `header=None, index_col=None, dtype=str` (no header promotion, all
+  * values as strings, positional columns), one answer per sheet in workbook
+  * order; zero sheets → single Failed answer (`main.py:251-253`).
+  *
+  * No POI jar exists on the offline classpath, so the OOXML (`.xlsx`) and
+  * OpenDocument (`.ods`/`.odf`/`.odt`) containers are parsed directly
+  * (zip + XML — the same files pandas' openpyxl/odf engines read):
+  *
+  *  - `.xlsx`: `xl/workbook.xml` (sheet order) + `xl/_rels/workbook.xml.rels`
+  *    (sheet targets) + `xl/sharedStrings.xml`; per-sheet `sheetData` cells
+  *    with `r="C5"`-style references — gaps become null cells (pandas NaN),
+  *    shared/inline/formula-string/boolean/error cell types resolved,
+  *    numeric cells kept as the RAW stored string (`dtype=str` parity
+  *    decision, SURVEY.md §7 hard parts).
+  *  - `.ods`/`.odf`/`.odt`: `content.xml` `table:table` elements;
+  *    `number-columns-repeated`/`number-rows-repeated` expanded (with
+  *    trailing-empty trimming so the common repeated=1024 filler doesn't
+  *    explode width); typed values taken from `office:*-value` attributes
+  *    raw, strings from concatenated `text:p`.
+  *  - `.xls`/`.xlsb`: documented gaps (proprietary binary formats, no
+  *    public-offline parser) → Failed answer, engine `ImportExcel`.
+  *
+  * Scale note: sheet XML decodes on the driver into a `LocalRelation`
+  * (sheets are driver-sized in the reference too). A DSv2 `TableProvider`
+  * ("excel" format) with per-sheet/row-range partitions is the documented
+  * scale path (SURVEY.md §4).
+  */
+class ExcelImporter(
+    val spark: SparkSession,
+    val filePath: String,
+    extension: String
+) extends Importer {
+  override def engineName: String = "ImportExcel"
+
+  def work(): Seq[ParserAnswer] = {
+    try {
+      extension match {
+        case ".xlsx"                   => workXlsx()
+        case ".ods" | ".odf" | ".odt"  => workOds()
+        case _                         => failedAnswer() // .xls/.xlsb gaps
+      }
+    } catch { case _: Exception => failedAnswer() }
+  }
+
+  // ---------------------------------------------------------------- xlsx
+
+  private def workXlsx(): Seq[ParserAnswer] = {
+    val zip = new ZipFile(filePath)
+    try {
+      val workbook = loadZipXml(zip, "xl/workbook.xml").getOrElse(
+        return failedAnswer())
+      val relsNs =
+        "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+      val sheets: Seq[(String, String)] = (workbook \\ "sheet").map { s =>
+        val name = s.attribute("name").map(_.text).getOrElse("None")
+        val rid = s.attribute(relsNs, "id").map(_.text).getOrElse("")
+        (name, rid)
+      }
+      if (sheets.isEmpty) return failedAnswer()
+
+      val relTargets: Map[String, String] =
+        loadZipXml(zip, "xl/_rels/workbook.xml.rels") match {
+          case Some(rels) =>
+            (rels \\ "Relationship").map { r =>
+              val id = r.attribute("Id").map(_.text).getOrElse("")
+              val tgt = r.attribute("Target").map(_.text).getOrElse("")
+              id -> (if (tgt.startsWith("/")) tgt.drop(1) else "xl/" + tgt)
+            }.toMap
+          case None => Map.empty
+        }
+
+      val shared: IndexedSeq[String] =
+        loadZipXml(zip, "xl/sharedStrings.xml") match {
+          case Some(sst) =>
+            (sst \ "si").map(si => (si \\ "t").map(_.text).mkString).toIndexedSeq
+          case None => IndexedSeq.empty
+        }
+
+      sheets.zipWithIndex.map { case ((name, rid), i) =>
+        val target = relTargets.getOrElse(rid, s"xl/worksheets/sheet${i + 1}.xml")
+        val rows = loadZipXml(zip, target) match {
+          case Some(sheetXml) => parseXlsxSheet(sheetXml, shared)
+          case None           => Seq.empty
+        }
+        answerFromCells(rows, name)
+      }
+    } finally zip.close()
+  }
+
+  /** Decode `sheetData`: sparse `r="C5"` refs ⇒ positional gaps become
+    * nulls; rows keyed by their 1-based row number (gap rows between
+    * explicit `<row>` elements appear as all-null rows, like openpyxl's
+    * `max_row`-bounded iteration). */
+  private def parseXlsxSheet(
+      sheet: Elem,
+      shared: IndexedSeq[String]
+  ): Seq[IndexedSeq[String]] = {
+    val rowNodes = (sheet \\ "row")
+    if (rowNodes.isEmpty) return Seq.empty
+    val byNumber = scala.collection.mutable.LinkedHashMap.empty[Int, IndexedSeq[String]]
+    var autoRow = 0
+    rowNodes.foreach { rn =>
+      val rowNum =
+        rn.attribute("r").map(_.text.toInt).getOrElse(autoRow + 1)
+      autoRow = rowNum
+      val cells = scala.collection.mutable.ArrayBuffer.empty[String]
+      var autoCol = -1
+      (rn \ "c").foreach { c =>
+        val colIdx = c.attribute("r").map(_.text).flatMap(colOf)
+          .getOrElse(autoCol + 1)
+        autoCol = colIdx
+        while (cells.length < colIdx) cells += null
+        cells += cellValue(c, shared)
+      }
+      byNumber(rowNum) = cells.toIndexedSeq
+    }
+    val maxRow = byNumber.keys.max
+    (1 to maxRow).map(r => byNumber.getOrElse(r, IndexedSeq.empty))
+  }
+
+  /** `A1` → column 0, `C5` → 2. */
+  private def colOf(ref: String): Option[Int] = {
+    val letters = ref.takeWhile(_.isLetter).toUpperCase
+    if (letters.isEmpty) None
+    else Some(letters.foldLeft(0)((acc, ch) => acc * 26 + (ch - 'A' + 1)) - 1)
+  }
+
+  private def cellValue(c: Node, shared: IndexedSeq[String]): String = {
+    val t = c.attribute("t").map(_.text).getOrElse("n")
+    t match {
+      case "s" =>
+        (c \ "v").headOption.map(_.text.trim.toInt)
+          .flatMap(shared.lift).orNull
+      case "inlineStr" => (c \ "is").headOption.map(is => (is \\ "t").map(_.text).mkString).orNull
+      case "str"       => (c \ "v").headOption.map(_.text).orNull
+      case "b" =>
+        (c \ "v").headOption.map(v => if (v.text.trim == "1") "True" else "False").orNull
+      case _ => (c \ "v").headOption.map(_.text).orNull // numeric/error: raw
+    }
+  }
+
+  // ----------------------------------------------------------------- ods
+
+  private def workOds(): Seq[ParserAnswer] = {
+    val zip = new ZipFile(filePath)
+    try {
+      val content = loadZipXml(zip, "content.xml").getOrElse(
+        return failedAnswer())
+      val tableNs = "urn:oasis:names:tc:opendocument:xmlns:table:1.0"
+      val officeNs = "urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+      val tables = (content \\ "table").filter(_.namespace == tableNs)
+      if (tables.isEmpty) return failedAnswer()
+      tables.map { t =>
+        val name = t.attribute(tableNs, "name").map(_.text).getOrElse("None")
+        val rows = parseOdsTable(t, tableNs, officeNs)
+        answerFromCells(rows, name)
+      }
+    } finally zip.close()
+  }
+
+  private def parseOdsTable(
+      table: Node,
+      tableNs: String,
+      officeNs: String
+  ): Seq[IndexedSeq[String]] = {
+    val MaxFill = 4096 // cap for repeated empty filler rows/cells
+    val out = scala.collection.mutable.ArrayBuffer.empty[IndexedSeq[String]]
+    (table \ "table-row").filter(_.namespace == tableNs).foreach { row =>
+      val cells = scala.collection.mutable.ArrayBuffer.empty[String]
+      (row \ "table-cell").filter(_.namespace == tableNs).foreach { cell =>
+        val repeat = cell.attribute(tableNs, "number-columns-repeated")
+          .map(_.text.toInt).getOrElse(1).min(MaxFill)
+        val v = odsCellValue(cell, officeNs)
+        (0 until repeat).foreach(_ => cells += v)
+      }
+      // trim the trailing-empty filler produced by repeated empty cells
+      while (cells.nonEmpty && cells.last == null) cells.remove(cells.length - 1)
+      val rowRepeat = row.attribute(tableNs, "number-rows-repeated")
+        .map(_.text.toInt).getOrElse(1).min(MaxFill)
+      (0 until rowRepeat).foreach(_ => out += cells.toIndexedSeq)
+    }
+    // drop trailing all-empty rows (ODS files end with huge repeated fillers)
+    while (out.nonEmpty && out.last.forall(_ == null)) out.remove(out.length - 1)
+    out.toSeq
+  }
+
+  private def odsCellValue(cell: Node, officeNs: String): String = {
+    val vt = cell.attribute(officeNs, "value-type").map(_.text)
+    vt match {
+      case Some("string") | None =>
+        val text = (cell \\ "p").map(_.text).mkString("\n")
+        if (text.isEmpty) null else text
+      case Some("date") =>
+        cell.attribute(officeNs, "date-value").map(_.text).orNull
+      case Some("time") =>
+        cell.attribute(officeNs, "time-value").map(_.text).orNull
+      case Some("boolean") =>
+        cell.attribute(officeNs, "boolean-value")
+          .map(v => if (v.text == "true") "True" else "False").orNull
+      case _ => cell.attribute(officeNs, "value").map(_.text).orNull
+    }
+  }
+
+  // -------------------------------------------------------------- shared
+
+  /** Ragged rows → null-pad to max arity; positional all-string columns
+    * (pandas `header=None, dtype=str` parity, `main.py:255-259`). */
+  private def answerFromCells(
+      rows: Seq[IndexedSeq[String]],
+      sheetName: String
+  ): ParserAnswer = {
+    val (df, n) =
+      if (rows.isEmpty) (spark.emptyDataFrame, 0L)
+      else {
+        val width = rows.map(_.length).max
+        if (width == 0) (spark.emptyDataFrame, 0L)
+        else {
+          val schema = TextImporter.positionalSchema(width)
+          val padded = rows.map(r => Row.fromSeq(r.padTo(width, null)))
+          import scala.jdk.CollectionConverters._
+          (spark.createDataFrame(padded.asJava, schema), rows.length.toLong)
+        }
+      }
+    ParserAnswer(
+      data = df,
+      filePathRaw = filePath,
+      sheetName = sheetName,
+      engine = engineName,
+      knownRowCount = Some(n)
+    )
+  }
+
+  private def loadZipXml(zip: ZipFile, entry: String): Option[Elem] = {
+    Option(zip.getEntry(entry)).map { e =>
+      val in = zip.getInputStream(e)
+      try XML.load(in)
+      finally in.close()
+    }
+  }
+}

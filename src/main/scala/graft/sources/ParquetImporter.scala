@@ -1,0 +1,132 @@
+package graft.sources
+
+import graft.model.ParserAnswer
+import org.apache.spark.sql.SparkSession
+
+/** Parquet importer — the reference's `ImportParquet` (`main.py:415-425`):
+  * native types preserved, single answer named "Parquet file content".
+  * Maps directly onto Spark's built-in vectorized parquet scan: column
+  * pruning / predicate pushdown / partition pruning all apply to whatever
+  * plan the caller builds on `data`.
+  */
+class ParquetImporter(val spark: SparkSession, val filePath: String)
+    extends Importer {
+  override def engineName: String = "ImportParquet"
+
+  def work(): Seq[ParserAnswer] = {
+    try {
+      val df = spark.read.parquet(filePath)
+      Seq(
+        ParserAnswer(
+          data = df,
+          filePathRaw = filePath,
+          sheetName = "Parquet file content",
+          engine = engineName
+        )
+      )
+    } catch { case _: Exception => failedAnswer() }
+  }
+}
+
+/** JSON importer — the reference's `ImportJSON` (`main.py:428-438`), which
+  * delegates to `pd.read_json`: the WHOLE document is one JSON value
+  * (records orient `[{...},{...}]` or columns orient `{"col":{"idx":v}}`),
+  * not JSON-lines. We sniff the first structural character driver-side:
+  *
+  *  - `[` → records orient: `spark.read.option("multiLine", true).json`,
+  *    Spark's native schema inference (executor-side parse — scales).
+  *  - `{` → columns orient: driver-side pivot (outer keys = columns, inner
+  *    keys = rows, first-appearance order) re-serialized to JSON-lines and
+  *    fed to `spark.read.json` so type inference matches the records path.
+  *    Columns-orient documents are driver-sized by construction in pandas
+  *    too, so the driver pivot is not a scale regression.
+  */
+class JsonImporter(val spark: SparkSession, val filePath: String)
+    extends Importer {
+  override def engineName: String = "ImportJSON"
+
+  def work(): Seq[ParserAnswer] = {
+    try {
+      val head = firstStructuralChar(filePath)
+      val df = head match {
+        case Some('[') =>
+          spark.read.option("multiLine", "true").json(filePath)
+        case Some('{') => pivotColumnsOrient()
+        case _         => return failedAnswer()
+      }
+      Seq(
+        ParserAnswer(
+          data = df,
+          filePathRaw = filePath,
+          sheetName = "JSON file content",
+          engine = engineName
+        )
+      )
+    } catch { case _: Exception => failedAnswer() }
+  }
+
+  private def firstStructuralChar(path: String): Option[Char] = {
+    val in = java.nio.file.Files.newBufferedReader(
+      java.nio.file.Paths.get(path))
+    try {
+      var c = in.read()
+      while (c != -1 && Character.isWhitespace(c)) c = in.read()
+      if (c == -1) None else Some(c.toChar)
+    } finally in.close()
+  }
+
+  /** `{"a":{"0":1,"1":2},"b":{"0":"x","1":"y"}}` → rows `(1,"x"),(2,"y")`
+    * — pandas columns-orient semantics (`pd.read_json` default for a
+    * top-level object whose values are objects). */
+  private def pivotColumnsOrient(): org.apache.spark.sql.DataFrame = {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    import scala.jdk.CollectionConverters._
+    val mapper = new ObjectMapper()
+    val root = mapper.readTree(java.nio.file.Files.newInputStream(
+      java.nio.file.Paths.get(filePath)))
+    require(root.isObject, "columns-orient JSON must be an object")
+    val cols = root.fieldNames().asScala.toSeq
+    // row index keys in first-appearance order across columns
+    val rowKeys = scala.collection.mutable.LinkedHashSet.empty[String]
+    cols.foreach { c =>
+      val v = root.get(c)
+      require(v.isObject, "columns-orient JSON values must be objects")
+      v.fieldNames().asScala.foreach(rowKeys += _)
+    }
+    val lines = rowKeys.toSeq.map { rk =>
+      val row = mapper.createObjectNode()
+      cols.foreach { c =>
+        val cell = root.get(c).get(rk)
+        if (cell != null) row.set[com.fasterxml.jackson.databind.JsonNode](c, cell)
+      }
+      mapper.writeValueAsString(row)
+    }
+    import spark.implicits._
+    spark.read.json(spark.createDataset(lines))
+  }
+}
+
+/** PDF importer — documented gap (SURVEY.md §2A row 9): the reference shells
+  * out to the tabula Java jar (`main.py:381`); no PDF library exists on the
+  * offline classpath, so this importer always returns the error answer. The
+  * interface (incl. the reference's `concat` flag, `main.py:373-374`) is
+  * kept so a DSv2 PDF reader can slot in later; the concat dataflow itself
+  * lives in [[graft.operators.UnionByArity]], generalized and tested.
+  */
+class PdfImporter(
+    val spark: SparkSession,
+    val filePath: String,
+    val concat: Boolean = true
+) extends Importer {
+  override def engineName: String = "ImportPDF"
+  def work(): Seq[ParserAnswer] = failedAnswer()
+}
+
+/** Pickle importer — documented gap: Python pickle encodes arbitrary Python
+  * object graphs (`main.py:441-451`), not portable to the JVM; always the
+  * error answer. */
+class PickleImporter(val spark: SparkSession, val filePath: String)
+    extends Importer {
+  override def engineName: String = "ImportPickle"
+  def work(): Seq[ParserAnswer] = failedAnswer()
+}
