@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** Similarity search over the `embeddings` table (`vec_id`,
+  * `embedding: array<float>`, `label`).
+  *
+  * Cross-engine float determinism: a float×float product is EXACT in double
+  * (24-bit mantissas → ≤48-bit product), and summing those products as
+  * DECIMAL(38,15) is exact and order-independent — so dot products, norms
+  * and the final cosine are bit-identical in Spark and DuckDB no matter how
+  * either engine parallelizes. The ranking therefore never diverges on
+  * near-ties.
+  *
+  * Scale design: q40 is the exact brute-force baseline (QxN work — correct
+  * at any size, quadratic cost); q41 is the scale path: hyperplane-LSH
+  * bucketing (shuffle keys are 16-bit signatures, candidates only within a
+  * bucket), the standard recall/cost trade.
+  */
+object SimilarityQueries {
+
+  // Fixed-point trick for cross-engine exactness: each float×float product
+  // is exact in double; FLOOR(product * 1e15) is a correctly-rounded IEEE
+  // multiply + an exact floor → the same long in every engine; longs sum
+  // exactly in any order. (Decimal casts are NOT safe here: Spark converts
+  // double→decimal via the shortest string representation while DuckDB
+  // rounds the exact binary value — observed 1-ulp drift.) The 1e-15
+  // quantization error (≤6.4e-14 on a 64-dim dot) is irrelevant because
+  // both engines rank the SAME quantized values.
+  private val Scale = 1e15
+
+  /** Engine-exact fixed-point dot product of two float arrays. */
+  private def dotDec(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        floor(x.cast("double") * y.cast("double") * Scale).cast("long")),
+      lit(0L),
+      (acc, v) => acc + v
+    ).cast("double") / Scale
+
+  private def dotDecSql(a: String, b: String): String =
+    s"""(CAST((SELECT SUM(CAST(FLOOR(CAST(ua.x AS DOUBLE) * ub.x * 1e15) AS BIGINT))
+        FROM (SELECT unnest($a) AS x, generate_subscripts($a, 1) AS i) ua
+        JOIN (SELECT unnest($b) AS x, generate_subscripts($b, 1) AS i) ub USING (i)) AS DOUBLE) / 1e15)"""
+
+  /** Brute-force cosine top-10 for the first 8 vectors as queries.
+    * Query set is broadcast (tiny), candidates stream by: no shuffle of the
+    * big side at all; ranking is a per-query window over QxN rows. */
+  val q40 = Q(
+    "q40_cosine_topk",
+    (s, dir) => {
+      val emb = embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val cands = emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ce"))
+      val scored = cands.join(broadcast(queries),
+          col("query_id") =!= col("neighbor_id"))
+        .select(
+          col("query_id"), col("neighbor_id"),
+          (dotDec(col("qe"), col("ce")) /
+            (sqrt(dotDec(col("qe"), col("qe"))) *
+              sqrt(dotDec(col("ce"), col("ce"))))).as("cosine"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      scored
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""
+      WITH queries AS (
+        SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+      cands AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+      scored AS (
+        SELECT query_id, neighbor_id,
+               ${dotDecSql("qe", "ce")} /
+               (sqrt(${dotDecSql("qe", "qe")}) * sqrt(${dotDecSql("ce", "ce")})) AS cosine
+        FROM queries, cands WHERE query_id <> neighbor_id),
+      ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored)
+      SELECT query_id, rank, neighbor_id, cosine
+      FROM ranked WHERE rank <= 10
+      ORDER BY query_id, rank""")
+  )
+
+  /** Hyperplane-LSH approximate nearest neighbors: L=4 hash tables, each an
+    * 8-plane sign signature (plane weights derived from
+    * xxhash64(globalPlane, dim) — deterministic, no RNG state). A vector
+    * lands in one bucket per table; query/candidate pairs that collide in
+    * ANY table become candidates (union + distinct), then exact cosine
+    * rerank → top-5 per query. No oracle (hash-derived planes); rows-only
+    * check.
+    *
+    * Scale shape: the bucket join shuffles (table, signature, id, vector)
+    * — never all pairs; per-query work is the expected bucket occupancy
+    * L·N/2^8, versus N for q40's brute force. More tables/planes trade
+    * recall vs cost without changing the plan shape. */
+  val q41 = Q(
+    "q41_ann_lsh",
+    (s, dir) => {
+      val emb = embeddings(s, dir)
+      val Tables = 4
+      val Planes = 8
+      // sign bit of dot(vec, plane) for global plane index g
+      def planeBit(vec: Column, g: Int, bit: Int): Column = {
+        val weighted = aggregate(
+          zip_with(
+            vec,
+            transform(sequence(lit(0), lit(63)),
+              d => (xxhash64(lit(g), d) % 1000L).cast("double") / 1000.0),
+            (x, w) => x.cast("double") * w),
+          lit(0.0), (acc, v) => acc + v)
+        when(weighted >= 0, lit(1L << bit)).otherwise(lit(0L))
+      }
+      def tableSig(vec: Column, t: Int): Column =
+        (0 until Planes).map(p => planeBit(vec, t * Planes + p, p))
+          .reduce(_ bitwiseOR _)
+
+      // one row per (vector, table): the per-table bucket key
+      val signed = emb.select(
+        col("vec_id"), col("embedding"),
+        explode(array((0 until Tables).map { t =>
+          struct(lit(t).as("t"), tableSig(col("embedding"), t).as("sig"))
+        }: _*)).as("b"))
+        .select(col("vec_id"), col("embedding"),
+          col("b.t").as("t"), col("b.sig").as("sig"))
+      val queries = signed.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("t"), col("sig"))
+      val cands = signed.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ce"), col("t"), col("sig"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      cands.join(broadcast(queries), Seq("t", "sig"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"), col("qe"), col("ce"))
+        .dropDuplicates("query_id", "neighbor_id") // collided in >=1 table
+        .select(col("query_id"), col("neighbor_id"),
+          (dotDec(col("qe"), col("ce")) /
+            (sqrt(dotDec(col("qe"), col("qe"))) *
+              sqrt(dotDec(col("ce"), col("ce"))))).as("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+        .orderBy("query_id", "rank")
+    },
+    None
+  )
+
+  val all: Seq[Q] = Seq(q40, q41)
+}

@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** Text-analysis suite over `documents` — the training-data-pipeline text
+  * operators (BASELINE.json north star): token counting, quality scoring,
+  * language-ID, and document fingerprinting.
+  *
+  * All per-document metrics are narrow map-side expressions (one projection,
+  * no shuffle, fully whole-stage-codegen) — at 100 TB these run at scan
+  * speed. Ratios are int/int divisions so both engines produce identical
+  * doubles; regex patterns are restricted to syntax Java regex and RE2
+  * (DuckDB) interpret identically.
+  */
+object TextQueries {
+
+  private val StopPat = "\\b(the|a|an|and|or|of|to|in|is|it)\\b"
+
+  /** Token count + quality scoring: whitespace tokens, punctuation count,
+    * stopword count/ratio, average token length. */
+  val q30 = Q(
+    "q30_text_stats",
+    (s, dir) => {
+      val nTokens = size(split(col("text"), "\\s+")).cast("long")
+      val nStop = size(regexp_extract_all(col("text"), lit(StopPat), lit(0)))
+        .cast("long")
+      documents(s, dir)
+        .select(
+          col("doc_id"),
+          col("n_chars"),
+          nTokens.as("n_tokens"),
+          length(regexp_replace(col("text"), "[^.,;:!?]", "")).cast("long")
+            .as("n_punct"),
+          nStop.as("n_stop"),
+          (nStop.cast("double") / nTokens).as("stop_ratio"),
+          (length(col("text")).cast("double") / nTokens).as("avg_token_len"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      SELECT doc_id, n_chars,
+             CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens,
+             CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+             CAST(len(regexp_extract_all(text, '$StopPat')) AS BIGINT) AS n_stop,
+             CAST(len(regexp_extract_all(text, '$StopPat')) AS DOUBLE)
+               / len(string_split_regex(text, '\\s+')) AS stop_ratio,
+             CAST(length(text) AS DOUBLE)
+               / len(string_split_regex(text, '\\s+')) AS avg_token_len
+      FROM documents ORDER BY doc_id""")
+  )
+
+  /** Language-ID by marker-word voting: count per-language function words,
+    * predict the argmax (ties broken by fixed language priority). The same
+    * closed formula runs in both engines, so the oracle checks the full
+    * pipeline, not ground truth. */
+  val q31 = Q(
+    "q31_lang_id",
+    (s, dir) => {
+      val markers = Seq(
+        "en" -> "\\b(the|and|of|is|was|with)\\b",
+        "de" -> "\\b(der|die|das|und|ist|mit)\\b",
+        "fr" -> "\\b(le|la|les|et|est|avec)\\b",
+        "es" -> "\\b(el|los|las|y|es|con)\\b")
+      val scored = markers.foldLeft(documents(s, dir)) { case (df, (lang, pat)) =>
+        df.withColumn(s"c_$lang",
+          size(regexp_extract_all(lower(col("text")), lit(pat), lit(0))))
+      }
+      val pred = when(
+        col("c_en") >= col("c_de") && col("c_en") >= col("c_fr") &&
+          col("c_en") >= col("c_es") && col("c_en") > 0, "en")
+        .when(col("c_de") >= col("c_fr") && col("c_de") >= col("c_es") &&
+          col("c_de") > 0, "de")
+        .when(col("c_fr") >= col("c_es") && col("c_fr") > 0, "fr")
+        .when(col("c_es") > 0, "es")
+        .otherwise("und")
+      scored
+        .select(col("doc_id"), col("lang").as("labeled_lang"),
+          pred.as("pred_lang"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH scored AS (
+        SELECT doc_id, lang,
+          len(regexp_extract_all(lower(text), '\b(the|and|of|is|was|with)\b')) AS c_en,
+          len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|mit)\b')) AS c_de,
+          len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|avec)\b')) AS c_fr,
+          len(regexp_extract_all(lower(text), '\b(el|los|las|y|es|con)\b')) AS c_es
+        FROM documents)
+      SELECT doc_id, lang AS labeled_lang,
+        CASE WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es AND c_en > 0 THEN 'en'
+             WHEN c_de >= c_fr AND c_de >= c_es AND c_de > 0 THEN 'de'
+             WHEN c_fr >= c_es AND c_fr > 0 THEN 'fr'
+             WHEN c_es > 0 THEN 'es'
+             ELSE 'und' END AS pred_lang
+      FROM scored ORDER BY doc_id""")
+  )
+
+  /** Document fingerprinting via the custom Catalyst expression
+    * [[graft.functions.RollingHash64]] (codegen'd polynomial rolling hash):
+    * a content fingerprint plus the max window hash over 32-char chunks —
+    * the winnowing-style building block. No oracle (loop-free SQL can't
+    * express it); rows-only check. */
+  val q32 = Q(
+    "q32_fingerprint",
+    (s, dir) => {
+      import graft.functions.GraftFunctions.rolling_hash
+      documents(s, dir)
+        .select(
+          col("doc_id"),
+          rolling_hash(col("text")).as("fingerprint"),
+          rolling_hash(substring(col("text"), 1, 64)).as("head_fp"))
+        .orderBy("doc_id")
+    },
+    None
+  )
+
+  val all: Seq[Q] = Seq(q30, q31, q32)
+}
