@@ -36,8 +36,11 @@ object AnyFile {
       if (dot <= 0) "" else name.substring(dot).toLowerCase
     }
 
-    // Check file (present, readable) — main.py:136-144
-    if (!Files.exists(p) || !Files.isReadable(p) || Files.isDirectory(p))
+    // Check file (present, readable) — main.py:136-144. Unlike the
+    // reference (whose open('rb') probe would crash on a directory),
+    // directories are allowed through: Spark sources read partitioned
+    // directory datasets natively (e.g. `x.parquet/` with part files).
+    if (!Files.exists(p) || !Files.isReadable(p))
       return Seq(ParserAnswer.failed(spark, path))
 
     val importer: Importer = extension match {

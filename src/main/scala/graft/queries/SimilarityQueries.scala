@@ -54,17 +54,20 @@ object SimilarityQueries {
     "q40_cosine_topk",
     (s, dir) => {
       val emb = embeddings(s, dir)
+      // norms computed once per side, not per pair (identical doubles —
+      // factoring doesn't change the arithmetic the oracle runs)
       val queries = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          sqrt(dotDec(col("embedding"), col("embedding"))).as("qn"))
       val cands = emb.select(col("vec_id").as("neighbor_id"),
-        col("embedding").as("ce"))
+        col("embedding").as("ce"),
+        sqrt(dotDec(col("embedding"), col("embedding"))).as("cn"))
       val scored = cands.join(broadcast(queries),
           col("query_id") =!= col("neighbor_id"))
         .select(
           col("query_id"), col("neighbor_id"),
-          (dotDec(col("qe"), col("ce")) /
-            (sqrt(dotDec(col("qe"), col("qe"))) *
-              sqrt(dotDec(col("ce"), col("ce"))))).as("cosine"))
+          (dotDec(col("qe"), col("ce")) / (col("qn") * col("cn")))
+            .as("cosine"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cosine").desc, col("neighbor_id"))
       scored
@@ -135,19 +138,22 @@ object SimilarityQueries {
           col("b.t").as("t"), col("b.sig").as("sig"))
       val queries = signed.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          sqrt(dotDec(col("embedding"), col("embedding"))).as("qn"),
           col("t"), col("sig"))
       val cands = signed.select(col("vec_id").as("neighbor_id"),
-        col("embedding").as("ce"), col("t"), col("sig"))
+        col("embedding").as("ce"),
+        sqrt(dotDec(col("embedding"), col("embedding"))).as("cn"),
+        col("t"), col("sig"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cosine").desc, col("neighbor_id"))
       cands.join(broadcast(queries), Seq("t", "sig"))
         .filter(col("query_id") =!= col("neighbor_id"))
-        .select(col("query_id"), col("neighbor_id"), col("qe"), col("ce"))
+        .select(col("query_id"), col("neighbor_id"),
+          col("qe"), col("ce"), col("qn"), col("cn"))
         .dropDuplicates("query_id", "neighbor_id") // collided in >=1 table
         .select(col("query_id"), col("neighbor_id"),
-          (dotDec(col("qe"), col("ce")) /
-            (sqrt(dotDec(col("qe"), col("qe"))) *
-              sqrt(dotDec(col("ce"), col("ce"))))).as("cosine"))
+          (dotDec(col("qe"), col("ce")) / (col("qn") * col("cn")))
+            .as("cosine"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
         .select("query_id", "rank", "neighbor_id", "cosine")

@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.{Multimodal, UnionByArity}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class OperatorSpec extends SparkSpec {
+
+  test("UnionByArity partitions by first frame's arity and concats positionally") {
+    import spark.implicits._
+    val a = Seq(("a", "b")).toDF("0", "1")
+    val b = Seq(("c", "d")).toDF("0", "1")
+    val odd = Seq(("x", "y", "z")).toDF("0", "1", "2")
+    val r = UnionByArity(Seq(a, odd, b))
+    assert(r.valid.get.collect().toSet == Set(Row("a", "b"), Row("c", "d")))
+    assert(r.invalid.get.collect().toSeq == Seq(Row("x", "y", "z")))
+  }
+
+  test("UnionByArity index column reproduces reset_index quirk") {
+    import spark.implicits._
+    val a = Seq(("a", "b"), ("c", "d")).toDF("0", "1")
+    val b = Seq(("e", "f")).toDF("0", "1")
+    val r = UnionByArity(Seq(a, b), withIndexColumn = true)
+    val rows = r.valid.get.collect()
+    assert(r.valid.get.columns.head == "index")
+    assert(rows.map(_.getInt(0)).toSeq == Seq(0, 1, 2))
+  }
+
+  test("rolling_hash is deterministic, codegen-evaluated, and distinct") {
+    import spark.implicits._
+    import graft.functions.GraftFunctions
+    val df = Seq("alpha", "beta", "alpha").toDF("s")
+      .select(GraftFunctions.rolling_hash(col("s")).as("h"))
+    val hs = df.collect().map(_.getLong(0))
+    assert(hs(0) == hs(2))
+    assert(hs(0) != hs(1))
+    // SQL registration path
+    GraftFunctions.registerAll(spark)
+    Seq("alpha").toDF("s").createOrReplaceTempView("rh_t")
+    val viaSql = spark.sql("SELECT rolling_hash(s) FROM rh_t").head().getLong(0)
+    assert(viaSql == hs(0))
+  }
+
+  test("multimodal decode: deterministic fake features + real plumbing") {
+    val out = Multimodal.query(spark, "/root/testdata/sf0.001").collect()
+    assert(out.length == 500)
+    val first = out.head
+    assert(first.getAs[Long]("n_bytes") > 0)
+    assert(first.getAs[Double]("feat_norm") >= 0.0)
+    // deterministic: same input → same features
+    val again = Multimodal.query(spark, "/root/testdata/sf0.001").collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming twins of the batch window queries (SURVEY.md §2B
+  * streaming row): the same events data driven through readStream →
+  * watermark → tumbling/session window → memory sink. The DuckDB oracle
+  * can only check the batch forms (q15/q16); this spec proves the streaming
+  * path produces consistent aggregates.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val streamDir: String = {
+    // file stream sources watch a DIRECTORY; stage the single parquet file
+    val d = tmpDir("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      d.resolve("part-0.parquet"))
+    d.toString
+  }
+
+  private def eventsStream = {
+    // static twin defines the schema; nanos → µs conversion as in Tables
+    val static = graft.queries.Tables.events(spark, sf)
+    spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(
+        static.schema.fields.map(f =>
+          if (f.name == "ts")
+            org.apache.spark.sql.types.StructField("ts",
+              org.apache.spark.sql.types.LongType, f.nullable)
+          else f)))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  test("streaming tumbling window matches batch hourly counts") {
+    val agg = eventsStream
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("hourly")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("hourly")
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+        .as("hour_start"), col("event_type"), col("n_events"))
+    val batch = graft.queries.Tables.events(spark, sf)
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+        .as("hour_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("streaming session window produces sessions") {
+    val agg = eventsStream
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("sessions")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("sessions")
+    assert(sessions.count() > 0)
+    // session count per user must match the batch gap-based sessionization
+    val streamedPerUser = sessions.groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"))
+    val batchPerUser = graft.queries.RelationalQueries.q16
+      .spark(spark, sf)
+      .groupBy("user_id").agg(countDistinct(col("session_id")).as("n_sessions"))
+    assert(streamedPerUser.exceptAll(batchPerUser).isEmpty)
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import graft.model.ParserAnswer
+import org.apache.spark.sql.Row
+
+/** FIXTURES.md §A1-A3 + error-path semantics for the text pipeline. */
+class TextImporterSpec extends SparkSpec {
+
+  test("A1: tab-separated 4x4 — sheet name, shape, metadata") {
+    val dir = tmpDir("txt")
+    val p = writeFile(dir, "example.txt",
+      "v11\tv12\tv13\tv14\nv21\tv22\tv23\tv24\n" +
+        "v31\tv32\tv33\tv34\nv41\tv42\tv43\tv44\n")
+    val answers = AnyFile.parse(spark, p)
+    assert(answers.length == 1)
+    val a = answers.head
+    assert(a.sheetName == "Text file content")
+    assert(a.engine == "ImportText")
+    assert(a.separator == "\t")
+    assert(a.parseInfo == "OK")
+    assert(a.encoding == "ascii")
+    assert(a.data.columns.toSeq == Seq("0", "1", "2", "3"))
+    assert(a.data.schema.fields.forall(_.dataType.typeName == "string"))
+    val rows = a.data.collect()
+    assert(rows.length == 4)
+    assert(rows(0) == Row("v11", "v12", "v13", "v14"))
+  }
+
+  test("A2: ragged pipe csv — delimiter vote, quote strip, '' padding") {
+    val dir = tmpDir("csv")
+    val p = writeFile(dir, "ragged.csv", "a|b|c\n\"d\"|'e'\nf|g|h|i\n")
+    val a = AnyFile.parse(spark, p).head
+    assert(a.separator == "|")
+    assert(a.data.columns.length == 4)
+    val rows = a.data.collect()
+    assert(rows(0) == Row("a", "b", "c", ""))
+    assert(rows(1) == Row("d", "e", "", "")) // quotes stripped, padded
+    assert(rows(2) == Row("f", "g", "h", "i"))
+  }
+
+  test("A3: .ant fixed multi-char delimiter") {
+    val dir = tmpDir("ant")
+    val p = writeFile(dir, "f.ant", "x~~@~~y~~@~~z\n1~~@~~2~~@~~3\n")
+    val a = AnyFile.parse(spark, p).head
+    assert(a.separator == "~~@~~")
+    assert(a.data.columns.length == 3)
+    assert(a.data.collect().toSeq == Seq(Row("x", "y", "z"), Row("1", "2", "3")))
+  }
+
+  test("quote stripping is literal char-strip, not CSV parsing") {
+    val dir = tmpDir("q")
+    // runs of quotes stripped from both ends; inner quotes kept;
+    // double-then-single strip order (main.py:348)
+    val p = writeFile(dir, "quotes.txt", "\"\"a\"\"\tb\"c\t'\"d\"'\n")
+    val rows = AnyFile.parse(spark, p).head.data.collect()
+    assert(rows(0) == Row("a", "b\"c", "\"d\""))
+  }
+
+  test("leading/trailing tabs stripped before split (strip('\\t') parity)") {
+    val dir = tmpDir("t")
+    // delimiter explicit: with tabs present the voter (like the reference's
+    // Sniffer on the raw line) would pick tab — strip still applies first
+    val p = writeFile(dir, "t.txt", "\ta;b\t\nc;d\n")
+    val a = new graft.sources.TextImporter(spark, p, Some(";")).work().head
+    assert(a.data.collect().toSeq == Seq(Row("a", "b"), Row("c", "d")))
+  }
+
+  test("empty file → single Failed answer") {
+    val dir = tmpDir("e")
+    val p = writeFile(dir, "empty.txt", "")
+    val a = AnyFile.parse(spark, p).head
+    assert(a.parseInfo == "Failed")
+    assert(a.data.columns.isEmpty)
+  }
+
+  test("cp1251-like bytes reported, not applied") {
+    val dir = tmpDir("enc")
+    val p = dir.resolve("cyr.txt")
+    // Cyrillic "привет\tмир" in cp1251
+    val bytes = "привет\tмир\n".getBytes("windows-1251")
+    java.nio.file.Files.write(p, bytes)
+    val a = AnyFile.parse(spark, p.toString).head
+    assert(a.encoding == "cp1251")
+    assert(a.data.columns.length == 2) // still split on tab
+  }
+}
