@@ -67,7 +67,7 @@ object DedupQueries {
   val q21 = Q(
     "q21_ngram_jaccard",
     (s, dir) => {
-      val sh = shingles(documents(s, dir)).cache()
+      val sh = shingles(documents(s, dir)).localCheckpoint()
       val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val pairs = sh.as("a")
         .join(sh.as("b"),
@@ -110,16 +110,27 @@ object DedupQueries {
   private val Bands = 16    // 16 bands × 4 rows
 
   /** MinHash signature per doc: element i = min over shingles of
-    * xxhash64(i, shingle). Computed as 64 min-aggregates in ONE hash-agg
-    * pass over the exploded shingles (map-side partial min → tiny shuffle). */
+    * xxhash64(i, shingle). The per-shingle 64-hash vector is one codegen'd
+    * `transform`; the fold is the custom [[graft.functions.ArrayLongFold]]
+    * aggregate (single primitive-array buffer — 64 separate min() columns
+    * blow the codegen method limit and fall back to interpreted aggregation,
+    * ~5x slower at bench scale). Map-side partial fold still applies, so
+    * the shuffle carries one 64-long array per (partition, doc). */
   private def minhashSignatures(docs: DataFrame): DataFrame = {
-    val sh = shingles(docs)
-    val mins = (0 until MinhashK).map(i =>
-      min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
-    sh.groupBy("doc_id")
-      .agg(mins.head, mins.tail: _*)
+    import graft.functions.ArrayLongFold.arrayMinAgg
+    // Hash the shingle STRING once; derive the 64 permutation values by
+    // hashing (i, h64) pairs — 64 long-hashes instead of 64 string-hashes
+    // per shingle (the string rehash was the whole pipeline's hot spot).
+    // Also: plain array(...) of hash calls, NOT transform(sequence(...)):
+    // higher-order-function lambdas evaluate interpreted, the array
+    // constructor stays in whole-stage codegen.
+    shingles(docs)
+      .select(col("doc_id"), xxhash64(col("sh")).as("h64"))
       .select(col("doc_id"),
-        array((0 until MinhashK).map(i => col(s"h$i")): _*).as("sig"))
+        array((0 until MinhashK).map(i => xxhash64(lit(i), col("h64"))): _*)
+          .as("hs"))
+      .groupBy("doc_id")
+      .agg(arrayMinAgg(col("hs")).as("sig"))
   }
 
   /** MinHash + LSH banding near-dup candidates, verified by signature
@@ -133,7 +144,12 @@ object DedupQueries {
   val q22 = Q(
     "q22_dedup_minhash",
     (s, dir) => {
-      val sigs = minhashSignatures(documents(s, dir)).cache()
+      // localCheckpoint (not cache): the signature table is referenced by 4
+      // downstream branches (bands, okBuckets, both sides of the est join);
+      // with a lazy cache each branch re-plans + re-codegens the whole
+      // shingle pipeline. The checkpoint truncates lineage at a table of
+      // n_docs × 64 longs — tiny at any corpus size.
+      val sigs = minhashSignatures(documents(s, dir)).localCheckpoint()
       val bands = sigs.select(
         col("doc_id"),
         explode(array((0 until Bands).map { b =>
@@ -142,21 +158,30 @@ object DedupQueries {
               .as("bh"))
         }: _*)).as("bb"))
         .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-      val cand = bands.as("x")
-        .join(bands.as("y"),
+      // over-full bucket guard — see q23's BucketCap note
+      val okBuckets = bands.groupBy("band", "bh")
+        .agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") <= 64 && col("bsz") > 1)
+        .select("band", "bh")
+      val bounded = bands.join(broadcast(okBuckets), Seq("band", "bh"))
+      val cand = bounded.as("x")
+        .join(bounded.as("y"),
           col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct()
+        .localCheckpoint() // candidate set is small by construction (capped buckets)
+      // positional agreement count as 64 codegen'd comparisons — an
+      // aggregate(zip_with(...)) lambda evaluates interpreted and dominates
+      // runtime once candidates number in the millions
+      val agreement = (0 until MinhashK).map(i =>
+        when(element_at(col("sa.sig"), i + 1) === element_at(col("sb.sig"), i + 1), 1)
+          .otherwise(0)).reduce(_ + _)
       val est = cand
         .join(sigs.as("sa"), col("doc_a") === col("sa.doc_id"))
         .join(sigs.as("sb"), col("doc_b") === col("sb.doc_id"))
         .select(col("doc_a"), col("doc_b"),
-          (aggregate(
-            zip_with(col("sa.sig"), col("sb.sig"),
-              (a, b) => when(a === b, 1).otherwise(0)),
-            lit(0), (acc, x) => acc + x
-          ).cast("double") / MinhashK).as("est_jaccard"))
+          (agreement.cast("double") / MinhashK).as("est_jaccard"))
       est.filter(col("est_jaccard") >= 0.5).orderBy("doc_a", "doc_b")
     },
     None
@@ -170,21 +195,27 @@ object DedupQueries {
   val q23 = Q(
     "q23_dedup_simhash",
     (s, dir) => {
+      import graft.functions.ArrayLongFold.arraySumAgg
       val words = documents(s, dir)
         .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("word"))
         .select(col("doc_id"), xxhash64(col("word")).as("h"))
-      // vote per bit: +1 if bit set else -1; bit b of simhash = vote>0
-      val votes = (0 until 64).map { b =>
-        sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0L, 1).otherwise(-1))
-          .as(s"v$b")
-      }
-      val sigs = words.groupBy("doc_id")
-        .agg(votes.head, votes.tail: _*)
+      // per-word vote vector: +1 if bit set else -1, folded per doc by the
+      // custom array-sum aggregate (see minhashSignatures for why not 64
+      // separate sum() columns); sign of each vote → signature bit
+      // array(...) of 64 codegen'd bit tests (HOF lambdas are interpreted)
+      val sigs = words
         .select(col("doc_id"),
-          (0 until 64).map(b =>
-            when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
-          ).reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
-        .cache()
+          array((0 until 64).map(b =>
+            when(col("h").bitwiseAND(lit(1L << b)) =!= 0L, 1L).otherwise(-1L)
+          ): _*).as("votes"))
+        .groupBy("doc_id")
+        .agg(arraySumAgg(col("votes")).as("v"))
+        .select(col("doc_id"),
+          aggregate(
+            zip_with(col("v"), typedLit((0 until 64).map(1L << _)),
+              (vote, p) => when(vote > 0, p).otherwise(lit(0L))),
+            lit(0L), (acc, x) => acc.bitwiseOR(x)).as("simhash"))
+        .localCheckpoint() // multi-branch reuse, see q22's sigs note
       val chunks = sigs.select(
         col("doc_id"), col("simhash"),
         explode(array((0 until 4).map { c =>
@@ -192,8 +223,21 @@ object DedupQueries {
             shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xffffL)).as("ch"))
         }: _*)).as("cc"))
         .select(col("doc_id"), col("simhash"), col("cc.chunk").as("chunk"), col("cc.ch").as("ch"))
-      chunks.as("x")
-        .join(chunks.as("y"),
+      // Over-full bucket guard (standard LSH practice): a chunk value
+      // shared by B docs contributes B^2/2 candidate pairs; on adversarial
+      // or highly-repetitive corpora (like this tiny-vocabulary synthetic
+      // one) a single hot bucket can go quadratic. Buckets above the cap
+      // are SKIPPED — candidates lost there are still found via their
+      // other 3 chunks unless those are also over-full. NOT silent: the
+      // cap is part of the operator contract (recall/cost trade).
+      val BucketCap = 64
+      val okBuckets = chunks.groupBy("chunk", "ch")
+        .agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") <= BucketCap && col("bsz") > 1)
+        .select("chunk", "ch")
+      val bounded = chunks.join(broadcast(okBuckets), Seq("chunk", "ch"))
+      bounded.as("x")
+        .join(bounded.as("y"),
           col("x.chunk") === col("y.chunk") && col("x.ch") === col("y.ch") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),

@@ -113,14 +113,23 @@ object SimilarityQueries {
       val emb = embeddings(s, dir)
       val Tables = 4
       val Planes = 8
+      val Dim = 64
+      // plane weights fixed at PLAN TIME (splitmix64 of the global plane ×
+      // dim index, scaled to [-0.5, 0.5)) and embedded as array literals —
+      // the executor does one multiply-add per dim instead of re-deriving
+      // pseudo-random weights per row (was ~2000 hash evals/row).
+      def mix64(z0: Long): Long = {
+        var z = z0 + 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z ^ (z >>> 31)
+      }
+      def planeWeights(g: Int): Seq[Double] =
+        (0 until Dim).map(d => (math.floorMod(mix64(g.toLong * Dim + d), 1000L) - 500L) / 1000.0)
       // sign bit of dot(vec, plane) for global plane index g
       def planeBit(vec: Column, g: Int, bit: Int): Column = {
         val weighted = aggregate(
-          zip_with(
-            vec,
-            transform(sequence(lit(0), lit(63)),
-              d => (xxhash64(lit(g), d) % 1000L).cast("double") / 1000.0),
-            (x, w) => x.cast("double") * w),
+          zip_with(vec, typedLit(planeWeights(g)), (x, w) => x.cast("double") * w),
           lit(0.0), (acc, v) => acc + v)
         when(weighted >= 0, lit(1L << bit)).otherwise(lit(0L))
       }

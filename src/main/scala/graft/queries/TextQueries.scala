@@ -16,7 +16,20 @@ import Tables._
   */
 object TextQueries {
 
-  private val StopPat = "\\b(the|a|an|and|or|of|to|in|is|it)\\b"
+  // stopword/marker counting uses token-set membership (split + lambda
+  // filter), NOT regex alternation: regexp_extract_all with a big
+  // alternation gets duplicated across downstream expression trees by the
+  // optimizer and cost ~100x more at bench scale; list filters are a single
+  // codegen'd pass and DuckDB's list_filter matches exactly.
+  private val StopWords = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  private def countTokensIn(words: Seq[String]): org.apache.spark.sql.Column =
+    size(filter(split(col("text"), "\\s+"),
+      t => t.isInCollection(words))).cast("long")
+
+  private def countTokensInSql(words: Seq[String]): String =
+    s"""CAST(len(list_filter(string_split_regex(text, '\\s+'),
+        t -> t IN (${words.map(w => s"'$w'").mkString(",")}))) AS BIGINT)"""
 
   /** Token count + quality scoring: whitespace tokens, punctuation count,
     * stopword count/ratio, average token length. */
@@ -24,8 +37,7 @@ object TextQueries {
     "q30_text_stats",
     (s, dir) => {
       val nTokens = size(split(col("text"), "\\s+")).cast("long")
-      val nStop = size(regexp_extract_all(col("text"), lit(StopPat), lit(0)))
-        .cast("long")
+      val nStop = countTokensIn(StopWords)
       documents(s, dir)
         .select(
           col("doc_id"),
@@ -42,8 +54,8 @@ object TextQueries {
       SELECT doc_id, n_chars,
              CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens,
              CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
-             CAST(len(regexp_extract_all(text, '$StopPat')) AS BIGINT) AS n_stop,
-             CAST(len(regexp_extract_all(text, '$StopPat')) AS DOUBLE)
+             ${countTokensInSql(StopWords)} AS n_stop,
+             CAST(${countTokensInSql(StopWords)} AS DOUBLE)
                / len(string_split_regex(text, '\\s+')) AS stop_ratio,
              CAST(length(text) AS DOUBLE)
                / len(string_split_regex(text, '\\s+')) AS avg_token_len
@@ -58,14 +70,15 @@ object TextQueries {
     "q31_lang_id",
     (s, dir) => {
       val markers = Seq(
-        "en" -> "\\b(the|and|of|is|was|with)\\b",
-        "de" -> "\\b(der|die|das|und|ist|mit)\\b",
-        "fr" -> "\\b(le|la|les|et|est|avec)\\b",
-        "es" -> "\\b(el|los|las|y|es|con)\\b")
-      val scored = markers.foldLeft(documents(s, dir)) { case (df, (lang, pat)) =>
-        df.withColumn(s"c_$lang",
-          size(regexp_extract_all(lower(col("text")), lit(pat), lit(0))))
-      }
+        "en" -> Seq("the", "and", "of", "is", "was", "with"),
+        "de" -> Seq("der", "die", "das", "und", "ist", "mit"),
+        "fr" -> Seq("le", "la", "les", "et", "est", "avec"),
+        "es" -> Seq("el", "los", "las", "y", "es", "con"))
+      val scored = documents(s, dir).select(
+        col("doc_id") +: col("lang") +:
+          markers.map { case (lang, words) =>
+            countTokensIn(words).as(s"c_$lang")
+          }: _*)
       val pred = when(
         col("c_en") >= col("c_de") && col("c_en") >= col("c_fr") &&
           col("c_en") >= col("c_es") && col("c_en") > 0, "en")
@@ -79,13 +92,13 @@ object TextQueries {
           pred.as("pred_lang"))
         .orderBy("doc_id")
     },
-    Some("""
+    Some(s"""
       WITH scored AS (
         SELECT doc_id, lang,
-          len(regexp_extract_all(lower(text), '\b(the|and|of|is|was|with)\b')) AS c_en,
-          len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|mit)\b')) AS c_de,
-          len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|avec)\b')) AS c_fr,
-          len(regexp_extract_all(lower(text), '\b(el|los|las|y|es|con)\b')) AS c_es
+          ${countTokensInSql(Seq("the", "and", "of", "is", "was", "with"))} AS c_en,
+          ${countTokensInSql(Seq("der", "die", "das", "und", "ist", "mit"))} AS c_de,
+          ${countTokensInSql(Seq("le", "la", "les", "et", "est", "avec"))} AS c_fr,
+          ${countTokensInSql(Seq("el", "los", "las", "y", "es", "con"))} AS c_es
         FROM documents)
       SELECT doc_id, lang AS labeled_lang,
         CASE WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es AND c_en > 0 THEN 'en'
