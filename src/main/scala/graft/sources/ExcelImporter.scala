@@ -55,98 +55,32 @@ class ExcelImporter(
 
   // ---------------------------------------------------------------- xlsx
 
+  /** Sheet enumeration + shape probing run on the driver (cheap metadata,
+    * exactly what `pd.ExcelFile` does); the per-sheet DataFrames are served
+    * by the DSv2 source ([[graft.sources.xlsx.ExcelDataSource]], format
+    * `graft-excel`) with an explicit schema, so cell decoding happens on
+    * EXECUTORS at action time and large sheets never materialize on the
+    * driver. The driver probe also supplies `knownRowCount`, keeping
+    * `parseInfo` action-free. */
   private def workXlsx(): Seq[ParserAnswer] = {
-    val zip = new ZipFile(filePath)
-    try {
-      val workbook = loadZipXml(zip, "xl/workbook.xml").getOrElse(
-        return failedAnswer())
-      val relsNs =
-        "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
-      val sheets: Seq[(String, String)] = (workbook \\ "sheet").map { s =>
-        val name = s.attribute("name").map(_.text).getOrElse("None")
-        val rid = s.attribute(relsNs, "id").map(_.text).getOrElse("")
-        (name, rid)
+    import graft.sources.xlsx.XlsxParser
+    val wb = XlsxParser.openWorkbook(filePath).getOrElse(return failedAnswer())
+    if (wb.sheets.isEmpty) return failedAnswer()
+    wb.sheets.map { sheet =>
+      val rows = XlsxParser.sheetRows(filePath, sheet.target, wb.shared)
+      val width = if (rows.isEmpty) 0 else rows.map(_.length).max
+      if (width == 0)
+        ParserAnswer(spark.emptyDataFrame, filePath, sheetName = sheet.name,
+          engine = engineName, knownRowCount = Some(0L))
+      else {
+        val df = spark.read
+          .format("graft-excel")
+          .schema(TextImporter.positionalSchema(width))
+          .option("sheet", sheet.name)
+          .load(filePath)
+        ParserAnswer(df, filePath, sheetName = sheet.name,
+          engine = engineName, knownRowCount = Some(rows.length.toLong))
       }
-      if (sheets.isEmpty) return failedAnswer()
-
-      val relTargets: Map[String, String] =
-        loadZipXml(zip, "xl/_rels/workbook.xml.rels") match {
-          case Some(rels) =>
-            (rels \\ "Relationship").map { r =>
-              val id = r.attribute("Id").map(_.text).getOrElse("")
-              val tgt = r.attribute("Target").map(_.text).getOrElse("")
-              id -> (if (tgt.startsWith("/")) tgt.drop(1) else "xl/" + tgt)
-            }.toMap
-          case None => Map.empty
-        }
-
-      val shared: IndexedSeq[String] =
-        loadZipXml(zip, "xl/sharedStrings.xml") match {
-          case Some(sst) =>
-            (sst \ "si").map(si => (si \\ "t").map(_.text).mkString).toIndexedSeq
-          case None => IndexedSeq.empty
-        }
-
-      sheets.zipWithIndex.map { case ((name, rid), i) =>
-        val target = relTargets.getOrElse(rid, s"xl/worksheets/sheet${i + 1}.xml")
-        val rows = loadZipXml(zip, target) match {
-          case Some(sheetXml) => parseXlsxSheet(sheetXml, shared)
-          case None           => Seq.empty
-        }
-        answerFromCells(rows, name)
-      }
-    } finally zip.close()
-  }
-
-  /** Decode `sheetData`: sparse `r="C5"` refs ⇒ positional gaps become
-    * nulls; rows keyed by their 1-based row number (gap rows between
-    * explicit `<row>` elements appear as all-null rows, like openpyxl's
-    * `max_row`-bounded iteration). */
-  private def parseXlsxSheet(
-      sheet: Elem,
-      shared: IndexedSeq[String]
-  ): Seq[IndexedSeq[String]] = {
-    val rowNodes = (sheet \\ "row")
-    if (rowNodes.isEmpty) return Seq.empty
-    val byNumber = scala.collection.mutable.LinkedHashMap.empty[Int, IndexedSeq[String]]
-    var autoRow = 0
-    rowNodes.foreach { rn =>
-      val rowNum =
-        rn.attribute("r").map(_.text.toInt).getOrElse(autoRow + 1)
-      autoRow = rowNum
-      val cells = scala.collection.mutable.ArrayBuffer.empty[String]
-      var autoCol = -1
-      (rn \ "c").foreach { c =>
-        val colIdx = c.attribute("r").map(_.text).flatMap(colOf)
-          .getOrElse(autoCol + 1)
-        autoCol = colIdx
-        while (cells.length < colIdx) cells += null
-        cells += cellValue(c, shared)
-      }
-      byNumber(rowNum) = cells.toIndexedSeq
-    }
-    val maxRow = byNumber.keys.max
-    (1 to maxRow).map(r => byNumber.getOrElse(r, IndexedSeq.empty))
-  }
-
-  /** `A1` → column 0, `C5` → 2. */
-  private def colOf(ref: String): Option[Int] = {
-    val letters = ref.takeWhile(_.isLetter).toUpperCase
-    if (letters.isEmpty) None
-    else Some(letters.foldLeft(0)((acc, ch) => acc * 26 + (ch - 'A' + 1)) - 1)
-  }
-
-  private def cellValue(c: Node, shared: IndexedSeq[String]): String = {
-    val t = c.attribute("t").map(_.text).getOrElse("n")
-    t match {
-      case "s" =>
-        (c \ "v").headOption.map(_.text.trim.toInt)
-          .flatMap(shared.lift).orNull
-      case "inlineStr" => (c \ "is").headOption.map(is => (is \\ "t").map(_.text).mkString).orNull
-      case "str"       => (c \ "v").headOption.map(_.text).orNull
-      case "b" =>
-        (c \ "v").headOption.map(v => if (v.text.trim == "1") "True" else "False").orNull
-      case _ => (c \ "v").headOption.map(_.text).orNull // numeric/error: raw
     }
   }
 

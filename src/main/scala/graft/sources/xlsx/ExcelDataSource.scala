@@ -1,0 +1,147 @@
+package graft.sources.xlsx
+
+import java.util
+
+import graft.sources.TextImporter
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.jdk.CollectionConverters._
+
+/** DataSource V2 reader for `.xlsx` workbooks: `spark.read
+  * .format("graft-excel").option("sheet", name).load(path)`.
+  *
+  * Division of labor (the scale story, SURVEY.md §4):
+  *  - DRIVER: open the container once for metadata — sheet list, shared
+  *    strings, schema inference (max arity over the chosen sheet).
+  *  - EXECUTORS: each [[SheetPartition]] re-opens the file locally and
+  *    decodes its sheet's cells there, so cell decoding is off the driver
+  *    and sheets of one workbook (or many workbooks via UNION) decode in
+  *    parallel.
+  *  - Column pruning IS pushed down ([[SupportsPushDownRequiredColumns]]):
+  *    a `select("0","3")` decodes only those positional columns' values
+  *    into rows (the XML walk still scans the sheet — the format is not
+  *    columnar — but row building and memory are pruned).
+  *
+  * Options: `sheet` — sheet name (default: first sheet).
+  * Schema: positional all-string (`0..n-1`), reference `dtype=str` parity.
+  */
+class ExcelDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-excel"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val path = ExcelDataSource.pathOf(options)
+    val wb = XlsxParser.openWorkbook(path)
+      .getOrElse(throw new IllegalArgumentException(s"not an xlsx: $path"))
+    val sheet = ExcelDataSource.resolveSheet(wb, options)
+    val rows = XlsxParser.sheetRows(path, sheet.target, wb.shared)
+    val width = if (rows.isEmpty) 0 else rows.map(_.length).max
+    TextImporter.positionalSchema(width)
+  }
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val options = new CaseInsensitiveStringMap(properties)
+    new ExcelTable(ExcelDataSource.pathOf(options), options, schema)
+  }
+}
+
+object ExcelDataSource {
+  def pathOf(options: CaseInsensitiveStringMap): String =
+    Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft-excel requires a path"))
+
+  def resolveSheet(
+      wb: XlsxParser.Workbook,
+      options: CaseInsensitiveStringMap): XlsxParser.SheetRef = {
+    Option(options.get("sheet")) match {
+      case None => wb.sheets.headOption.getOrElse(
+        throw new IllegalArgumentException("workbook has no sheets"))
+      case Some(name) => wb.sheets.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"no sheet named '$name'"))
+    }
+  }
+}
+
+class ExcelTable(
+    path: String,
+    options: CaseInsensitiveStringMap,
+    schema: StructType
+) extends Table with SupportsRead {
+  override def name(): String = s"graft-excel:$path"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new ExcelScanBuilder(path, options, schema)
+}
+
+class ExcelScanBuilder(
+    path: String,
+    options: CaseInsensitiveStringMap,
+    fullSchema: StructType
+) extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = fullSchema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new Scan with Batch {
+    override def readSchema(): StructType = required
+    override def toBatch: Batch = this
+    override def planInputPartitions(): Array[InputPartition] = {
+      val wb = XlsxParser.openWorkbook(path).getOrElse(
+        throw new IllegalArgumentException(s"not an xlsx: $path"))
+      val sheet = ExcelDataSource.resolveSheet(wb, options)
+      Array(SheetPartition(path, sheet.target))
+    }
+    override def createReaderFactory(): PartitionReaderFactory =
+      new SheetReaderFactory(required)
+  }
+}
+
+/** One partition = one sheet (the natural split unit of the format; a
+  * row-range sub-split would need random access inside the deflate stream).
+  */
+case class SheetPartition(path: String, target: String) extends InputPartition
+
+class SheetReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val sp = p.asInstanceOf[SheetPartition]
+    new SheetReader(sp, required)
+  }
+}
+
+class SheetReader(p: SheetPartition, required: StructType)
+    extends PartitionReader[InternalRow] {
+  // executor-side: open the container locally, decode only this sheet
+  private val wb = XlsxParser.openWorkbook(p.path)
+    .getOrElse(throw new IllegalStateException(s"not an xlsx: ${p.path}"))
+  private val rows = XlsxParser.sheetRows(p.path, p.target, wb.shared).iterator
+  private val colIdx: Array[Int] = required.fields.map(_.name.toInt)
+  private var current: IndexedSeq[String] = _
+
+  override def next(): Boolean = {
+    if (rows.hasNext) { current = rows.next(); true } else false
+  }
+
+  override def get(): InternalRow = {
+    InternalRow.fromSeq(colIdx.map { i =>
+      val v = if (i < current.length) current(i) else null
+      if (v == null) null else UTF8String.fromString(v)
+    }.toIndexedSeq)
+  }
+
+  override def close(): Unit = ()
+}
