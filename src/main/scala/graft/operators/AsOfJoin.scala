@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for every left row, attach the single most recent right row
+  * with the same key and `rightTs < leftTs` (strict) — the time-series
+  * "latest value at or before" join Spark lacks natively.
+  *
+  * Implementation is the composition (preference (a) in SURVEY.md §2B's
+  * custom-operator ladder — no custom LogicalPlan needed because built-ins
+  * express the semantics exactly): tag and UNION the two inputs, sort each
+  * key's rows by (ts, tag) within one window, and carry the last non-null
+  * right payload forward (`last(..., ignoreNulls)` over rows unbounded
+  * preceding). Left rows then hold exactly the most recent prior right row.
+  *
+  * Scale shape: ONE shuffle of |left|+|right| rows keyed by the join key,
+  * then a per-key sort — versus the naive equi-join + rank approach whose
+  * intermediate is |left| × |matching rights| (quadratic on hot keys).
+  * Strictness is encoded in the sort tag (left rows sort BEFORE right rows
+  * at equal timestamps, so an equal-ts right row is not yet visible).
+  */
+object AsOfJoin {
+
+  /** @param left       driving rows
+    * @param right      lookup rows; its columns (minus key/ts) are attached
+    * @param key        equality key column name (present in both)
+    * @param leftTs     left timestamp column name
+    * @param rightTs    right timestamp column name
+    * @param rightCols  right payload columns to carry (renamed as given)
+    */
+  def latestPrior(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      rightCols: Map[String, String]
+  ): DataFrame = {
+    val leftCols = left.columns.toSeq
+    // tag 0 = left, 1 = right; at equal ts the left sorts FIRST → strict <
+    val taggedLeft = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__tag", lit(0))
+      .select(Seq(col(key), col("__ts"), col("__tag")) ++
+        leftCols.filterNot(_ == key).map(col) ++
+        rightCols.values.toSeq.map(n => lit(null).as(s"__r_$n")): _*)
+    val taggedRight = right
+      .withColumn("__ts", col(rightTs))
+      .withColumn("__tag", lit(1))
+      .select(Seq(col(key), col("__ts"), col("__tag")) ++
+        leftCols.filterNot(_ == key).map(n => lit(null).as(n)) ++
+        rightCols.map { case (src, dst) => col(src).as(s"__r_$dst") }.toSeq: _*)
+
+    // deterministic within-ties order: tag DESC puts right rows first at
+    // equal ts in scan order?? No — ASC: left(0) before right(1) at equal
+    // ts, so a left row's frame ends before same-ts rights → strict.
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__ts"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val carried = rightCols.values.foldLeft(taggedLeft.unionByName(taggedRight)) {
+      case (df, n) =>
+        df.withColumn(s"__c_$n", last(col(s"__r_$n"), ignoreNulls = true).over(w))
+    }
+    carried
+      .filter(col("__tag") === 0)
+      .select(leftCols.map(col) ++
+        rightCols.values.toSeq.map(n => col(s"__c_$n").as(n)): _*)
+  }
+}
