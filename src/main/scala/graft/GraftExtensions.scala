@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.RollingHash64
+
+/** Session extensions for the engine's custom Catalyst surface — the
+  * injection-point variant of [[graft.functions.GraftFunctions.registerAll]]
+  * for clusters configured declaratively:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)   // or
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")
+  * }}}
+  *
+  * Currently injects `rolling_hash` (SQL-callable, codegen'd). New custom
+  * expressions/rules/strategies register here so every session — including
+  * ones we don't build ourselves (Thrift server, connect) — sees the same
+  * surface.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash64].getName, "rolling_hash"),
+      (exprs: Seq[Expression]) => RollingHash64(exprs.head)
+    ))
+  }
+}

@@ -453,6 +453,25 @@ object RelationalQueries {
       ORDER BY e.event_id""")
   )
 
+  /** Sketch aggregation: approx_count_distinct (HyperLogLog++) next to the
+    * exact count. No oracle — HLL estimates are implementation-specific —
+    * but OperatorSpec asserts the estimate lands within the documented
+    * error bound of the exact value. At 100 TB the sketch is the ONLY
+    * viable distinct count: fixed-size state, single shuffle of sketches,
+    * vs the exact two-phase expand-and-dedup. */
+  val q18 = Q(
+    "q18_approx_distinct",
+    (s, dir) =>
+      lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+    None
+  )
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08,
-    q09, q10, q11, q12, q13, q14, q15, q16, q17)
+    q09, q10, q11, q12, q13, q14, q15, q16, q17, q18)
 }

@@ -32,15 +32,17 @@ object SimilarityQueries {
   // quantization error (≤6.4e-14 on a 64-dim dot) is irrelevant because
   // both engines rank the SAME quantized values.
   private val Scale = 1e15
+  private val Dim = 64 // embeddings table vector width (FIXTURES.md §B)
 
-  /** Engine-exact fixed-point dot product of two float arrays. */
+  /** Engine-exact fixed-point dot product of two float arrays. Unrolled
+    * over the fixed dim as 64 codegen'd element_at products — the
+    * aggregate(zip_with(...)) formulation evaluates its lambda interpreted
+    * and dominates wall-clock once pair counts reach the millions. */
   private def dotDec(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) =>
-        floor(x.cast("double") * y.cast("double") * Scale).cast("long")),
-      lit(0L),
-      (acc, v) => acc + v
-    ).cast("double") / Scale
+    (1 to Dim).map { i =>
+      floor(element_at(a, i).cast("double") * element_at(b, i).cast("double") * Scale)
+        .cast("long")
+    }.reduce(_ + _).cast("double") / Scale
 
   private def dotDecSql(a: String, b: String): String =
     s"""(CAST((SELECT SUM(CAST(FLOOR(CAST(ua.x AS DOUBLE) * ub.x * 1e15) AS BIGINT))
@@ -171,5 +173,47 @@ object SimilarityQueries {
     None
   )
 
-  val all: Seq[Q] = Seq(q40, q41)
+  /** Embedding-cosine near-duplicate pairs: all (a, b) with cosine ≥ 0.4.
+    * This is the exact threshold variant of embedding dedup (q41 is the
+    * LSH-bucketed scale path). The threshold compare is safe cross-engine
+    * because the cosine itself is bit-identical (fixed-point dots). */
+  val q42 = Q(
+    "q42_dedup_embedding",
+    (s, dir) => {
+      val emb = embeddings(s, dir)
+      val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
+        sqrt(dotDec(col("embedding"), col("embedding"))).as("na"))
+      val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
+        sqrt(dotDec(col("embedding"), col("embedding"))).as("nb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          (dotDec(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cosine"))
+        .filter(col("cosine") >= 0.4)
+        .orderBy("id_a", "id_b")
+    },
+    // oracle written FLAT (unnest once, equi-join on the element index,
+    // group by pair) — the correlated-subquery formulation used by q40's
+    // oracle is fine for 8 query vectors but takes minutes over all pairs
+    Some("""
+      WITH u AS (
+        SELECT vec_id, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings),
+      nrm AS (
+        SELECT vec_id,
+               sqrt(CAST(CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * x * 1e15) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e15) AS nrm
+        FROM u GROUP BY vec_id),
+      dots AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               CAST(CAST(SUM(CAST(FLOOR(CAST(a.x AS DOUBLE) * b.x * 1e15) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e15 AS dot
+        FROM u a JOIN u b ON a.i = b.i AND a.vec_id < b.vec_id
+        GROUP BY a.vec_id, b.vec_id)
+      SELECT d.id_a, d.id_b, d.dot / (x.nrm * y.nrm) AS cosine
+      FROM dots d JOIN nrm x ON d.id_a = x.vec_id
+                  JOIN nrm y ON d.id_b = y.vec_id
+      WHERE d.dot / (x.nrm * y.nrm) >= 0.4
+      ORDER BY d.id_a, d.id_b""")
+  )
+
+  val all: Seq[Q] = Seq(q40, q41, q42)
 }

@@ -41,6 +41,27 @@ class OperatorSpec extends SparkSpec {
     assert(viaSql == hs(0))
   }
 
+  test("q18 approx_count_distinct within HLL error bound of exact") {
+    val rows = graft.queries.RelationalQueries.q18
+      .spark(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_parts").toDouble
+      val exact = r.getAs[Long]("exact_parts").toDouble
+      assert(math.abs(approx - exact) / exact < 0.1,
+        s"approx $approx too far from exact $exact")
+    }
+  }
+
+  test("GraftExtensions applies cleanly to a SparkSessionExtensions") {
+    // extensions only take effect on session CREATION (the shared test
+    // session already exists), so this asserts the injection itself is
+    // well-formed; the SQL surface of rolling_hash is covered above via
+    // GraftFunctions.registerAll
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions()(ext)
+  }
+
   test("multimodal decode: deterministic fake features + real plumbing") {
     val out = Multimodal.query(spark, "/root/testdata/sf0.001").collect()
     assert(out.length == 500)
