@@ -32,17 +32,15 @@ object SimilarityQueries {
   // quantization error (≤6.4e-14 on a 64-dim dot) is irrelevant because
   // both engines rank the SAME quantized values.
   private val Scale = 1e15
-  private val Dim = 64 // embeddings table vector width (FIXTURES.md §B)
 
-  /** Engine-exact fixed-point dot product of two float arrays. Unrolled
-    * over the fixed dim as 64 codegen'd element_at products — the
-    * aggregate(zip_with(...)) formulation evaluates its lambda interpreted
-    * and dominates wall-clock once pair counts reach the millions. */
+  /** Engine-exact fixed-point dot product of two float arrays, via the
+    * custom codegen'd [[graft.functions.FixedPointDot]] expression (one
+    * tight primitive loop per pair — both the interpreted HOF lambda and
+    * the 64-term unrolled element_at formulations were 20-100x slower at
+    * millions of pairs; the unrolled one silently exceeded the codegen
+    * method limit). */
   private def dotDec(a: Column, b: Column): Column =
-    (1 to Dim).map { i =>
-      floor(element_at(a, i).cast("double") * element_at(b, i).cast("double") * Scale)
-        .cast("long")
-    }.reduce(_ + _).cast("double") / Scale
+    graft.functions.FixedPointDot.fixed_point_dot(a, b).cast("double") / Scale
 
   private def dotDecSql(a: String, b: String): String =
     s"""(CAST((SELECT SUM(CAST(FLOOR(CAST(ua.x AS DOUBLE) * ub.x * 1e15) AS BIGINT))
@@ -126,13 +124,15 @@ object SimilarityQueries {
         z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
         z ^ (z >>> 31)
       }
-      def planeWeights(g: Int): Seq[Double] =
-        (0 until Dim).map(d => (math.floorMod(mix64(g.toLong * Dim + d), 1000L) - 500L) / 1000.0)
-      // sign bit of dot(vec, plane) for global plane index g
+      def planeWeights(g: Int): Seq[Float] =
+        (0 until Dim).map(d =>
+          ((math.floorMod(mix64(g.toLong * Dim + d), 1000L) - 500L) / 1000.0).toFloat)
+      // sign bit of dot(vec, plane) for global plane index g — through the
+      // codegen'd fixed-point dot (sign is invariant under the scaling);
+      // the interpreted zip_with lambda was the query's dominant cost
       def planeBit(vec: Column, g: Int, bit: Int): Column = {
-        val weighted = aggregate(
-          zip_with(vec, typedLit(planeWeights(g)), (x, w) => x.cast("double") * w),
-          lit(0.0), (acc, v) => acc + v)
+        val weighted = graft.functions.FixedPointDot
+          .fixed_point_dot(vec, typedLit(planeWeights(g)))
         when(weighted >= 0, lit(1L << bit)).otherwise(lit(0L))
       }
       def tableSig(vec: Column, t: Int): Column =
