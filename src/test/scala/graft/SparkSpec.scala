@@ -6,11 +6,13 @@ import org.scalatest.funsuite.AnyFunSuite
 /** One shared local session for the whole test run (per JVM fork). */
 object TestSpark {
   lazy val spark: SparkSession = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_warehouse")
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-tests")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", wh.toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
