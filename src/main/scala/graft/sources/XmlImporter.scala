@@ -1,9 +1,8 @@
 package graft.sources
 
 import graft.model.ParserAnswer
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-
-import scala.xml.{Elem, Node, XML}
+import graft.sources.xmlss.XmlSpreadsheetParser
+import org.apache.spark.sql.SparkSession
 
 /** MS SpreadsheetML XML importer — the reference's `ImportXML`
   * (reference `main.py:268-324`).
@@ -25,89 +24,40 @@ import scala.xml.{Elem, Node, XML}
   *    first, then a recovery pass (escape bare `&`, drop control chars)
   *    before giving up.
   *
-  * Scale note: SpreadsheetML is a driver-side format here (like the
-  * reference); the produced plan is a `LocalRelation`, which Catalyst
-  * folds/prunes freely. Genuinely huge XML would need a DSv2 reader —
-  * out of parity scope since the reference is also whole-file in memory.
+  * Architecture: the driver parses once for table enumeration + shape
+  * probing (cheap metadata, like the reference's whole-file parse); the
+  * returned DataFrames are served by the DSv2 source
+  * ([[graft.sources.xmlss.XmlSpreadsheetDataSource]], format `graft-xmlss`)
+  * so the actual row decode happens on executors at action time, tables in
+  * parallel.
   */
 class XmlImporter(val spark: SparkSession, val filePath: String)
     extends Importer {
   override def engineName: String = "ImportXML"
 
-  private val Ns = "urn:schemas-microsoft-com:office:spreadsheet"
-
   def work(): Seq[ParserAnswer] = {
-    val root: Elem =
-      try loadLenient(filePath)
+    val root =
+      try XmlSpreadsheetParser.loadLenient(filePath)
       catch { case _: Exception => return failedAnswer() }
 
-    def inNs(n: Node, label: String): Boolean =
-      n.label == label && n.namespace == Ns
+    val tables = XmlSpreadsheetParser.tables(root)
+    if (tables.isEmpty) return failedAnswer()
 
-    val worksheets = (root \\ "Worksheet").filter(inNs(_, "Worksheet"))
-    if (worksheets.nonEmpty) {
-      worksheets.flatMap { ws =>
-        val name = ws.attribute(Ns, "Name").map(_.text).getOrElse("None")
-        (ws \\ "Table").filter(inNs(_, "Table")).map { table =>
-          answerFor(table, name)
-        }
+    tables.map { t =>
+      val rows = XmlSpreadsheetParser.tableRows(root, t.index)
+      val width = if (rows.isEmpty) 0 else rows.map(_.length).max
+      if (width == 0)
+        ParserAnswer(spark.emptyDataFrame, filePath, sheetName = t.sheetName,
+          engine = engineName, knownRowCount = Some(0L))
+      else {
+        val df = spark.read
+          .format("graft-xmlss")
+          .schema(TextImporter.positionalSchema(width))
+          .option("table", t.index)
+          .load(filePath)
+        ParserAnswer(df, filePath, sheetName = t.sheetName,
+          engine = engineName, knownRowCount = Some(rows.length.toLong))
       }
-    } else {
-      val tables = (root \\ "Table").filter(inNs(_, "Table"))
-      if (tables.nonEmpty) tables.map(answerFor(_, "Not defined"))
-      else failedAnswer()
-    }
-  }
-
-  private def answerFor(table: Node, sheetName: String): ParserAnswer = {
-    val df = parseTableSection(table)
-    ParserAnswer(
-      data = df._1,
-      filePathRaw = filePath,
-      sheetName = sheetName,
-      engine = engineName,
-      knownRowCount = Some(df._2)
-    )
-  }
-
-  /** `parse_table_section` parity (`main.py:309-324`): collect the text of
-    * every `Data` descendant per `Row`, skip zero-`Data` rows, null-pad to
-    * max arity. Returns (frame, rowCount). */
-  private def parseTableSection(table: Node): (DataFrame, Long) = {
-    val rows: Seq[Seq[String]] = (table \\ "Row")
-      .filter(n => n.label == "Row" && n.namespace == Ns)
-      .map { row =>
-        (row \\ "Data")
-          .filter(n => n.label == "Data" && n.namespace == Ns)
-          .map(d => if (d.child.isEmpty) null else d.text)
-      }
-      .filter(_.nonEmpty) // zero-Data rows skipped, main.py:320
-      .map(_.toSeq)
-
-    if (rows.isEmpty) (spark.emptyDataFrame, 0L)
-    else {
-      val width = rows.map(_.length).max
-      val schema = TextImporter.positionalSchema(width)
-      val padded = rows.map(r => Row.fromSeq(r.padTo(width, null)))
-      import scala.jdk.CollectionConverters._
-      (spark.createDataFrame(padded.asJava, schema), rows.length.toLong)
-    }
-  }
-
-  /** Strict parse, then `recover=True`-style cleanup on failure. */
-  private def loadLenient(path: String): Elem = {
-    try XML.loadFile(path)
-    catch {
-      case _: Exception =>
-        val raw = new String(
-          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
-          "UTF-8")
-        val cleaned = raw
-          // escape bare ampersands not already part of an entity
-          .replaceAll("&(?!(?:amp|lt|gt|quot|apos|#\\d+|#x[0-9a-fA-F]+);)", "&amp;")
-          // drop XML-invalid control characters
-          .replaceAll("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]", "")
-        XML.loadString(cleaned)
     }
   }
 }

@@ -1,0 +1,106 @@
+package graft.sources.xmlss
+
+import java.util
+
+import graft.sources.TextImporter
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.jdk.CollectionConverters._
+
+/** DataSource V2 reader for MS SpreadsheetML: `spark.read
+  * .format("graft-xmlss").option("table", idx).load(path)`.
+  *
+  * Same division of labor as the `graft-excel` source: driver touches the
+  * file only for schema inference; the partition reader re-parses on the
+  * executor and emits one table's rows, column-pruned
+  * ([[SupportsPushDownRequiredColumns]]).
+  *
+  * Options: `table` — global table ordinal in document order (default 0).
+  */
+class XmlSpreadsheetDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-xmlss"
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val path = XmlSpreadsheetDataSource.pathOf(options)
+    val idx = options.getInt("table", 0)
+    val rows = XmlSpreadsheetParser.tableRows(
+      XmlSpreadsheetParser.loadLenient(path), idx)
+    val width = if (rows.isEmpty) 0 else rows.map(_.length).max
+    TextImporter.positionalSchema(width)
+  }
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val options = new CaseInsensitiveStringMap(properties)
+    new XmlssTable(XmlSpreadsheetDataSource.pathOf(options),
+      options.getInt("table", 0), schema)
+  }
+}
+
+object XmlSpreadsheetDataSource {
+  def pathOf(options: CaseInsensitiveStringMap): String =
+    Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft-xmlss requires a path"))
+}
+
+class XmlssTable(path: String, tableIdx: Int, schema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-xmlss:$path#$tableIdx"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new XmlssScanBuilder(path, tableIdx, schema)
+}
+
+class XmlssScanBuilder(path: String, tableIdx: Int, fullSchema: StructType)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = fullSchema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new Scan with Batch {
+    override def readSchema(): StructType = required
+    override def toBatch: Batch = this
+    override def planInputPartitions(): Array[InputPartition] =
+      Array(XmlssPartition(path, tableIdx))
+    override def createReaderFactory(): PartitionReaderFactory =
+      new XmlssReaderFactory(required)
+  }
+}
+
+case class XmlssPartition(path: String, tableIdx: Int) extends InputPartition
+
+class XmlssReaderFactory(required: StructType) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new XmlssReader(p.asInstanceOf[XmlssPartition], required)
+}
+
+class XmlssReader(p: XmlssPartition, required: StructType)
+    extends PartitionReader[InternalRow] {
+  private val rows = XmlSpreadsheetParser
+    .tableRows(XmlSpreadsheetParser.loadLenient(p.path), p.tableIdx)
+    .iterator
+  private val colIdx: Array[Int] = required.fields.map(_.name.toInt)
+  private var current: Seq[String] = _
+
+  override def next(): Boolean =
+    if (rows.hasNext) { current = rows.next(); true } else false
+
+  override def get(): InternalRow =
+    InternalRow.fromSeq(colIdx.map { i =>
+      val v = if (i < current.length) current(i) else null
+      if (v == null) null else UTF8String.fromString(v)
+    }.toIndexedSeq)
+
+  override def close(): Unit = ()
+}
