@@ -29,4 +29,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local-mode = one JVM doing all executor work: at local[32] an 8g heap
   // GC-thrashes (observed 5-10x slowdowns on wide-expression queries)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // Whole-stage codegen emits hundreds of classes across a multi-query run;
+  // the default 240m code cache fills, the JIT silently disables, and ONE
+  // random query per run regressed 50-100x (observed). Headroom + flushing
+  // keeps compiled code compiled.
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+UseCodeCacheFlushing",
 )
