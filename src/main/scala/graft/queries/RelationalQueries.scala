@@ -472,6 +472,35 @@ object RelationalQueries {
     None
   )
 
+  /** Pivot: order totals by priority × status. Spark's `pivot` with an
+    * explicit value list (required for plan determinism at scale — without
+    * it Spark runs an extra distinct-values job); the exact decimal sums
+    * are rounded/cast in an outer projection on BOTH sides because DuckDB's
+    * PIVOT USING clause only accepts a bare aggregate. */
+  val q19 = Q(
+    "q19_pivot",
+    (s, dir) => {
+      val statuses = Seq("F", "O", "P")
+      orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", statuses)
+        .agg(sum(col("o_totalprice").cast(SumDec)))
+        .select(col("o_orderpriority") +: statuses.map(st =>
+          round(col(st), 2).cast("double").as(st)): _*)
+        .orderBy("o_orderpriority")
+    },
+    Some("""
+      WITH p AS (
+        PIVOT orders ON o_orderstatus IN ('F', 'O', 'P')
+        USING SUM(CAST(o_totalprice AS DECIMAL(28,10)))
+        GROUP BY o_orderpriority)
+      SELECT o_orderpriority,
+             CAST(ROUND("F", 2) AS DOUBLE) AS F,
+             CAST(ROUND("O", 2) AS DOUBLE) AS O,
+             CAST(ROUND("P", 2) AS DOUBLE) AS P
+      FROM p ORDER BY o_orderpriority""")
+  )
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08,
-    q09, q10, q11, q12, q13, q14, q15, q16, q17, q18)
+    q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19)
 }
