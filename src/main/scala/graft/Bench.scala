@@ -1,5 +1,7 @@
 package graft
 
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: wall-clock per declared query, one JSON line.
@@ -7,11 +9,27 @@ import org.apache.spark.sql.SparkSession
   * Queries are materialized through the noop sink, not `count()` — count
   * lets Catalyst prune every projection (a "benchmark" of the scan only);
   * the noop write executes the full physical plan and discards rows.
+  *
+  * Noise controls (this VM shows bursty hypervisor CPU-steal windows that
+  * inflated round 1's driver numbers 50-160x over steady state):
+  *   - one untimed warm pass over the whole suite (JIT compilation of
+  *     generated code dominates cold-JVM variance);
+  *   - each query then timed REPS times and the MEDIAN reported — a single
+  *     steal burst can only contaminate one of the three samples;
+  *   - the JSON line is written to a file as well as stdout (round 1's
+  *     stdout-only line was lost to sbt log interleaving: "parsed": null).
+  *
+  * A query that throws is reported with time -1.0 in `queries`, listed in
+  * `failed`, and excluded from `value` — a fast failure must not masquerade
+  * as a fast query.
   */
 object Bench {
+  private val Reps = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -23,38 +41,46 @@ object Bench {
     // optional arg: comma-separated query-name filter (local profiling)
     val only: Option[Set[String]] =
       if (args.nonEmpty) Some(args(0).split(",").toSet) else None
-    // Untimed warm pass over the whole suite: JIT compilation of generated
-    // code is the dominant noise source in a cold JVM (observed 5-15x
-    // run-to-run swings on codegen-heavy queries); the timed pass below
-    // then measures steady-state execution, which is what a long-running
-    // cluster actually exhibits.
-    SparkEntry.queries.toSeq.sortBy(_._1)
+    val suite = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (_, fn) =>
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
-        spark.sharedState.cacheManager.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      val dt = (System.nanoTime() - t0) / 1e9
+
+    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Boolean = {
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case _: Throwable => false }
       // queries are independent — drop cached/checkpointed blocks so one
       // query's retained state can't evict the next one's mid-flight
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      name -> dt
+      ok
     }
+
+    // Untimed warm pass: JIT-compile every query's generated code.
+    suite.foreach { case (_, fn) => runOnce(fn) }
+
+    val results = suite.map { case (name, fn) =>
+      val samples = (1 to Reps).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = runOnce(fn)
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+      }
+      val good = samples.flatten.sorted
+      if (good.size < samples.size)
+        System.err.println(s"[bench] $name failed ${samples.size - good.size}/${samples.size} runs")
+      // median of successful samples; -1 sentinel when every run threw
+      val med = if (good.isEmpty) -1.0 else good(good.size / 2)
+      name -> med
+    }
+    val failed = results.collect { case (n, t) if t < 0 => n }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}"""
+    println(line)
+    try Files.writeString(Paths.get(outFile), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] write $outFile: ${e.getMessage}") }
     spark.stop()
   }
 }

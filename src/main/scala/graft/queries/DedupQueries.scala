@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import Tables._
@@ -14,9 +14,17 @@ import Tables._
   * pipelines follow the standard shingle → signature → band → bucket-join
   * shape: candidate generation is a self-join on band buckets (shuffle keys
   * are small band hashes; cost scales with collisions, not with n²), and
-  * only candidates are verified. Everything is derived from xxhash64 with
-  * literal seeds — deterministic across runs, partitionings, and cluster
-  * sizes.
+  * only candidates are verified.
+  *
+  * Cross-engine hash family: every hash is derived from `md5` (bit-identical
+  * in Spark and DuckDB) — base value = two 32-bit halves of the digest's
+  * first 16 hex chars, k-th permutation = `(a_k·lo + b_k·hi + c_k) mod
+  * (2^61-1)` with plan-time literal 29-bit constants. All products stay
+  * below 2^62, so the SAME integer arithmetic runs without overflow in both
+  * engines (DuckDB BIGINT overflow throws; Java wraps — neither is hit).
+  * That makes the whole LSH pipeline SQL-expressible and hash-checked by
+  * the DuckDB oracle, and — equally important at scale — independent of
+  * partitioning, executor count, and run order.
   */
 object DedupQueries {
 
@@ -63,7 +71,7 @@ object DedupQueries {
     * (`inter * 20 >= union`) so no float comparison can diverge between
     * engines; the reported jaccard is a ratio of identical ints → identical
     * doubles. This is the exact (quadratic-in-collisions) verifier; the
-    * scalable candidate generator is q21_dedup_minhash. */
+    * scalable candidate generator is q22_dedup_minhash. */
   val q21 = Q(
     "q21_ngram_jaccard",
     (s, dir) => {
@@ -108,39 +116,68 @@ object DedupQueries {
 
   private val MinhashK = 64 // signature length
   private val Bands = 16    // 16 bands × 4 rows
+  private val BucketCap = 64
 
-  /** MinHash signature per doc: element i = min over shingles of
-    * xxhash64(i, shingle). The per-shingle 64-hash vector is one codegen'd
-    * `transform`; the fold is the custom [[graft.functions.ArrayLongFold]]
-    * aggregate (single primitive-array buffer — 64 separate min() columns
-    * blow the codegen method limit and fall back to interpreted aggregation,
-    * ~5x slower at bench scale). Map-side partial fold still applies, so
-    * the shuffle carries one 64-long array per (partition, doc). */
+  /** 2^61 - 1 (prime): permutation modulus. Values stay < 2^62 end-to-end. */
+  private val P61 = 2305843009213693951L
+
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  // 29-bit multipliers/offsets for the 2-universal permutation family —
+  // fixed at plan time from splitmix64 streams so Spark literals and the
+  // oracle's SQL list literals are the same numbers.
+  private val Mask29 = (1L << 29) - 1
+  private val PermA = IndexedSeq.tabulate(MinhashK)(i => (mix64(0xA0000L + i) & Mask29) | 1L)
+  private val PermB = IndexedSeq.tabulate(MinhashK)(i => (mix64(0xB0000L + i) & Mask29) | 1L)
+  private val PermC = IndexedSeq.tabulate(MinhashK)(i => mix64(0xC0000L + i) & Mask29)
+
+  private def sqlList(xs: Seq[Long]): String = xs.mkString("[", ",", "]")
+
+  /** Two 32-bit halves of the first 16 md5 hex chars — the cross-engine base
+    * hash (`('0x' || substr(md5(x),1,8))::BIGINT` on the DuckDB side). */
+  private def md5Halves(src: Column): (Column, Column) = {
+    val m = md5(src)
+    (conv(substring(m, 1, 8), 16, 10).cast("long"),
+      conv(substring(m, 9, 8), 16, 10).cast("long"))
+  }
+
+  /** MinHash signature per doc: element k = min over shingles of permutation
+    * k of the shingle's md5. The md5 is computed ONCE per shingle; the 64
+    * permutations are fused multiply-adds in one codegen'd `array(...)`
+    * constructor (a `transform(sequence(...))` lambda evaluates interpreted).
+    * The fold is the custom [[graft.functions.ArrayLongFold]] aggregate
+    * (single primitive-array buffer — 64 separate min() columns blow the
+    * codegen method limit and fall back to interpreted aggregation, ~5x
+    * slower at bench scale). Map-side partial fold still applies, so the
+    * shuffle carries one 64-long array per (partition, doc). */
   private def minhashSignatures(docs: DataFrame): DataFrame = {
     import graft.functions.ArrayLongFold.arrayMinAgg
-    // Hash the shingle STRING once; derive the 64 permutation values by
-    // hashing (i, h64) pairs — 64 long-hashes instead of 64 string-hashes
-    // per shingle (the string rehash was the whole pipeline's hot spot).
-    // Also: plain array(...) of hash calls, NOT transform(sequence(...)):
-    // higher-order-function lambdas evaluate interpreted, the array
-    // constructor stays in whole-stage codegen.
+    val (lo, hi) = md5Halves(col("sh"))
     shingles(docs)
-      .select(col("doc_id"), xxhash64(col("sh")).as("h64"))
+      .select(col("doc_id"), lo.as("lo"), hi.as("hi"))
       .select(col("doc_id"),
-        array((0 until MinhashK).map(i => xxhash64(lit(i), col("h64"))): _*)
+        array((0 until MinhashK).map(i =>
+          (lit(PermA(i)) * col("lo") + lit(PermB(i)) * col("hi") + lit(PermC(i))) % P61): _*)
           .as("hs"))
       .groupBy("doc_id")
       .agg(arrayMinAgg(col("hs")).as("sig"))
   }
 
   /** MinHash + LSH banding near-dup candidates, verified by signature
-    * agreement. No oracle: xxhash64 has no DuckDB twin → rows-only check.
+    * agreement.
     *
-    * Pipeline: signature → explode 16 bands (band hash = xxhash64 of the
-    * band's 4 signature slots) → self-join on (band index, band hash) →
+    * Pipeline: signature → explode 16 bands (band key = md5 hex of the
+    * band's 4 signature slots joined with commas — a string key both
+    * engines render identically) → self-join on (band index, band key) →
     * distinct candidate pairs → estimated jaccard = fraction of agreeing
-    * signature positions, keep >= 0.5. Join keys are (int, long) pairs —
-    * at 100 TB the shuffle moves only signatures, never documents. */
+    * signature positions, keep agreement ≥ 32/64 (integer compare; the
+    * reported ratio is int/64 → identical doubles). At 100 TB the shuffle
+    * moves only signatures and band digests, never documents. */
   val q22 = Q(
     "q22_dedup_minhash",
     (s, dir) => {
@@ -154,16 +191,20 @@ object DedupQueries {
         col("doc_id"),
         explode(array((0 until Bands).map { b =>
           struct(lit(b).as("band"),
-            xxhash64((0 until 4).map(r => element_at(col("sig"), b * 4 + r + 1)): _*)
+            md5(concat_ws(",",
+              (0 until 4).map(r => element_at(col("sig"), b * 4 + r + 1)): _*))
               .as("bh"))
         }: _*)).as("bb"))
         .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-      // over-full bucket guard — see q23's BucketCap note
+      // Over-full bucket guard — see q23's BucketCap note. No broadcast
+      // hint: the qualifying-bucket list grows with the corpus, so the
+      // join strategy is AQE's call (broadcasts while small, shuffles at
+      // the scale where a forced broadcast would OOM the driver).
       val okBuckets = bands.groupBy("band", "bh")
         .agg(count(lit(1)).as("bsz"))
-        .filter(col("bsz") <= 64 && col("bsz") > 1)
+        .filter(col("bsz") <= BucketCap && col("bsz") > 1)
         .select("band", "bh")
-      val bounded = bands.join(broadcast(okBuckets), Seq("band", "bh"))
+      val bounded = bands.join(okBuckets, Seq("band", "bh"))
       val cand = bounded.as("x")
         .join(bounded.as("y"),
           col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
@@ -177,76 +218,167 @@ object DedupQueries {
       val agreement = (0 until MinhashK).map(i =>
         when(element_at(col("sa.sig"), i + 1) === element_at(col("sb.sig"), i + 1), 1)
           .otherwise(0)).reduce(_ + _)
-      val est = cand
+      cand
         .join(sigs.as("sa"), col("doc_a") === col("sa.doc_id"))
         .join(sigs.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .select(col("doc_a"), col("doc_b"), agreement.as("agree"))
+        .filter(col("agree") * 2 >= MinhashK)
         .select(col("doc_a"), col("doc_b"),
-          (agreement.cast("double") / MinhashK).as("est_jaccard"))
-      est.filter(col("est_jaccard") >= 0.5).orderBy("doc_a", "doc_b")
+          (col("agree").cast("double") / MinhashK).as("est_jaccard"))
+        .orderBy("doc_a", "doc_b")
     },
-    None
+    Some(s"""
+      WITH words AS (
+        SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents),
+      idx AS (
+        SELECT doc_id, w, unnest(range(1, greatest(len(w) - 4, 1) + 1)) AS i
+        FROM words),
+      sh AS (
+        SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS sh FROM idx),
+      h AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(sh), 1, 8))::BIGINT AS lo,
+               ('0x' || substr(md5(sh), 9, 8))::BIGINT AS hi
+        FROM sh),
+      consts AS (
+        SELECT unnest(range(0, $MinhashK)) AS i,
+               unnest(${sqlList(PermA)}) AS pa,
+               unnest(${sqlList(PermB)}) AS pb,
+               unnest(${sqlList(PermC)}) AS pc),
+      perm AS (
+        SELECT doc_id, i, MIN((pa*lo + pb*hi + pc) % $P61) AS v
+        FROM h CROSS JOIN consts GROUP BY doc_id, i),
+      sig AS (SELECT doc_id, list(v ORDER BY i) AS sig FROM perm GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, b,
+               md5(concat_ws(',', sig[b*4+1], sig[b*4+2], sig[b*4+3], sig[b*4+4])) AS bh
+        FROM sig CROSS JOIN (SELECT unnest(range(0, $Bands)) AS b)),
+      ok AS (SELECT b, bh FROM bands GROUP BY b, bh
+             HAVING COUNT(*) <= $BucketCap AND COUNT(*) > 1),
+      bounded AS (SELECT bands.* FROM bands JOIN ok USING (b, bh)),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bounded x JOIN bounded y
+          ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id),
+      est AS (
+        SELECT doc_a, doc_b,
+               len(list_filter(range(1, ${MinhashK + 1}),
+                               k -> sa.sig[k] = sb.sig[k])) AS agree
+        FROM cand
+        JOIN sig sa ON sa.doc_id = doc_a
+        JOIN sig sb ON sb.doc_id = doc_b)
+      SELECT doc_a, doc_b, CAST(agree AS DOUBLE) / $MinhashK AS est_jaccard
+      FROM est WHERE agree * 2 >= $MinhashK
+      ORDER BY doc_a, doc_b""")
   )
 
   /** SimHash near-dup: 64-bit signature by per-bit weighted vote over word
-    * hashes; candidates generated by banding the signature into 4×16-bit
-    * chunks (two fingerprints within Hamming distance 3 must share at least
-    * one chunk); verified with bit_count(xor) <= 3. No oracle (hash-based).
-    */
+    * hashes, kept as two 32-bit halves (`sim_lo`, `sim_hi`) so every bit
+    * test, shift, and xor stays on small positive BIGINTs in both engines
+    * (bit 63 of a single 64-bit value would need Java's wrapping `1L<<63`,
+    * which DuckDB rejects). Candidates come from banding the signature into
+    * 4×16-bit chunks (two fingerprints within Hamming distance 3 must share
+    * at least one chunk); verified with bit_count(xor) ≤ 3. */
   val q23 = Q(
     "q23_dedup_simhash",
     (s, dir) => {
       import graft.functions.ArrayLongFold.arraySumAgg
+      val (lo, hi) = md5Halves(col("word"))
       val words = documents(s, dir)
         .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("word"))
-        .select(col("doc_id"), xxhash64(col("word")).as("h"))
+        .select(col("doc_id"), lo.as("lo"), hi.as("hi"))
       // per-word vote vector: +1 if bit set else -1, folded per doc by the
       // custom array-sum aggregate (see minhashSignatures for why not 64
-      // separate sum() columns); sign of each vote → signature bit
-      // array(...) of 64 codegen'd bit tests (HOF lambdas are interpreted)
+      // separate sum() columns); sign of each vote → signature bit.
+      // array(...) of 64 codegen'd bit tests (HOF lambdas are interpreted);
+      // half assembly = 32 codegen'd when-sums per half (ditto).
+      def half(base: Int): Column = (0 until 32).map(b =>
+        when(element_at(col("v"), base + b + 1) > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _)
       val sigs = words
         .select(col("doc_id"),
-          array((0 until 64).map(b =>
-            when(col("h").bitwiseAND(lit(1L << b)) =!= 0L, 1L).otherwise(-1L)
-          ): _*).as("votes"))
+          array((0 until 64).map { b =>
+            val src = if (b < 32) col("lo") else col("hi")
+            when(src.bitwiseAND(lit(1L << (b % 32))) =!= 0L, 1L).otherwise(-1L)
+          }: _*).as("votes"))
         .groupBy("doc_id")
         .agg(arraySumAgg(col("votes")).as("v"))
-        .select(col("doc_id"),
-          aggregate(
-            zip_with(col("v"), typedLit((0 until 64).map(1L << _)),
-              (vote, p) => when(vote > 0, p).otherwise(lit(0L))),
-            lit(0L), (acc, x) => acc.bitwiseOR(x)).as("simhash"))
+        .select(col("doc_id"), half(0).as("sim_lo"), half(32).as("sim_hi"))
         .localCheckpoint() // multi-branch reuse, see q22's sigs note
       val chunks = sigs.select(
-        col("doc_id"), col("simhash"),
+        col("doc_id"), col("sim_lo"), col("sim_hi"),
         explode(array((0 until 4).map { c =>
+          val src = if (c < 2) col("sim_lo") else col("sim_hi")
           struct(lit(c).as("chunk"),
-            shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xffffL)).as("ch"))
+            shiftright(src, (c % 2) * 16).bitwiseAND(lit(0xffffL)).as("ch"))
         }: _*)).as("cc"))
-        .select(col("doc_id"), col("simhash"), col("cc.chunk").as("chunk"), col("cc.ch").as("ch"))
+        .select(col("doc_id"), col("sim_lo"), col("sim_hi"),
+          col("cc.chunk").as("chunk"), col("cc.ch").as("ch"))
       // Over-full bucket guard (standard LSH practice): a chunk value
       // shared by B docs contributes B^2/2 candidate pairs; on adversarial
       // or highly-repetitive corpora (like this tiny-vocabulary synthetic
       // one) a single hot bucket can go quadratic. Buckets above the cap
       // are SKIPPED — candidates lost there are still found via their
       // other 3 chunks unless those are also over-full. NOT silent: the
-      // cap is part of the operator contract (recall/cost trade).
-      val BucketCap = 64
+      // cap is part of the operator contract (recall/cost trade). No
+      // broadcast hint on the bucket list — AQE's call (see q22).
       val okBuckets = chunks.groupBy("chunk", "ch")
         .agg(count(lit(1)).as("bsz"))
         .filter(col("bsz") <= BucketCap && col("bsz") > 1)
         .select("chunk", "ch")
-      val bounded = chunks.join(broadcast(okBuckets), Seq("chunk", "ch"))
+      val bounded = chunks.join(okBuckets, Seq("chunk", "ch"))
       bounded.as("x")
         .join(bounded.as("y"),
           col("x.chunk") === col("y.chunk") && col("x.ch") === col("y.ch") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+          (bit_count(col("x.sim_lo").bitwiseXOR(col("y.sim_lo"))) +
+            bit_count(col("x.sim_hi").bitwiseXOR(col("y.sim_hi"))))
+            .cast("long").as("hamming"))
         .distinct()
         .filter(col("hamming") <= 3)
         .orderBy("doc_a", "doc_b")
     },
-    None
+    Some(s"""
+      WITH words AS (
+        SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS word
+        FROM documents),
+      h AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(word), 1, 8))::BIGINT AS lo,
+               ('0x' || substr(md5(word), 9, 8))::BIGINT AS hi
+        FROM words),
+      bits AS (
+        SELECT doc_id, b,
+               SUM(CASE WHEN ((CASE WHEN b < 32 THEN lo ELSE hi END)
+                              >> (b % 32)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM h CROSS JOIN (SELECT unnest(range(0, 64)) AS b)
+        GROUP BY doc_id, b),
+      sig AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN v > 0 AND b < 32
+                             THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sim_lo,
+               CAST(SUM(CASE WHEN v > 0 AND b >= 32
+                             THEN (1::BIGINT << (b - 32)) ELSE 0 END) AS BIGINT) AS sim_hi
+        FROM bits GROUP BY doc_id),
+      chunks AS (
+        SELECT doc_id, sim_lo, sim_hi, c,
+               CASE c WHEN 0 THEN sim_lo & 65535
+                      WHEN 1 THEN (sim_lo >> 16) & 65535
+                      WHEN 2 THEN sim_hi & 65535
+                      ELSE (sim_hi >> 16) & 65535 END AS ch
+        FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS c)),
+      ok AS (SELECT c, ch FROM chunks GROUP BY c, ch
+             HAVING COUNT(*) <= $BucketCap AND COUNT(*) > 1),
+      bounded AS (SELECT chunks.* FROM chunks JOIN ok USING (c, ch)),
+      pairs AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+               CAST(bit_count(xor(x.sim_lo, y.sim_lo)) +
+                    bit_count(xor(x.sim_hi, y.sim_hi)) AS BIGINT) AS hamming
+        FROM bounded x JOIN bounded y
+          ON x.c = y.c AND x.ch = y.ch AND x.doc_id < y.doc_id)
+      SELECT doc_a, doc_b, hamming FROM pairs
+      WHERE hamming <= 3 ORDER BY doc_a, doc_b""")
   )
 
   val all: Seq[Q] = Seq(q20, q21, q22, q23)
