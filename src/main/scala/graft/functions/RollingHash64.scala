@@ -64,8 +64,34 @@ object GraftFunctions {
   def rolling_hash(c: Column): Column =
     ColumnBridge.column(RollingHash64(ColumnBridge.expression(c)))
 
+  def poly_fingerprint(c: Column): Column =
+    ColumnBridge.column(PolyFingerprint(ColumnBridge.expression(c)))
+
+  def winnow_min(c: Column, k: Int): Column =
+    ColumnBridge.column(WinnowExtreme(ColumnBridge.expression(c), k, takeMin = true))
+
+  def winnow_max(c: Column, k: Int): Column =
+    ColumnBridge.column(WinnowExtreme(ColumnBridge.expression(c), k, takeMin = false))
+
+  private def litInt(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+    e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"window size must be an integer literal, got $other")
+    }
+
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "rolling_hash", exprs => RollingHash64(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "poly_fingerprint", exprs => PolyFingerprint(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "winnow_min",
+      exprs => WinnowExtreme(exprs.head, litInt(exprs(1)), takeMin = true),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "winnow_max",
+      exprs => WinnowExtreme(exprs.head, litInt(exprs(1)), takeMin = false),
+      "built-in")
   }
 }

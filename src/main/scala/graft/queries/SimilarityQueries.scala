@@ -95,13 +95,38 @@ object SimilarityQueries {
       ORDER BY query_id, rank""")
   )
 
+  private val LshTables = 4
+  private val LshPlanes = 8
+  private val LshDim = 64
+
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  // Plane weights as INTEGER thousandths in [-500, 500), derived from a
+  // splitmix64 stream over the flat (globalPlane × dim) index. Both the
+  // Spark plan (as float array literals) and the DuckDB oracle (as a SQL
+  // integer list, divided by 1000.0 and cast to FLOAT — the identical
+  // correctly-rounded double→float value) consume THIS sequence, which is
+  // what makes the ANN pipeline oracle-checkable.
+  private val PlaneThousandths: IndexedSeq[Long] =
+    IndexedSeq.tabulate(LshTables * LshPlanes * LshDim)(gi =>
+      math.floorMod(mix64(gi.toLong), 1000L) - 500L)
+
+  private def planeWeights(g: Int): Seq[Float] =
+    (0 until LshDim).map(d => (PlaneThousandths(g * LshDim + d) / 1000.0).toFloat)
+
   /** Hyperplane-LSH approximate nearest neighbors: L=4 hash tables, each an
-    * 8-plane sign signature (plane weights derived from
-    * xxhash64(globalPlane, dim) — deterministic, no RNG state). A vector
-    * lands in one bucket per table; query/candidate pairs that collide in
-    * ANY table become candidates (union + distinct), then exact cosine
-    * rerank → top-5 per query. No oracle (hash-derived planes); rows-only
-    * check.
+    * 8-plane sign signature. A vector lands in one bucket per table;
+    * query/candidate pairs that collide in ANY table become candidates
+    * (union + distinct), then exact cosine rerank → top-5 per query.
+    * The plane weights are plan-time literals from [[PlaneThousandths]],
+    * and every sign test runs through the fixed-point dot — so the whole
+    * pipeline (bucketing included) is bit-identical in DuckDB and fully
+    * hash-checked.
     *
     * Scale shape: the bucket join shuffles (table, signature, id, vector)
     * — never all pairs; per-query work is the expected bucket occupancy
@@ -111,22 +136,6 @@ object SimilarityQueries {
     "q41_ann_lsh",
     (s, dir) => {
       val emb = embeddings(s, dir)
-      val Tables = 4
-      val Planes = 8
-      val Dim = 64
-      // plane weights fixed at PLAN TIME (splitmix64 of the global plane ×
-      // dim index, scaled to [-0.5, 0.5)) and embedded as array literals —
-      // the executor does one multiply-add per dim instead of re-deriving
-      // pseudo-random weights per row (was ~2000 hash evals/row).
-      def mix64(z0: Long): Long = {
-        var z = z0 + 0x9e3779b97f4a7c15L
-        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-        z ^ (z >>> 31)
-      }
-      def planeWeights(g: Int): Seq[Float] =
-        (0 until Dim).map(d =>
-          ((math.floorMod(mix64(g.toLong * Dim + d), 1000L) - 500L) / 1000.0).toFloat)
       // sign bit of dot(vec, plane) for global plane index g — through the
       // codegen'd fixed-point dot (sign is invariant under the scaling);
       // the interpreted zip_with lambda was the query's dominant cost
@@ -136,13 +145,13 @@ object SimilarityQueries {
         when(weighted >= 0, lit(1L << bit)).otherwise(lit(0L))
       }
       def tableSig(vec: Column, t: Int): Column =
-        (0 until Planes).map(p => planeBit(vec, t * Planes + p, p))
+        (0 until LshPlanes).map(p => planeBit(vec, t * LshPlanes + p, p))
           .reduce(_ bitwiseOR _)
 
       // one row per (vector, table): the per-table bucket key
       val signed = emb.select(
         col("vec_id"), col("embedding"),
-        explode(array((0 until Tables).map { t =>
+        explode(array((0 until LshTables).map { t =>
           struct(lit(t).as("t"), tableSig(col("embedding"), t).as("sig"))
         }: _*)).as("b"))
         .select(col("vec_id"), col("embedding"),
@@ -170,7 +179,60 @@ object SimilarityQueries {
         .select("query_id", "rank", "neighbor_id", "cosine")
         .orderBy("query_id", "rank")
     },
-    None
+    // Flat formulation (unnest once, index equi-joins) like q42's oracle;
+    // the plane-weight table is the same PlaneThousandths stream the Spark
+    // plan embeds, and the sign test uses the same scaled-floor dot.
+    Some(s"""
+      WITH u AS (
+        SELECT vec_id, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings),
+      wt AS (
+        SELECT unnest(range(0, ${LshTables * LshPlanes * LshDim})) AS gi,
+               unnest(${PlaneThousandths.mkString("[", ",", "]")}) AS th),
+      w AS (
+        SELECT gi // $LshDim AS g, (gi % $LshDim) + 1 AS i,
+               CAST(th / 1000.0 AS FLOAT) AS w
+        FROM wt),
+      pd AS (
+        SELECT u.vec_id, w.g,
+               CAST(SUM(CAST(FLOOR(CAST(u.x AS DOUBLE) * CAST(w.w AS DOUBLE) * 1e15) AS BIGINT)) AS BIGINT) AS d
+        FROM u JOIN w ON u.i = w.i
+        GROUP BY u.vec_id, w.g),
+      sigs AS (
+        SELECT vec_id, g // $LshPlanes AS t,
+               CAST(SUM(CASE WHEN d >= 0 THEN (1::BIGINT << (g % $LshPlanes))
+                             ELSE 0 END) AS BIGINT) AS sig
+        FROM pd GROUP BY vec_id, g // $LshPlanes),
+      coll AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM sigs q JOIN sigs c ON q.t = c.t AND q.sig = c.sig
+        WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id),
+      nrm AS (
+        SELECT vec_id,
+               sqrt(CAST(CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * x * 1e15) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e15) AS nrm
+        FROM u GROUP BY vec_id),
+      dots AS (
+        SELECT coll.query_id, coll.neighbor_id,
+               CAST(SUM(CAST(FLOOR(CAST(a.x AS DOUBLE) * b.x * 1e15) AS BIGINT)) AS BIGINT) AS dt
+        FROM coll
+        JOIN u a ON a.vec_id = coll.query_id
+        JOIN u b ON b.vec_id = coll.neighbor_id AND a.i = b.i
+        GROUP BY coll.query_id, coll.neighbor_id),
+      scored AS (
+        SELECT d.query_id, d.neighbor_id,
+               (CAST(d.dt AS DOUBLE) / 1e15) / (qn.nrm * cn.nrm) AS cosine
+        FROM dots d
+        JOIN nrm qn ON qn.vec_id = d.query_id
+        JOIN nrm cn ON cn.vec_id = d.neighbor_id),
+      ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored)
+      SELECT query_id, rank, neighbor_id, cosine
+      FROM ranked WHERE rank <= 5
+      ORDER BY query_id, rank""")
   )
 
   /** Embedding-cosine near-duplicate pairs: all (a, b) with cosine ≥ 0.4.

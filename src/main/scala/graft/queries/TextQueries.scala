@@ -109,23 +109,52 @@ object TextQueries {
       FROM scored ORDER BY doc_id""")
   )
 
-  /** Document fingerprinting via the custom Catalyst expression
-    * [[graft.functions.RollingHash64]] (codegen'd polynomial rolling hash):
-    * a content fingerprint plus the max window hash over 32-char chunks —
-    * the winnowing-style building block. No oracle (loop-free SQL can't
-    * express it); rows-only check. */
+  /** Document fingerprinting via the custom codegen'd expressions in
+    * [[graft.functions.WinnowHash]]: a whole-content polynomial fingerprint
+    * plus the min AND max window hash over 32-code-point windows — the
+    * winnowing building blocks (the min-hash is the winnowing fingerprint
+    * proper; the max doubles the discriminating power for free since the
+    * rolling pass already visits every window). The mod-(2^31-1) arithmetic
+    * keeps every intermediate below 2^52, so DuckDB recomputes the exact
+    * values with a per-window `list_reduce` and the query is fully
+    * hash-checked. (The 64-bit wraparound `rolling_hash` stays in the API
+    * for content-defined chunking; it is unit-tested, not oracle-shaped.) */
   val q32 = Q(
     "q32_fingerprint",
     (s, dir) => {
-      import graft.functions.GraftFunctions.rolling_hash
+      import graft.functions.GraftFunctions.{poly_fingerprint, winnow_max, winnow_min}
       documents(s, dir)
         .select(
           col("doc_id"),
-          rolling_hash(col("text")).as("fingerprint"),
-          rolling_hash(substring(col("text"), 1, 64)).as("head_fp"))
+          poly_fingerprint(col("text")).as("fingerprint"),
+          winnow_min(col("text"), 32).as("win_min"),
+          winnow_max(col("text"), 32).as("win_max"))
         .orderBy("doc_id")
     },
-    None
+    // list_reduce has no init value in DuckDB 1.0, but the seedless fold is
+    // identical: reduce([c0,c1,...]) = ((c0*B+c1)*B+c2)... = fold from 0.
+    Some("""
+      WITH cs AS (
+        SELECT doc_id,
+               list_transform(string_split(text, ''),
+                              ch -> CAST(unicode(ch) AS BIGINT)) AS cp,
+               length(text) AS n
+        FROM documents),
+      wh AS (
+        SELECT doc_id,
+               CASE WHEN n = 0 THEN 0
+                    ELSE list_reduce(cp, (h, c) -> (h * 1000003 + c) % 2147483647)
+               END AS fingerprint,
+               CASE WHEN n = 0 THEN [0]
+                    ELSE list_transform(range(1, greatest(n - 31, 1) + 1),
+                           i -> list_reduce(cp[i:i+31],
+                                  (h, c) -> (h * 1000003 + c) % 2147483647))
+               END AS whs
+        FROM cs)
+      SELECT doc_id, fingerprint,
+             list_aggregate(whs, 'min') AS win_min,
+             list_aggregate(whs, 'max') AS win_max
+      FROM wh ORDER BY doc_id""")
   )
 
   val all: Seq[Q] = Seq(q30, q31, q32)

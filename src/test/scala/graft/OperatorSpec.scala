@@ -41,6 +41,40 @@ class OperatorSpec extends SparkSpec {
     assert(viaSql == hs(0))
   }
 
+  test("winnow hashes: reference fold parity, window extremes, edge cases") {
+    import spark.implicits._
+    import graft.functions.{GraftFunctions, WinnowHash}
+    import org.apache.spark.unsafe.types.UTF8String
+    // independent reference: brute-force every window with a plain fold
+    def foldHash(cps: Seq[Int]): Long =
+      cps.foldLeft(0L)((h, c) => (h * WinnowHash.B + c) % WinnowHash.P)
+    def brute(s: String, k: Int): Seq[Long] = {
+      val cps = s.codePoints().toArray.toSeq
+      if (cps.isEmpty) Seq(0L)
+      else if (cps.length <= k) Seq(foldHash(cps))
+      else cps.sliding(k).map(foldHash).toSeq
+    }
+    val samples = Seq("", "short", "a" * 32, "the quick brown fox jumps over the lazy dog",
+      "x" * 100, "héllo wörld ünïcode χαρακτῆρες " * 4)
+    for (s <- samples; k <- Seq(4, 32)) {
+      val u = UTF8String.fromString(s)
+      assert(WinnowHash.extreme(u, k, takeMin = true) == brute(s, k).min, s"min k=$k '$s'")
+      assert(WinnowHash.extreme(u, k, takeMin = false) == brute(s, k).max, s"max k=$k '$s'")
+      assert(WinnowHash.full(u) == foldHash(s.codePoints().toArray.toSeq), s"full '$s'")
+    }
+    // codegen path through a real plan + SQL registration
+    GraftFunctions.registerAll(spark)
+    samples.filter(_.nonEmpty).toDF("s").createOrReplaceTempView("wh_t")
+    val viaSql = spark.sql(
+      "SELECT poly_fingerprint(s), winnow_min(s, 32), winnow_max(s, 32) FROM wh_t")
+      .collect()
+    viaSql.zip(samples.filter(_.nonEmpty)).foreach { case (r, s) =>
+      assert(r.getLong(0) == WinnowHash.full(UTF8String.fromString(s)))
+      assert(r.getLong(1) == brute(s, 32).min)
+      assert(r.getLong(2) == brute(s, 32).max)
+    }
+  }
+
   test("q18 approx_count_distinct within HLL error bound of exact") {
     val rows = graft.queries.RelationalQueries.q18
       .spark(spark, "/root/testdata/sf0.001").collect()
