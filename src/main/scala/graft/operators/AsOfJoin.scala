@@ -53,11 +53,18 @@ object AsOfJoin {
         leftCols.filterNot(_ == key).map(n => lit(null).as(n)) ++
         rightCols.map { case (src, dst) => col(src).as(s"__r_$dst") }.toSeq: _*)
 
-    // deterministic within-ties order: tag DESC puts right rows first at
-    // equal ts in scan order?? No — ASC: left(0) before right(1) at equal
-    // ts, so a left row's frame ends before same-ts rights → strict.
+    // Sort order: ts ASC, then tag ASC (left=0 before right=1 at equal ts,
+    // so an equal-ts right row is not yet visible → strict <). The payload
+    // columns are the final tiebreak: with duplicate right rows per
+    // (key, rightTs) the window order would otherwise be unspecified and
+    // `last(..., ignoreNulls)` would pick a partitioning-dependent row.
+    // With the tiebreak the greatest payload tuple deterministically wins.
+    // (If payload columns can be null independently, the carried columns
+    // may mix source rows — inherent to per-column carry-forward; rows
+    // with fully non-null payloads always win as a unit.)
+    val payloadTiebreak = rightCols.values.toSeq.sorted.map(n => col(s"__r_$n"))
     val w = Window.partitionBy(col(key))
-      .orderBy(col("__ts"), col("__tag"))
+      .orderBy(col("__ts") +: col("__tag") +: payloadTiebreak: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val carried = rightCols.values.foldLeft(taggedLeft.unionByName(taggedRight)) {

@@ -36,7 +36,23 @@ object UnionByArity {
   private def concat(fs: Seq[DataFrame], withIndex: Boolean): Option[DataFrame] = {
     if (fs.isEmpty) None
     else {
-      val unioned = fs.reduce(_ union _)
+      // The invalid group routinely mixes arities (that's WHY its frames
+      // are there); pandas concat label-aligns the ordinal columns and
+      // NaN-pads the narrow frames (`main.py:388-390`), so mirror that:
+      // null-pad every frame to the group's max arity before the
+      // positional union. Pad columns take the widest frame's names and
+      // types. The valid group is same-arity by construction → no-op.
+      val maxArity = fs.map(_.columns.length).max
+      val widest = fs.find(_.columns.length == maxArity).get
+      val padded = fs.map { f =>
+        val n = f.columns.length
+        if (n == maxArity) f
+        else f.select(f.columns.map(col) ++ (n until maxArity).map { i =>
+          val fld = widest.schema(i)
+          lit(null).cast(fld.dataType).as(fld.name)
+        }: _*)
+      }
+      val unioned = padded.reduce(_ union _)
       if (!withIndex) Some(unioned)
       else {
         // pandas reset_index parity: 0-based global ordinal as column "index"

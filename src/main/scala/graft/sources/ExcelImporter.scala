@@ -108,20 +108,26 @@ class ExcelImporter(
       tableNs: String,
       officeNs: String
   ): Seq[IndexedSeq[String]] = {
-    val MaxFill = 4096 // cap for repeated empty filler rows/cells
+    // Repeat cap applies ONLY to empty filler (ODS pads sheets with
+    // number-columns/rows-repeated ~16k/1M trailers); non-empty repeats are
+    // real data and expand fully — capping them would silently drop values.
+    val MaxFill = 4096
     val out = scala.collection.mutable.ArrayBuffer.empty[IndexedSeq[String]]
     (table \ "table-row").filter(_.namespace == tableNs).foreach { row =>
       val cells = scala.collection.mutable.ArrayBuffer.empty[String]
       (row \ "table-cell").filter(_.namespace == tableNs).foreach { cell =>
-        val repeat = cell.attribute(tableNs, "number-columns-repeated")
-          .map(_.text.toInt).getOrElse(1).min(MaxFill)
+        val rawRepeat = cell.attribute(tableNs, "number-columns-repeated")
+          .map(_.text.toInt).getOrElse(1)
         val v = odsCellValue(cell, officeNs)
+        val repeat = if (v == null) rawRepeat.min(MaxFill) else rawRepeat
         (0 until repeat).foreach(_ => cells += v)
       }
       // trim the trailing-empty filler produced by repeated empty cells
       while (cells.nonEmpty && cells.last == null) cells.remove(cells.length - 1)
-      val rowRepeat = row.attribute(tableNs, "number-rows-repeated")
-        .map(_.text.toInt).getOrElse(1).min(MaxFill)
+      val rawRowRepeat = row.attribute(tableNs, "number-rows-repeated")
+        .map(_.text.toInt).getOrElse(1)
+      val rowRepeat =
+        if (cells.forall(_ == null)) rawRowRepeat.min(MaxFill) else rawRowRepeat
       (0 until rowRepeat).foreach(_ => out += cells.toIndexedSeq)
     }
     // drop trailing all-empty rows (ODS files end with huge repeated fillers)

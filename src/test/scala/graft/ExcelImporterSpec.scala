@@ -117,6 +117,31 @@ class ExcelImporterSpec extends SparkSpec {
     assert(rows(2) == Row("True", "2020-01-02", null, null)) // row repeat
   }
 
+  test("ods: non-empty repeats expand fully past the filler cap") {
+    val dir = tmpDir("odsrep")
+    val p = dir.resolve("rep.ods").toString
+    val tableNs = "urn:oasis:names:tc:opendocument:xmlns:table:1.0"
+    val officeNs = "urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+    val textNs = "urn:oasis:names:tc:opendocument:xmlns:text:1.0"
+    // 4100 > MaxFill(4096): a VALUE repeated past the cap must not be
+    // truncated (the cap exists only for empty filler); the repeated
+    // non-empty ROW must also expand fully
+    writeZip(p, "content.xml" ->
+      s"""<office:document-content xmlns:office="$officeNs" xmlns:table="$tableNs" xmlns:text="$textNs">
+         |<office:body><office:spreadsheet>
+         |<table:table table:name="R">
+         |<table:table-row table:number-rows-repeated="4100">
+         |  <table:table-cell office:value-type="string"><text:p>v</text:p></table:table-cell>
+         |  <table:table-cell table:number-columns-repeated="99999"/>
+         |</table:table-row>
+         |</table:table>
+         |</office:spreadsheet></office:body></office:document-content>""".stripMargin)
+    val a = AnyFile.parse(spark, p).head
+    assert(a.data.columns.length == 1) // empty 99999-col filler still capped+trimmed
+    assert(a.data.count() == 4100L)
+    assert(a.data.distinct().collect().toSeq == Seq(Row("v")))
+  }
+
   test("xls and xlsb are documented gaps → Failed answers") {
     val dir = tmpDir("bin")
     Seq("legacy.xls", "modern.xlsb").foreach { name =>

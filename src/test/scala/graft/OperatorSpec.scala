@@ -26,6 +26,37 @@ class OperatorSpec extends SparkSpec {
     assert(rows.map(_.getInt(0)).toSeq == Seq(0, 1, 2))
   }
 
+  test("UnionByArity null-pads mixed-arity invalid group (pandas concat parity)") {
+    import spark.implicits._
+    val first = Seq(("a", "b")).toDF("0", "1")
+    val w3 = Seq(("x", "y", "z")).toDF("0", "1", "2")
+    val w4 = Seq(("p", "q", "r", "s")).toDF("0", "1", "2", "3")
+    // invalid group mixes widths 3 and 4 — must align positionally and
+    // null-pad, not throw NUM_COLUMNS_MISMATCH
+    val r = UnionByArity(Seq(first, w3, w4))
+    assert(r.valid.get.collect().toSeq == Seq(Row("a", "b")))
+    val inv = r.invalid.get
+    assert(inv.columns.toSeq == Seq("0", "1", "2", "3"))
+    assert(inv.collect().toSet ==
+      Set(Row("x", "y", "z", null), Row("p", "q", "r", "s")))
+  }
+
+  test("AsOfJoin is deterministic under duplicate (key, rightTs) rows") {
+    import spark.implicits._
+    import graft.operators.AsOfJoin
+    val left = Seq((1L, 100L, "L")).toDF("k", "lts", "tag")
+    // three right rows at the SAME (key, ts): max payload must win, and the
+    // choice must not depend on partitioning
+    val right = Seq((1L, 50L, 7.0), (1L, 50L, 9.0), (1L, 50L, 8.0))
+      .toDF("k", "rts", "price")
+    for (parts <- Seq(1, 3, 7)) {
+      val got = AsOfJoin.latestPrior(
+        left, right.repartition(parts), "k", "lts", "rts",
+        Map("price" -> "price")).collect()
+      assert(got.toSeq == Seq(Row(1L, 100L, "L", 9.0)), s"parts=$parts")
+    }
+  }
+
   test("rolling_hash is deterministic, codegen-evaluated, and distinct") {
     import spark.implicits._
     import graft.functions.GraftFunctions
