@@ -56,19 +56,23 @@ class ExcelImporter(
   // ---------------------------------------------------------------- xlsx
 
   /** Sheet enumeration + shape probing run on the driver (cheap metadata,
-    * exactly what `pd.ExcelFile` does); the per-sheet DataFrames are served
-    * by the DSv2 source ([[graft.sources.xlsx.ExcelDataSource]], format
-    * `graft-excel`) with an explicit schema, so cell decoding happens on
-    * EXECUTORS at action time and large sheets never materialize on the
-    * driver. The driver probe also supplies `knownRowCount`, keeping
-    * `parseInfo` action-free. */
+    * exactly what `pd.ExcelFile` does); the shape probe is a STREAMING
+    * width/count fold ([[graft.sources.xlsx.XlsxParser.sheetShape]]) that
+    * never materializes rows, so driver memory stays O(1) in sheet size.
+    * The per-sheet DataFrames are served by the DSv2 source
+    * ([[graft.sources.xlsx.ExcelDataSource]], format `graft-excel`) with an
+    * explicit schema, so cell decoding happens on EXECUTORS at action time
+    * (each sheet is decoded once on the driver for the shape and once per
+    * action on an executor — the metadata pass is unavoidable because the
+    * reference's API returns schema-carrying answers eagerly). The probe
+    * also supplies `knownRowCount`, keeping `parseInfo` action-free. */
   private def workXlsx(): Seq[ParserAnswer] = {
     import graft.sources.xlsx.XlsxParser
     val wb = XlsxParser.openWorkbook(filePath).getOrElse(return failedAnswer())
     if (wb.sheets.isEmpty) return failedAnswer()
     wb.sheets.map { sheet =>
-      val rows = XlsxParser.sheetRows(filePath, sheet.target, wb.shared)
-      val width = if (rows.isEmpty) 0 else rows.map(_.length).max
+      val (width, rowCount) =
+        XlsxParser.sheetShape(filePath, sheet.target, wb.shared)
       if (width == 0)
         ParserAnswer(spark.emptyDataFrame, filePath, sheetName = sheet.name,
           engine = engineName, knownRowCount = Some(0L))
@@ -79,7 +83,7 @@ class ExcelImporter(
           .option("sheet", sheet.name)
           .load(filePath)
         ParserAnswer(df, filePath, sheetName = sheet.name,
-          engine = engineName, knownRowCount = Some(rows.length.toLong))
+          engine = engineName, knownRowCount = Some(rowCount))
       }
     }
   }

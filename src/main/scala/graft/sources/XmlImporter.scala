@@ -24,39 +24,37 @@ import org.apache.spark.sql.SparkSession
   *    first, then a recovery pass (escape bare `&`, drop control chars)
   *    before giving up.
   *
-  * Architecture: the driver parses once for table enumeration + shape
-  * probing (cheap metadata, like the reference's whole-file parse); the
-  * returned DataFrames are served by the DSv2 source
+  * Architecture: the driver runs ONE streaming shape pass (table
+  * enumeration + per-table width/count, no row materialization —
+  * [[graft.sources.xmlss.XmlSpreadsheetParser.tableShapes]]); the returned
+  * DataFrames are served by the DSv2 source
   * ([[graft.sources.xmlss.XmlSpreadsheetDataSource]], format `graft-xmlss`)
   * so the actual row decode happens on executors at action time, tables in
-  * parallel.
+  * parallel, also streamed row-by-row.
   */
 class XmlImporter(val spark: SparkSession, val filePath: String)
     extends Importer {
   override def engineName: String = "ImportXML"
 
   def work(): Seq[ParserAnswer] = {
-    val root =
-      try XmlSpreadsheetParser.loadLenient(filePath)
+    val (mode, tables) =
+      try XmlSpreadsheetParser.tableShapes(filePath)
       catch { case _: Exception => return failedAnswer() }
-
-    val tables = XmlSpreadsheetParser.tables(root)
     if (tables.isEmpty) return failedAnswer()
 
     tables.map { t =>
-      val rows = XmlSpreadsheetParser.tableRows(root, t.index)
-      val width = if (rows.isEmpty) 0 else rows.map(_.length).max
-      if (width == 0)
+      if (t.width == 0)
         ParserAnswer(spark.emptyDataFrame, filePath, sheetName = t.sheetName,
           engine = engineName, knownRowCount = Some(0L))
       else {
         val df = spark.read
           .format("graft-xmlss")
-          .schema(TextImporter.positionalSchema(width))
+          .schema(TextImporter.positionalSchema(t.width))
           .option("table", t.index)
+          .option("mode", mode)
           .load(filePath)
         ParserAnswer(df, filePath, sheetName = t.sheetName,
-          engine = engineName, knownRowCount = Some(rows.length.toLong))
+          engine = engineName, knownRowCount = Some(t.rows))
       }
     }
   }

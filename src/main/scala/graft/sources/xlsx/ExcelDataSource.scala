@@ -42,8 +42,8 @@ class ExcelDataSource extends TableProvider with DataSourceRegister {
     val wb = XlsxParser.openWorkbook(path)
       .getOrElse(throw new IllegalArgumentException(s"not an xlsx: $path"))
     val sheet = ExcelDataSource.resolveSheet(wb, options)
-    val rows = XlsxParser.sheetRows(path, sheet.target, wb.shared)
-    val width = if (rows.isEmpty) 0 else rows.map(_.length).max
+    // streaming width probe — no row materialization on the driver
+    val (width, _) = XlsxParser.sheetShape(path, sheet.target, wb.shared)
     TextImporter.positionalSchema(width)
   }
 
@@ -125,10 +125,12 @@ class SheetReaderFactory(required: StructType)
 
 class SheetReader(p: SheetPartition, required: StructType)
     extends PartitionReader[InternalRow] {
-  // executor-side: open the container locally, decode only this sheet
+  // executor-side: open the container locally, STREAM this sheet's rows
+  // (one row in memory at a time — a 1M-row sheet never builds a DOM or a
+  // row list; shared strings are the only retained table)
   private val wb = XlsxParser.openWorkbook(p.path)
     .getOrElse(throw new IllegalStateException(s"not an xlsx: ${p.path}"))
-  private val rows = XlsxParser.sheetRows(p.path, p.target, wb.shared).iterator
+  private val rows = new SheetRowIterator(p.path, p.target, wb.shared)
   private val colIdx: Array[Int] = required.fields.map(_.name.toInt)
   private var current: IndexedSeq[String] = _
 
@@ -143,5 +145,5 @@ class SheetReader(p: SheetPartition, required: StructType)
     }.toIndexedSeq)
   }
 
-  override def close(): Unit = ()
+  override def close(): Unit = rows.close()
 }

@@ -1,11 +1,15 @@
 package graft.sources.xlsx
 
 import java.util.zip.ZipFile
+import javax.xml.stream.XMLStreamConstants._
 
-import scala.xml.{Elem, Node, XML}
+import graft.sources.StaxUtil
+
+import scala.collection.mutable.ArrayBuffer
+import scala.xml.{Elem, XML}
 
 /** Pure OOXML (`.xlsx`) workbook parser — no Spark dependencies, so the
-  * same code runs on the DRIVER (sheet enumeration, schema inference in
+  * same code runs on the DRIVER (sheet enumeration, shape probing in
   * [[graft.sources.ExcelImporter]]) and on EXECUTORS (row decoding inside
   * the DSv2 [[ExcelDataSource]] partitions).
   *
@@ -15,6 +19,13 @@ import scala.xml.{Elem, Node, XML}
   * per-sheet `sheetData`. Cell semantics (gap cells → null, raw stored
   * numerics, `True`/`False` booleans, multi-run shared strings) are
   * documented on [[graft.sources.ExcelImporter]].
+  *
+  * Sheet XML and the shared-string table are decoded with a streaming StAX
+  * cursor, NOT a DOM: [[SheetRowIterator]] holds one row at a time and
+  * [[sheetShape]] folds it into (width, rowCount) without retaining rows,
+  * so a million-row sheet costs O(row) memory on whichever node decodes it.
+  * Only the sheet-list metadata (`workbook.xml` + rels, a few hundred
+  * bytes) still goes through scala-xml.
   */
 object XlsxParser {
 
@@ -47,52 +58,76 @@ object XlsxParser {
           SheetRef(name,
             relTargets.getOrElse(rid, s"xl/worksheets/sheet${i + 1}.xml"))
         }
-        val shared = loadZipXml(zip, "xl/sharedStrings.xml") match {
-          case Some(sst) =>
-            (sst \ "si").map(si => (si \\ "t").map(_.text).mkString).toIndexedSeq
-          case None => IndexedSeq.empty
-        }
-        Workbook(sheets, shared)
+        Workbook(sheets, sharedStrings(zip))
       }
     } finally zip.close()
   }
 
-  /** Decode one sheet into ragged rows (null = gap cell). Gap row numbers
-    * (no `<row>` element) appear as empty rows, bounded by the max present
-    * row — openpyxl `max_row` semantics. */
+  /** Shared-string table via StAX (it has one entry per unique cell string —
+    * the other potentially huge part of the container). Multi-run strings
+    * (`<si><r><t>..`) concatenate all `<t>` descendants, like openpyxl. */
+  private def sharedStrings(zip: ZipFile): IndexedSeq[String] =
+    Option(zip.getEntry("xl/sharedStrings.xml")) match {
+      case None => IndexedSeq.empty
+      case Some(e) =>
+        val in = zip.getInputStream(e)
+        try {
+          val r = StaxUtil.reader(in)
+          val out = IndexedSeq.newBuilder[String]
+          val sb = new StringBuilder
+          var inSi = false
+          var inT = false
+          while (r.hasNext) {
+            r.next() match {
+              case START_ELEMENT => r.getLocalName match {
+                  case "si" => inSi = true; sb.clear()
+                  case "t" if inSi => inT = true
+                  case _ =>
+                }
+              case CHARACTERS | CDATA => if (inT) sb.append(r.getText)
+              case END_ELEMENT => r.getLocalName match {
+                  case "si" => inSi = false; out += sb.toString
+                  case "t" => inT = false
+                  case _ =>
+                }
+              case _ =>
+            }
+          }
+          r.close()
+          out.result()
+        } finally in.close()
+    }
+
+  /** Streaming width/count probe: (max row arity, row count incl. trailing
+    * gap-bounded rows) without materializing any row — the driver-side
+    * shape pass. */
+  def sheetShape(
+      path: String,
+      target: String,
+      shared: IndexedSeq[String]): (Int, Long) = {
+    val it = new SheetRowIterator(path, target, shared)
+    try {
+      var width = 0
+      var n = 0L
+      while (it.hasNext) {
+        val row = it.next()
+        if (row.length > width) width = row.length
+        n += 1
+      }
+      (width, n)
+    } finally it.close()
+  }
+
+  /** Materialized decode — small sheets and tests; the DSv2 reader streams
+    * via [[SheetRowIterator]] instead. */
   def sheetRows(
       path: String,
       target: String,
       shared: IndexedSeq[String]
   ): Seq[IndexedSeq[String]] = {
-    val zip = new ZipFile(path)
-    try {
-      loadZipXml(zip, target) match {
-        case None => Seq.empty
-        case Some(sheet) =>
-          val rowNodes = sheet \\ "row"
-          if (rowNodes.isEmpty) return Seq.empty
-          val byNumber =
-            scala.collection.mutable.LinkedHashMap.empty[Int, IndexedSeq[String]]
-          var autoRow = 0
-          rowNodes.foreach { rn =>
-            val rowNum = rn.attribute("r").map(_.text.toInt).getOrElse(autoRow + 1)
-            autoRow = rowNum
-            val cells = scala.collection.mutable.ArrayBuffer.empty[String]
-            var autoCol = -1
-            (rn \ "c").foreach { c =>
-              val colIdx = c.attribute("r").map(_.text).flatMap(colOf)
-                .getOrElse(autoCol + 1)
-              autoCol = colIdx
-              while (cells.length < colIdx) cells += null
-              cells += cellValue(c, shared)
-            }
-            byNumber(rowNum) = cells.toIndexedSeq
-          }
-          val maxRow = byNumber.keys.max
-          (1 to maxRow).map(r => byNumber.getOrElse(r, IndexedSeq.empty))
-      }
-    } finally zip.close()
+    val it = new SheetRowIterator(path, target, shared)
+    try it.toIndexedSeq
+    finally it.close()
   }
 
   /** `A1` → column 0, `C5` → 2. */
@@ -102,25 +137,115 @@ object XlsxParser {
     else Some(letters.foldLeft(0)((acc, ch) => acc * 26 + (ch - 'A' + 1)) - 1)
   }
 
-  private def cellValue(c: Node, shared: IndexedSeq[String]): String = {
-    val t = c.attribute("t").map(_.text).getOrElse("n")
-    t match {
-      case "s" =>
-        (c \ "v").headOption.map(_.text.trim.toInt).flatMap(shared.lift).orNull
-      case "inlineStr" =>
-        (c \ "is").headOption.map(is => (is \\ "t").map(_.text).mkString).orNull
-      case "str" => (c \ "v").headOption.map(_.text).orNull
-      case "b" =>
-        (c \ "v").headOption
-          .map(v => if (v.text.trim == "1") "True" else "False").orNull
-      case _ => (c \ "v").headOption.map(_.text).orNull // numeric/error: raw
-    }
-  }
-
   def loadZipXml(zip: ZipFile, entry: String): Option[Elem] =
     Option(zip.getEntry(entry)).map { e =>
       val in = zip.getInputStream(e)
       try XML.load(in)
       finally in.close()
     }
+}
+
+/** One-row-at-a-time StAX decode of a sheet. Gap row numbers (no `<row>`
+  * element) are emitted as empty rows, bounded by the max present row —
+  * openpyxl `max_row` semantics. Assumes the spec-conformant monotonic `r`
+  * attributes (an out-of-order row number is clamped to lastRow+1).
+  * Close-safe: closes itself at exhaustion; callers should also `close()`
+  * for the early-termination path.
+  */
+final class SheetRowIterator(
+    path: String,
+    target: String,
+    shared: IndexedSeq[String]
+) extends Iterator[IndexedSeq[String]] with java.io.Closeable {
+
+  private val zip = new ZipFile(path)
+  private val inOpt = Option(zip.getEntry(target)).map(zip.getInputStream)
+  private val readerOpt = inOpt.map(StaxUtil.reader)
+  private var closed = false
+
+  private var pendingGap = 0
+  private var queued: IndexedSeq[String] = _
+  private var lastRow = 0
+
+  override def hasNext: Boolean =
+    pendingGap > 0 || queued != null || (!closed && readerOpt.nonEmpty && fetch())
+
+  override def next(): IndexedSeq[String] = {
+    if (!hasNext) throw new NoSuchElementException("sheet exhausted")
+    if (pendingGap > 0) { pendingGap -= 1; IndexedSeq.empty }
+    else { val q = queued; queued = null; q }
+  }
+
+  /** Parse forward to the next `</row>`; queue its cells + any gap rows. */
+  private def fetch(): Boolean = {
+    val r = readerOpt.get
+    var cells: ArrayBuffer[String] = null
+    var rowNum = 0
+    var autoCol = -1
+    var cellCol = 0
+    var cellType = "n"
+    var inC = false; var inV = false; var inT = false
+    var sawV = false; var sawIs = false
+    val text = new StringBuilder
+    while (r.hasNext) {
+      r.next() match {
+        case START_ELEMENT => r.getLocalName match {
+            case "row" =>
+              rowNum = Option(r.getAttributeValue(null, "r")).map(_.toInt)
+                .getOrElse(lastRow + 1)
+              if (rowNum <= lastRow) rowNum = lastRow + 1
+              cells = ArrayBuffer.empty
+              autoCol = -1
+            case "c" if cells != null =>
+              inC = true
+              cellCol = Option(r.getAttributeValue(null, "r"))
+                .flatMap(XlsxParser.colOf).getOrElse(autoCol + 1)
+              autoCol = cellCol
+              cellType = Option(r.getAttributeValue(null, "t")).getOrElse("n")
+              sawV = false; sawIs = false
+              text.clear()
+            case "v" if inC => inV = true; sawV = true
+            case "is" if inC => sawIs = true
+            case "t" if inC && sawIs => inT = true
+            case _ =>
+          }
+        case CHARACTERS | CDATA => if (inV || inT) text.append(r.getText)
+        case END_ELEMENT => r.getLocalName match {
+            case "v" => inV = false
+            case "t" => inT = false
+            case "c" if inC =>
+              inC = false
+              while (cells.length < cellCol) cells += null
+              cells += decodeCell(cellType, sawV, sawIs, text.toString)
+            case "row" if cells != null =>
+              pendingGap = rowNum - lastRow - 1
+              lastRow = rowNum
+              queued = cells.toIndexedSeq
+              return true
+            case _ =>
+          }
+        case _ =>
+      }
+    }
+    close()
+    false
+  }
+
+  private def decodeCell(
+      t: String, sawV: Boolean, sawIs: Boolean, text: String): String =
+    t match {
+      case "s"         => if (!sawV) null else shared.lift(text.trim.toInt).orNull
+      case "inlineStr" => if (!sawIs) null else text
+      case "str"       => if (!sawV) null else text
+      case "b"         => if (!sawV) null
+                          else if (text.trim == "1") "True" else "False"
+      case _           => if (!sawV) null else text // numeric/error: raw
+    }
+
+  override def close(): Unit = if (!closed) {
+    closed = true
+    readerOpt.foreach(r => try r.close() catch { case _: Exception => () })
+    inOpt.foreach(i => try i.close() catch { case _: Exception => () })
+    zip.close()
+  }
 }

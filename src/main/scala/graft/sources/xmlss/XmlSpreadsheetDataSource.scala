@@ -31,9 +31,9 @@ class XmlSpreadsheetDataSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val path = XmlSpreadsheetDataSource.pathOf(options)
     val idx = options.getInt("table", 0)
-    val rows = XmlSpreadsheetParser.tableRows(
-      XmlSpreadsheetParser.loadLenient(path), idx)
-    val width = if (rows.isEmpty) 0 else rows.map(_.length).max
+    // streaming shape probe — no row materialization on the driver
+    val (_, shapes) = XmlSpreadsheetParser.tableShapes(path)
+    val width = shapes.lift(idx).map(_.width).getOrElse(0)
     TextImporter.positionalSchema(width)
   }
 
@@ -42,8 +42,9 @@ class XmlSpreadsheetDataSource extends TableProvider with DataSourceRegister {
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
-    new XmlssTable(XmlSpreadsheetDataSource.pathOf(options),
-      options.getInt("table", 0), schema)
+    val path = XmlSpreadsheetDataSource.pathOf(options)
+    new XmlssTable(path, options.getInt("table", 0),
+      XmlSpreadsheetDataSource.worksheetMode(path, options), schema)
   }
 }
 
@@ -51,19 +52,29 @@ object XmlSpreadsheetDataSource {
   def pathOf(options: CaseInsensitiveStringMap): String =
     Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("graft-xmlss requires a path"))
+
+  /** `mode` option (`worksheet`/`standalone`) set by XmlImporter's probe;
+    * a direct `spark.read.format("graft-xmlss")` without it re-probes. */
+  def worksheetMode(path: String, options: CaseInsensitiveStringMap): Boolean =
+    Option(options.get("mode")) match {
+      case Some(m) => m == "worksheet"
+      case None    => XmlSpreadsheetParser.tableShapes(path)._1 == "worksheet"
+    }
 }
 
-class XmlssTable(path: String, tableIdx: Int, schema: StructType)
+class XmlssTable(
+    path: String, tableIdx: Int, worksheetMode: Boolean, schema: StructType)
     extends Table with SupportsRead {
   override def name(): String = s"graft-xmlss:$path#$tableIdx"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
-    new XmlssScanBuilder(path, tableIdx, schema)
+    new XmlssScanBuilder(path, tableIdx, worksheetMode, schema)
 }
 
-class XmlssScanBuilder(path: String, tableIdx: Int, fullSchema: StructType)
+class XmlssScanBuilder(
+    path: String, tableIdx: Int, worksheetMode: Boolean, fullSchema: StructType)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = fullSchema
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -72,13 +83,14 @@ class XmlssScanBuilder(path: String, tableIdx: Int, fullSchema: StructType)
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
     override def planInputPartitions(): Array[InputPartition] =
-      Array(XmlssPartition(path, tableIdx))
+      Array(XmlssPartition(path, tableIdx, worksheetMode))
     override def createReaderFactory(): PartitionReaderFactory =
       new XmlssReaderFactory(required)
   }
 }
 
-case class XmlssPartition(path: String, tableIdx: Int) extends InputPartition
+case class XmlssPartition(path: String, tableIdx: Int, worksheetMode: Boolean)
+    extends InputPartition
 
 class XmlssReaderFactory(required: StructType) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
@@ -87,9 +99,8 @@ class XmlssReaderFactory(required: StructType) extends PartitionReaderFactory {
 
 class XmlssReader(p: XmlssPartition, required: StructType)
     extends PartitionReader[InternalRow] {
-  private val rows = XmlSpreadsheetParser
-    .tableRows(XmlSpreadsheetParser.loadLenient(p.path), p.tableIdx)
-    .iterator
+  // executor-side: STREAM the target table's rows (one at a time)
+  private val rows = new XmlssRowIterator(p.path, p.worksheetMode, p.tableIdx)
   private val colIdx: Array[Int] = required.fields.map(_.name.toInt)
   private var current: Seq[String] = _
 
@@ -102,5 +113,5 @@ class XmlssReader(p: XmlssPartition, required: StructType)
       if (v == null) null else UTF8String.fromString(v)
     }.toIndexedSeq)
 
-  override def close(): Unit = ()
+  override def close(): Unit = rows.close()
 }
