@@ -28,8 +28,12 @@ import scala.xml.{Elem, Node, XML}
   *    trailing-empty trimming so the common repeated=1024 filler doesn't
   *    explode width); typed values taken from `office:*-value` attributes
   *    raw, strings from concatenated `text:p`.
-  *  - `.xls`/`.xlsb`: documented gaps (proprietary binary formats, no
-  *    public-offline parser) → Failed answer, engine `ImportExcel`.
+  *  - `.xls`: BIFF8 via the hand-rolled CFB + record reader
+  *    ([[graft.sources.xls.XlsParser]], public MS-CFB/MS-XLS specs):
+  *    LABELSST/LABEL/NUMBER/RK/MULRK/BOOLERR/FORMULA cells, SST with
+  *    CONTINUE splits, one answer per BOUNDSHEET.
+  *  - `.xlsb`: documented gap (binary OOXML; feasible from the public
+  *    MS-XLSB spec, lower priority) → Failed answer, engine `ImportExcel`.
   *
   * Scale note: sheet XML decodes on the driver into a `LocalRelation`
   * (sheets are driver-sized in the reference too). A DSv2 `TableProvider`
@@ -48,9 +52,27 @@ class ExcelImporter(
       extension match {
         case ".xlsx"                   => workXlsx()
         case ".ods" | ".odf" | ".odt"  => workOds()
-        case _                         => failedAnswer() // .xls/.xlsb gaps
+        case ".xls"                    => workXls()
+        case _                         => failedAnswer() // .xlsb gap
       }
     } catch { case _: Exception => failedAnswer() }
+  }
+
+  // ----------------------------------------------------------------- xls
+
+  /** Legacy BIFF8 via [[graft.sources.xls.XlsParser]] (public MS-XLS/MS-CFB
+    * specs — the formats xlrd reads for the reference, `main.py:245`).
+    * Driver-side decode: the format caps sheets at 65536×256 rows/cols, so
+    * unlike xlsx there is no unbounded-sheet scale path to protect. */
+  private def workXls(): Seq[ParserAnswer] = {
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(filePath))
+    graft.sources.xls.XlsParser.parse(bytes) match {
+      case None => failedAnswer()
+      case Some(sheets) if sheets.isEmpty => failedAnswer()
+      case Some(sheets) =>
+        sheets.map(s => answerFromCells(s.rows, s.name))
+    }
   }
 
   // ---------------------------------------------------------------- xlsx

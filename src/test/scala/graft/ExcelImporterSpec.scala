@@ -142,14 +142,12 @@ class ExcelImporterSpec extends SparkSpec {
     assert(a.data.distinct().collect().toSeq == Seq(Row("v")))
   }
 
-  test("xls and xlsb are documented gaps → Failed answers") {
+  test("xlsb is a documented gap → Failed answer") {
     val dir = tmpDir("bin")
-    Seq("legacy.xls", "modern.xlsb").foreach { name =>
-      val p = writeFile(dir, name, "not really excel")
-      val a = AnyFile.parse(spark, p).head
-      assert(a.parseInfo == "Failed")
-      assert(a.engine == "ImportExcel")
-    }
+    val p = writeFile(dir, "modern.xlsb", "not really excel")
+    val a = AnyFile.parse(spark, p).head
+    assert(a.parseInfo == "Failed")
+    assert(a.engine == "ImportExcel")
   }
 
   test("zip without workbook.xml → Failed answer") {
