@@ -83,4 +83,30 @@ class TextImporterSpec extends SparkSpec {
     assert(a.encoding == "cp1251")
     assert(a.data.columns.length == 2) // still split on tab
   }
+
+  test("charset_normalizer label parity: cp1252, latin_1, utf_16 flavors") {
+    import graft.sources.Sniffers
+    val dir = tmpDir("enc2")
+    def put(name: String, bytes: Array[Byte]): String = {
+      val p = dir.resolve(name)
+      java.nio.file.Files.write(p, bytes)
+      p.toString
+    }
+    // 0x92 = curly apostrophe in cp1252 (and cp1251, but no Cyrillic bias)
+    val west = put("west.txt",
+      "it".getBytes("ASCII") ++ Array(0x92.toByte) ++ "s fine\n".getBytes("ASCII"))
+    assert(Sniffers.detectEncoding(west).contains("cp1252"))
+    // 0x90 is undefined in cp1252 → only latin_1 accepts the byte soup
+    val soup = put("soup.txt",
+      "x".getBytes("ASCII") ++ Array(0x90.toByte, 0x8d.toByte) ++ "\n".getBytes("ASCII"))
+    assert(Sniffers.detectEncoding(soup).contains("latin_1"))
+    // BOM-less UTF-16: zero bytes at odd offsets = LE, even = BE
+    val le = put("le.txt", "hello world".getBytes("UTF-16LE"))
+    assert(Sniffers.detectEncoding(le).contains("utf_16_le"))
+    val be = put("be.txt", "hello world".getBytes("UTF-16BE"))
+    assert(Sniffers.detectEncoding(be).contains("utf_16_be"))
+    // BOM'd UTF-16 stays the generic utf_16 label
+    val bom = put("bom.txt", "\ufeffhello".getBytes("UTF-16LE"))
+    assert(Sniffers.detectEncoding(bom).contains("utf_16"))
+  }
 }
