@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** Additional training-data-pipeline operators over `documents`, beyond the
+  * round-1 dedup/similarity/text suites: corpus vocabulary statistics,
+  * deterministic content-hash sampling, and exact distribution quantiles.
+  * All three are fully hash-checked against DuckDB.
+  */
+object PipelineQueries {
+
+  /** Corpus vocabulary: top-50 tokens by total frequency, with document
+    * frequency. The shuffle carries (token, count) pairs after map-side
+    * partial aggregation — at 100 TB this is the standard wordcount shape
+    * (vocab-sized, not corpus-sized, after combine); the top-k is a
+    * TakeOrdered over the vocab. Ties broken by token for determinism. */
+  val q33 = Q(
+    "q33_vocab",
+    (s, dir) => {
+      val tokens = documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("token"))
+        .filter(length(col("token")) > 0)
+      tokens
+        .groupBy("token")
+        .agg(count(lit(1)).as("tf"),
+          countDistinct(col("doc_id")).as("df"))
+        .orderBy(col("tf").desc, col("token"))
+        .limit(50)
+    },
+    Some("""
+      WITH tokens AS (
+        SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
+        FROM documents),
+      vocab AS (
+        SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+        FROM tokens WHERE length(token) > 0
+        GROUP BY token)
+      SELECT token, tf, df FROM vocab
+      ORDER BY tf DESC, token LIMIT 50""")
+  )
+
+  /** Deterministic stratified sampling by content hash: keep a document iff
+    * the first 8 md5 hex chars, as an integer, fall under the stratum's
+    * threshold (en 10%, others 30% — downsample the dominant language).
+    * Unlike `df.sample()`, the decision is a pure function of content, so
+    * the same doc samples identically on any cluster size, partitioning, or
+    * re-run, and survivors are re-derivable — the property a training
+    * pipeline needs for reproducibility. Map-side filter, no shuffle
+    * (beyond the verification ORDER BY). */
+  val q34 = Q(
+    "q34_hash_sample",
+    (s, dir) => {
+      val bucket = conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long")
+      val threshold = when(col("lang") === "en", lit((0.10 * (1L << 32)).toLong))
+        .otherwise(lit((0.30 * (1L << 32)).toLong))
+      documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"), bucket.as("bucket"))
+        .filter(col("bucket") < threshold)
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      SELECT doc_id, lang, n_chars,
+             ('0x' || substr(md5(text), 1, 8))::BIGINT AS bucket
+      FROM documents
+      WHERE ('0x' || substr(md5(text), 1, 8))::BIGINT <
+            CASE WHEN lang = 'en' THEN ${(0.10 * (1L << 32)).toLong}
+                 ELSE ${(0.30 * (1L << 32)).toLong} END
+      ORDER BY doc_id""")
+  )
+
+  /** Exact per-language quantiles of document length: p25/p50/p75 via the
+    * exact `percentile` aggregate. Cross-engine exactness: the percentile
+    * positions are dyadic (0.25/0.5/0.75), inputs are integers, and both
+    * engines use the standard `h = 1 + (n-1)p` linear interpolation — every
+    * intermediate is an exact double, so the results are bit-identical.
+    * (The approximate scale path is q18's sketch pattern; this is the exact
+    * twin, correct at any size but requiring a per-group sort.) */
+  val q35 = Q(
+    "q35_quantiles",
+    (s, dir) =>
+      documents(s, dir)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          percentile(col("n_chars"), lit(0.25)).as("p25"),
+          percentile(col("n_chars"), lit(0.5)).as("p50"),
+          percentile(col("n_chars"), lit(0.75)).as("p75"))
+        .orderBy("lang"),
+    Some("""
+      SELECT lang, COUNT(*) AS n_docs,
+             quantile_cont(n_chars, 0.25) AS p25,
+             quantile_cont(n_chars, 0.5) AS p50,
+             quantile_cont(n_chars, 0.75) AS p75
+      FROM documents GROUP BY lang ORDER BY lang""")
+  )
+
+  val all: Seq[Q] = Seq(q33, q34, q35)
+}
