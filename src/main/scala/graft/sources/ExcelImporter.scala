@@ -32,8 +32,9 @@ import scala.xml.{Elem, Node, XML}
   *    ([[graft.sources.xls.XlsParser]], public MS-CFB/MS-XLS specs):
   *    LABELSST/LABEL/NUMBER/RK/MULRK/BOOLERR/FORMULA cells, SST with
   *    CONTINUE splits, one answer per BOUNDSHEET.
-  *  - `.xlsb`: documented gap (binary OOXML; feasible from the public
-  *    MS-XLSB spec, lower priority) → Failed answer, engine `ImportExcel`.
+  *  - `.xlsb`: binary OOXML via [[graft.sources.xlsb.XlsbParser]] (public
+  *    MS-XLSB spec): varint-framed records, BrtBundleSh sheet list, SST
+  *    items, Rk/Real/Bool/St/Isst/formula-result cells.
   *
   * Scale note: sheet XML decodes on the driver into a `LocalRelation`
   * (sheets are driver-sized in the reference too). A DSv2 `TableProvider`
@@ -53,7 +54,8 @@ class ExcelImporter(
         case ".xlsx"                   => workXlsx()
         case ".ods" | ".odf" | ".odt"  => workOds()
         case ".xls"                    => workXls()
-        case _                         => failedAnswer() // .xlsb gap
+        case ".xlsb"                   => workXlsb()
+        case _                         => failedAnswer()
       }
     } catch { case _: Exception => failedAnswer() }
   }
@@ -109,6 +111,16 @@ class ExcelImporter(
       }
     }
   }
+
+  /** Binary OOXML via [[graft.sources.xlsb.XlsbParser]] (public MS-XLSB
+    * spec — pandas' pyxlsb engine, `main.py:245-247`). Driver-side decode,
+    * same rationale as `.xls`. */
+  private def workXlsb(): Seq[ParserAnswer] =
+    graft.sources.xlsb.XlsbParser.parse(filePath) match {
+      case None => failedAnswer()
+      case Some(sheets) if sheets.isEmpty => failedAnswer()
+      case Some(sheets) => sheets.map(s => answerFromCells(s.rows, s.name))
+    }
 
   // ----------------------------------------------------------------- ods
 

@@ -142,7 +142,7 @@ class ExcelImporterSpec extends SparkSpec {
     assert(a.data.distinct().collect().toSeq == Seq(Row("v")))
   }
 
-  test("xlsb is a documented gap → Failed answer") {
+  test("corrupt xlsb → Failed answer, no exception") {
     val dir = tmpDir("bin")
     val p = writeFile(dir, "modern.xlsb", "not really excel")
     val a = AnyFile.parse(spark, p).head
