@@ -18,7 +18,8 @@ import org.apache.spark.sql.SparkSession
   *  - `.xml` → MS SpreadsheetML ([[XmlImporter]])
   *  - `.txt .csv .ini` → sniffed text ([[TextImporter]])
   *  - `.ant` → text with fixed delimiter `~~@~~` (`main.py:153-154`)
-  *  - `.pdf` → [[PdfImporter]] (documented gap)
+  *  - `.pdf` → [[PdfImporter]] (hand-rolled ISO 32000 reader: lenient
+  *    object scan + FlateDecode + text-operator table reconstruction)
   *  - `.parquet` → [[ParquetImporter]]
   *  - `.json` → [[JsonImporter]]
   *  - `.pk1` and `.pickle` → [[PickleImporter]] (documented gap). The

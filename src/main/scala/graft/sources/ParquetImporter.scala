@@ -106,22 +106,6 @@ class JsonImporter(val spark: SparkSession, val filePath: String)
   }
 }
 
-/** PDF importer — documented gap (SURVEY.md §2A row 9): the reference shells
-  * out to the tabula Java jar (`main.py:381`); no PDF library exists on the
-  * offline classpath, so this importer always returns the error answer. The
-  * interface (incl. the reference's `concat` flag, `main.py:373-374`) is
-  * kept so a DSv2 PDF reader can slot in later; the concat dataflow itself
-  * lives in [[graft.operators.UnionByArity]], generalized and tested.
-  */
-class PdfImporter(
-    val spark: SparkSession,
-    val filePath: String,
-    val concat: Boolean = true
-) extends Importer {
-  override def engineName: String = "ImportPDF"
-  def work(): Seq[ParserAnswer] = failedAnswer()
-}
-
 /** Pickle importer — documented gap: Python pickle encodes arbitrary Python
   * object graphs (`main.py:441-451`), not portable to the JVM; always the
   * error answer. */

@@ -1,0 +1,411 @@
+package graft.sources.pdf
+
+import java.util.zip.Inflater
+
+import scala.collection.mutable
+
+/** Minimal, lenient PDF document parser — the container half of the
+  * tabula-equivalent the reference shells out to (`main.py:381`,
+  * tabula-py → tabula JAR subprocess). Implemented from the public PDF
+  * specification (ISO 32000-1, published free by Adobe): COS object
+  * syntax, indirect objects, streams with FlateDecode, and the page tree.
+  *
+  * Leniency mirrors the reference's posture toward damaged files ("The
+  * structure may be damaged", `main.py:378`): the cross-reference table is
+  * IGNORED — every `N G obj … endobj` span in the file is scanned
+  * directly, so truncated/incorrect xref offsets (the most common
+  * real-world damage) don't matter. Later definitions of the same object
+  * number win, which also approximates incremental-update semantics
+  * without parsing /Prev chains.
+  *
+  * Scope (documented subset): FlateDecode only (`java.util.zip.Inflater`;
+  * no predictors — content streams in practice never use them), no
+  * encryption, no object streams (/Type /ObjStm), no CMap/Type0 composite
+  * fonts. Out-of-scope constructs surface as missing pages/text, never
+  * exceptions — the importer's contract is the reference's never-throw
+  * error answer.
+  */
+object PdfParser {
+
+  // ------------------------------------------------------------ COS model
+
+  sealed trait PObj
+  final case class PName(value: String) extends PObj
+  final case class PNum(value: Double) extends PObj
+  final case class PString(bytes: Array[Byte]) extends PObj
+  final case class PArr(items: Vector[PObj]) extends PObj
+  final case class PDict(entries: Map[String, PObj]) extends PObj
+  final case class PRef(num: Int) extends PObj
+  final case class PBool(value: Boolean) extends PObj
+  case object PNull extends PObj
+
+  /** Indirect object payload: dictionary plus (still-encoded) stream bytes. */
+  final case class PStream(dict: PDict, raw: Array[Byte]) extends PObj
+
+  final class Document(objects: Map[Int, PObj]) {
+
+    def resolve(o: PObj): PObj = o match {
+      case PRef(n) => objects.get(n).map(resolve).getOrElse(PNull)
+      case other   => other
+    }
+
+    def dict(o: PObj): Option[PDict] = resolve(o) match {
+      case d: PDict     => Some(d)
+      case PStream(d, _) => Some(d)
+      case _            => None
+    }
+
+    def entry(d: PDict, key: String): Option[PObj] =
+      d.entries.get(key).map(resolve)
+
+    def name(d: PDict, key: String): Option[String] =
+      entry(d, key).collect { case PName(v) => v }
+
+    /** Pages in /Root → /Pages tree order; falls back to file order of
+      * `/Type /Page` dictionaries when the tree is broken or absent.
+      * The trailer dictionary is stored under object number -1. */
+    def pages: Seq[PDict] = {
+      val fromTree = for {
+        trailer <- objects.get(-1).flatMap(dict)
+        root <- entry(trailer, "Root").flatMap(dict)
+        pagesRoot <- entry(root, "Pages").flatMap(dict)
+      } yield collectKids(pagesRoot, depth = 0)
+      fromTree.filter(_.nonEmpty).getOrElse {
+        objects.toSeq.filter(_._1 >= 0).sortBy(_._1).map(o => resolve(o._2))
+          .collect {
+            case d: PDict if name(d, "Type").contains("Page") => d
+          }
+      }
+    }
+
+    private def collectKids(node: PDict, depth: Int): Seq[PDict] = {
+      if (depth > 64) return Nil // cycle guard
+      name(node, "Type") match {
+        case Some("Page") => Seq(node)
+        case _ =>
+          entry(node, "Kids") match {
+            case Some(PArr(kids)) =>
+              kids.flatMap(k => dict(k).toSeq.flatMap(collectKids(_, depth + 1)))
+            case _ => Nil
+          }
+      }
+    }
+
+    /** Decoded content-stream bytes of a page: /Contents may be one stream
+      * or an array of streams (concatenated with a separating newline,
+      * per spec). Unsupported filters yield None for that stream. */
+    def pageContent(page: PDict): Option[Array[Byte]] = {
+      val streams = entry(page, "Contents") match {
+        case Some(s: PStream) => Seq(s)
+        case Some(PArr(xs))   => xs.flatMap(x => resolve(x) match {
+          case s: PStream => Some(s); case _ => None
+        })
+        case _ => Nil
+      }
+      if (streams.isEmpty) None
+      else {
+        val parts = streams.map(decodeStream)
+        if (parts.exists(_.isEmpty)) None
+        else Some(parts.flatMap(p => p.get :+ '\n'.toByte).toArray)
+      }
+    }
+
+    /** Apply the stream's /Filter chain (Flate or none supported). */
+    def decodeStream(s: PStream): Option[Array[Byte]] = {
+      val filters = entry(s.dict, "Filter") match {
+        case Some(PName(f)) => Seq(f)
+        case Some(PArr(fs)) => fs.collect { case PName(f) => f }
+        case _              => Nil
+      }
+      filters.foldLeft(Option(s.raw)) {
+        case (Some(bytes), "FlateDecode") => inflate(bytes)
+        case _                            => None // unsupported filter
+      }
+    }
+  }
+
+  private def inflate(bytes: Array[Byte]): Option[Array[Byte]] = {
+    val inf = new Inflater()
+    try {
+      inf.setInput(bytes)
+      val out = new java.io.ByteArrayOutputStream(bytes.length.max(64) * 4)
+      val buf = new Array[Byte](8192)
+      var done = false
+      while (!done && !inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n > 0) out.write(buf, 0, n)
+        // n == 0 with exhausted input: truncated stream — keep what we got
+        else if (inf.needsInput() || inf.needsDictionary()) done = true
+      }
+      Some(out.toByteArray)
+    } catch { case _: Exception => None }
+    finally inf.end()
+  }
+
+  // ------------------------------------------------------------ tokenizer
+
+  /** Recursive-descent reader over raw bytes; shared by the document
+    * parser and the content-stream interpreter (same COS token syntax,
+    * content streams just add bare operator keywords). */
+  final class Lexer(val bytes: Array[Byte], var pos: Int = 0) {
+
+    def eof: Boolean = pos >= bytes.length
+
+    private def isWs(c: Int): Boolean =
+      c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == '\f' || c == 0
+    private def isDelim(c: Int): Boolean =
+      c == '(' || c == ')' || c == '<' || c == '>' || c == '[' || c == ']' ||
+        c == '{' || c == '}' || c == '/' || c == '%'
+
+    def skipWs(): Unit = {
+      while (!eof) {
+        val c = bytes(pos) & 0xff
+        if (isWs(c)) pos += 1
+        else if (c == '%') { // comment to end of line
+          while (!eof && bytes(pos) != '\n' && bytes(pos) != '\r') pos += 1
+        } else return
+      }
+    }
+
+    /** Next token as one COS value, operator keyword (PName with marker),
+      * or None at EOF. Bare keywords (content operators, true/false/null,
+      * obj/endobj/stream/R) come back as `Keyword`. */
+    def next(): Option[Token] = {
+      skipWs()
+      if (eof) return None
+      val c = bytes(pos) & 0xff
+      c match {
+        case '/' => Some(TName(readName()))
+        case '(' => Some(TString(readLiteralString()))
+        case '[' => pos += 1; Some(TArrayOpen)
+        case ']' => pos += 1; Some(TArrayClose)
+        case '<' =>
+          if (pos + 1 < bytes.length && bytes(pos + 1) == '<') {
+            pos += 2; Some(TDictOpen)
+          } else Some(TString(readHexString()))
+        case '>' =>
+          if (pos + 1 < bytes.length && bytes(pos + 1) == '>') {
+            pos += 2; Some(TDictClose)
+          } else { pos += 1; next() } // stray '>' — skip (lenient)
+        case ')' | '{' | '}' => pos += 1; next() // stray delimiters — skip
+        case _ if c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9') =>
+          Some(TNum(readNumber()))
+        case _ =>
+          val start = pos
+          while (!eof && !isWs(bytes(pos) & 0xff) && !isDelim(bytes(pos) & 0xff))
+            pos += 1
+          if (pos == start) { pos += 1; next() }
+          else Some(TKeyword(new String(bytes, start, pos - start, "ISO-8859-1")))
+      }
+    }
+
+    private def readName(): String = {
+      pos += 1 // '/'
+      val sb = new StringBuilder
+      while (!eof) {
+        val c = bytes(pos) & 0xff
+        if (isWs(c) || isDelim(c)) return sb.toString()
+        if (c == '#' && pos + 2 < bytes.length) {
+          val hex = Integer.parseInt(
+            new String(bytes, pos + 1, 2, "ISO-8859-1"), 16)
+          sb.append(hex.toChar); pos += 3
+        } else { sb.append(c.toChar); pos += 1 }
+      }
+      sb.toString()
+    }
+
+    private def readNumber(): Double = {
+      val start = pos
+      if (bytes(pos) == '+' || bytes(pos) == '-') pos += 1
+      while (!eof && ((bytes(pos) >= '0' && bytes(pos) <= '9') || bytes(pos) == '.'))
+        pos += 1
+      val s = new String(bytes, start, pos - start, "ISO-8859-1")
+      try s.toDouble catch { case _: NumberFormatException => 0.0 }
+    }
+
+    /** `(…)` literal with nested parens and backslash escapes (spec
+      * table 3: \n \r \t \b \f \\ \( \) \ddd octal, escaped EOL). */
+    private def readLiteralString(): Array[Byte] = {
+      pos += 1 // '('
+      val out = new java.io.ByteArrayOutputStream()
+      var depth = 1
+      while (!eof && depth > 0) {
+        val c = bytes(pos) & 0xff
+        c match {
+          case '\\' if pos + 1 < bytes.length =>
+            val e = bytes(pos + 1) & 0xff
+            pos += 2
+            e match {
+              case 'n' => out.write('\n')
+              case 'r' => out.write('\r')
+              case 't' => out.write('\t')
+              case 'b' => out.write('\b')
+              case 'f' => out.write('\f')
+              case '\n' => () // line continuation
+              case '\r' =>
+                if (!eof && bytes(pos) == '\n') pos += 1
+              case d if d >= '0' && d <= '7' =>
+                var v = d - '0'
+                var k = 0
+                while (k < 2 && !eof && bytes(pos) >= '0' && bytes(pos) <= '7') {
+                  v = v * 8 + (bytes(pos) - '0'); pos += 1; k += 1
+                }
+                out.write(v & 0xff)
+              case other => out.write(other)
+            }
+          case '(' => depth += 1; out.write('('); pos += 1
+          case ')' =>
+            depth -= 1
+            if (depth > 0) out.write(')')
+            pos += 1
+          case other => out.write(other); pos += 1
+        }
+      }
+      out.toByteArray
+    }
+
+    private def readHexString(): Array[Byte] = {
+      pos += 1 // '<'
+      val out = new java.io.ByteArrayOutputStream()
+      var hi = -1
+      while (!eof && bytes(pos) != '>') {
+        val c = bytes(pos) & 0xff
+        val v =
+          if (c >= '0' && c <= '9') c - '0'
+          else if (c >= 'a' && c <= 'f') c - 'a' + 10
+          else if (c >= 'A' && c <= 'F') c - 'A' + 10
+          else -1
+        if (v >= 0) {
+          if (hi < 0) hi = v
+          else { out.write((hi << 4) | v); hi = -1 }
+        }
+        pos += 1
+      }
+      if (hi >= 0) out.write(hi << 4) // odd digit count: pad with 0
+      if (!eof) pos += 1 // '>'
+      out.toByteArray
+    }
+
+    /** Parse one COS value starting at the current token. Indirect refs
+      * (`N G R`) are recognized by lookahead over number-number-R. */
+    def parseValue(tok: Token): PObj = tok match {
+      case TName(n)   => PName(n)
+      case TString(b) => PString(b)
+      case TNum(n) =>
+        // possible "N G R" indirect reference
+        val save = pos
+        next() match {
+          case Some(TNum(_)) =>
+            next() match {
+              case Some(TKeyword("R")) => PRef(n.toInt)
+              case _                   => pos = save; PNum(n)
+            }
+          case _ => pos = save; PNum(n)
+        }
+      case TArrayOpen =>
+        val items = Vector.newBuilder[PObj]
+        var done = false
+        while (!done) {
+          next() match {
+            case None | Some(TArrayClose) => done = true
+            case Some(t)                  => items += parseValue(t)
+          }
+        }
+        PArr(items.result())
+      case TDictOpen =>
+        val m = Map.newBuilder[String, PObj]
+        var done = false
+        while (!done) {
+          next() match {
+            case None | Some(TDictClose) => done = true
+            case Some(TName(k)) =>
+              next() match {
+                case None    => done = true
+                case Some(t) => m += k -> parseValue(t)
+              }
+            case Some(_) => () // stray token inside dict — skip (lenient)
+          }
+        }
+        PDict(m.result())
+      case TKeyword("true")  => PBool(true)
+      case TKeyword("false") => PBool(false)
+      case TKeyword("null")  => PNull
+      case TKeyword(_)       => PNull
+      case TArrayClose | TDictClose => PNull
+    }
+  }
+
+  sealed trait Token
+  final case class TName(value: String) extends Token
+  final case class TNum(value: Double) extends Token
+  final case class TString(bytes: Array[Byte]) extends Token
+  final case class TKeyword(value: String) extends Token
+  case object TArrayOpen extends Token
+  case object TArrayClose extends Token
+  case object TDictOpen extends Token
+  case object TDictClose extends Token
+
+  // ------------------------------------------------------ document scan
+
+  private val ObjHeader =
+    java.util.regex.Pattern.compile("""(\d{1,9})\s+(\d{1,5})\s+obj\b""")
+
+  /** Scan all `N G obj … endobj` spans plus the trailer dictionary; the
+    * xref table is ignored (see class doc). The scan cursor always moves
+    * past each object's body (including its stream payload), so binary
+    * stream bytes are never themselves scanned for object headers. */
+  def parse(fileBytes: Array[Byte]): Option[Document] = {
+    try {
+      val text = new String(fileBytes, "ISO-8859-1") // 1:1 byte↔char
+      if (!text.startsWith("%PDF")) return None
+      val objects = mutable.Map.empty[Int, PObj]
+      val matcher = ObjHeader.matcher(text)
+      var from = 0
+      while (from < text.length && matcher.find(from)) {
+        val num = matcher.group(1).toInt
+        val bodyStart = matcher.end()
+        val lex = new Lexer(fileBytes, bodyStart)
+        val value = lex.next() match {
+          case Some(t) => lex.parseValue(t)
+          case None    => PNull
+        }
+        val afterValue = lex.pos
+        lex.skipWs()
+        val obj =
+          if (text.startsWith("stream", lex.pos)) {
+            var p = lex.pos + "stream".length
+            if (p < fileBytes.length && fileBytes(p) == '\r') p += 1
+            if (p < fileBytes.length && fileBytes(p) == '\n') p += 1
+            val dictObj = value match {
+              case d: PDict => d
+              case _        => PDict(Map.empty)
+            }
+            // /Length may be an indirect ref — locate `endstream`
+            // lexically instead (also survives wrong Lengths in
+            // damaged files)
+            val end = text.indexOf("endstream", p)
+            var q = if (end < 0) fileBytes.length else end
+            // trim the spec's EOL before `endstream`
+            if (q > p && fileBytes(q - 1) == '\n') q -= 1
+            if (q > p && fileBytes(q - 1) == '\r') q -= 1
+            lex.pos = if (end < 0) fileBytes.length else end + "endstream".length
+            PStream(dictObj, java.util.Arrays.copyOfRange(fileBytes, p, q))
+          } else { lex.pos = afterValue; value }
+        objects(num) = obj // later definitions win (incremental updates)
+        from = lex.pos.max(bodyStart)
+      }
+      // trailer dict (for /Root): last `trailer` keyword
+      val ti = text.lastIndexOf("trailer")
+      if (ti >= 0) {
+        val lex = new Lexer(fileBytes, ti + "trailer".length)
+        lex.next().foreach { t =>
+          lex.parseValue(t) match {
+            case d: PDict => objects(-1) = d
+            case _        => ()
+          }
+        }
+      }
+      if (objects.isEmpty) None else Some(new Document(objects.toMap))
+    } catch { case _: Exception => None }
+  }
+}

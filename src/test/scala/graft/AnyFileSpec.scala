@@ -21,7 +21,9 @@ class AnyFileSpec extends SparkSpec {
     assert(AnyFile.parse(spark, p).head.parseInfo == "Failed")
   }
 
-  test("pdf / pk1 / pickle are documented gaps with engine recorded") {
+  // pdf now has a real reader (PdfImporterSpec): a non-PDF payload takes
+  // its never-throw Failed path; pickle remains the documented gap.
+  test("pdf parse failure / pk1 / pickle give Failed with engine recorded") {
     val dir = tmpDir("gap")
     val cases = Seq("d.pdf" -> "ImportPDF", "d.pk1" -> "ImportPickle",
       "d.pickle" -> "ImportPickle")

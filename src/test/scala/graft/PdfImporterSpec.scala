@@ -1,0 +1,194 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+import java.nio.file.Files
+import java.util.zip.Deflater
+
+import graft.sources.PdfImporter
+import org.apache.spark.sql.Row
+
+/** Hand-assembled PDF fixtures (ISO 32000 syntax): catalog → page tree →
+  * Flate/plain content streams showing a text grid with Tm/Td/TJ — the
+  * machine-written table shape tabula's stream mode targets.
+  */
+class PdfImporterSpec extends SparkSpec {
+
+  // ------------------------------------------------------------ builders
+
+  private def deflate(bytes: Array[Byte]): Array[Byte] = {
+    val d = new Deflater()
+    d.setInput(bytes); d.finish()
+    val out = new ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  /** Grid → content stream: one absolute Tm + Tj per cell. */
+  private def gridContent(grid: Seq[Seq[String]]): String = {
+    val sb = new StringBuilder("BT /F1 12 Tf\n")
+    grid.zipWithIndex.foreach { case (row, r) =>
+      row.zipWithIndex.foreach { case (cell, c) =>
+        if (cell != null)
+          sb.append(f"1 0 0 1 ${72 + c * 120} ${700 - r * 20} Tm ($cell) Tj\n")
+      }
+    }
+    sb.append("ET\n").toString()
+  }
+
+  /** Assemble a multi-page PDF; each page is (contentBytes, compressed?). */
+  private def pdfBytes(pages: Seq[(Array[Byte], Boolean)]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.4\n")
+    val kids = pages.indices.map(i => s"${3 + 2 * i} 0 R").mkString(" ")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w(s"2 0 obj << /Type /Pages /Kids [$kids] /Count ${pages.length} >> endobj\n")
+    pages.zipWithIndex.foreach { case ((content, compress), i) =>
+      val pageNum = 3 + 2 * i
+      val contNum = pageNum + 1
+      val data = if (compress) deflate(content) else content
+      val filter = if (compress) " /Filter /FlateDecode" else ""
+      w(s"$pageNum 0 obj << /Type /Page /Parent 2 0 R " +
+        s"/MediaBox [0 0 612 792] /Contents $contNum 0 R " +
+        s"/Resources << /Font << /F1 100 0 R >> >> >> endobj\n")
+      w(s"$contNum 0 obj << /Length ${data.length}$filter >> stream\n")
+      out.write(data)
+      w("\nendstream endobj\n")
+    }
+    w("100 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj\n")
+    w("trailer << /Root 1 0 R >>\n%%EOF\n")
+    out.toByteArray
+  }
+
+  private def writePdf(name: String, pages: Seq[(Array[Byte], Boolean)]): String = {
+    val p = tmpDir("pdf").resolve(name)
+    Files.write(p, pdfBytes(pages))
+    p.toString
+  }
+
+  private def grid(g: Seq[Seq[String]], compress: Boolean): (Array[Byte], Boolean) =
+    (gridContent(g).getBytes("ISO-8859-1"), compress)
+
+  // --------------------------------------------------------------- tests
+
+  test("single page, uncompressed: grid comes back row-major all-string") {
+    val path = writePdf("plain.pdf", Seq(grid(Seq(
+      Seq("name", "qty", "price"),
+      Seq("apple", "3", "1.50"),
+      Seq("pear", "7", "0.25")), compress = false)))
+    val answers = new PdfImporter(spark, path).work()
+    assert(answers.length == 1)
+    val a = answers.head
+    assert(a.sheetName == "PDF file content (concated)")
+    assert(a.engine == "ImportPDF")
+    assert(a.parseInfo == "OK")
+    // reset_index quirk: surplus "index" column first
+    assert(a.data.columns.toSeq == Seq("index", "0", "1", "2"))
+    val rows = a.data.orderBy("index").collect().map(_.toSeq)
+    assert(rows(0) == Seq(0, "name", "qty", "price"))
+    assert(rows(1) == Seq(1, "apple", "3", "1.50"))
+    assert(rows(2) == Seq(2, "pear", "7", "0.25"))
+  }
+
+  test("FlateDecode content stream decodes identically") {
+    val g = Seq(Seq("a", "b"), Seq("c", "d"))
+    val plain = writePdf("p.pdf", Seq(grid(g, compress = false)))
+    val flate = writePdf("f.pdf", Seq(grid(g, compress = true)))
+    val rp = new PdfImporter(spark, plain).work().head.data
+      .orderBy("index").collect().toSeq
+    val rf = new PdfImporter(spark, flate).work().head.data
+      .orderBy("index").collect().toSeq
+    assert(rp == rf && rp.nonEmpty)
+  }
+
+  test("multi-page same arity concatenates; running index spans pages") {
+    val path = writePdf("two.pdf", Seq(
+      grid(Seq(Seq("a", "b"), Seq("c", "d")), compress = true),
+      grid(Seq(Seq("e", "f"), Seq("g", "h")), compress = true)))
+    val answers = new PdfImporter(spark, path).work()
+    assert(answers.length == 1)
+    val rows = answers.head.data.orderBy("index").collect().map(_.toSeq)
+    assert(rows.map(_.head).toSeq == Seq(0, 1, 2, 3))
+    assert(rows(3) == Seq(3, "g", "h"))
+  }
+
+  test("mismatched arity page lands in the unsized answer") {
+    val path = writePdf("mixed.pdf", Seq(
+      grid(Seq(Seq("a", "b", "c")), compress = false),
+      grid(Seq(Seq("x", "y")), compress = false)))
+    val answers = new PdfImporter(spark, path).work()
+    assert(answers.map(_.sheetName) == Seq(
+      "PDF file content (concated)", "PDF file content (unsized)"))
+    assert(answers(0).data.columns.length == 4) // index + 3
+    assert(answers(1).data.columns.length == 3) // index + 2
+    assert(answers(1).data.collect().map(_.toSeq).toSeq == Seq(Seq(0, "x", "y")))
+  }
+
+  test("concat=false yields one answer per page") {
+    val path = writePdf("pages.pdf", Seq(
+      grid(Seq(Seq("a", "b")), compress = false),
+      grid(Seq(Seq("x", "y", "z")), compress = false)))
+    val answers = new PdfImporter(spark, path, concat = false).work()
+    assert(answers.length == 2)
+    assert(answers.forall(_.sheetName == "PDF file content (by page)"))
+    assert(answers(0).data.columns.toSeq == Seq("0", "1")) // no index col
+    assert(answers(1).data.collect().head.toSeq == Seq("x", "y", "z"))
+  }
+
+  test("Td/TD/T* relative positioning and TJ arrays build the same grid") {
+    // line-oriented ops instead of absolute Tm: 2 rows × 2 cols
+    val content =
+      """BT /F1 10 Tf
+        |72 700 Td (r1c1) Tj
+        |120 0 Td [(r1) -200 (c2)] TJ
+        |-120 -20 Td (r2c1) Tj
+        |120 0 Td <72326333> Tj
+        |ET
+        |""".stripMargin.getBytes("ISO-8859-1")
+    val path = writePdf("rel.pdf", Seq((content, false)))
+    val a = new PdfImporter(spark, path).work().head
+    val rows = a.data.orderBy("index").collect().map(_.toSeq)
+    // small TJ kerning stays within MergeTolerance → glued into one cell
+    assert(rows(0) == Seq(0, "r1c1", "r1c2"))
+    assert(rows(1)(1) == "r2c1")
+    assert(rows(1)(2) == "r2c3") // hex string <72326333> = "r2c3"
+  }
+
+  test("escapes, parens, octal in literal strings") {
+    val content =
+      """BT /F1 10 Tf
+        |72 700 Td (a\(b\)c) Tj
+        |200 0 Td (x\134y) Tj
+        |ET
+        |""".stripMargin.getBytes("ISO-8859-1")
+    val path = writePdf("esc.pdf", Seq((content, false)))
+    val row = new PdfImporter(spark, path).work().head
+      .data.collect().head.toSeq
+    assert(row(1) == "a(b)c")
+    assert(row(2) == "x\\y") // octal 134 = backslash
+  }
+
+  test("garbage and truncated files give the Failed answer, never throw") {
+    val dir = tmpDir("pdfbad")
+    val garbage = dir.resolve("g.pdf")
+    Files.write(garbage, Array.fill[Byte](256)(0x55))
+    val g = new PdfImporter(spark, garbage.toString).work()
+    assert(g.length == 1 && g.head.parseInfo == "Failed")
+
+    val real = pdfBytes(Seq(grid(Seq(Seq("a", "b")), compress = true)))
+    val trunc = dir.resolve("t.pdf")
+    Files.write(trunc, real.take(real.length / 3))
+    val t = new PdfImporter(spark, trunc.toString).work()
+    assert(t.nonEmpty) // whatever survives parses or fails — no throw
+  }
+
+  test("AnyFile dispatches .pdf to the real reader") {
+    val path = writePdf("route.pdf", Seq(grid(Seq(Seq("k", "v")), compress = true)))
+    val answers = AnyFile.parse(spark, path)
+    assert(answers.head.engine == "ImportPDF")
+    assert(answers.head.parseInfo == "OK")
+    assert(answers.head.data.collect().head.toSeq == Seq(0, "k", "v"))
+  }
+}
