@@ -157,5 +157,41 @@ object TextQueries {
       FROM wh ORDER BY doc_id""")
   )
 
-  val all: Seq[Q] = Seq(q30, q31, q32)
+  private val BpePattern =
+    """'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"""
+
+  /** BPE-style pretokenization count — the GPT-2 pretokenizer shape
+    * (contraction suffixes / letter runs / digit runs / punctuation runs /
+    * whitespace), restricted to syntax Java regex and RE2 tokenize
+    * identically (leftmost-first alternation in both; no lookarounds —
+    * RE2 has none). Token counting is the capacity-planning primitive of
+    * a training-data pipeline (docs-per-batch, corpus token budgets); a
+    * single map-side `regexp_extract_all` pass, no shuffle. */
+  val q36 = Q(
+    "q36_bpe_tokens",
+    (s, dir) => {
+      val nBpe = size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+        .cast("long")
+      val nWs = size(split(col("text"), "\\s+")).cast("long")
+      documents(s, dir)
+        .select(
+          col("doc_id"),
+          nWs.as("n_ws_tokens"),
+          nBpe.as("n_bpe_tokens"),
+          when(nBpe > 0, col("n_chars").cast("double") / nBpe)
+            .as("chars_per_token"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      SELECT doc_id,
+             CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_ws_tokens,
+             CAST(len(regexp_extract_all(text, '${BpePattern.replace("'", "''")}')) AS BIGINT) AS n_bpe_tokens,
+             CASE WHEN len(regexp_extract_all(text, '${BpePattern.replace("'", "''")}')) > 0
+                  THEN CAST(n_chars AS DOUBLE)
+                       / len(regexp_extract_all(text, '${BpePattern.replace("'", "''")}'))
+             END AS chars_per_token
+      FROM documents ORDER BY doc_id""")
+  )
+
+  val all: Seq[Q] = Seq(q30, q31, q32, q36)
 }
