@@ -109,4 +109,33 @@ class TextImporterSpec extends SparkSpec {
     val bom = put("bom.txt", "\ufeffhello".getBytes("UTF-16LE"))
     assert(Sniffers.detectEncoding(bom).contains("utf_16"))
   }
+
+  test("charset_normalizer label parity: utf_32 BOM, shift_jis, euc_jp") {
+    import graft.sources.Sniffers
+    val dir = tmpDir("enc3")
+    def put(name: String, bytes: Array[Byte]): String = {
+      val p = dir.resolve(name)
+      java.nio.file.Files.write(p, bytes)
+      p.toString
+    }
+    // UTF-32 LE BOM is a superset of the UTF-16 LE BOM \u2014 must win
+    val u32 = put("u32.txt", "\ufeffhi".getBytes("UTF-32LE"))
+    assert(Sniffers.detectEncoding(u32).contains("utf_32"))
+    val u32be = put("u32be.txt", "\ufeffhi".getBytes("UTF-32BE"))
+    assert(Sniffers.detectEncoding(u32be).contains("utf_32"))
+    // Japanese multibyte: same text, both JIS encodings
+    val ja = "\u3053\u3093\u306b\u3061\u306f\u4e16\u754c\u3001\u4eca\u65e5\u306f\u826f\u3044\u5929\u6c17\u3067\u3059\u3002\n"
+    assert(Sniffers.detectEncoding(put("sjis.txt", ja.getBytes("Shift_JIS")))
+      .contains("shift_jis"))
+    assert(Sniffers.detectEncoding(put("euc.txt", ja.getBytes("EUC-JP")))
+      .contains("euc_jp"))
+    // density guard: accented Western text must NOT be claimed as JIS
+    // (\u00e9 = 0xE9 is a valid Shift_JIS lead byte + ASCII trail)
+    val fr = put("fr.txt", "caf\u00e9 au lait, d\u00e9j\u00e0 vu, tr\u00e8s chaud\n".getBytes("windows-1252"))
+    assert(Sniffers.detectEncoding(fr).contains("cp1252"))
+    // Cyrillic density stays cp1251, not JIS
+    val ru = put("ru.txt",
+      "\u043f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440 \u043a\u0430\u043a \u0434\u0435\u043b\u0430 \u0441\u0435\u0433\u043e\u0434\u043d\u044f\n".getBytes("windows-1251"))
+    assert(Sniffers.detectEncoding(ru).contains("cp1251"))
+  }
 }
