@@ -394,7 +394,9 @@ object PdfParser {
         objects(num) = obj // later definitions win (incremental updates)
         from = lex.pos.max(bodyStart)
       }
-      // trailer dict (for /Root): last `trailer` keyword
+      // trailer dict (for /Root): last `trailer` keyword; PDFs with
+      // cross-reference STREAMS (1.5+) have no trailer keyword — their
+      // /Root lives on the xref stream's own dict (/Type /XRef)
       val ti = text.lastIndexOf("trailer")
       if (ti >= 0) {
         val lex = new Lexer(fileBytes, ti + "trailer".length)
@@ -405,7 +407,50 @@ object PdfParser {
           }
         }
       }
-      if (objects.isEmpty) None else Some(new Document(objects.toMap))
+      if (!objects.contains(-1)) {
+        objects.valuesIterator.collectFirst {
+          case PStream(d, _)
+              if d.entries.get("Type").contains(PName("XRef")) &&
+                d.entries.contains("Root") => d
+        }.foreach(objects(-1) = _)
+      }
+      if (objects.isEmpty) None
+      else Some(new Document(expandObjectStreams(objects.toMap)))
     } catch { case _: Exception => None }
+  }
+
+  /** PDF 1.5+ object streams (`/Type /ObjStm`): most non-stream objects of
+    * a modern PDF live *inside* a Flate-compressed stream — without this
+    * pass the page tree of such files is invisible. Layout (spec §7.5.7):
+    * the decoded stream opens with /N pairs of `objnum offset` integers,
+    * then the object bodies start at /First. Directly-scanned definitions
+    * win over object-stream members: appended incremental updates are
+    * written as direct objects, so the direct copy is the newer one. */
+  private def expandObjectStreams(direct: Map[Int, PObj]): Map[Int, PObj] = {
+    val doc0 = new Document(direct)
+    val fromStreams = Map.newBuilder[Int, PObj]
+    direct.valuesIterator.foreach {
+      case s: PStream if doc0.name(s.dict, "Type").contains("ObjStm") =>
+        for {
+          data <- doc0.decodeStream(s)
+          n <- doc0.entry(s.dict, "N").collect { case PNum(v) => v.toInt }
+          first <- doc0.entry(s.dict, "First").collect { case PNum(v) => v.toInt }
+        } {
+          val lex = new Lexer(data)
+          val pairs = (0 until n).flatMap { _ =>
+            (lex.next(), lex.next()) match {
+              case (Some(TNum(num)), Some(TNum(off))) =>
+                Some((num.toInt, off.toInt))
+              case _ => None
+            }
+          }
+          pairs.foreach { case (num, off) =>
+            val olex = new Lexer(data, (first + off).min(data.length))
+            olex.next().foreach(t => fromStreams += num -> olex.parseValue(t))
+          }
+        }
+      case _ => ()
+    }
+    fromStreams.result() ++ direct // direct definitions win
   }
 }

@@ -184,6 +184,51 @@ class PdfImporterSpec extends SparkSpec {
     assert(t.nonEmpty) // whatever survives parses or fails — no throw
   }
 
+  test("PDF 1.5 object streams: page tree inside a compressed /ObjStm") {
+    // catalog + pages + page dicts live INSIDE a Flate'd object stream;
+    // only the content stream and the ObjStm container are direct objects.
+    // No `trailer` keyword — /Root sits on an /XRef stream dict.
+    val content = gridContent(Seq(Seq("m1", "m2"), Seq("m3", "m4")))
+      .getBytes("ISO-8859-1")
+    val inner =
+      "<< /Type /Catalog /Pages 2 0 R >>\n" +
+        "<< /Type /Pages /Kids [3 0 R] /Count 1 >>\n" +
+        "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R >>"
+    val offs = {
+      val parts = inner.split("\n")
+      val o1 = 0
+      val o2 = parts(0).length + 1
+      val o3 = o2 + parts(1).length + 1
+      Seq(1 -> o1, 2 -> o2, 3 -> o3)
+    }
+    val header = offs.map { case (n, o) => s"$n $o" }.mkString(" ")
+    val payload = (header + "\n" + inner).getBytes("ISO-8859-1")
+    val first = header.length + 1
+    val packed = deflate(payload)
+
+    val out = new ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.5\n")
+    w(s"5 0 obj << /Type /ObjStm /N 3 /First $first /Length ${packed.length} " +
+      "/Filter /FlateDecode >> stream\n")
+    out.write(packed)
+    w("\nendstream endobj\n")
+    w(s"4 0 obj << /Length ${content.length} >> stream\n")
+    out.write(content)
+    w("\nendstream endobj\n")
+    // xref stream dict carries /Root (stream payload irrelevant to our scan)
+    w("6 0 obj << /Type /XRef /Root 1 0 R /Size 7 /W [1 2 1] /Length 0 >> stream\nendstream endobj\n")
+    w("%%EOF\n")
+    val p = tmpDir("pdfobjstm").resolve("objstm.pdf")
+    Files.write(p, out.toByteArray)
+
+    val answers = new PdfImporter(spark, p.toString).work()
+    assert(answers.head.parseInfo == "OK")
+    val rows = answers.head.data.orderBy("index").collect().map(_.toSeq)
+    assert(rows(0) == Seq(0, "m1", "m2"))
+    assert(rows(1) == Seq(1, "m3", "m4"))
+  }
+
   test("AnyFile dispatches .pdf to the real reader") {
     val path = writePdf("route.pdf", Seq(grid(Seq(Seq("k", "v")), compress = true)))
     val answers = AnyFile.parse(spark, path)
