@@ -277,5 +277,143 @@ object SimilarityQueries {
       ORDER BY d.id_a, d.id_b""")
   )
 
-  val all: Seq[Q] = Seq(q40, q41, q42)
+  private val IvfK = 16     // codebook size
+  private val IvfNProbe = 2 // cells probed per query
+
+  /** IVF-Flat approximate nearest neighbors — the inverted-file companion
+    * to q41's hyperplane LSH (the two standard ANN partitioning schemes).
+    *
+    * Codebook: the K = 16 embeddings with the smallest vec_ids, collected
+    * driver-side into plan literals. That is the IVF architecture, not a
+    * shortcut: a coarse quantizer is O(K·dim) and lives in memory on every
+    * node (exactly how FAISS ships codebooks); only the TRAINING of a
+    * better codebook (k-means) is out of scope here, and a trained one
+    * plugs into the identical plan. Assignment is a map-side argmax of
+    * `dot(v, c)/|c|` over the 16 codegen'd fixed-point dots — the |v|
+    * factor cancels inside a per-row argmax, so no per-vector norm is
+    * needed to assign. NO SHUFFLE anywhere in assignment; the only
+    * exchange is the tiny probe join + the per-query rerank window.
+    *
+    * Query side: the same scored array sorted descending gives the
+    * nprobe = 2 nearest cells; candidates are the vectors assigned to a
+    * probed cell (each vector lives in exactly one cell, so no distinct
+    * is needed), reranked by exact cosine → top-5.
+    *
+    * Scale shape: brute force touches N vectors per query; IVF touches
+    * ~nprobe·N/K. The oracle recomputes the identical pipeline from the
+    * embeddings table (centroid literals = the same float values DuckDB
+    * reads; norms = the same floor-scaled arithmetic), so the whole ANN
+    * path — assignment, probing, rerank — is hash-checked. */
+  val q43 = Q(
+    "q43_ann_ivf",
+    (s, dir) => {
+      val emb = embeddings(s, dir)
+      // driver-side codebook fetch: K rows of dim floats (tiny, corpus-
+      // size-independent). Norm uses the exact op sequence of the oracle:
+      // sum of floor(x*x*1e15) as longs, /1e15, sqrt — IEEE-identical.
+      val cents: Seq[(Int, Seq[Float], Double)] = emb
+        .filter(col("vec_id") < IvfK)
+        .select("vec_id", "embedding")
+        .collect()
+        .map { r =>
+          val ce = r.getSeq[Float](1)
+          val n = math.sqrt(
+            ce.map(x => math.floor(x.toDouble * x.toDouble * Scale).toLong)
+              .sum.toDouble / Scale)
+          (r.getLong(0).toInt, ce, n)
+        }
+        .sortBy(_._1)
+        .toSeq
+
+      // per-row scored cells: struct(score, -cid) so array_max/sort give
+      // the argmax with the smallest-cid tiebreak, all inside codegen
+      def scoredCells(vec: Column): Column = array(cents.map {
+        case (cid, ce, cn) =>
+          struct(
+            (graft.functions.FixedPointDot.fixed_point_dot(vec, typedLit(ce))
+              .cast("double") / Scale / lit(cn)).as("s"),
+            lit(-cid).as("negc"))
+      }: _*)
+
+      val assigned = emb.select(
+        col("vec_id"), col("embedding"),
+        (-array_max(scoredCells(col("embedding"))).getField("negc")).as("cell"),
+        sqrt(dotDec(col("embedding"), col("embedding"))).as("nrm"))
+
+      val probes = assigned.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("nrm").as("qn"),
+          sort_array(scoredCells(col("embedding")), asc = false).as("sc"))
+        .select(col("query_id"), col("qe"), col("qn"),
+          explode(array((1 to IvfNProbe).map(i =>
+            -element_at(col("sc"), i).getField("negc")): _*)).as("cell"))
+
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      assigned
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
+          col("nrm").as("cn"), col("cell"))
+        .join(broadcast(probes), Seq("cell"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          (dotDec(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""
+      WITH u AS (
+        SELECT vec_id, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings),
+      nrm AS (
+        SELECT vec_id,
+               sqrt(CAST(CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * x * 1e15) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e15) AS nrm
+        FROM u GROUP BY vec_id),
+      cd AS (
+        SELECT a.vec_id, b.vec_id AS cid,
+               CAST(SUM(CAST(FLOOR(CAST(a.x AS DOUBLE) * b.x * 1e15) AS BIGINT)) AS BIGINT) AS dt
+        FROM u a JOIN u b ON a.i = b.i AND b.vec_id < $IvfK
+        GROUP BY a.vec_id, b.vec_id),
+      score AS (
+        SELECT cd.vec_id, cd.cid,
+               (CAST(cd.dt AS DOUBLE) / 1e15) / cn.nrm AS s
+        FROM cd JOIN nrm cn ON cn.vec_id = cd.cid),
+      ranked_cells AS (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+        FROM score),
+      assign AS (SELECT vec_id, cid AS cell FROM ranked_cells WHERE rn = 1),
+      probe AS (
+        SELECT vec_id AS query_id, cid AS cell
+        FROM ranked_cells WHERE vec_id < 8 AND rn <= $IvfNProbe),
+      cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id
+        FROM probe p JOIN assign a ON a.cell = p.cell
+        WHERE a.vec_id <> p.query_id),
+      dots AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               CAST(SUM(CAST(FLOOR(CAST(a.x AS DOUBLE) * b.x * 1e15) AS BIGINT)) AS BIGINT) AS dt
+        FROM cand
+        JOIN u a ON a.vec_id = cand.query_id
+        JOIN u b ON b.vec_id = cand.neighbor_id AND a.i = b.i
+        GROUP BY cand.query_id, cand.neighbor_id),
+      scored AS (
+        SELECT d.query_id, d.neighbor_id,
+               (CAST(d.dt AS DOUBLE) / 1e15) / (qn.nrm * cn.nrm) AS cosine
+        FROM dots d
+        JOIN nrm qn ON qn.vec_id = d.query_id
+        JOIN nrm cn ON cn.vec_id = d.neighbor_id),
+      out AS (
+        SELECT query_id, neighbor_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored)
+      SELECT query_id, rank, neighbor_id, cosine
+      FROM out WHERE rank <= 5
+      ORDER BY query_id, rank""")
+  )
+
+  val all: Seq[Q] = Seq(q40, q41, q42, q43)
 }
