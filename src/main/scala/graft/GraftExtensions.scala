@@ -16,10 +16,12 @@ import graft.functions.RollingHash64
   *   .config("spark.sql.extensions", "graft.GraftExtensions")
   * }}}
   *
-  * Currently injects `rolling_hash` (SQL-callable, codegen'd). New custom
-  * expressions/rules/strategies register here so every session — including
-  * ones we don't build ourselves (Thrift server, connect) — sees the same
-  * surface.
+  * Injects `rolling_hash` (SQL-callable, codegen'd) and the as-of-join
+  * planner strategy ([[graft.plans.AsOfJoinStrategy]] — plans the custom
+  * [[graft.plans.AsOfJoinPlan]] node as the streaming-merge
+  * [[graft.plans.AsOfJoinExec]]). New custom expressions/rules/strategies
+  * register here so every session — including ones we don't build
+  * ourselves (Thrift server, connect) — sees the same surface.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
@@ -28,5 +30,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[RollingHash64].getName, "rolling_hash"),
       (exprs: Seq[Expression]) => RollingHash64(exprs.head)
     ))
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -76,4 +76,48 @@ object AsOfJoin {
       .select(leftCols.map(col) ++
         rightCols.values.toSeq.map(n => col(s"__c_$n").as(n)): _*)
   }
+
+  /** The same semantics through the custom Catalyst operator
+    * ([[graft.plans.AsOfJoinPlan]] → [[graft.plans.AsOfJoinExec]]) —
+    * preference (c) of the ladder: a co-partitioned one-pass streaming
+    * merge instead of the union + window composition. Same signature,
+    * same output, interchangeable with [[latestPrior]]; OperatorSpec
+    * asserts row-for-row agreement and q44 runs it against the same
+    * DuckDB ASOF oracle as q17.
+    *
+    * The planner strategy is registered idempotently on the session's
+    * `experimental.extraStrategies` (also available declaratively via
+    * `GraftExtensions`). */
+  def latestPriorExec(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      rightCols: Map[String, String]
+  ): DataFrame = {
+    import org.apache.spark.sql.graft.SqlShims
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+
+    // rename the right key/ts so the joined output has no duplicate names
+    val rightSel = right.select(
+      col(key).as("__asof_k") +: col(rightTs).as("__asof_ts") +:
+        rightCols.map { case (src, dst) => col(src).as(dst) }.toSeq: _*)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = rightSel.queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column $n not found"))
+    val plan = graft.plans.AsOfJoinPlan(
+      lPlan, rPlan,
+      attr(lPlan, key), attr(rPlan, "__asof_k"),
+      attr(lPlan, leftTs), attr(rPlan, "__asof_ts"))
+    SqlShims.ofRows(spark, plan)
+      .select(left.columns.toSeq.map(col) ++
+        rightCols.values.toSeq.map(col): _*)
+  }
 }

@@ -453,6 +453,44 @@ object RelationalQueries {
       ORDER BY e.event_id""")
   )
 
+  /** The SAME as-of semantics as q17 through the custom Catalyst operator
+    * (`AsOfJoinPlan` → `AsOfJoinStrategy` → `AsOfJoinExec`: co-partitioned
+    * one-pass streaming merge, SURVEY.md §2B ladder preference (c)) —
+    * verified against the identical DuckDB ASOF JOIN oracle, so the custom
+    * physical operator itself is hash-checked end-to-end. */
+  val q44 = Q(
+    "q44_asof_native",
+    (s, dir) => {
+      val ev = events(s, dir).select("event_id", "user_id", "ts", "event_type")
+      val errors = ev.filter(col("event_type") === "error")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("prev_error_id"))
+      graft.operators.AsOfJoin
+        .latestPriorExec(
+          ev.select("event_id", "user_id", "ts"),
+          errors,
+          key = "user_id", leftTs = "ts", rightTs = "ts",
+          rightCols = Map("prev_error_id" -> "prev_error_id",
+            "ts" -> "prev_error_ts"))
+        .select(col("event_id"), col("user_id"), col("prev_error_id"),
+          (unix_micros(col("ts")) - unix_micros(col("prev_error_ts")))
+            .as("gap_us"))
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        FROM events),
+      err AS (
+        SELECT user_id, ts, MAX(event_id) AS prev_error_id
+        FROM ev WHERE event_type = 'error' GROUP BY user_id, ts)
+      SELECT e.event_id, e.user_id, r.prev_error_id,
+             epoch_us(e.ts) - epoch_us(r.ts) AS gap_us
+      FROM ev e ASOF LEFT JOIN err r
+        ON e.user_id = r.user_id AND e.ts > r.ts
+      ORDER BY e.event_id""")
+  )
+
   /** Sketch aggregation: approx_count_distinct (HyperLogLog++) next to the
     * exact count. No oracle — HLL estimates are implementation-specific —
     * but OperatorSpec asserts the estimate lands within the documented
@@ -502,5 +540,5 @@ object RelationalQueries {
   )
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08,
-    q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19)
+    q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q44)
 }

@@ -57,6 +57,41 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("native AsOfJoinExec agrees with the window composition") {
+    import spark.implicits._
+    import graft.operators.AsOfJoin
+    // edge cases: equal-ts left/right (strict < must exclude), no prior
+    // match (null), duplicate (key, rts) tiebreak, multiple keys, a key
+    // present on only one side
+    val left = Seq(
+      (1L, 100L, "a"), (1L, 51L, "b"), (1L, 50L, "c"),
+      (2L, 10L, "d"), (3L, 500L, "e")).toDF("k", "lts", "tag")
+    val right = Seq(
+      (1L, 50L, 7.0), (1L, 50L, 9.0), (1L, 99L, 1.0),
+      (2L, 10L, 2.0), (4L, 1L, 3.0)).toDF("k", "rts", "price")
+    for (parts <- Seq(1, 3, 7)) {
+      val composed = AsOfJoin.latestPrior(
+        left, right.repartition(parts), "k", "lts", "rts",
+        Map("price" -> "price", "rts" -> "match_ts")).orderBy("k", "lts")
+      val native = AsOfJoin.latestPriorExec(
+        left, right.repartition(parts), "k", "lts", "rts",
+        Map("price" -> "price", "rts" -> "match_ts")).orderBy("k", "lts")
+      assert(native.columns.toSeq == composed.columns.toSeq)
+      assert(native.collect().toSeq == composed.collect().toSeq, s"parts=$parts")
+      // strictness spot checks on the native result
+      val byTag = native.collect().map(r => r.getString(2) -> r).toMap
+      assert(byTag("a").getDouble(3) == 1.0)  // latest prior is ts=99
+      assert(byTag("b").getDouble(3) == 9.0)  // ts=50 duplicates → max payload
+      assert(byTag("c").isNullAt(3))          // equal ts excluded (strict <)
+      assert(byTag("d").isNullAt(3))          // equal ts only → strict < excludes
+      assert(byTag("e").isNullAt(3))          // key absent on right
+    }
+    // the custom operator must actually be in the physical plan
+    val plan = AsOfJoin.latestPriorExec(left, right, "k", "lts", "rts",
+      Map("price" -> "price")).queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan.take(2000))
+  }
+
   test("rolling_hash is deterministic, codegen-evaluated, and distinct") {
     import spark.implicits._
     import graft.functions.GraftFunctions

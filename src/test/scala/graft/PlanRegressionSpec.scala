@@ -41,4 +41,9 @@ class PlanRegressionSpec extends SparkSpec {
     val plan = planOf(RelationalQueries.q01)
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(2000))
   }
+
+  test("q44: as-of joins through the custom AsOfJoinExec operator") {
+    val plan = planOf(RelationalQueries.q44)
+    assert(plan.contains("AsOfJoin"), plan.take(2000))
+  }
 }
