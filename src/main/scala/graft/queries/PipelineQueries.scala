@@ -96,5 +96,41 @@ object PipelineQueries {
       FROM documents GROUP BY lang ORDER BY lang""")
   )
 
-  val all: Seq[Q] = Seq(q33, q34, q35)
+  /** Skew-mitigated aggregation — the salting pattern from the 100 TB
+    * design checklist, as a tested exemplar: a heavily skewed group key
+    * (`lang` has a handful of values, so a plain groupBy sends each
+    * language's entire corpus through ONE reducer) is salted into
+    * `lang × 16` sub-keys for the first, corpus-sized shuffle, then the 16
+    * partials per language are combined in a second, vocabulary-sized
+    * shuffle. The salt is deterministic (`crc32(doc_id) % 16`) and the
+    * result is salt-invariant, which is exactly what the oracle checks:
+    * DuckDB computes the UNSALTED aggregate and the hashes must match.
+    * (AQE's skew handling covers joins; skewed aggregation is still the
+    * caller's job, and this is the shape.) Sums stay on integers so
+    * regrouping cannot change the value. */
+  val q37 = Q(
+    "q37_salted_agg",
+    (s, dir) => {
+      val salted = documents(s, dir)
+        .withColumn("salt",
+          pmod(crc32(col("doc_id").cast("string")), lit(16)))
+      salted
+        .groupBy("lang", "salt")
+        .agg(count(lit(1)).as("pn"), sum(col("n_chars")).as("pc"))
+        .groupBy("lang")
+        .agg(sum(col("pn")).cast("long").as("n_docs"),
+          sum(col("pc")).cast("long").as("total_chars"))
+        .withColumn("avg_chars",
+          col("total_chars").cast("double") / col("n_docs"))
+        .orderBy("lang")
+    },
+    Some("""
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_chars
+      FROM documents GROUP BY lang ORDER BY lang""")
+  )
+
+  val all: Seq[Q] = Seq(q33, q34, q35, q37)
 }

@@ -44,12 +44,14 @@ class PdfImporter(
     try {
       val bytes = java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(filePath))
+      // one entry per extracted TABLE (pages can hold several, split at
+      // large vertical gaps — tabula's list-of-tables granularity)
       val tables: Seq[Seq[IndexedSeq[String]]] = PdfParser.parse(bytes) match {
         case None => Nil
         case Some(doc) =>
           doc.pages.flatMap { page =>
-            doc.pageContent(page)
-              .map(c => PdfTextExtractor.table(PdfTextExtractor.chunks(c)))
+            doc.pageContent(page).toSeq
+              .flatMap(c => PdfTextExtractor.tables(PdfTextExtractor.chunks(c)))
               .filter(_.nonEmpty)
           }
       }

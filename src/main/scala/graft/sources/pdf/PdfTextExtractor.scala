@@ -155,15 +155,37 @@ object PdfTextExtractor {
 
   // ------------------------------------------------------ table clustering
 
-  /** Positioned chunks → one table: rows by descending y (PDF y grows
-    * upward), columns by clustered x-start. Cells sharing a (row, column)
-    * are joined with a space in x order; absent cells are null — the
-    * all-string ragged grid the importer null-pads, same contract as the
-    * Excel/XML readers. */
-  def table(cs: Seq[Chunk]): Seq[IndexedSeq[String]] = {
+  /** Positioned chunks → the page's TABLES, in top-to-bottom order —
+    * tabula's `pages="all"` returns a LIST of tables per page, and the
+    * reference's union-by-arity dataflow depends on that granularity
+    * (`main.py:382-404`). Row bands are split into separate tables at
+    * vertical gaps larger than `max(3 × median row gap, 2 row heights)`:
+    * a machine-written table has a steady line pitch, so a break several
+    * times that pitch is inter-table whitespace, not a tall row. Pages
+    * with a single uniform grid always yield exactly one table. */
+  def tables(cs: Seq[Chunk]): Seq[Seq[IndexedSeq[String]]] = {
     if (cs.isEmpty) return Nil
+    val rows = clusterRows(cs)
+    if (rows.length <= 2) return Seq(tableOf(rows.map(_.toSeq)))
+    val ys = rows.map(_.map(_.y).max)
+    val gaps = ys.sliding(2).map { case Seq(a, b) => a - b }.toIndexedSeq
+    val sortedGaps = gaps.sorted
+    val medianGap = sortedGaps(sortedGaps.length / 2)
+    val threshold = math.max(3 * medianGap, 2 * RowTolerance * 4)
+    val groups = mutable.ArrayBuffer(mutable.ArrayBuffer(rows.head))
+    rows.tail.zip(gaps).foreach { case (row, gap) =>
+      if (gap > threshold) groups += mutable.ArrayBuffer(row)
+      else groups.last += row
+    }
+    groups.map(g => tableOf(g.map(_.toSeq).toSeq)).toSeq
+  }
 
-    // row clustering: sweep y descending, new row when gap > tolerance
+  /** Single-table view (chunk grid already known to be one table). */
+  def table(cs: Seq[Chunk]): Seq[IndexedSeq[String]] =
+    if (cs.isEmpty) Nil else tableOf(clusterRows(cs).map(_.toSeq))
+
+  /** Row clustering: sweep y descending, new row when gap > tolerance. */
+  private def clusterRows(cs: Seq[Chunk]): Seq[mutable.ArrayBuffer[Chunk]] = {
     val byY = cs.sortBy(-_.y)
     val rows = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[Chunk]]
     var rowY = Double.NaN
@@ -173,6 +195,16 @@ object PdfTextExtractor {
         rowY = ch.y
       } else rows.last += ch
     }
+    rows.toSeq
+  }
+
+  /** One row-group → grid: columns by clustered x-start. Cells sharing a
+    * (row, column) are joined with a space in x order; absent cells are
+    * null — the all-string ragged grid the importer null-pads, same
+    * contract as the Excel/XML readers. */
+  private def tableOf(rows: Seq[Seq[Chunk]]): Seq[IndexedSeq[String]] = {
+    val cs = rows.flatten
+    if (cs.isEmpty) return Nil
 
     // column clustering: sweep all x-starts ascending, same sweep rule
     val xs = cs.map(_.x).sorted

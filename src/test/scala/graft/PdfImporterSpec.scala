@@ -184,6 +184,29 @@ class PdfImporterSpec extends SparkSpec {
     assert(t.nonEmpty) // whatever survives parses or fails — no throw
   }
 
+  test("two tables on one page split at the vertical gap") {
+    // table 1: rows at y=700, 680 (pitch 20); gap of 200; table 2 at
+    // y=480, 460 with a DIFFERENT arity → must become the unsized answer
+    val content =
+      ("BT /F1 12 Tf\n" +
+        "1 0 0 1 72 700 Tm (a1) Tj\n1 0 0 1 192 700 Tm (b1) Tj\n" +
+        "1 0 0 1 72 680 Tm (a2) Tj\n1 0 0 1 192 680 Tm (b2) Tj\n" +
+        "1 0 0 1 72 480 Tm (x1) Tj\n1 0 0 1 192 480 Tm (y1) Tj\n" +
+        "1 0 0 1 312 480 Tm (z1) Tj\n" +
+        "1 0 0 1 72 460 Tm (x2) Tj\n1 0 0 1 192 460 Tm (y2) Tj\n" +
+        "1 0 0 1 312 460 Tm (z2) Tj\nET\n").getBytes("ISO-8859-1")
+    val path = writePdf("twotables.pdf", Seq((content, false)))
+    val answers = new PdfImporter(spark, path).work()
+    assert(answers.map(_.sheetName) == Seq(
+      "PDF file content (concated)", "PDF file content (unsized)"))
+    val valid = answers(0).data.orderBy("index").collect().map(_.toSeq)
+    assert(valid.toSeq == Seq(
+      Seq(0, "a1", "b1"), Seq(1, "a2", "b2")))
+    val unsized = answers(1).data.orderBy("index").collect().map(_.toSeq)
+    assert(unsized.toSeq == Seq(
+      Seq(0, "x1", "y1", "z1"), Seq(1, "x2", "y2", "z2")))
+  }
+
   test("PDF 1.5 object streams: page tree inside a compressed /ObjStm") {
     // catalog + pages + page dicts live INSIDE a Flate'd object stream;
     // only the content stream and the ObjStm container are direct objects.
