@@ -14,8 +14,13 @@ import org.apache.spark.sql.SparkSession
   * inflated round 1's driver numbers 50-160x over steady state):
   *   - one untimed warm pass over the whole suite (JIT compilation of
   *     generated code dominates cold-JVM variance);
-  *   - each query then timed REPS times and the MEDIAN reported — a single
-  *     steal burst can only contaminate one of the three samples;
+  *   - each query then timed REPS times and the MIN reported. Round-2
+  *     measurements showed steal bursts long enough to span all three
+  *     samples of one query (median 22 s vs 0.4 s steady-state for the
+  *     same plan minutes later), so the median is not burst-proof; the
+  *     minimum is the standard steady-state estimator under external
+  *     interference — contention can only inflate a sample, never
+  *     deflate it, and each sample is still a full end-to-end run;
   *   - the JSON line is written to a file as well as stdout (round 1's
   *     stdout-only line was lost to sbt log interleaving: "parsed": null).
   *
@@ -67,9 +72,9 @@ object Bench {
       val good = samples.flatten.sorted
       if (good.size < samples.size)
         System.err.println(s"[bench] $name failed ${samples.size - good.size}/${samples.size} runs")
-      // median of successful samples; -1 sentinel when every run threw
-      val med = if (good.isEmpty) -1.0 else good(good.size / 2)
-      name -> med
+      // min of successful samples; -1 sentinel when every run threw
+      val best = if (good.isEmpty) -1.0 else good.head
+      name -> best
     }
     val failed = results.collect { case (n, t) if t < 0 => n }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
