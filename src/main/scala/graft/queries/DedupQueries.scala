@@ -66,34 +66,30 @@ object DedupQueries {
       ORDER BY d.doc_id""")
   )
 
-  /** Exact n-gram (5-word shingle) Jaccard similarity for all intersecting
-    * pairs above a threshold. The threshold test uses integer arithmetic
-    * (`inter * 20 >= union`) so no float comparison can diverge between
-    * engines; the reported jaccard is a ratio of identical ints → identical
-    * doubles. This is the exact (quadratic-in-collisions) verifier; the
-    * scalable candidate generator is q22_dedup_minhash. */
-  val q21 = Q(
-    "q21_ngram_jaccard",
-    (s, dir) => {
-      val sh = shingles(documents(s, dir)).localCheckpoint()
-      val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val pairs = sh.as("a")
-        .join(sh.as("b"),
-          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("inter"))
-      pairs
-        .join(counts.as("ca"), col("doc_a") === col("ca.doc_id"))
-        .join(counts.as("cb"), col("doc_b") === col("cb.doc_id"))
-        .select(
-          col("doc_a"), col("doc_b"), col("inter").as("inter_cnt"),
-          (col("inter").cast("double") /
-            (col("ca.n") + col("cb.n") - col("inter"))).as("jaccard"))
-        .filter(col("inter_cnt") * 20 >= (col("ca.n") + col("cb.n") - col("inter_cnt")))
-        .orderBy("doc_a", "doc_b")
-    },
-    Some("""
-      WITH words AS (
+  /** Thresholded exact-Jaccard pairs (`inter * 20 >= union`, i.e. j ≥ 0.05)
+    * over 5-word shingles — q21's output and q24's edge set. Columns:
+    * (doc_a, doc_b, inter_cnt, jaccard). */
+  private def jaccardPairs(docs: DataFrame): DataFrame = {
+    val sh = shingles(docs).localCheckpoint()
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(counts.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(counts.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .select(
+        col("doc_a"), col("doc_b"), col("inter").as("inter_cnt"),
+        (col("inter").cast("double") /
+          (col("ca.n") + col("cb.n") - col("inter"))).as("jaccard"))
+      .filter(col("inter_cnt") * 20 >= (col("ca.n") + col("cb.n") - col("inter_cnt")))
+  }
+
+  /** The q21 pair CTE chain, shared verbatim by q24's oracle. */
+  private val JaccardPairsSql = """
+      words AS (
         SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
       idx AS (
         SELECT doc_id, w, unnest(range(1, greatest(len(w) - 4, 1) + 1)) AS i
@@ -104,14 +100,28 @@ object DedupQueries {
       pairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
         FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        GROUP BY a.doc_id, b.doc_id)
-      SELECT doc_a, doc_b, inter AS inter_cnt,
-             CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) AS jaccard
-      FROM pairs
-      JOIN counts ca ON ca.doc_id = doc_a
-      JOIN counts cb ON cb.doc_id = doc_b
-      WHERE inter * 20 >= (ca.n + cb.n - inter)
-      ORDER BY doc_a, doc_b""")
+        GROUP BY a.doc_id, b.doc_id),
+      jp AS (
+        SELECT doc_a, doc_b, inter AS inter_cnt,
+               CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) AS jaccard
+        FROM pairs
+        JOIN counts ca ON ca.doc_id = doc_a
+        JOIN counts cb ON cb.doc_id = doc_b
+        WHERE inter * 20 >= (ca.n + cb.n - inter))"""
+
+  /** Exact n-gram (5-word shingle) Jaccard similarity for all intersecting
+    * pairs above a threshold. The threshold test uses integer arithmetic
+    * (`inter * 20 >= union`) so no float comparison can diverge between
+    * engines; the reported jaccard is a ratio of identical ints → identical
+    * doubles. This is the exact (quadratic-in-collisions) verifier; the
+    * scalable candidate generator is q22_dedup_minhash. */
+  val q21 = Q(
+    "q21_ngram_jaccard",
+    (s, dir) => jaccardPairs(documents(s, dir)).orderBy("doc_a", "doc_b"),
+    Some(s"""
+      WITH $JaccardPairsSql
+      SELECT doc_a, doc_b, inter_cnt, jaccard
+      FROM jp ORDER BY doc_a, doc_b""")
   )
 
   private val MinhashK = 64 // signature length
@@ -381,5 +391,136 @@ object DedupQueries {
       WHERE hamming <= 3 ORDER BY doc_a, doc_b""")
   )
 
-  val all: Seq[Q] = Seq(q20, q21, q22, q23)
+  /** Duplicate-CLUSTER resolution — the step real dedup pipelines run after
+    * pair generation (q21/q22/q23 emit pairs; training-data dedup must pick
+    * ONE survivor per connected component of the pair graph, not per pair —
+    * A~B, B~C must retire both B and C even though (A,C) was never emitted).
+    *
+    * Connected components by iterative min-label propagation (the Pregel
+    * formulation): every doc starts labeled with its own id; each round a
+    * doc takes the min of its label and its neighbors' labels; at fixpoint
+    * the label is the component's min doc_id = the canonical survivor.
+    * Rounds needed = graph diameter, and near-dup components are
+    * short-diameter in practice (cliques-ish); for adversarially long path
+    * graphs the alternating large-star/small-star variant (Kiveris et al.,
+    * "Connected Components in MapReduce", SoCC'14) drops rounds to
+    * O(log d) with the same join-per-round shape. Each round is one
+    * shuffle of (node, label) pairs — label tables, never documents — plus
+    * a Pregel-style driver-side convergence count; `localCheckpoint`
+    * truncates the per-round lineage growth.
+    *
+    * Edge set: q21's thresholded Jaccard pairs (shared code path).
+    * Output: every doc with its cluster id, cluster size, and survivor
+    * flag. The DuckDB oracle computes the same fixpoint with a recursive
+    * reachability CTE — iteration counts differ, fixpoints cannot. */
+  val q24 = Q(
+    "q24_dedup_clusters",
+    (s, dir) => {
+      val docs = documents(s, dir)
+      val edges = jaccardPairs(docs)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val sym = edges
+        .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint()
+      var labels = docs.select(col("doc_id").as("node"),
+        col("doc_id").as("lbl")).localCheckpoint()
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 50) {
+        val nbrMin = sym.join(labels, col("dst") === col("node"))
+          .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
+        val next = labels.join(nbrMin, col("node") === col("src"), "left")
+          .select(col("node"), col("lbl"),
+            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("nxt"))
+          .localCheckpoint()
+        changed = next.filter(col("nxt") < col("lbl")).count()
+        labels = next.select(col("node"), col("nxt").as("lbl"))
+        rounds += 1
+      }
+      val comp = labels.select(col("node").as("doc_id"),
+        col("lbl").as("cluster"))
+      val sizes = comp.groupBy("cluster")
+        .agg(count(lit(1)).as("cluster_size"))
+      comp.join(sizes, "cluster")
+        .select(col("doc_id"), col("cluster"), col("cluster_size"),
+          when(col("doc_id") === col("cluster"), 1).otherwise(0)
+            .as("is_survivor"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH RECURSIVE $JaccardPairsSql,
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM jp
+        UNION ALL
+        SELECT doc_b, doc_a FROM jp),
+      reach(src, node) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.node),
+      comp AS (
+        SELECT src AS doc_id, MIN(node) AS cluster FROM reach GROUP BY src),
+      sizes AS (
+        SELECT cluster, COUNT(*) AS cluster_size FROM comp GROUP BY cluster)
+      SELECT doc_id, cluster, cluster_size,
+             CASE WHEN doc_id = cluster THEN 1 ELSE 0 END AS is_survivor
+      FROM comp JOIN sizes USING (cluster)
+      ORDER BY doc_id""")
+  )
+
+  /** Benchmark-contamination check — the decontamination primitive of a
+    * training pipeline (filter training docs that leak evaluation data;
+    * e.g. GPT-3 App. C, PaLM §7). Held-out set here = docs with
+    * `doc_id % 101 = 0`; a training doc is contaminated to the degree its
+    * 8-word shingles appear anywhere in the held-out set.
+    *
+    * Scale shape: both sides reduce to DISTINCT md5 digests of shingles —
+    * the overlap join carries 32-byte hashes, never text, exactly like
+    * q20's exact-dedup key discipline. The benchmark side is usually small
+    * but grows with the eval suite — no broadcast hint, AQE decides (the
+    * q22 okBuckets lesson). Per-doc totals come from a map-side-combined
+    * count; contaminated counts from the join; a left join restores
+    * zero-overlap docs. */
+  val q38 = Q(
+    "q38_contamination",
+    (s, dir) => {
+      val sh8 = shingles(documents(s, dir), nWords = 8)
+        .select(col("doc_id"), md5(col("sh")).as("h"))
+        .localCheckpoint() // two branches (bench set + training side)
+      val bench = sh8.filter(col("doc_id") % 101 === 0)
+        .select("h").distinct()
+      val train = sh8.filter(col("doc_id") % 101 =!= 0)
+      val totals = train.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      val hits = train.join(bench, "h")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+      totals.join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+        .withColumn("contamination",
+          col("n_contaminated").cast("double") / col("n_grams"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH words AS (
+        SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+      idx AS (
+        SELECT doc_id, w, unnest(range(1, greatest(len(w) - 7, 1) + 1)) AS i
+        FROM words),
+      sh8 AS (
+        SELECT DISTINCT doc_id, md5(array_to_string(w[i:i+7], ' ')) AS h
+        FROM idx),
+      bench AS (SELECT DISTINCT h FROM sh8 WHERE doc_id % 101 = 0),
+      train AS (SELECT * FROM sh8 WHERE doc_id % 101 <> 0),
+      totals AS (SELECT doc_id, COUNT(*) AS n_grams FROM train GROUP BY doc_id),
+      hits AS (
+        SELECT doc_id, COUNT(*) AS n_contaminated
+        FROM train JOIN bench USING (h) GROUP BY doc_id)
+      SELECT doc_id, n_grams,
+             COALESCE(n_contaminated, 0) AS n_contaminated,
+             CAST(COALESCE(n_contaminated, 0) AS DOUBLE) / n_grams
+               AS contamination
+      FROM totals LEFT JOIN hits USING (doc_id)
+      ORDER BY doc_id""")
+  )
+
+  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q38)
 }

@@ -132,5 +132,63 @@ object PipelineQueries {
       FROM documents GROUP BY lang ORDER BY lang""")
   )
 
-  val all: Seq[Q] = Seq(q33, q34, q35, q37)
+  /** Per-document top-3 TF-IDF terms. The idf factor is integer-scaled
+    * (`(1e9 * n_docs) div df` — floor division in both engines) instead of
+    * the float `log(N/df)`: both are strictly decreasing in df, so the
+    * RANKING is the classic tf-idf ranking, while every score stays an
+    * exact BIGINT that cannot drift cross-engine (a libm `ln` is not
+    * guaranteed bit-identical between engines; see the fixed-point dot
+    * rationale in SimilarityQueries).
+    *
+    * Scale shape: tf is a (doc, token)-keyed count with map-side combine;
+    * df aggregates tf (vocabulary-sized); the corpus count is one scalar
+    * cross join. The tf→df join is keyed on token — vocabulary-sized build
+    * side, AQE picks broadcast vs shuffle. Final per-doc ranking is q07's
+    * window-top-k shape: one hash exchange on doc_id with partial
+    * WindowGroupLimit keeping ≤4 rows per doc per partition. */
+  val q46 = Q(
+    "q46_tfidf",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tokens = documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("token"))
+        .filter(length(col("token")) > 0)
+      val tf = tokens.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val n = documents(s, dir).agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("token"))
+      tf.join(df, "token")
+        .crossJoin(n)
+        .select(col("doc_id"), col("token"), col("tf"), col("df"),
+          expr("tf * ((1000000000 * n_docs) div df)").as("score"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("doc_id", "rank", "token", "tf", "df", "score")
+        .orderBy("doc_id", "rank")
+    },
+    Some("""
+      WITH tokens AS (
+        SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
+        FROM documents),
+      tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM tokens
+        WHERE length(token) > 0 GROUP BY doc_id, token),
+      df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+      n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      scored AS (
+        SELECT doc_id, token, tf, df,
+               tf * ((1000000000 * n_docs) // df) AS score
+        FROM tf JOIN df USING (token) CROSS JOIN n),
+      ranked AS (
+        SELECT doc_id, token, tf, df, score,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, token) AS rank
+        FROM scored)
+      SELECT doc_id, rank, token, tf, df, score
+      FROM ranked WHERE rank <= 3
+      ORDER BY doc_id, rank""")
+  )
+
+  val all: Seq[Q] = Seq(q33, q34, q35, q37, q46)
 }

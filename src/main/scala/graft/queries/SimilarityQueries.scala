@@ -280,6 +280,44 @@ object SimilarityQueries {
   private val IvfK = 16     // codebook size
   private val IvfNProbe = 2 // cells probed per query
 
+  /** Driver-side codebook fetch: K rows of dim floats (tiny, corpus-
+    * size-independent). Norm uses the exact op sequence of the oracle:
+    * sum of floor(x*x*1e15) as longs, /1e15, sqrt — IEEE-identical.
+    * Shared by q43 (IVF ANN) and q45 (semantic dedup). */
+  private def codebook(emb: DataFrame): Seq[(Int, Seq[Float], Double)] = emb
+    .filter(col("vec_id") < IvfK)
+    .select("vec_id", "embedding")
+    .collect()
+    .map { r =>
+      val ce = r.getSeq[Float](1)
+      val n = math.sqrt(
+        ce.map(x => math.floor(x.toDouble * x.toDouble * Scale).toLong)
+          .sum.toDouble / Scale)
+      (r.getLong(0).toInt, ce, n)
+    }
+    .sortBy(_._1)
+    .toSeq
+
+  // per-row scored cells: struct(score, -cid) so array_max/sort give
+  // the argmax with the smallest-cid tiebreak, all inside codegen
+  private def scoredCells(cents: Seq[(Int, Seq[Float], Double)], vec: Column): Column =
+    array(cents.map {
+      case (cid, ce, cn) =>
+        struct(
+          (graft.functions.FixedPointDot.fixed_point_dot(vec, typedLit(ce))
+            .cast("double") / Scale / lit(cn)).as("s"),
+          lit(-cid).as("negc"))
+    }: _*)
+
+  /** Map-side cell assignment + per-vector norm — the shared IVF front end:
+    * `cell` = argmax over the codebook of `dot(v,c)/|c|` (|v| cancels inside
+    * an argmax), NO shuffle anywhere. */
+  private def ivfAssigned(emb: DataFrame, cents: Seq[(Int, Seq[Float], Double)]): DataFrame =
+    emb.select(
+      col("vec_id"), col("embedding"),
+      (-array_max(scoredCells(cents, col("embedding"))).getField("negc")).as("cell"),
+      sqrt(dotDec(col("embedding"), col("embedding"))).as("nrm"))
+
   /** IVF-Flat approximate nearest neighbors — the inverted-file companion
     * to q41's hyperplane LSH (the two standard ANN partitioning schemes).
     *
@@ -308,42 +346,13 @@ object SimilarityQueries {
     "q43_ann_ivf",
     (s, dir) => {
       val emb = embeddings(s, dir)
-      // driver-side codebook fetch: K rows of dim floats (tiny, corpus-
-      // size-independent). Norm uses the exact op sequence of the oracle:
-      // sum of floor(x*x*1e15) as longs, /1e15, sqrt — IEEE-identical.
-      val cents: Seq[(Int, Seq[Float], Double)] = emb
-        .filter(col("vec_id") < IvfK)
-        .select("vec_id", "embedding")
-        .collect()
-        .map { r =>
-          val ce = r.getSeq[Float](1)
-          val n = math.sqrt(
-            ce.map(x => math.floor(x.toDouble * x.toDouble * Scale).toLong)
-              .sum.toDouble / Scale)
-          (r.getLong(0).toInt, ce, n)
-        }
-        .sortBy(_._1)
-        .toSeq
-
-      // per-row scored cells: struct(score, -cid) so array_max/sort give
-      // the argmax with the smallest-cid tiebreak, all inside codegen
-      def scoredCells(vec: Column): Column = array(cents.map {
-        case (cid, ce, cn) =>
-          struct(
-            (graft.functions.FixedPointDot.fixed_point_dot(vec, typedLit(ce))
-              .cast("double") / Scale / lit(cn)).as("s"),
-            lit(-cid).as("negc"))
-      }: _*)
-
-      val assigned = emb.select(
-        col("vec_id"), col("embedding"),
-        (-array_max(scoredCells(col("embedding"))).getField("negc")).as("cell"),
-        sqrt(dotDec(col("embedding"), col("embedding"))).as("nrm"))
+      val cents = codebook(emb)
+      val assigned = ivfAssigned(emb, cents)
 
       val probes = assigned.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
           col("nrm").as("qn"),
-          sort_array(scoredCells(col("embedding")), asc = false).as("sc"))
+          sort_array(scoredCells(cents, col("embedding")), asc = false).as("sc"))
         .select(col("query_id"), col("qe"), col("qn"),
           explode(array((1 to IvfNProbe).map(i =>
             -element_at(col("sc"), i).getField("negc")): _*)).as("cell"))
@@ -415,5 +424,84 @@ object SimilarityQueries {
       ORDER BY query_id, rank""")
   )
 
-  val all: Seq[Q] = Seq(q40, q41, q42, q43)
+  /** Semantic deduplication — the SemDeDup shape (Abbas et al. 2023):
+    * cluster the embedding space with the coarse quantizer, then search for
+    * near-duplicate pairs ONLY within a cluster, on the premise that
+    * semantic duplicates land in the same cell. q42 is the exact all-pairs
+    * twin (O(N²) by design, the verifier); this is the scale path: the
+    * equi-join on `cell` bounds pair generation to Σ|cell|², and the
+    * assignment itself is q43's shuffle-free map-side argmax.
+    *
+    * Output: near-dup pairs (cosine ≥ 0.4) with their cell, plus the
+    * per-pair survivor (min vec_id — the SemDeDup keep-one rule). The
+    * oracle recomputes assignment + pairs from the same codebook
+    * arithmetic, so the full pipeline is hash-checked. Recall caveat vs
+    * q42 is inherent to SemDeDup (pairs straddling a cell boundary are
+    * missed) — that trade IS the operator. */
+  val q45 = Q(
+    "q45_semantic_dedup",
+    (s, dir) => {
+      val emb = embeddings(s, dir)
+      val cents = codebook(emb)
+      val assigned = ivfAssigned(emb, cents).localCheckpoint() // 2 branches
+      val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+      val b = assigned.select(col("cell"), col("vec_id").as("id_b"),
+        col("embedding").as("eb"), col("nrm").as("nb"))
+      a.join(b, Seq("cell"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("cell"), col("id_a"), col("id_b"),
+          (dotDec(col("ea"), col("eb")) / (col("na") * col("nb")))
+            .as("cosine"))
+        .filter(col("cosine") >= 0.4)
+        .select(col("cell"), col("id_a"), col("id_b"), col("cosine"),
+          col("id_a").as("survivor"))
+        .orderBy("id_a", "id_b")
+    },
+    Some(s"""
+      WITH u AS (
+        SELECT vec_id, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings),
+      nrm AS (
+        SELECT vec_id,
+               sqrt(CAST(CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * x * 1e15) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e15) AS nrm
+        FROM u GROUP BY vec_id),
+      cd AS (
+        SELECT a.vec_id, b.vec_id AS cid,
+               CAST(SUM(CAST(FLOOR(CAST(a.x AS DOUBLE) * b.x * 1e15) AS BIGINT)) AS BIGINT) AS dt
+        FROM u a JOIN u b ON a.i = b.i AND b.vec_id < $IvfK
+        GROUP BY a.vec_id, b.vec_id),
+      score AS (
+        SELECT cd.vec_id, cd.cid,
+               (CAST(cd.dt AS DOUBLE) / 1e15) / cn.nrm AS s
+        FROM cd JOIN nrm cn ON cn.vec_id = cd.cid),
+      ranked_cells AS (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+        FROM score),
+      assign AS (SELECT vec_id, cid AS cell FROM ranked_cells WHERE rn = 1),
+      cand AS (
+        SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b
+        FROM assign a JOIN assign b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id),
+      dots AS (
+        SELECT cand.cell, cand.id_a, cand.id_b,
+               CAST(SUM(CAST(FLOOR(CAST(a.x AS DOUBLE) * b.x * 1e15) AS BIGINT)) AS BIGINT) AS dt
+        FROM cand
+        JOIN u a ON a.vec_id = cand.id_a
+        JOIN u b ON b.vec_id = cand.id_b AND a.i = b.i
+        GROUP BY cand.cell, cand.id_a, cand.id_b),
+      scored AS (
+        SELECT d.cell, d.id_a, d.id_b,
+               (CAST(d.dt AS DOUBLE) / 1e15) / (na.nrm * nb.nrm) AS cosine
+        FROM dots d
+        JOIN nrm na ON na.vec_id = d.id_a
+        JOIN nrm nb ON nb.vec_id = d.id_b)
+      SELECT cell, id_a, id_b, cosine, id_a AS survivor
+      FROM scored WHERE cosine >= 0.4
+      ORDER BY id_a, id_b""")
+  )
+
+  val all: Seq[Q] = Seq(q40, q41, q42, q43, q45)
 }

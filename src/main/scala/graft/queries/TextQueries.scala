@@ -193,5 +193,97 @@ object TextQueries {
       FROM documents ORDER BY doc_id""")
   )
 
-  val all: Seq[Q] = Seq(q30, q31, q32, q36)
+  /** Repetition-based quality signals — the Gopher-rule family (Rae et al.
+    * 2021 §A1.1: "fraction of characters in the most common n-gram",
+    * "fraction of ... in duplicate n-grams") re-expressed over word n-grams
+    * (this corpus has no newlines, so the line-based variants don't apply):
+    *
+    *   - `ttr`              type-token ratio (distinct words / words)
+    *   - `mean_word_len`    mean word length
+    *   - `top_bigram_frac`  occurrences of the most frequent word bigram /
+    *                        total bigram occurrences
+    *   - `dup_5gram_frac`   occurrences belonging to a 5-gram that appears
+    *                        more than once in the doc / total occurrences
+    *
+    * Every ratio is int/int so both engines produce identical doubles.
+    *
+    * Scale shape: three explode→partial-agg branches, each shuffling
+    * (doc_id[, gram]) count pairs after map-side combine — wordcount-shaped,
+    * never wider than the token stream — joined back on doc_id. A quality
+    * FILTER at 100 TB is this projection plus a threshold predicate. */
+  val q25 = Q(
+    "q25_quality_repetition",
+    (s, dir) => {
+      val docs = documents(s, dir)
+      def grams(n: Int) = docs
+        .select(col("doc_id"), split(col("text"), "\\s+").as("w"))
+        .select(col("doc_id"),
+          explode(sequence(lit(1), greatest(size(col("w")) - (n - 1), lit(1))))
+            .as("i"),
+          col("w"))
+        .select(col("doc_id"),
+          concat_ws(" ", slice(col("w"), col("i"), lit(n))).as("g"))
+      val words = docs
+        .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("t"))
+        .filter(length(col("t")) > 0)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          countDistinct(col("t")).as("n_distinct"),
+          sum(length(col("t"))).cast("long").as("sum_len"))
+      val bi = grams(2).groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(max(col("c")).as("top_bi"), sum(col("c")).cast("long").as("tot_bi"))
+      val g5 = grams(5).groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(when(col("c") > 1, col("c")).otherwise(0L)).cast("long")
+          .as("dup5"),
+          sum(col("c")).cast("long").as("tot5"))
+      words.join(bi, "doc_id").join(g5, "doc_id")
+        .select(
+          col("doc_id"), col("n_words"),
+          (col("n_distinct").cast("double") / col("n_words")).as("ttr"),
+          (col("sum_len").cast("double") / col("n_words")).as("mean_word_len"),
+          (col("top_bi").cast("double") / col("tot_bi")).as("top_bigram_frac"),
+          (col("dup5").cast("double") / col("tot5")).as("dup_5gram_frac"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH w AS (
+        SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+      words AS (
+        SELECT doc_id, COUNT(*) AS n_words,
+               COUNT(DISTINCT t) AS n_distinct,
+               CAST(SUM(length(t)) AS BIGINT) AS sum_len
+        FROM (SELECT doc_id, unnest(w) AS t FROM w)
+        WHERE length(t) > 0 GROUP BY doc_id),
+      bi AS (
+        SELECT doc_id, MAX(c) AS top_bi, CAST(SUM(c) AS BIGINT) AS tot_bi
+        FROM (SELECT doc_id, g, COUNT(*) AS c FROM (
+                SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g
+                FROM (SELECT doc_id, w,
+                             unnest(range(1, greatest(len(w) - 1, 1) + 1)) AS i
+                      FROM w))
+              GROUP BY doc_id, g)
+        GROUP BY doc_id),
+      g5 AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup5,
+               CAST(SUM(c) AS BIGINT) AS tot5
+        FROM (SELECT doc_id, g, COUNT(*) AS c FROM (
+                SELECT doc_id, array_to_string(w[i:i+4], ' ') AS g
+                FROM (SELECT doc_id, w,
+                             unnest(range(1, greatest(len(w) - 4, 1) + 1)) AS i
+                      FROM w))
+              GROUP BY doc_id, g)
+        GROUP BY doc_id)
+      SELECT doc_id, n_words,
+             CAST(n_distinct AS DOUBLE) / n_words AS ttr,
+             CAST(sum_len AS DOUBLE) / n_words AS mean_word_len,
+             CAST(top_bi AS DOUBLE) / tot_bi AS top_bigram_frac,
+             CAST(dup5 AS DOUBLE) / tot5 AS dup_5gram_frac
+      FROM words JOIN bi USING (doc_id) JOIN g5 USING (doc_id)
+      ORDER BY doc_id""")
+  )
+
+  val all: Seq[Q] = Seq(q25, q30, q31, q32, q36)
 }

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.{DedupQueries, PipelineQueries, SimilarityQueries, TextQueries}
+
+/** Semantic invariants of the round-2 pipeline operators (q24/q25/q38/q45/
+  * q46) that the DuckDB hash oracle cannot express as directly: cluster
+  * laws, subset relations between exact and approximate variants, and a
+  * from-scratch Scala recompute of one document's quality metrics. */
+class PipelinePropertiesSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q24 clusters: edge endpoints co-clustered, one min-id survivor each") {
+    val pairs = DedupQueries.q21.spark(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val rows = DedupQueries.q24.spark(spark, sf).collect()
+    val cluster = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every near-dup edge is resolved into one component
+    pairs.foreach { case (a, b) => assert(cluster(a) == cluster(b)) }
+    // cluster id is the component's min member; exactly that member survives
+    val members = rows.groupBy(_.getLong(1))
+    members.foreach { case (cid, ms) =>
+      assert(ms.map(_.getLong(0)).min == cid)
+      assert(ms.count(_.getInt(3) == 1) == 1)
+      assert(ms.find(_.getInt(3) == 1).get.getLong(0) == cid)
+      // cluster_size column agrees with the actual member count
+      ms.foreach(m => assert(m.getLong(2) == ms.length))
+    }
+    // all docs present exactly once
+    assert(rows.length == spark.read.parquet(s"$sf/documents.parquet").count())
+  }
+
+  test("q25 quality metrics match a from-scratch recompute for one doc") {
+    val text = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") === 0).select("text").head().getString(0)
+    val w = text.split("\\s+").filter(_.nonEmpty)
+    def grams(n: Int): Seq[String] =
+      (1 to math.max(w.length - (n - 1), 1)).map(i =>
+        w.slice(i - 1, i - 1 + n).mkString(" "))
+    val bi = grams(2).groupBy(identity).map(_._2.size)
+    val g5 = grams(5).groupBy(identity).map(_._2.size)
+    val row = TextQueries.q25.spark(spark, sf)
+      .filter(col("doc_id") === 0).head()
+    assert(row.getLong(1) == w.length)                                // n_words
+    assert(row.getDouble(2) == w.distinct.length.toDouble / w.length) // ttr
+    assert(row.getDouble(3) == w.map(_.length).sum.toDouble / w.length)
+    assert(row.getDouble(4) == bi.max.toDouble / bi.sum)              // top bigram
+    assert(row.getDouble(5) ==
+      g5.filter(_ > 1).sum.toDouble / g5.sum)                         // dup 5-grams
+  }
+
+  test("q38 contamination: bench docs excluded, ratios bounded") {
+    val rows = DedupQueries.q38.spark(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) % 101 != 0)
+      val (total, hit, frac) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(hit >= 0 && hit <= total)
+      assert(frac == hit.toDouble / total)
+    }
+  }
+
+  test("q45 semantic dedup pairs are a subset of q42 exact pairs") {
+    val exact = SimilarityQueries.q42.spark(spark, sf)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sem = SimilarityQueries.q45.spark(spark, sf).collect()
+    sem.foreach { r =>
+      val (a, b) = (r.getLong(1), r.getLong(2))
+      assert(a < b)
+      assert(exact.contains((a, b)),
+        s"semantic pair ($a,$b) missing from exact threshold pairs")
+      assert(r.getLong(4) == a) // survivor = min id of the pair
+    }
+  }
+
+  test("q46 tf-idf: ranking law and score arithmetic hold") {
+    val n = spark.read.parquet(s"$sf/documents.parquet").count()
+    val rows = PipelineQueries.q46.spark(spark, sf).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.length <= 3)
+      val byRank = rs.sortBy(_.getInt(1))
+      assert(byRank.map(_.getInt(1)).toSeq == (1 to rs.length))
+      // scores non-increasing with rank; score = tf * ((1e9 * n) div df)
+      byRank.sliding(2).foreach {
+        case Array(hi, lo) => assert(hi.getLong(5) >= lo.getLong(5))
+        case _ =>
+      }
+      rs.foreach(r =>
+        assert(r.getLong(5) == r.getLong(3) * ((1000000000L * n) / r.getLong(4))))
+    }
+  }
+}
