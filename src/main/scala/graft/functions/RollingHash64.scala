@@ -93,5 +93,9 @@ object GraftFunctions {
       "winnow_max",
       exprs => WinnowExtreme(exprs.head, litInt(exprs(1)), takeMin = false),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "scale_floor", exprs => ScaleFloor(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "long_sq_dist", exprs => LongSqDist(exprs.head, exprs(1)), "built-in")
   }
 }

@@ -503,5 +503,131 @@ object SimilarityQueries {
       ORDER BY id_a, id_b""")
   )
 
-  val all: Seq[Q] = Seq(q40, q41, q42, q43, q45)
+  private val KmK = 8      // clusters
+  private val KmRounds = 2 // Lloyd iterations (fixed → both engines agree)
+
+  /** One DuckDB Lloyd round: assignment against centroid CTE `cPrev`
+    * producing `aN`, then floor-mean update producing `cN`. Floor division
+    * is spelled `(s - pmod(s, n)) / n` — the numerator is an exact multiple
+    * of n, so trunc-vs-floor division semantics cannot diverge; pmod is
+    * `((s % n) + n) % n` (dividend-signed `%` in both engines). Empty
+    * clusters keep their previous centroid (LEFT JOIN + COALESCE). */
+  private def kmRoundSql(r: Int): String = {
+    val (cp, a, sm, cn) = (s"c${r - 1}", s"a$r", s"s$r", s"c$r")
+    s"""
+      d$r AS (
+        SELECT u.vec_id, c.cid,
+               CAST(SUM((u.v - c.v) * (u.v - c.v)) AS BIGINT) AS d
+        FROM u JOIN $cp c USING (i) GROUP BY u.vec_id, c.cid),
+      $a AS (
+        SELECT vec_id, cid AS cluster, d FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY d, cid) AS rn
+          FROM d$r) WHERE rn = 1),
+      $sm AS (
+        SELECT $a.cluster AS cid, u.i,
+               CAST(SUM(u.v) AS BIGINT) AS s, COUNT(*) AS n
+        FROM u JOIN $a USING (vec_id) GROUP BY $a.cluster, u.i),
+      $cn AS (
+        SELECT c.cid, c.i,
+               COALESCE((s.s - (((s.s % s.n) + s.n) % s.n)) // s.n, c.v) AS v
+        FROM $cp c LEFT JOIN $sm s ON s.cid = c.cid AND s.i = c.i)"""
+  }
+
+  /** Exact k-means (Lloyd's algorithm) — the clustering primitive under
+    * IVF codebook training (q43 seeds its codebook with raw vectors; a real
+    * IVF index trains it with exactly this loop) and SemDeDup-style
+    * semantic dedup (q45). K=8 seeds = the first K vectors, 2 fixed
+    * rounds, then a final assignment — fixed iteration count (not
+    * convergence) so both engines compute the identical fixpoint prefix.
+    *
+    * Cross-engine exactness: vectors are quantized once by [[ScaleFloor]]
+    * (`floor(x*1e6)` → BIGINT) and every subsequent op — squared distance
+    * ([[LongSqDist]]), centroid sums, floor-mean division — is pure integer
+    * arithmetic, so there is no float to drift. The floor-mean uses
+    * `Math.floorDiv` on the driver and the pmod identity in SQL (see
+    * [[kmRoundSql]]) — identical on negative sums.
+    *
+    * Scale shape (MLlib's own Lloyd shape): centroids are K×dim longs —
+    * corpus-size-independent — collected to the driver each round and
+    * re-broadcast as plan literals, so ASSIGNMENT IS MAP-SIDE ONLY (K
+    * codegen'd [[LongSqDist]] calls per row, argmin via array_min over
+    * struct(d, cid) — no shuffle, no join). The update is one partial-agg
+    * shuffle of K×dim element sums via the single-buffer
+    * [[graft.functions.ArrayLongFold]] aggregate (map-side combine: each
+    * task emits ≤K buffers regardless of row count). Per-round cost at
+    * 100 TB: one scan + one K-row shuffle — the minimum Lloyd can do. */
+  val q47 = Q(
+    "q47_kmeans",
+    (s, dir) => {
+      import graft.functions.{LongSqDist, ScaleFloor}
+      val quant = embeddings(s, dir)
+        .select(col("vec_id"), ScaleFloor.scale_floor(col("embedding")).as("qv"))
+        .localCheckpoint() // reused 3x (2 rounds + final assignment)
+
+      def assign(cents: IndexedSeq[Array[Long]]): DataFrame = quant
+        .select(col("vec_id"), col("qv"),
+          array_min(array(cents.zipWithIndex.map { case (c, j) =>
+            struct(
+              LongSqDist.long_sq_dist(col("qv"), typedLit(c.toSeq)).as("d"),
+              lit(j.toLong).as("cid"))
+          }: _*)).as("best"))
+        .select(col("vec_id"), col("qv"),
+          col("best.cid").as("cluster"), col("best.d").as("dist_sq"))
+
+      var cents: IndexedSeq[Array[Long]] = quant
+        .filter(col("vec_id") < KmK)
+        .collect()
+        .sortBy(_.getLong(0))
+        .map(_.getSeq[Long](1).toArray)
+        .toIndexedSeq
+      for (_ <- 1 to KmRounds) {
+        val sums = assign(cents)
+          .groupBy("cluster")
+          .agg(graft.functions.ArrayLongFold.arraySumAgg(col("qv")).as("s"),
+            count(lit(1)).as("n"))
+          .collect()
+          .map(r => r.getLong(0).toInt ->
+            (r.getSeq[Long](1).toArray, r.getLong(2)))
+          .toMap
+        cents = cents.indices.map { j =>
+          sums.get(j) match {
+            case Some((sArr, n)) => sArr.map(Math.floorDiv(_, n))
+            case None            => cents(j) // empty cluster keeps centroid
+          }
+        }
+      }
+      val fin = assign(cents)
+      val sizes = fin.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+      fin.join(sizes, "cluster")
+        .select(col("vec_id"), col("cluster"), col("dist_sq"),
+          col("cluster_size"))
+        .orderBy("vec_id")
+    },
+    Some(s"""
+      WITH u AS (
+        SELECT vec_id, i,
+               CAST(FLOOR(CAST(x AS DOUBLE) * 1e6) AS BIGINT) AS v
+        FROM (SELECT vec_id, unnest(embedding) AS x,
+                     generate_subscripts(embedding, 1) AS i
+              FROM embeddings)),
+      c0 AS (SELECT vec_id AS cid, i, v FROM u WHERE vec_id < $KmK),
+      ${(1 to KmRounds).map(kmRoundSql).mkString(",")},
+      dF AS (
+        SELECT u.vec_id, c.cid,
+               CAST(SUM((u.v - c.v) * (u.v - c.v)) AS BIGINT) AS d
+        FROM u JOIN c$KmRounds c USING (i) GROUP BY u.vec_id, c.cid),
+      aF AS (
+        SELECT vec_id, cid AS cluster, d AS dist_sq FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY d, cid) AS rn
+          FROM dF) WHERE rn = 1),
+      sizes AS (SELECT cluster, COUNT(*) AS cluster_size
+                FROM aF GROUP BY cluster)
+      SELECT vec_id, cluster, dist_sq, cluster_size
+      FROM aF JOIN sizes USING (cluster)
+      ORDER BY vec_id""")
+  )
+
+  val all: Seq[Q] = Seq(q40, q41, q42, q43, q45, q47)
 }

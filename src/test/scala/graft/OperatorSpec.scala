@@ -141,6 +141,29 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("scale_floor / long_sq_dist: exact quantization and distance, SQL + codegen") {
+    import spark.implicits._
+    import graft.functions.GraftFunctions
+    GraftFunctions.registerAll(spark)
+    val vecs = Seq(
+      (1L, Seq(0.5f, -0.25f, 1.0e-7f, -1.0e-7f)),
+      (2L, Seq(-0.3f, 0.3f, 2.5f, -2.5f)))
+    vecs.toDF("id", "v").createOrReplaceTempView("ivt")
+    val q = spark.sql("SELECT id, scale_floor(v) AS qv FROM ivt")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // floor(x*1e6) element-wise — incl. negatives flooring AWAY from zero
+    assert(q(1L) == Seq(500000L, -250000L, 0L, -1L))
+    // -0.3f is -0.30000001192... → ×1e6 floors to -300001 (away from zero)
+    assert(q(2L) == Seq(-300001L, 300000L, 2500000L, -2500000L))
+    val d = spark.sql(
+      """SELECT long_sq_dist(a.qv, b.qv) FROM
+         (SELECT scale_floor(v) qv FROM ivt WHERE id=1) a,
+         (SELECT scale_floor(v) qv FROM ivt WHERE id=2) b""")
+      .collect().head.getLong(0)
+    val expected = q(1L).zip(q(2L)).map { case (x, y) => (x - y) * (x - y) }.sum
+    assert(d == expected)
+  }
+
   test("q18 approx_count_distinct within HLL error bound of exact") {
     val rows = graft.queries.RelationalQueries.q18
       .spark(spark, "/root/testdata/sf0.001").collect()
