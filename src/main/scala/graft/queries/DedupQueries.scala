@@ -467,6 +467,59 @@ object DedupQueries {
       ORDER BY doc_id""")
   )
 
+  /** Duplicated-span coverage — the substring-level dedup signal of Lee et
+    * al. 2021 ("Deduplicating Training Data Makes Language Models Better"),
+    * which removes exact substrings ≥50 tokens found elsewhere in the
+    * corpus via suffix arrays. Suffix arrays don't distribute; the
+    * Spark-native equivalent signal: for each doc, the fraction of its
+    * distinct 8-word spans that appear VERBATIM in at least one other
+    * document. Distinct roles vs neighbors: q21/q22 score whole-document
+    * pair similarity, q25 measures WITHIN-doc repetition, q38 measures
+    * overlap against a held-out set — this measures cross-doc verbatim
+    * span duplication corpus-wide.
+    *
+    * Scale shape: spans reduce to md5 digests immediately (32-byte keys,
+    * never text — q20's key discipline); the duplicated-span set is one
+    * wordcount-shaped groupBy on the digest; per-doc totals and hits are
+    * map-side-combined counts; a left join restores zero-dup docs. */
+  val q26 = Q(
+    "q26_dup_spans",
+    (s, dir) => {
+      val sh8 = shingles(documents(s, dir), nWords = 8)
+        .select(col("doc_id"), md5(col("sh")).as("h"))
+        .localCheckpoint() // three consumers: dup set, totals, hits
+      val dup = sh8.groupBy("h")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") > 1)
+        .select("h")
+      val totals = sh8.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+      val hits = sh8.join(dup, "h")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+      totals.join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_spans"),
+          coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+        .withColumn("dup_frac", col("n_dup").cast("double") / col("n_spans"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH words AS (
+        SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+      idx AS (
+        SELECT doc_id, w, unnest(range(1, greatest(len(w) - 7, 1) + 1)) AS i
+        FROM words),
+      sh8 AS (
+        SELECT DISTINCT doc_id, md5(array_to_string(w[i:i+7], ' ')) AS h
+        FROM idx),
+      dup AS (SELECT h FROM sh8 GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1),
+      totals AS (SELECT doc_id, COUNT(*) AS n_spans FROM sh8 GROUP BY doc_id),
+      hits AS (SELECT doc_id, COUNT(*) AS n_dup FROM sh8 JOIN dup USING (h)
+               GROUP BY doc_id)
+      SELECT doc_id, n_spans, COALESCE(n_dup, 0) AS n_dup,
+             CAST(COALESCE(n_dup, 0) AS DOUBLE) / n_spans AS dup_frac
+      FROM totals LEFT JOIN hits USING (doc_id)
+      ORDER BY doc_id""")
+  )
+
   /** Benchmark-contamination check — the decontamination primitive of a
     * training pipeline (filter training docs that leak evaluation data;
     * e.g. GPT-3 App. C, PaLM §7). Held-out set here = docs with
@@ -522,5 +575,5 @@ object DedupQueries {
       ORDER BY doc_id""")
   )
 
-  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q38)
+  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q26, q38)
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -163,6 +163,40 @@ object RelationalQueries {
       FROM supplier JOIN customer
         ON s_nationkey = c_nationkey AND c_acctbal > s_acctbal
       GROUP BY s_suppkey ORDER BY s_suppkey""")
+  )
+
+  /** Interval-containment (range) join via [[graft.operators.RangeJoin]]:
+    * for each high-value order, count lineitems shipped within ±15 days of
+    * the order date. There is NO equi key, so naive Spark plans this as a
+    * broadcast-nested-loop streaming all 100 TB of lineitem past every
+    * order; the binned rewrite buckets both sides by 31-day windows and
+    * runs an ordinary shuffle hash join (shuffle = rows, not pairs) with
+    * the BETWEEN as a residual filter. The oracle runs the naive BETWEEN
+    * join — equivalence of the rewrite is exactly what the hash check
+    * proves. Dates become integer day offsets (exact in both engines). */
+  val q28 = Q(
+    "q28_range_join",
+    (s, dir) => {
+      val epoch = lit("1995-01-01").cast("date")
+      def days(c: Column) = datediff(c.cast("date"), epoch).cast("long")
+      val li = lineitem(s, dir).select(days(col("l_shipdate")).as("sd"))
+      val big = orders(s, dir)
+        .filter(col("o_totalprice") > 400000)
+        .select(col("o_orderkey"),
+          (days(col("o_orderdate")) - 15).as("lo"),
+          (days(col("o_orderdate")) + 15).as("hi"))
+      graft.operators.RangeJoin.binned(li, "sd", big, "lo", "hi", 31L)
+        .groupBy("o_orderkey").agg(count(lit(1)).as("n_near"))
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey, COUNT(*) AS n_near
+      FROM orders JOIN lineitem
+        ON CAST(l_shipdate AS DATE)
+           BETWEEN CAST(o_orderdate AS DATE) - 15
+               AND CAST(o_orderdate AS DATE) + 15
+      WHERE o_totalprice > 400000
+      GROUP BY o_orderkey ORDER BY o_orderkey""")
   )
 
   /** Ranking window: top-3 orders per customer by price. row_number over a
@@ -540,5 +574,5 @@ object RelationalQueries {
   )
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08,
-    q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q44)
+    q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q28, q44)
 }

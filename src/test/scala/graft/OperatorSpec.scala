@@ -141,6 +141,28 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("RangeJoin.binned equals the naive interval join (negatives, wide spans, edges)") {
+    import spark.implicits._
+    import graft.operators.RangeJoin
+    val pts = Seq(-10L, -7L, -3L, 0L, 1L, 5L, 14L, 29L, 30L, 31L, 100L).toDF("p")
+    val itv = Seq(
+      (1L, -8L, -1L),   // all-negative interval
+      (2L, -2L, 4L),    // straddles zero
+      (3L, 10L, 40L),   // span 30 > binWidth 7: replicates into >2 buckets
+      (4L, 50L, 55L),   // no matching points
+      (5L, 0L, 0L),     // degenerate single-point interval
+      (6L, -3L, -3L))   // degenerate negative
+      .toDF("id", "lo", "hi")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "p").collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toSeq.sorted
+    val binned = pairs(RangeJoin.binned(pts, "p", itv, "lo", "hi", 7L))
+    val naive = pairs(pts.crossJoin(itv)
+      .filter(col("p") >= col("lo") && col("p") <= col("hi")))
+    assert(binned == naive) // seq compare: also proves no duplicate pairs
+    assert(naive.nonEmpty)
+  }
+
   test("scale_floor / long_sq_dist: exact quantization and distance, SQL + codegen") {
     import spark.implicits._
     import graft.functions.GraftFunctions
