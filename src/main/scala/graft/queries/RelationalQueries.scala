@@ -173,7 +173,10 @@ object RelationalQueries {
     * runs an ordinary shuffle hash join (shuffle = rows, not pairs) with
     * the BETWEEN as a residual filter. The oracle runs the naive BETWEEN
     * join — equivalence of the rewrite is exactly what the hash check
-    * proves. Dates become integer day offsets (exact in both engines). */
+    * proves. Dates become integer day offsets (exact in both engines).
+    * Sizing: ±7 days over ~6 % of orders ≈ tens of matching lineitems per
+    * order — selective enough that the measured cost is the JOIN, not the
+    * (order × in-window lineitem) output cardinality itself. */
   val q28 = Q(
     "q28_range_join",
     (s, dir) => {
@@ -181,11 +184,11 @@ object RelationalQueries {
       def days(c: Column) = datediff(c.cast("date"), epoch).cast("long")
       val li = lineitem(s, dir).select(days(col("l_shipdate")).as("sd"))
       val big = orders(s, dir)
-        .filter(col("o_totalprice") > 400000)
+        .filter(col("o_totalprice") > 480000)
         .select(col("o_orderkey"),
-          (days(col("o_orderdate")) - 15).as("lo"),
-          (days(col("o_orderdate")) + 15).as("hi"))
-      graft.operators.RangeJoin.binned(li, "sd", big, "lo", "hi", 31L)
+          (days(col("o_orderdate")) - 7).as("lo"),
+          (days(col("o_orderdate")) + 7).as("hi"))
+      graft.operators.RangeJoin.binned(li, "sd", big, "lo", "hi", 15L)
         .groupBy("o_orderkey").agg(count(lit(1)).as("n_near"))
         .orderBy("o_orderkey")
     },
@@ -193,10 +196,41 @@ object RelationalQueries {
       SELECT o_orderkey, COUNT(*) AS n_near
       FROM orders JOIN lineitem
         ON CAST(l_shipdate AS DATE)
-           BETWEEN CAST(o_orderdate AS DATE) - 15
-               AND CAST(o_orderdate AS DATE) + 15
-      WHERE o_totalprice > 400000
+           BETWEEN CAST(o_orderdate AS DATE) - 7
+               AND CAST(o_orderdate AS DATE) + 7
+      WHERE o_totalprice > 480000
       GROUP BY o_orderkey ORDER BY o_orderkey""")
+  )
+
+  /** The SAME range join written NAIVELY — `lineitem.join(orders,
+    * sd.between(lo, hi))`, which Spark alone plans as a broadcast nested
+    * loop — relying on the [[graft.plans.RangeJoinRewrite]] optimizer rule
+    * (conf-gated, `spark.graft.rangeJoin.binWidth`) to produce the binned
+    * equi-join automatically. Shares q28's oracle SQL: the hash check
+    * proves the RULE's rewrite end-to-end, while PlanRegressionSpec proves
+    * the nested loop is actually gone. `extraOptimizations` registration is
+    * idempotent; the conf stays set (the rule only ever touches inner
+    * joins with range-only conditions, which no other suite query has). */
+  val q29 = Q(
+    "q29_range_join_rule",
+    (s, dir) => {
+      if (!s.experimental.extraOptimizations.contains(graft.plans.RangeJoinRewrite))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.plans.RangeJoinRewrite
+      s.conf.set(graft.plans.RangeJoinRewrite.BinWidthKey, "15")
+      val epoch = lit("1995-01-01").cast("date")
+      def days(c: Column) = datediff(c.cast("date"), epoch).cast("long")
+      val li = lineitem(s, dir).select(days(col("l_shipdate")).as("sd"))
+      val big = orders(s, dir)
+        .filter(col("o_totalprice") > 480000)
+        .select(col("o_orderkey"),
+          (days(col("o_orderdate")) - 7).as("lo"),
+          (days(col("o_orderdate")) + 7).as("hi"))
+      li.join(big, col("sd") >= col("lo") && col("sd") <= col("hi"))
+        .groupBy("o_orderkey").agg(count(lit(1)).as("n_near"))
+        .orderBy("o_orderkey")
+    },
+    q28.oracle
   )
 
   /** Ranking window: top-3 orders per customer by price. row_number over a
@@ -574,5 +608,5 @@ object RelationalQueries {
   )
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08,
-    q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q28, q44)
+    q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q28, q29, q44)
 }

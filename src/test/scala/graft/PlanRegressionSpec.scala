@@ -46,4 +46,60 @@ class PlanRegressionSpec extends SparkSpec {
     val plan = planOf(RelationalQueries.q44)
     assert(plan.contains("AsOfJoin"), plan.take(2000))
   }
+
+  test("q28: binned range join is a real join, never a nested loop") {
+    val plan = planOf(RelationalQueries.q28)
+    // the whole point of RangeJoin.binned: the no-equi-key interval join
+    // must NOT plan as BroadcastNestedLoopJoin / CartesianProduct
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("Join") || plan.contains("HashJoin"), plan.take(3000))
+  }
+
+  test("q29: RangeJoinRewrite rule eliminates the nested loop from the naive join") {
+    val plan = planOf(RelationalQueries.q29)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // the rewrite's fingerprints: the interval explode and the bin key
+    assert(plan.contains("__graft_bin"), plan.take(3000))
+  }
+
+  test("RangeJoinRewrite leaves equi-keyed and non-range joins untouched") {
+    import org.apache.spark.sql.functions.col
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.RangeJoinRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RangeJoinRewrite
+    spark.conf.set(graft.plans.RangeJoinRewrite.BinWidthKey, "31")
+    import spark.implicits._
+    val a = Seq((1L, 2L), (2L, 5L)).toDF("k", "v")
+    val b = Seq((1L, 1L, 3L)).toDF("kk", "lo", "hi")
+    // equi conjunct present -> already hash-joinable, rule must not fire
+    val equi = a.join(b, col("k") === col("kk") &&
+      col("v") >= col("lo") && col("v") <= col("hi"))
+    assert(!equi.queryExecution.optimizedPlan.toString.contains("__graft_bin"))
+    // range-only -> rule fires, and results match the naive semantics
+    val ranged = a.join(b, col("v") >= col("lo") && col("v") <= col("hi"))
+    assert(ranged.queryExecution.optimizedPlan.toString.contains("__graft_bin"))
+    assert(ranged.collect().map(_.toSeq).toSet ==
+      Set(Seq(1L, 2L, 1L, 1L, 3L)))
+  }
+
+  test("q46: per-doc top-k terms uses WindowGroupLimit partial pruning") {
+    val plan = planOf(graft.queries.PipelineQueries.q46)
+    assert(plan.contains("WindowGroupLimit"), plan.take(3000))
+  }
+
+  test("q47: k-means assignment is map-side only (no vector-keyed exchange)") {
+    // Lloyd scale shape: scan -> quantize+assign (pure projection) ->
+    // partial agg -> one exchange keyed by `cluster` -> final agg. The
+    // full vector set must never shuffle keyed by vec_id — that would mean
+    // the assignment itself became a join/shuffle instead of map-side work.
+    val plan = graft.queries.SimilarityQueries.q47.spark(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("array_min"), plan.take(3000))
+    val vecKeyedShuffles = "Exchange hashpartitioning\\(vec_id".r
+      .findAllIn(plan).size
+    assert(vecKeyedShuffles == 0,
+      s"vector set shuffled by vec_id:\n${plan.take(3000)}")
+  }
 }
