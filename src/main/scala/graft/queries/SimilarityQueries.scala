@@ -629,5 +629,80 @@ object SimilarityQueries {
       ORDER BY vec_id""")
   )
 
-  val all: Seq[Q] = Seq(q40, q41, q42, q43, q45, q47)
+  private val PqM = 8      // subspaces
+  private val PqSubDim = 8 // dims per subspace (8×8 = the 64-dim vectors)
+  private val PqK = 4      // codewords per subspace
+
+  /** Product-quantization encode (Jégou et al. 2011; the compression
+    * behind FAISS IVFPQ): split each 64-dim vector into M=8 subvectors,
+    * assign each to its nearest of K=4 per-subspace codewords, emit the 8
+    * code indices + total squared reconstruction error. 64 floats (256 B)
+    * become 8 small ints — the memory trade that lets a 100 TB embedding
+    * corpus fit an ANN index. Codebook = subvectors of the first K vectors
+    * (training-free seeding, as q43; a trained PQ would run q47's Lloyd
+    * per subspace — same machinery).
+    *
+    * Exactness: [[ScaleFloor]]-quantized longs; per-subspace
+    * [[LongSqDist]] over `slice`d subvectors; argmin via `array_min` over
+    * struct(d, k) with the smallest-k tiebreak. Everything integer → the
+    * oracle (same distances via unnest positions, `(i-1)//8` subspacing)
+    * hash-matches bit for bit.
+    *
+    * Scale shape: encode is a PURE map-side projection — M×K subspace
+    * distances per row (= K full-dim distances of work), plan-literal
+    * codebook, no shuffle anywhere but the presentation sort. PQ encode at
+    * 100 TB runs at scan speed. */
+  val q48 = Q(
+    "q48_pq_encode",
+    (s, dir) => {
+      import graft.functions.{LongSqDist, ScaleFloor}
+      val quant = embeddings(s, dir)
+        .select(col("vec_id"), ScaleFloor.scale_floor(col("embedding")).as("qv"))
+      val cents: IndexedSeq[Array[Long]] = quant
+        .filter(col("vec_id") < PqK)
+        .collect()
+        .sortBy(_.getLong(0))
+        .map(_.getSeq[Long](1).toArray)
+        .toIndexedSeq
+      def best(m: Int): Column = array_min(array((0 until PqK).map { k =>
+        struct(
+          LongSqDist.long_sq_dist(
+            slice(col("qv"), m * PqSubDim + 1, PqSubDim),
+            typedLit(cents(k).slice(m * PqSubDim, (m + 1) * PqSubDim).toSeq))
+            .as("d"),
+          lit(k.toLong).as("k"))
+      }: _*))
+      val withBest = (0 until PqM).foldLeft(quant) {
+        (df, m) => df.withColumn(s"__b$m", best(m))
+      }
+      val cols = col("vec_id") +:
+        (0 until PqM).map(m => col(s"__b$m").getField("k").as(s"code_$m")) :+
+        (0 until PqM).map(m => col(s"__b$m").getField("d")).reduce(_ + _).as("err")
+      withBest.select(cols: _*).orderBy("vec_id")
+    },
+    Some(s"""
+      WITH u AS (
+        SELECT vec_id, i,
+               CAST(FLOOR(CAST(x AS DOUBLE) * 1e6) AS BIGINT) AS v
+        FROM (SELECT vec_id, unnest(embedding) AS x,
+                     generate_subscripts(embedding, 1) AS i
+              FROM embeddings)),
+      cd AS (
+        SELECT a.vec_id, (a.i - 1) // $PqSubDim AS m, b.vec_id AS k,
+               CAST(SUM((a.v - b.v) * (a.v - b.v)) AS BIGINT) AS d
+        FROM u a JOIN u b ON a.i = b.i AND b.vec_id < $PqK
+        GROUP BY 1, 2, 3),
+      best AS (
+        SELECT vec_id, m, k, d FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                       ORDER BY d, k) AS rn
+          FROM cd) WHERE rn = 1)
+      SELECT vec_id,
+             ${(0 until PqM).map(m =>
+                s"MAX(CASE WHEN m = $m THEN k END) AS code_$m,").mkString("\n             ")}
+             CAST(SUM(d) AS BIGINT) AS err
+      FROM best GROUP BY vec_id ORDER BY vec_id""")
+  )
+
+  val all: Seq[Q] = Seq(q40, q41, q42, q43, q45, q47, q48)
 }

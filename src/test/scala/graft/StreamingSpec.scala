@@ -85,4 +85,45 @@ class StreamingSpec extends SparkSpec {
       .groupBy("user_id").agg(countDistinct(col("session_id")).as("n_sessions"))
     assert(streamedPerUser.exceptAll(batchPerUser).isEmpty)
   }
+
+  test("stream-stream interval join (watermarked both sides) matches batch") {
+    // attribution shape: each purchase joined to the same user's clicks in
+    // the preceding 30 minutes. Both sides watermarked + a time-range
+    // condition — the form Spark requires to bound join state, i.e. the
+    // state store holds only the last 30min+watermark of clicks per user
+    // instead of the whole stream (the 100 TB concern, solved by the
+    // engine when the query is written this way).
+    def side(tpe: String, u: String, t: String) = eventsStream
+      .filter(col("event_type") === tpe)
+      .select(col("user_id").as(u), col("ts").as(t))
+    val clicks = side("click", "c_user", "c_ts").withWatermark("c_ts", "1 hour")
+    val purchases = side("purchase", "p_user", "p_ts").withWatermark("p_ts", "1 hour")
+    val joined = purchases.join(clicks,
+      col("c_user") === col("p_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("c_ts") <= col("p_ts"))
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("attributed")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("attributed")
+      .select("p_user", "p_ts", "c_ts")
+
+    val ev = graft.queries.Tables.events(spark, sf)
+    def bSide(tpe: String, u: String, t: String) = ev
+      .filter(col("event_type") === tpe)
+      .select(col("user_id").as(u), col("ts").as(t))
+    val batch = bSide("purchase", "p_user", "p_ts")
+      .join(bSide("click", "c_user", "c_ts"),
+        col("c_user") === col("p_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+          col("c_ts") <= col("p_ts"))
+      .select("p_user", "p_ts", "c_ts")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
 }
