@@ -633,6 +633,52 @@ object SimilarityQueries {
   private val PqSubDim = 8 // dims per subspace (8×8 = the 64-dim vectors)
   private val PqK = 4      // codewords per subspace
 
+  /** Quantized vectors (shared by q48/q49). */
+  private def pqQuant(s: SparkSession, dir: String): DataFrame =
+    embeddings(s, dir).select(col("vec_id"),
+      graft.functions.ScaleFloor.scale_floor(col("embedding")).as("qv"))
+
+  /** Driver-side PQ codebook: the first K quantized vectors (K×dim longs,
+    * corpus-size-independent — the q43/q47 codebook discipline). */
+  private def pqCents(quant: DataFrame): IndexedSeq[Array[Long]] = quant
+    .filter(col("vec_id") < PqK)
+    .collect()
+    .sortBy(_.getLong(0))
+    .map(_.getSeq[Long](1).toArray)
+    .toIndexedSeq
+
+  /** Per-subspace best codeword: struct(d, k) argmin over plan-literal
+    * codeword subvectors — codegen'd, map-side. */
+  private def pqBest(cents: IndexedSeq[Array[Long]], m: Int): Column =
+    array_min(array((0 until PqK).map { k =>
+      struct(
+        graft.functions.LongSqDist.long_sq_dist(
+          slice(col("qv"), m * PqSubDim + 1, PqSubDim),
+          typedLit(cents(k).slice(m * PqSubDim, (m + 1) * PqSubDim).toSeq))
+          .as("d"),
+        lit(k.toLong).as("k"))
+    }: _*))
+
+  /** q48's CTE chain (quantize → per-subspace distances to the codebook →
+    * per-subspace best code), shared verbatim by q49's oracle. */
+  private val PqCtesSql = s"""
+      u AS (
+        SELECT vec_id, i,
+               CAST(FLOOR(CAST(x AS DOUBLE) * 1e6) AS BIGINT) AS v
+        FROM (SELECT vec_id, unnest(embedding) AS x,
+                     generate_subscripts(embedding, 1) AS i
+              FROM embeddings)),
+      cd AS (
+        SELECT a.vec_id, (a.i - 1) // $PqSubDim AS m, b.vec_id AS k,
+               CAST(SUM((a.v - b.v) * (a.v - b.v)) AS BIGINT) AS d
+        FROM u a JOIN u b ON a.i = b.i AND b.vec_id < $PqK
+        GROUP BY 1, 2, 3),
+      best AS (
+        SELECT vec_id, m, k, d FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                       ORDER BY d, k) AS rn
+          FROM cd) WHERE rn = 1)"""
+
   /** Product-quantization encode (Jégou et al. 2011; the compression
     * behind FAISS IVFPQ): split each 64-dim vector into M=8 subvectors,
     * assign each to its nearest of K=4 per-subspace codewords, emit the 8
@@ -655,25 +701,10 @@ object SimilarityQueries {
   val q48 = Q(
     "q48_pq_encode",
     (s, dir) => {
-      import graft.functions.{LongSqDist, ScaleFloor}
-      val quant = embeddings(s, dir)
-        .select(col("vec_id"), ScaleFloor.scale_floor(col("embedding")).as("qv"))
-      val cents: IndexedSeq[Array[Long]] = quant
-        .filter(col("vec_id") < PqK)
-        .collect()
-        .sortBy(_.getLong(0))
-        .map(_.getSeq[Long](1).toArray)
-        .toIndexedSeq
-      def best(m: Int): Column = array_min(array((0 until PqK).map { k =>
-        struct(
-          LongSqDist.long_sq_dist(
-            slice(col("qv"), m * PqSubDim + 1, PqSubDim),
-            typedLit(cents(k).slice(m * PqSubDim, (m + 1) * PqSubDim).toSeq))
-            .as("d"),
-          lit(k.toLong).as("k"))
-      }: _*))
+      val quant = pqQuant(s, dir)
+      val cents = pqCents(quant)
       val withBest = (0 until PqM).foldLeft(quant) {
-        (df, m) => df.withColumn(s"__b$m", best(m))
+        (df, m) => df.withColumn(s"__b$m", pqBest(cents, m))
       }
       val cols = col("vec_id") +:
         (0 until PqM).map(m => col(s"__b$m").getField("k").as(s"code_$m")) :+
@@ -681,22 +712,7 @@ object SimilarityQueries {
       withBest.select(cols: _*).orderBy("vec_id")
     },
     Some(s"""
-      WITH u AS (
-        SELECT vec_id, i,
-               CAST(FLOOR(CAST(x AS DOUBLE) * 1e6) AS BIGINT) AS v
-        FROM (SELECT vec_id, unnest(embedding) AS x,
-                     generate_subscripts(embedding, 1) AS i
-              FROM embeddings)),
-      cd AS (
-        SELECT a.vec_id, (a.i - 1) // $PqSubDim AS m, b.vec_id AS k,
-               CAST(SUM((a.v - b.v) * (a.v - b.v)) AS BIGINT) AS d
-        FROM u a JOIN u b ON a.i = b.i AND b.vec_id < $PqK
-        GROUP BY 1, 2, 3),
-      best AS (
-        SELECT vec_id, m, k, d FROM (
-          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
-                                       ORDER BY d, k) AS rn
-          FROM cd) WHERE rn = 1)
+      WITH $PqCtesSql
       SELECT vec_id,
              ${(0 until PqM).map(m =>
                 s"MAX(CASE WHEN m = $m THEN k END) AS code_$m,").mkString("\n             ")}
@@ -704,5 +720,72 @@ object SimilarityQueries {
       FROM best GROUP BY vec_id ORDER BY vec_id""")
   )
 
-  val all: Seq[Q] = Seq(q40, q41, q42, q43, q45, q47, q48)
+  /** ADC top-k search over the PQ codes — the query path of IVFPQ
+    * (asymmetric distance computation: the query stays full-precision, the
+    * corpus is 8 codes/vector). Per query, a distance TABLE of M×K=32
+    * subspace distances to the codebook is computed once; the approximate
+    * distance to any encoded vector is then 8 table lookups + adds —
+    * never touching the original 64 floats. That lookup trick is why PQ
+    * search scans billions of codes cheaply.
+    *
+    * Scale shape: the 8-row query table (with its 32-entry literal-indexed
+    * distance arrays) is BROADCAST — corpus-size-independent, q40's
+    * discipline; the encoded corpus streams map-side past it (8
+    * `element_at` picks + adds per (query, vector) — no shuffle of the big
+    * side); per-query ranking is the q07 window-top-k shape. All integer
+    * arithmetic → the oracle recomputes encode + tables + lookups
+    * exactly. */
+  val q49 = Q(
+    "q49_pq_adc_topk",
+    (s, dir) => {
+      val quant = pqQuant(s, dir).localCheckpoint() // encode + query branches
+      val cents = pqCents(quant)
+      val encoded = {
+        val withBest = (0 until PqM).foldLeft(quant) {
+          (df, m) => df.withColumn(s"__b$m", pqBest(cents, m))
+        }
+        withBest.select(col("vec_id") +:
+          (0 until PqM).map(m =>
+            col(s"__b$m").getField("k").as(s"code_$m")): _*)
+      }
+      // per-query distance tables: array of K subspace distances per m
+      def dtable(m: Int): Column = array((0 until PqK).map { k =>
+        graft.functions.LongSqDist.long_sq_dist(
+          slice(col("qv"), m * PqSubDim + 1, PqSubDim),
+          typedLit(cents(k).slice(m * PqSubDim, (m + 1) * PqSubDim).toSeq))
+      }: _*)
+      val queries = quant.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id") +:
+          (0 until PqM).map(m => dtable(m).as(s"__dt_$m")): _*)
+      val adc = encoded.crossJoin(broadcast(queries))
+        .select(col("query_id"), col("vec_id"),
+          (0 until PqM).map(m =>
+            element_at(col(s"__dt_$m"),
+              (col(s"code_$m") + 1).cast("int"))).reduce(_ + _).as("adc_dist"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("adc_dist"), col("vec_id"))
+      adc.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select("query_id", "rank", "vec_id", "adc_dist")
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""
+      WITH $PqCtesSql,
+      adc AS (
+        SELECT q.vec_id AS query_id, b.vec_id,
+               CAST(SUM(q.d) AS BIGINT) AS adc_dist
+        FROM best b
+        JOIN cd q ON q.m = b.m AND q.k = b.k AND q.vec_id < 8
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT query_id, vec_id, adc_dist,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adc_dist, vec_id) AS rank
+        FROM adc)
+      SELECT query_id, rank, vec_id, adc_dist
+      FROM ranked WHERE rank <= 10
+      ORDER BY query_id, rank""")
+  )
+
+  val all: Seq[Q] = Seq(q40, q41, q42, q43, q45, q47, q48, q49)
 }
