@@ -14,13 +14,16 @@ import org.apache.spark.sql.SparkSession
   * inflated round 1's driver numbers 50-160x over steady state):
   *   - one untimed warm pass over the whole suite (JIT compilation of
   *     generated code dominates cold-JVM variance);
-  *   - each query then timed REPS times and the MIN reported. Round-2
-  *     measurements showed steal bursts long enough to span all three
-  *     samples of one query (median 22 s vs 0.4 s steady-state for the
-  *     same plan minutes later), so the median is not burst-proof; the
-  *     minimum is the standard steady-state estimator under external
-  *     interference — contention can only inflate a sample, never
-  *     deflate it, and each sample is still a full end-to-end run;
+  *   - the suite is then timed as REPS full INTERLEAVED passes (pass 1
+  *     runs every query, then pass 2, then pass 3) and each query reports
+  *     its MIN across passes. Round 2 ran the reps back-to-back per query
+  *     and a single multi-minute steal burst poisoned all three samples of
+  *     whichever query it landed on (driver read 54 s for a 3.9 s plan);
+  *     interleaving separates a query's samples by a whole suite pass
+  *     (minutes), so one burst can contaminate at most one sample per
+  *     query. The minimum is the right steady-state estimator under
+  *     external interference — contention can only inflate a sample,
+  *     never deflate it, and each sample is still a full end-to-end run;
   *   - the JSON line is written to a file as well as stdout (round 1's
   *     stdout-only line was lost to sbt log interleaving: "parsed": null).
   *
@@ -63,18 +66,19 @@ object Bench {
     // Untimed warm pass: JIT-compile every query's generated code.
     suite.foreach { case (_, fn) => runOnce(fn) }
 
-    val results = suite.map { case (name, fn) =>
-      val samples = (1 to Reps).map { _ =>
+    val passes: Seq[Map[String, Option[Double]]] = (1 to Reps).map { _ =>
+      suite.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok = runOnce(fn)
-        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
-      }
-      val good = samples.flatten.sorted
-      if (good.size < samples.size)
-        System.err.println(s"[bench] $name failed ${samples.size - good.size}/${samples.size} runs")
+        name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
+      }.toMap
+    }
+    val results = suite.map { case (name, _) =>
+      val good = passes.flatMap(_(name)).sorted
+      if (good.size < Reps)
+        System.err.println(s"[bench] $name failed ${Reps - good.size}/$Reps runs")
       // min of successful samples; -1 sentinel when every run threw
-      val best = if (good.isEmpty) -1.0 else good.head
-      name -> best
+      name -> (if (good.isEmpty) -1.0 else good.head)
     }
     val failed = results.collect { case (n, t) if t < 0 => n }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }

@@ -84,8 +84,11 @@ final case class AsOfJoinExec(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
 
   /** Both sides clustered on the key → EnsureRequirements inserts the
-    * hash exchanges (and, with AQE, handles skew/coalescing) exactly as it
-    * does for sort-merge join. */
+    * hash exchanges, and AQE coalesces small partitions, as for sort-merge
+    * join. AQE skew SPLITTING does not apply: OptimizeSkewedJoin only
+    * rewrites SortMergeJoinExec/ShuffledHashJoinExec, so a hot key still
+    * lands on a single task — pre-salt or split hot keys upstream if an
+    * as-of key is expected to be skewed at scale. */
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
 

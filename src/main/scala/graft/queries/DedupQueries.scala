@@ -28,9 +28,13 @@ import Tables._
   */
 object DedupQueries {
 
-  /** words → 5-word shingle strings, 1 row per (doc_id, shingle), distinct. */
-  private def shingles(docs: DataFrame, nWords: Int = 5): DataFrame = {
-    docs
+  /** words → 5-word shingle strings, 1 row per (doc_id, shingle) — distinct
+    * by default. `dedup = false` skips the distinct (a full shuffle of
+    * shingle TEXT — the single most expensive exchange in these pipelines
+    * at corpus scale) for consumers whose aggregate is duplicate-insensitive
+    * (minhash's `min`). */
+  private def shingles(docs: DataFrame, nWords: Int = 5, dedup: Boolean = true): DataFrame = {
+    val sh = docs
       .select(col("doc_id"), split(col("text"), "\\s+").as("w"))
       .select(
         col("doc_id"),
@@ -39,7 +43,7 @@ object DedupQueries {
         col("w"))
       .select(col("doc_id"),
         concat_ws(" ", slice(col("w"), col("i"), lit(nWords))).as("sh"))
-      .distinct()
+    if (dedup) sh.distinct() else sh
   }
 
   /** Exact dedup via hash-groupBy: survivors = min doc_id per content hash.
@@ -164,11 +168,17 @@ object DedupQueries {
     * (single primitive-array buffer — 64 separate min() columns blow the
     * codegen method limit and fall back to interpreted aggregation, ~5x
     * slower at bench scale). Map-side partial fold still applies, so the
-    * shuffle carries one 64-long array per (partition, doc). */
+    * shuffle carries one 64-long array per (partition, doc).
+    *
+    * No shingle distinct: `min` over permuted hashes is duplicate-
+    * insensitive, so deduplicating first only changes COST — and its cost
+    * is a full shuffle of shingle text, vs. re-hashing duplicate shingles
+    * map-side. The entire signature stage is one narrow pass + one
+    * signature-array shuffle; the oracle keeps its DISTINCT (same min). */
   private def minhashSignatures(docs: DataFrame): DataFrame = {
     import graft.functions.ArrayLongFold.arrayMinAgg
     val (lo, hi) = md5Halves(col("sh"))
-    shingles(docs)
+    shingles(docs, dedup = false)
       .select(col("doc_id"), lo.as("lo"), hi.as("hi"))
       .select(col("doc_id"),
         array((0 until MinhashK).map(i =>

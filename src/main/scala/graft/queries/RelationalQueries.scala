@@ -166,10 +166,10 @@ object RelationalQueries {
   )
 
   /** Interval-containment (range) join via [[graft.operators.RangeJoin]]:
-    * for each high-value order, count lineitems shipped within ±15 days of
+    * for each high-value order, count lineitems shipped within ±7 days of
     * the order date. There is NO equi key, so naive Spark plans this as a
     * broadcast-nested-loop streaming all 100 TB of lineitem past every
-    * order; the binned rewrite buckets both sides by 31-day windows and
+    * order; the binned rewrite buckets both sides by 15-day windows and
     * runs an ordinary shuffle hash join (shuffle = rows, not pairs) with
     * the BETWEEN as a residual filter. The oracle runs the naive BETWEEN
     * join — equivalence of the rewrite is exactly what the hash check
@@ -208,15 +208,18 @@ object RelationalQueries {
     * (conf-gated, `spark.graft.rangeJoin.binWidth`) to produce the binned
     * equi-join automatically. Shares q28's oracle SQL: the hash check
     * proves the RULE's rewrite end-to-end, while PlanRegressionSpec proves
-    * the nested loop is actually gone. `extraOptimizations` registration is
-    * idempotent; the conf stays set (the rule only ever touches inner
-    * joins with range-only conditions, which no other suite query has). */
+    * the nested loop is actually gone. The rule + conf are registered on an
+    * ISOLATED session (`newSession()`: own SQLConf/optimizer, shared
+    * SparkContext) that only this query's DataFrame is bound to — Catalyst
+    * optimizes lazily at action time, so scoping via set/restore on the
+    * shared session would either leak the rule into every later query or
+    * silently disable the rewrite before execution. */
   val q29 = Q(
     "q29_range_join_rule",
-    (s, dir) => {
-      if (!s.experimental.extraOptimizations.contains(graft.plans.RangeJoinRewrite))
-        s.experimental.extraOptimizations =
-          s.experimental.extraOptimizations :+ graft.plans.RangeJoinRewrite
+    (s0, dir) => {
+      val s = s0.newSession()
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ graft.plans.RangeJoinRewrite
       s.conf.set(graft.plans.RangeJoinRewrite.BinWidthKey, "15")
       val epoch = lit("1995-01-01").cast("date")
       def days(c: Column) = datediff(c.cast("date"), epoch).cast("long")

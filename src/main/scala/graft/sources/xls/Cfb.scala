@@ -40,7 +40,11 @@ object Cfb {
       val firstDifat = u32(bytes, 68)
       val idsPerSect = sectSize / 4
 
-      def sectorOffset(sid: Int): Int = 512 + sid * sectSize
+      // Per MS-CFB §2.1 sector n starts at (n+1) << sectorShift: the header
+      // occupies a full sector, so for v4 containers (4096-byte sectors)
+      // sector 0 is at 4096, not 512. (sid+1)*sectSize is equivalent to the
+      // common v3 512-byte case and correct for v4.
+      def sectorOffset(sid: Int): Int = (sid + 1) * sectSize
 
       // FAT sector ids: 109 header DIFAT entries + chained DIFAT sectors
       val fatSectors = {
