@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.KmvSketch
+import Tables._
+
+/** Round-3 additions: a deterministic distinct-count sketch (the oracle-
+  * checkable twin of q18's HLL), a capped inverted index, and the sliding-
+  * window batch twin completing the window-family coverage (tumbling q15,
+  * session q16, sliding here).
+  */
+object SketchQueries {
+
+  /** KMV distinct-count sketch next to the exact count. Same fixed-state /
+    * sketch-shuffle scale shape as q18's HLL, but the estimate is a pure
+    * integer function of md5 (see [[graft.functions.KmvSketch]]), so DuckDB
+    * recomputes it exactly: k smallest distinct hashes via ROW_NUMBER, then
+    * `(k-1)*2^64 // h_(k)` in HUGEINT. This upgrades the sketch-aggregation
+    * category from rows-only to a full hash-checked oracle row.
+    *
+    * At sf0.01 each return flag sees ~2000 distinct parts (> k=256, the
+    * estimator path); sf0.001 has 200 (< k, the exact path) — both paths
+    * are driver- or test-exercised. */
+  val q27 = Q(
+    "q27_kmv_distinct",
+    (s, dir) =>
+      lineitem(s, dir)
+        .select(
+          col("l_returnflag"),
+          col("l_partkey"),
+          substring(md5(col("l_partkey").cast("string")), 1, 16).as("h"))
+        .groupBy("l_returnflag")
+        .agg(
+          KmvSketch.kmvDistinct(col("h"), 256).as("kmv_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+    Some("""
+      WITH h AS (
+        SELECT DISTINCT l_returnflag,
+               substr(md5(CAST(l_partkey AS VARCHAR)), 1, 16) AS h
+        FROM lineitem),
+      r AS (
+        SELECT l_returnflag, h,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rk,
+               COUNT(*) OVER (PARTITION BY l_returnflag) AS nd
+        FROM h),
+      est AS (
+        SELECT l_returnflag,
+               CASE WHEN nd < 256 THEN nd
+                    ELSE CAST((CAST(255 AS HUGEINT) * 18446744073709551616)
+                              // CAST(CAST('0x' || h AS UBIGINT) AS HUGEINT)
+                         AS BIGINT)
+               END AS kmv_parts
+        FROM r
+        WHERE rk = CASE WHEN nd < 256 THEN nd ELSE 256 END),
+      ex AS (
+        SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT ex.l_returnflag, est.kmv_parts, ex.exact_parts, ex.n
+      FROM ex JOIN est USING (l_returnflag)
+      ORDER BY l_returnflag""")
+  )
+
+  /** Capped inverted index: per token, document frequency, total term
+    * frequency, and the first 16 doc_ids (by id) as a posting string — the
+    * exact-match search primitive of a training-data pipeline.
+    *
+    * Scale shape: (token, doc) pairs aggregate with map-side combine
+    * (wordcount-shaped); the posting cap happens BEFORE collection via the
+    * q07 window-top-k pattern, so `WindowGroupLimit` keeps ≤16 rows per
+    * token per partition ahead of the exchange — no unbounded
+    * `collect_list` of a stopword's corpus-sized posting list ever
+    * materializes. Output restricted to df >= 5, top 100 by df. */
+  val q39 = Q(
+    "q39_inverted_index",
+    (s, dir) => {
+      val pairs = documents(s, dir)
+        .select(col("doc_id"),
+          explode(split(col("text"), "\\s+")).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy("token", "doc_id")
+        .agg(count(lit(1)).as("tf_pair"))
+      val stats = pairs.groupBy("token")
+        .agg(count(lit(1)).as("df"), sum(col("tf_pair")).as("tf"))
+      val w = Window.partitionBy(col("token")).orderBy(col("doc_id"))
+      val postings = pairs
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 16)
+        .groupBy("token")
+        .agg(array_join(
+          sort_array(collect_list(col("doc_id"))).cast("array<string>"),
+          ",").as("postings"))
+      stats.join(postings, "token")
+        .filter(col("df") >= 5)
+        .select("token", "df", "tf", "postings")
+        .orderBy(col("df").desc, col("token"))
+        .limit(100)
+    },
+    Some("""
+      WITH tokens AS (
+        SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
+        FROM documents),
+      inv AS (
+        SELECT token, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS tf,
+               array_to_string(list_sort(list(DISTINCT doc_id))[1:16], ',')
+                 AS postings
+        FROM tokens WHERE length(token) > 0
+        GROUP BY token)
+      SELECT token, df, tf, postings FROM inv
+      WHERE df >= 5
+      ORDER BY df DESC, token LIMIT 100""")
+  )
+
+  /** Sliding-window aggregate (1-hour windows every 15 minutes): the batch
+    * twin of `groupBy(window($"ts", "1 hour", "15 minutes"))`. Spark
+    * assigns each event to duration/slide = 4 epoch-aligned windows; the
+    * oracle replicates that as a 4-row offset cross join over the
+    * 15-minute floor — `make_timestamp(epoch_us // 900e6 * 900e6)`, exact
+    * integer arithmetic on both sides. Completes the window-family batch
+    * twins (q15 tumbling, q16 session). */
+  val q52 = Q(
+    "q52_sliding_window",
+    (s, dir) =>
+      events(s, dir)
+        .groupBy(
+          window(col("ts"), "1 hour", "15 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .select(
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy("win_start", "event_type"),
+    Some(s"""
+      WITH ev AS (
+        SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+      offs AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS t(i)),
+      win AS (
+        SELECT make_timestamp(
+                 (epoch_us(ts) // 900000000) * 900000000
+                 - CAST(i AS BIGINT) * 900000000) AS win_start,
+               event_type, value
+        FROM ev CROSS JOIN offs)
+      SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+             event_type, COUNT(*) AS n_events,
+             ${dsumSql("value")} AS sum_value
+      FROM win
+      GROUP BY 1, 2 ORDER BY win_start, event_type""")
+  )
+
+  val all: Seq[Q] = Seq(q27, q39, q52)
+}

@@ -198,6 +198,36 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("q27 KMV sketch: exact under k, estimator within KMV error above k") {
+    // sf0.001 has 200 distinct parts per flag (< k=256): the under-full
+    // path must return the EXACT distinct count.
+    graft.queries.SketchQueries.q27
+      .spark(spark, "/root/testdata/sf0.001").collect()
+      .foreach { r =>
+        assert(r.getAs[Long]("kmv_parts") == r.getAs[Long]("exact_parts"))
+      }
+    // 100k distinct values through the k=256 estimator path: standard KMV
+    // relative error is ~1/sqrt(k-2) ≈ 6.3%; assert a loose 4-sigma bound.
+    import graft.functions.KmvSketch
+    val est = spark.range(100000)
+      .select(substring(md5(col("id").cast("string")), 1, 16).as("h"))
+      .agg(KmvSketch.kmvDistinct(col("h"), 256).as("est"))
+      .collect().head.getLong(0)
+    assert(math.abs(est - 100000.0) / 100000.0 < 0.25, s"KMV estimate $est")
+  }
+
+  test("KMV sketch merges partial buffers across partitions correctly") {
+    import graft.functions.KmvSketch
+    // 64 distinct values repeated over 32 partitions: every partial buffer
+    // sees duplicates and a subset; the merged result must be exactly 64
+    // (under-full exact path exercises merge + dedup simultaneously).
+    val est = spark.range(0, 6400, 1, 32)
+      .select(substring(md5((col("id") % 64).cast("string")), 1, 16).as("h"))
+      .agg(KmvSketch.kmvDistinct(col("h"), 256).as("est"))
+      .collect().head.getLong(0)
+    assert(est == 64L)
+  }
+
   test("GraftExtensions applies cleanly to a SparkSessionExtensions") {
     // extensions only take effect on session CREATION (the shared test
     // session already exists), so this asserts the injection itself is

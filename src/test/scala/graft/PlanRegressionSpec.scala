@@ -102,4 +102,17 @@ class PlanRegressionSpec extends SparkSpec {
     assert(vecKeyedShuffles == 0,
       s"vector set shuffled by vec_id:\n${plan.take(3000)}")
   }
+
+  test("q27: KMV sketch aggregates partial+final (sketches shuffle, not rows)") {
+    // TypedImperativeAggregate plans as ObjectHashAggregate with a partial
+    // stage before the group-key exchange — the shuffle carries one <=k
+    // sketch per (partition, flag), never the distinct expansion.
+    val plan = planOf(graft.queries.SketchQueries.q27)
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan.take(3000))
+  }
+
+  test("q39: posting-list cap uses WindowGroupLimit before collection") {
+    val plan = planOf(graft.queries.SketchQueries.q39)
+    assert(plan.contains("WindowGroupLimit"), plan.take(3000))
+  }
 }
