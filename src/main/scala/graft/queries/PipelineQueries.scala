@@ -190,5 +190,109 @@ object PipelineQueries {
       ORDER BY doc_id, rank""")
   )
 
-  val all: Seq[Q] = Seq(q33, q34, q35, q37, q46)
+  /** Bigram language-model scoring — the "LM-based quality filter" of a
+    * training pipeline (KenLM-perplexity shape), integerized for oracle
+    * parity: the corpus trains bigram counts C(w1,w2) and continuation
+    * counts C(w1,·), each document scores the mean of
+    * `(1e6 * C(w1,w2)) div C(w1,·)` over its bigrams (a scaled conditional
+    * probability; monotone in the real LM score, every intermediate an
+    * exact BIGINT — a libm `log` would not be bit-stable cross-engine).
+    *
+    * Scale shape: bigrams explode once (corpus-sized, map-side); the two
+    * count models are wordcount-shaped aggregates (vocabulary²- and
+    * vocabulary-sized after combine); scoring re-joins on the bigram key —
+    * model tables are vocabulary-sized, so AQE broadcasts them while they
+    * fit and shuffles when they don't; the final per-doc mean is one
+    * doc-keyed aggregate with map-side combine. */
+  val q53 = Q(
+    "q53_bigram_lm",
+    (s, dir) => {
+      val toks = documents(s, dir)
+        .select(col("doc_id"), split(col("text"), "\\s+").as("w"))
+      val bigrams = toks
+        .select(col("doc_id"),
+          explode(sequence(lit(1), greatest(size(col("w")) - 1, lit(1))))
+            .as("i"),
+          col("w"))
+        .select(col("doc_id"),
+          try_element_at(col("w"), col("i")).as("w1"),
+          try_element_at(col("w"), col("i") + 1).as("w2"))
+        .filter(col("w2").isNotNull)
+      val cbg = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c_bg"))
+      val cw = bigrams.groupBy("w1").agg(count(lit(1)).as("c_w1"))
+      bigrams
+        .join(cbg, Seq("w1", "w2"))
+        .join(cw, Seq("w1"))
+        .select(col("doc_id"), expr("(1000000 * c_bg) div c_w1").as("p"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("p")).cast("long").as("lm_sum"))
+        .withColumn("avg_p",
+          col("lm_sum").cast("double") / col("n_bigrams"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH w AS (
+        SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+      bg AS (
+        SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+        FROM (SELECT doc_id, w,
+                     unnest(range(1, greatest(len(w) - 1, 1) + 1)) AS i
+              FROM w)
+        WHERE w[i + 1] IS NOT NULL),
+      cbg AS (SELECT w1, w2, COUNT(*) AS c_bg FROM bg GROUP BY w1, w2),
+      cw AS (SELECT w1, COUNT(*) AS c_w1 FROM bg GROUP BY w1),
+      scored AS (
+        SELECT doc_id, (1000000 * c_bg) // c_w1 AS p
+        FROM bg JOIN cbg USING (w1, w2) JOIN cw USING (w1))
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+             CAST(SUM(p) AS BIGINT) AS lm_sum,
+             CAST(SUM(p) AS DOUBLE) / COUNT(*) AS avg_p
+      FROM scored GROUP BY doc_id ORDER BY doc_id""")
+  )
+
+  /** Hashed-feature linear classifier — the fastText-style quality-filter
+    * shape: token → hash bucket (feature hashing, Weinberger et al. 2009)
+    * → weight lookup → per-document sum → threshold label. In production
+    * the 16k-bucket weight vector is a broadcast array from a trained
+    * model; here the weight is DERIVED from the bucket index by a
+    * deterministic integer mixer (`(j * 2654435761) % 1021 - 510`,
+    * Knuth's multiplicative constant) so the oracle recomputes the whole
+    * pipeline — the plumbing (hash, bucket, lookup, sum, threshold) is
+    * identical either way. Pure map-side projection + one doc-keyed
+    * aggregate with map-side combine; runs at scan speed at any corpus
+    * size. */
+  val q54 = Q(
+    "q54_hash_classifier",
+    (s, dir) => {
+      val bucket = conv(substring(md5(col("t")), 1, 8), 16, 10)
+        .cast("long") % 16384
+      val wgt = (bucket * lit(2654435761L)) % 1021 - 510
+      documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("t"))
+        .filter(length(col("t")) > 0)
+        .select(col("doc_id"), wgt.as("w"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("w")).cast("long").as("score"))
+        .withColumn("label",
+          when(col("score") > 0, "keep").otherwise("drop"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t
+        FROM documents),
+      f AS (
+        SELECT doc_id,
+               ((CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 16384)
+                * 2654435761) % 1021 - 510 AS w
+        FROM toks WHERE length(t) > 0)
+      SELECT doc_id, COUNT(*) AS n_tokens,
+             CAST(SUM(w) AS BIGINT) AS score,
+             CASE WHEN SUM(w) > 0 THEN 'keep' ELSE 'drop' END AS label
+      FROM f GROUP BY doc_id ORDER BY doc_id""")
+  )
+
+  val all: Seq[Q] = Seq(q33, q34, q35, q37, q46, q53, q54)
 }

@@ -92,4 +92,38 @@ class PipelinePropertiesSpec extends SparkSpec {
         assert(r.getLong(5) == r.getLong(3) * ((1000000000L * n) / r.getLong(4))))
     }
   }
+
+  test("q53 bigram LM: per-doc bigram count and score bounds hold") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = PipelineQueries.q53.spark(spark, sf).collect()
+    assert(rows.length == docs.size)
+    rows.foreach { r =>
+      val (id, nBg, sum, avg) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      // bigrams = tokens - 1 under the same split
+      assert(nBg == docs(id).split("\\s+", -1).length - 1)
+      // each scaled conditional probability is in [1, 1e6]
+      assert(sum >= nBg && sum <= nBg * 1000000L)
+      assert(avg == sum.toDouble / nBg)
+    }
+  }
+
+  test("q54 classifier score matches a from-scratch recompute for one doc") {
+    val text = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(org.apache.spark.sql.functions.col("doc_id") === 0)
+      .select("text").head().getString(0)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expected = text.split("\\s+").filter(_.nonEmpty).map { t =>
+      val hex = md.digest(t.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      val bucket = java.lang.Long.parseLong(hex, 16) % 16384
+      (bucket * 2654435761L) % 1021 - 510
+    }.sum
+    val row = PipelineQueries.q54.spark(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") === 0).head()
+    assert(row.getLong(2) == expected)
+    assert(row.getString(3) == (if (expected > 0) "keep" else "drop"))
+  }
 }
