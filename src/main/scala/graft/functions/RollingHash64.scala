@@ -73,6 +73,10 @@ object GraftFunctions {
   def winnow_max(c: Column, k: Int): Column =
     ColumnBridge.column(WinnowExtreme(ColumnBridge.expression(c), k, takeMin = false))
 
+  /** Table-generating: one row per n-word shingle (see [[WordNgrams]]). */
+  def word_ngrams(c: Column, n: Int): Column =
+    ColumnBridge.column(WordNgrams(ColumnBridge.expression(c), n))
+
   private def litInt(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
     e match {
       case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
@@ -93,6 +97,9 @@ object GraftFunctions {
       "winnow_max",
       exprs => WinnowExtreme(exprs.head, litInt(exprs(1)), takeMin = false),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_ngrams",
+      exprs => WordNgrams(exprs.head, litInt(exprs(1))), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "scale_floor", exprs => ScaleFloor(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -34,15 +34,12 @@ object DedupQueries {
     * at corpus scale) for consumers whose aggregate is duplicate-insensitive
     * (minhash's `min`). */
   private def shingles(docs: DataFrame, nWords: Int = 5, dedup: Boolean = true): DataFrame = {
-    val sh = docs
-      .select(col("doc_id"), split(col("text"), "\\s+").as("w"))
-      .select(
-        col("doc_id"),
-        explode(sequence(lit(1), greatest(size(col("w")) - (nWords - 1), lit(1))))
-          .as("i"),
-        col("w"))
-      .select(col("doc_id"),
-        concat_ws(" ", slice(col("w"), col("i"), lit(nWords))).as("sh"))
+    // word_ngrams is the custom Generator (UDTF): lazily emits each shingle
+    // inside whole-stage codegen instead of exploding an index sequence and
+    // re-slicing the token array per row. Output is bit-identical to the
+    // split+slice+concat_ws composition (every consumer's oracle re-checks).
+    val sh = docs.select(col("doc_id"),
+      graft.functions.GraftFunctions.word_ngrams(col("text"), nWords).as("sh"))
     if (dedup) sh.distinct() else sh
   }
 

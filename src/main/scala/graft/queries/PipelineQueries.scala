@@ -294,5 +294,83 @@ object PipelineQueries {
       FROM f GROUP BY doc_id ORDER BY doc_id""")
   )
 
-  val all: Seq[Q] = Seq(q33, q34, q35, q37, q46, q53, q54)
+  /** End-to-end curation: the full training-data filter chain as ONE
+    * Catalyst plan — what a 100 TB corpus job actually runs, rather than
+    * operator-at-a-time materialization:
+    *
+    *   1. exact dedup — min-doc_id survivor per `md5(text)` (q20's shape;
+    *      the shuffle carries 32-byte hashes, never documents);
+    *   2. one-pass per-document signals — token count, distinct-token
+    *      count (type-token ratio) and the q54 hashed-classifier score all
+    *      come out of a SINGLE groupBy(doc_id) over the exploded tokens:
+    *      one corpus-sized shuffle with map-side combine instead of three;
+    *   3. quality gate — length / TTR / classifier thresholds, all integer
+    *      arithmetic (`ttr_pct = (100 * n_types) div n_tokens`);
+    *   4. deterministic stratified sample — q34's content-hash rule
+    *      (en 50 %, others 80 %), a map-side filter.
+    *
+    * The survivor and signal joins are doc_id-keyed with narrow build
+    * sides; AQE broadcasts them at small SF and shuffles when they do not
+    * fit. Because every stage is a pure function of content, the curated
+    * set is reproducible on any cluster size — and the DuckDB oracle
+    * re-runs the ENTIRE chain, so the hash check covers the composition,
+    * not just the pieces. */
+  val q55 = Q(
+    "q55_curation",
+    (s, dir) => {
+      val docs = documents(s, dir)
+      val keep = docs
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val bucket = conv(substring(md5(col("t")), 1, 8), 16, 10)
+        .cast("long") % 16384
+      val wgt = (bucket * lit(2654435761L)) % 1021 - 510
+      val sig = docs.join(keep, "doc_id")
+        .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("t"))
+        .filter(length(col("t")) > 0)
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          countDistinct(col("t")).as("n_types"),
+          sum(wgt).cast("long").as("score"))
+        .withColumn("ttr_pct", expr("(100 * n_types) div n_tokens"))
+      val sample = conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long")
+      val threshold = when(col("lang") === "en", lit((0.50 * (1L << 32)).toLong))
+        .otherwise(lit((0.80 * (1L << 32)).toLong))
+      docs
+        .join(sig, "doc_id")
+        .filter(col("n_tokens") >= 20 && col("ttr_pct") >= 35 &&
+          col("score") > 0 && sample < threshold)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
+          col("ttr_pct"), col("score"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH keep AS (
+        SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+      toks AS (
+        SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS t
+        FROM documents JOIN keep USING (doc_id)),
+      f AS (
+        SELECT doc_id, t,
+               ((CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 16384)
+                * 2654435761) % 1021 - 510 AS w
+        FROM toks WHERE length(t) > 0),
+      sig AS (
+        SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT t) AS n_types,
+               CAST(SUM(w) AS BIGINT) AS score
+        FROM f GROUP BY doc_id)
+      SELECT doc_id, lang, source, n_tokens,
+             (100 * n_types) // n_tokens AS ttr_pct, score
+      FROM documents JOIN sig USING (doc_id)
+      WHERE n_tokens >= 20 AND (100 * n_types) // n_tokens >= 35
+        AND score > 0
+        AND ('0x' || substr(md5(text), 1, 8))::BIGINT <
+            CASE WHEN lang = 'en' THEN ${(0.50 * (1L << 32)).toLong}
+                 ELSE ${(0.80 * (1L << 32)).toLong} END
+      ORDER BY doc_id""")
+  )
+
+  val all: Seq[Q] = Seq(q33, q34, q35, q37, q46, q53, q54, q55)
 }

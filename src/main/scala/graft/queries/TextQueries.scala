@@ -216,13 +216,8 @@ object TextQueries {
     (s, dir) => {
       val docs = documents(s, dir)
       def grams(n: Int) = docs
-        .select(col("doc_id"), split(col("text"), "\\s+").as("w"))
         .select(col("doc_id"),
-          explode(sequence(lit(1), greatest(size(col("w")) - (n - 1), lit(1))))
-            .as("i"),
-          col("w"))
-        .select(col("doc_id"),
-          concat_ws(" ", slice(col("w"), col("i"), lit(n))).as("g"))
+          graft.functions.GraftFunctions.word_ngrams(col("text"), n).as("g"))
       val words = docs
         .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("t"))
         .filter(length(col("t")) > 0)

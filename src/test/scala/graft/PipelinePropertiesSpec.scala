@@ -126,4 +126,25 @@ class PipelinePropertiesSpec extends SparkSpec {
     assert(row.getLong(2) == expected)
     assert(row.getString(3) == (if (expected > 0) "keep" else "drop"))
   }
+
+  test("q55 curation: output satisfies every gate and is consistent with q54") {
+    val rows = PipelineQueries.q55.spark(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // classifier scores in the curated set agree with q54's per-doc scores
+    val q54Scores = PipelineQueries.q54.spark(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    rows.foreach { r =>
+      val (id, nTok, ttr, score) =
+        (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(nTok >= 20 && ttr >= 35 && score > 0)
+      assert(q54Scores(id) == score)
+    }
+    // the quality+sample gates actually cut something at this SF
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.length < total)
+    // curated docs are exact-dedup survivors (subset of q20's keep set)
+    val survivors = DedupQueries.q20.spark(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    rows.foreach(r => assert(survivors.contains(r.getLong(0))))
+  }
 }
