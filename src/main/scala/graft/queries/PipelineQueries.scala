@@ -372,5 +372,78 @@ object PipelineQueries {
       ORDER BY doc_id""")
   )
 
-  val all: Seq[Q] = Seq(q33, q34, q35, q37, q46, q53, q54, q55)
+  /** Regex scrub/redaction — the PII-removal shape of a training pipeline
+    * (emails/phones/IDs → placeholder tokens), demonstrated on the digit
+    * runs in `events.props`: count the sensitive spans, redact them, and
+    * report the redacted payload. Pure map-side projection (regex applied
+    * once per kind, shared subexpression), runs at scan speed at any size.
+    *
+    * Regex dialect: pattern restricted to syntax Java regex and RE2
+    * (DuckDB) interpret identically — no lookarounds (RE2 has none), no
+    * backreferences, explicit character classes (Java `\\s` and RE2 `\\s`
+    * differ on \\x0B, so neither is used here). */
+  val q56 = Q(
+    "q56_regex_scrub",
+    (s, dir) => {
+      events(s, dir)
+        .select(
+          col("event_id"),
+          col("event_type"),
+          size(regexp_extract_all(col("props"), lit("[0-9]+"), lit(0)))
+            .cast("long").as("n_spans"),
+          regexp_replace(col("props"), "[0-9]+", "<NUM>").as("redacted"))
+        .filter(col("n_spans") > 0)
+        .orderBy("event_id")
+    },
+    Some("""
+      SELECT event_id, event_type,
+             CAST(len(regexp_extract_all(props, '[0-9]+', 0)) AS BIGINT) AS n_spans,
+             regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS redacted
+      FROM events
+      WHERE len(regexp_extract_all(props, '[0-9]+', 0)) > 0
+      ORDER BY event_id""")
+  )
+
+  /** Deterministic fixed-size per-stratum sample: the k smallest content
+    * hashes per (lang, source) stratum — the "exactly k docs per cell"
+    * complement to q34's rate-based sampling, same reproducibility property
+    * (a pure function of content, independent of partitioning and cluster
+    * size).
+    *
+    * Scale shape: this is the window-top-k pattern — Spark plans a partial
+    * `WindowGroupLimit` BEFORE the stratum exchange, so every map task
+    * forwards at most k rows per stratum and the shuffle is k·strata-sized,
+    * not corpus-sized (asserted for the same shape in PlanRegressionSpec's
+    * q07 check). Rank by (hash, doc_id) so ties cannot make the sample
+    * ambiguous. */
+  val q57 = Q(
+    "q57_stratified_topk",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // 12 hex chars = 48 bits: fits signed BIGINT in both engines (16
+      // would overflow DuckDB's BIGINT on the '0x' cast path)
+      val h = conv(substring(md5(col("text")), 1, 12), 16, 10).cast("long")
+      val w = Window.partitionBy(col("lang"), col("source"))
+        .orderBy(col("h"), col("doc_id"))
+      documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"), h.as("h"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select("doc_id", "lang", "source", "rk")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH ranked AS (
+        SELECT doc_id, lang, source,
+               ROW_NUMBER() OVER (
+                 PARTITION BY lang, source
+                 ORDER BY ('0x' || substr(md5(text), 1, 12))::BIGINT,
+                          doc_id) AS rk
+        FROM documents)
+      SELECT doc_id, lang, source, rk
+      FROM ranked WHERE rk <= 5
+      ORDER BY doc_id""")
+  )
+
+  val all: Seq[Q] = Seq(q33, q34, q35, q37, q46, q53, q54, q55, q56, q57)
 }
