@@ -115,4 +115,23 @@ class PlanRegressionSpec extends SparkSpec {
     val plan = planOf(graft.queries.SketchQueries.q39)
     assert(plan.contains("WindowGroupLimit"), plan.take(3000))
   }
+
+  test("q57: stratified top-k prunes partially before the stratum exchange") {
+    val plan = planOf(graft.queries.PipelineQueries.q57)
+    // Partial mode: a WindowGroupLimit runs on the map side, so each task
+    // forwards <= k rows per stratum and the shuffle is k-per-stratum-sized
+    assert("WindowGroupLimit".r.findAllIn(plan).size >= 2, plan.take(3000))
+    // only the columns the query needs are read
+    assert(!plan.contains("n_chars"), plan.take(3000))
+  }
+
+  test("q55: curation pipeline keeps doc bodies out of every exchange") {
+    val plan = planOf(graft.queries.PipelineQueries.q55)
+    // every Exchange key must be doc_id / the md5 hash / token — the
+    // document text itself must never be a shuffle key
+    val exchanges = "Exchange hashpartitioning\\(text".r.findAllIn(plan).size
+    assert(exchanges == 0, plan.take(3000))
+    // per-doc signal aggregation is partial+final hash agg
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(3000))
+  }
 }
