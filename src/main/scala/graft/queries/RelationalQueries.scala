@@ -610,6 +610,92 @@ object RelationalQueries {
       FROM p ORDER BY o_orderpriority""")
   )
 
+  /** Outer joins — the remaining join-type row: per-customer order stats
+    * via LEFT OUTER (customers with no orders survive with zeros), then a
+    * FULL OUTER against a high-value-customer segment. Null sides are
+    * normalized with coalesce so the result is deterministic and
+    * hash-comparable. Both joins are key-equi: Spark plans SMJ/shuffled
+    * hash and AQE may broadcast the smaller side — no nested loop. */
+  val q58 = Q(
+    "q58_outer_join",
+    (s, dir) => {
+      val bigOrders = orders(s, dir)
+        .filter(col("o_totalprice") > 300000)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("spent"))
+      // LEFT OUTER: every customer survives; ~2% have no qualifying order
+      // and are zero-filled from the NULL side
+      val lj = customer(s, dir)
+        .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_outer")
+        .select(col("c_custkey"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("spent"), lit(0.0)).as("spent"))
+      val vip = customer(s, dir)
+        .filter(col("c_acctbal") > 9000)
+        .select(col("c_custkey").as("v_custkey"), col("c_acctbal"))
+      // FULL OUTER: big-spenders who aren't VIPs (left-only), VIPs with no
+      // qualifying orders (right-only), and the overlap — all three
+      // branches are non-empty at every SF
+      lj.filter(col("n_orders") > 0)
+        .join(vip, col("c_custkey") === col("v_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("v_custkey")).as("custkey"),
+          coalesce(col("n_orders"), lit(-1L)).as("n_orders"),
+          coalesce(col("spent"), lit(-1.0)).as("spent"),
+          coalesce(col("c_acctbal"), lit(0.0)).as("vip_bal"))
+        .orderBy("custkey")
+    },
+    Some(s"""
+      WITH co AS (
+        SELECT o_custkey, COUNT(*) AS n_orders,
+               ${dsumSql("o_totalprice")} AS spent
+        FROM orders WHERE o_totalprice > 300000 GROUP BY o_custkey),
+      lj AS (
+        SELECT c_custkey, COALESCE(n_orders, 0) AS n_orders,
+               COALESCE(spent, 0.0) AS spent
+        FROM customer LEFT OUTER JOIN co ON c_custkey = o_custkey),
+      vip AS (
+        SELECT c_custkey AS v_custkey, c_acctbal
+        FROM customer WHERE c_acctbal > 9000)
+      SELECT COALESCE(c_custkey, v_custkey) AS custkey,
+             COALESCE(n_orders, -1) AS n_orders,
+             COALESCE(spent, -1.0) AS spent,
+             COALESCE(c_acctbal, 0.0) AS vip_bal
+      FROM (SELECT * FROM lj WHERE n_orders > 0) lj2
+      FULL OUTER JOIN vip ON c_custkey = v_custkey
+      ORDER BY custkey""")
+  )
+
+  /** Arbitrary GROUPING SETS (not expressible as one rollup/cube) with
+    * `grouping_id` disambiguating real NULL group keys from aggregate
+    * rows — the remaining grouping-sets surface beyond q10/q11. Same
+    * Expand→partial agg→exchange→final agg shape as rollup: the shuffle
+    * carries one row per (set, group), never the input. */
+  val q59 = Q(
+    "q59_grouping_sets",
+    (s, dir) =>
+      orders(s, dir)
+        .groupingSets(
+          Seq(Seq(col("o_orderpriority"), col("o_orderstatus")),
+            Seq(col("o_orderstatus")),
+            Seq()),
+          col("o_orderpriority"), col("o_orderstatus"))
+        .agg(grouping_id().as("gid"),
+          count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("gid", "o_orderpriority", "o_orderstatus"),
+    Some(s"""
+      SELECT o_orderpriority, o_orderstatus,
+             GROUPING(o_orderpriority, o_orderstatus) AS gid,
+             COUNT(*) AS n_orders,
+             ${dsumSql("o_totalprice")} AS sum_price
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                              (o_orderstatus), ())
+      ORDER BY gid, o_orderpriority, o_orderstatus""")
+  )
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08,
-    q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q28, q29, q44)
+    q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q28, q29, q44,
+    q58, q59)
 }
