@@ -315,37 +315,42 @@ object PipelineQueries {
     * set is reproducible on any cluster size — and the DuckDB oracle
     * re-runs the ENTIRE chain, so the hash check covers the composition,
     * not just the pieces. */
+  /** The curation chain as a reusable DataFrame→DataFrame operator —
+    * shared verbatim by the batch query (q55) and the incremental
+    * streaming sink ([[graft.streaming.CurationSink]]), so batch and
+    * stream provably apply the same policy. Input schema: (doc_id, text,
+    * lang, source, ...). */
+  def curate(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val keep = docs
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val bucket = conv(substring(md5(col("t")), 1, 8), 16, 10)
+      .cast("long") % 16384
+    val wgt = (bucket * lit(2654435761L)) % 1021 - 510
+    val sig = docs.join(keep, "doc_id")
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("t"))
+      .filter(length(col("t")) > 0)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("t")).as("n_types"),
+        sum(wgt).cast("long").as("score"))
+      .withColumn("ttr_pct", expr("(100 * n_types) div n_tokens"))
+    val sample = conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long")
+    val threshold = when(col("lang") === "en", lit((0.50 * (1L << 32)).toLong))
+      .otherwise(lit((0.80 * (1L << 32)).toLong))
+    docs
+      .join(sig, "doc_id")
+      .filter(col("n_tokens") >= 20 && col("ttr_pct") >= 35 &&
+        col("score") > 0 && sample < threshold)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
+        col("ttr_pct"), col("score"))
+  }
+
   val q55 = Q(
     "q55_curation",
-    (s, dir) => {
-      val docs = documents(s, dir)
-      val keep = docs
-        .groupBy(md5(col("text")).as("h"))
-        .agg(min(col("doc_id")).as("doc_id"))
-        .select("doc_id")
-      val bucket = conv(substring(md5(col("t")), 1, 8), 16, 10)
-        .cast("long") % 16384
-      val wgt = (bucket * lit(2654435761L)) % 1021 - 510
-      val sig = docs.join(keep, "doc_id")
-        .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("t"))
-        .filter(length(col("t")) > 0)
-        .groupBy("doc_id")
-        .agg(
-          count(lit(1)).as("n_tokens"),
-          countDistinct(col("t")).as("n_types"),
-          sum(wgt).cast("long").as("score"))
-        .withColumn("ttr_pct", expr("(100 * n_types) div n_tokens"))
-      val sample = conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long")
-      val threshold = when(col("lang") === "en", lit((0.50 * (1L << 32)).toLong))
-        .otherwise(lit((0.80 * (1L << 32)).toLong))
-      docs
-        .join(sig, "doc_id")
-        .filter(col("n_tokens") >= 20 && col("ttr_pct") >= 35 &&
-          col("score") > 0 && sample < threshold)
-        .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
-          col("ttr_pct"), col("score"))
-        .orderBy("doc_id")
-    },
+    (s, dir) => curate(documents(s, dir)).orderBy("doc_id"),
     Some(s"""
       WITH keep AS (
         SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
