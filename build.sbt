@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout/stderr straight through instead of routing
+// them via sbt's logger: the bench/verify drivers parse the final JSON line
+// from stdout, and the logger's "[info] " prefix broke that parse two rounds
+// in a row (BENCH_r01/r02 "parsed": null).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
