@@ -1,0 +1,411 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** Scale-technique suite — the operators a 100 TB training-data pipeline
+  * leans on once the naive relational shape stops fitting the cluster:
+  *
+  *   - q60 broadcast-Bloom decontamination pre-filter (the streaming/scale
+  *     path in front of q38's exact shingle anti-join),
+  *   - q61 salted skew join (explicit hot-key splitting — the join twin of
+  *     q37's salted aggregation),
+  *   - q62 time-series gap fill + forward fill (grid densification without
+  *     ever shuffling more than one user's timeline to one place),
+  *   - q63 count-min sketch frequency estimation (fixed-size mergeable
+  *     state vs an unbounded vocabulary),
+  *   - q64 Z-order clustering key (space-filling-curve layout for
+  *     two-dimensional parquet min/max data skipping).
+  *
+  * Every hash here derives from `md5` (bit-identical in Spark and DuckDB;
+  * the q22 lesson), every aggregate is integer or exact-decimal, so each
+  * query is fully oracle-checked — including the sketch, whose counters are
+  * deterministic given the hash family.
+  */
+object ScaleQueries {
+
+  // ---- shared md5-derived hash machinery (same family as DedupQueries) ----
+
+  /** 2^61 - 1 (prime): permutation modulus; products of 29-bit constants
+    * with 32-bit md5 halves stay < 2^62 (no overflow in either engine). */
+  private val P61 = 2305843009213693951L
+
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+  private val Mask29 = (1L << 29) - 1
+
+  /** Two 32-bit halves of the first 16 md5 hex chars of an md5 hex string
+    * column (cross-engine base hash). */
+  private def hexHalves(h: Column): (Column, Column) =
+    (conv(substring(h, 1, 8), 16, 10).cast("long"),
+      conv(substring(h, 9, 8), 16, 10).cast("long"))
+
+  private def sqlList(xs: Seq[Long]): String = xs.mkString("[", ",", "]")
+
+  // ---- q60: broadcast-Bloom decontamination pre-filter -------------------
+
+  /** Bloom geometry: 128 words × 32 usable bits = 4096 bits, k = 2 probes
+    * (the two md5 halves). 32-bit masks keep `1 << bit` positive, which
+    * matters because DuckDB's BIGINT shift overflow THROWS at bit 63 while
+    * Java wraps — 0..31 is the shared safe range. */
+  private val BloomBits = 4096L
+  private val WordBits = 32L
+
+  /** Benchmark-contamination **pre-filter** with a tiny broadcast Bloom
+    * filter — the scale path in front of q38's exact digest join. q38
+    * shuffles every training shingle digest into a join against the
+    * held-out set; at 100 TB that is a full corpus-wide exchange just to
+    * discover that ~99% of shingles hit nothing. The Bloom build side here
+    * is a FIXED 128-row (word, bits) table regardless of corpus size —
+    * it broadcasts at any scale, membership tests run map-side inside the
+    * scan stage, and only the flagged remainder would ever proceed to the
+    * exact verification join. False positives (reported as an upper-bound
+    * flag count) are the documented price; false negatives are impossible,
+    * which is the direction decontamination cares about.
+    *
+    * The oracle replays the identical bit arithmetic in DuckDB: positions
+    * are md5 halves mod 4096, the filter is `bit_or` of 32-bit masks
+    * grouped by word index, membership = both probe bits set. */
+  val q60 = Q(
+    "q60_bloom_prefilter",
+    (s, dir) => {
+      val sh8 = documents(s, dir)
+        .select(col("doc_id"),
+          graft.functions.GraftFunctions.word_ngrams(col("text"), 8).as("sh"))
+        .select(col("doc_id"), md5(col("sh")).as("h"))
+        .distinct()
+        .localCheckpoint() // three consumers: bloom build, probes, totals
+      val (lo, hi) = hexHalves(col("h"))
+      val probes = sh8
+        .select(col("doc_id"), col("h"),
+          explode(array(lo % BloomBits, hi % BloomBits)).as("pos"))
+        .select(col("doc_id"), col("h"),
+          expr(s"pos div $WordBits").as("word"),
+          expr(s"shiftleft(CAST(1 AS BIGINT), CAST(pos % $WordBits AS INT))").as("mask"))
+      val bloom = probes.filter(col("doc_id") % 101 === 0)
+        .groupBy("word").agg(bit_or(col("mask")).as("bits"))
+      // bloom is ≤128 rows at ANY corpus size — AQE broadcasts it; the
+      // training side never shuffles for the membership test itself.
+      val flagged = probes.filter(col("doc_id") % 101 =!= 0)
+        .join(bloom, "word")
+        .filter((col("bits").bitwiseAND(col("mask"))) === col("mask"))
+        .groupBy("doc_id", "h").agg(count(lit(1)).as("nset"))
+        .filter(col("nset") === 2)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_flagged"))
+      val totals = sh8.filter(col("doc_id") % 101 =!= 0)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      totals.join(flagged, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_flagged"), lit(0L)).as("n_flagged"))
+        .withColumn("flag_frac",
+          col("n_flagged").cast("double") / col("n_grams"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH words AS (
+        SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents),
+      idx AS (
+        SELECT doc_id, w, unnest(range(1, greatest(len(w) - 7, 1) + 1)) AS i
+        FROM words),
+      sh8 AS (
+        SELECT DISTINCT doc_id, md5(array_to_string(w[i:i+7], ' ')) AS h
+        FROM idx),
+      pos AS (
+        SELECT doc_id, h,
+               CAST(('0x' || substr(h, 1, 8)) AS BIGINT) % $BloomBits AS pos
+        FROM sh8
+        UNION ALL
+        SELECT doc_id, h,
+               CAST(('0x' || substr(h, 9, 8)) AS BIGINT) % $BloomBits
+        FROM sh8),
+      pw AS (
+        SELECT doc_id, h, pos // $WordBits AS word,
+               (CAST(1 AS BIGINT) << CAST(pos % $WordBits AS INT)) AS mask
+        FROM pos),
+      bloom AS (
+        SELECT word, bit_or(mask) AS bits FROM pw
+        WHERE doc_id % 101 = 0 GROUP BY word),
+      flagged AS (
+        SELECT doc_id, h FROM pw JOIN bloom USING (word)
+        WHERE doc_id % 101 <> 0 AND (bits & mask) = mask
+        GROUP BY doc_id, h HAVING COUNT(*) = 2),
+      flags AS (
+        SELECT doc_id, COUNT(*) AS n_flagged FROM flagged GROUP BY doc_id),
+      totals AS (
+        SELECT doc_id, COUNT(*) AS n_grams FROM sh8
+        WHERE doc_id % 101 <> 0 GROUP BY doc_id)
+      SELECT doc_id, n_grams, COALESCE(n_flagged, 0) AS n_flagged,
+             CAST(COALESCE(n_flagged, 0) AS DOUBLE) / n_grams AS flag_frac
+      FROM totals LEFT JOIN flags USING (doc_id)
+      ORDER BY doc_id""")
+  )
+
+  // ---- q61: salted skew join ---------------------------------------------
+
+  private val JoinSalt = 8
+
+  /** Explicit hot-key-split (salted) join — the join twin of q37's salted
+    * aggregation. A hash join on a skewed key sends every row of the hot
+    * key to ONE reducer; AQE's skew handling splits sort-merge partitions
+    * after the fact, but the explicit form works for any join it applies
+    * to (including streaming and custom operators) and bounds the skew
+    * BEFORE the first shuffle: the probe side (lineitem) salts each row
+    * deterministically into one of 8 sub-keys, the build side (orders)
+    * replicates each row 8× via explode, and the join key becomes
+    * (orderkey, salt) — a hot orderkey now lands on 8 reducers instead of
+    * one, at the fixed cost of an 8× fan-out of the (narrow) build side.
+    *
+    * The salt must never change the RESULT, only the partitioning — which
+    * is exactly what the oracle checks: DuckDB computes the plain unsalted
+    * join and the hashes must match. Revenue stays in exact decimal so
+    * regrouping cannot move a bit. */
+  val q61 = Q(
+    "q61_salted_join",
+    (s, dir) => {
+      val oi = orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .withColumn("salt", explode(sequence(lit(0), lit(JoinSalt - 1))))
+      val li = lineitem(s, dir)
+        .filter(col("l_quantity") >= 30)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("l_discount"))
+        .withColumn("salt",
+          pmod(crc32(concat_ws("#", col("l_orderkey"), col("l_linenumber"))),
+            lit(JoinSalt)).cast("int"))
+      li.join(oi,
+          li("l_orderkey") === oi("o_orderkey") && li("salt") === oi("salt"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(revenueTerm(col("l_extendedprice"), col("l_discount"))), 2)
+            .cast("double").as("revenue"))
+        .orderBy("o_orderpriority")
+    },
+    Some(s"""
+      SELECT o_orderpriority, COUNT(*) AS n_items,
+             CAST(ROUND(SUM(${revenueTermSql("l_extendedprice", "l_discount")}), 2) AS DOUBLE) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_quantity >= 30
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""")
+  )
+
+  // ---- q62: time-series gap fill + forward fill ---------------------------
+
+  /** Hourly gap fill + forward fill over the event stream (the resampling
+    * step in front of any time-series feature pipeline). Per user: build
+    * the dense hourly grid between their first and last event (sequence +
+    * explode — generated, never shuffled), left-join the observed hourly
+    * aggregate, and carry the last observed value forward with
+    * `last(ignoreNulls) OVER (user, hour ROWS UNBOUNDED PRECEDING)`.
+    *
+    * Scale shape: everything is keyed by user_id — ONE hash exchange, then
+    * grid generation, the grid join, and the fill window all run inside
+    * that partitioning; no shuffle ever carries more than (user, hour,
+    * agg) rows. Hot users densify to ≤ span-hours rows, independent of
+    * their event count. The hourly aggregate is max(value) — order-
+    * independent and bit-exact cross-engine, unlike a double sum/avg.
+    * The user_id % 11 slice keeps the verified output grid-sized. */
+  val q62 = Q(
+    "q62_gap_fill",
+    (s, dir) => {
+      val ev = events(s, dir).filter(col("user_id") % 11 === 0)
+      val hourly = ev
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n_events"), max(col("value")).as("v"))
+      val grid = ev.groupBy("user_id")
+        .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+          date_trunc("hour", max(col("ts"))).as("h1"))
+        .select(col("user_id"),
+          explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
+      val w = Window.partitionBy("user_id").orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("user_id", "hour"), "left")
+        .select(col("user_id"), col("hour"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          last(col("v"), ignoreNulls = true).over(w).as("v_filled"))
+        .orderBy("user_id", "hour")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        FROM events WHERE user_id % 11 = 0),
+      hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS hour,
+               COUNT(*) AS n_events, MAX(value) AS v
+        FROM ev GROUP BY user_id, date_trunc('hour', ts)),
+      grid AS (
+        SELECT user_id,
+               unnest(generate_series(date_trunc('hour', MIN(ts)),
+                                      date_trunc('hour', MAX(ts)),
+                                      INTERVAL 1 HOUR)) AS hour
+        FROM ev GROUP BY user_id)
+      SELECT g.user_id, g.hour,
+             COALESCE(h.n_events, 0) AS n_events,
+             last_value(h.v IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+      FROM grid g LEFT JOIN hourly h
+        ON g.user_id = h.user_id AND g.hour = h.hour
+      ORDER BY g.user_id, g.hour""")
+  )
+
+  // ---- q63: count-min sketch ----------------------------------------------
+
+  private val CmDepth = 4
+  private val CmWidth = 1024L
+  private val CmA = IndexedSeq.tabulate(CmDepth)(i => (mix64(0xD0000L + i) & Mask29) | 1L)
+  private val CmB = IndexedSeq.tabulate(CmDepth)(i => (mix64(0xE0000L + i) & Mask29) | 1L)
+  private val CmC = IndexedSeq.tabulate(CmDepth)(i => mix64(0xF0000L + i) & Mask29)
+
+  /** Count-min sketch over the token stream: 4 hash rows × 1024 counters
+    * estimate any token's frequency with one-sided error (estimate ≥
+    * truth). The sketch is the fixed-size, mergeable answer to "how often
+    * does X occur" at 100 TB: exact per-token counts (q33) shuffle the
+    * whole vocabulary — unbounded state — while the sketch is 4×1024 longs
+    * no matter the corpus, merges by addition (partial aggregation,
+    * streaming state, cross-shard union all work for free), and the update
+    * is map-side arithmetic on the token's md5.
+    *
+    * Output: the top-20 exact tokens with their exact count next to the
+    * sketch estimate. The hash family is md5-derived with plan-time
+    * literal constants, so DuckDB rebuilds the identical counter table and
+    * the oracle hash-checks estimates, not just shapes (the overestimate
+    * is deterministic, not a tolerance band). */
+  val q63 = Q(
+    "q63_countmin",
+    (s, dir) => {
+      val tokens = documents(s, dir)
+        .select(explode(split(col("text"), "\\s+")).as("token"))
+        .filter(length(col("token")) > 0)
+        .select(col("token"), md5(col("token")).as("h"))
+      val (lo, hi) = hexHalves(col("h"))
+      val bucketed = tokens.select(col("token"),
+        explode(array((0 until CmDepth).map { r =>
+          struct(lit(r).as("r"),
+            (((lit(CmA(r)) * lo + lit(CmB(r)) * hi + lit(CmC(r))) % P61) % CmWidth)
+              .as("bucket"))
+        }: _*)).as("rb"))
+        .select(col("token"), col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      val cm = bucketed.groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
+      val exact = tokens.groupBy("token").agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("token")).limit(20)
+      val probeB = exact.select(col("token"), col("n_exact"), md5(col("token")).as("h"))
+      val (plo, phi) = hexHalves(col("h"))
+      val probes = probeB.select(col("token"), col("n_exact"),
+        explode(array((0 until CmDepth).map { r =>
+          struct(lit(r).as("r"),
+            (((lit(CmA(r)) * plo + lit(CmB(r)) * phi + lit(CmC(r))) % P61) % CmWidth)
+              .as("bucket"))
+        }: _*)).as("rb"))
+        .select(col("token"), col("n_exact"),
+          col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      probes.join(cm, Seq("r", "bucket"))
+        .groupBy("token", "n_exact").agg(min(col("cnt")).as("cm_est"))
+        .orderBy(col("n_exact").desc, col("token"))
+    },
+    Some(s"""
+      WITH tokens AS (
+        SELECT unnest(string_split_regex(text, '\\s+')) AS token
+        FROM documents),
+      tok AS (
+        SELECT token, md5(token) AS h FROM tokens WHERE len(token) > 0),
+      halves AS (
+        SELECT token,
+               CAST(('0x' || substr(h, 1, 8)) AS BIGINT) AS lo,
+               CAST(('0x' || substr(h, 9, 8)) AS BIGINT) AS hi
+        FROM tok),
+      bucketed AS (
+        SELECT token, r,
+               (((${sqlList(CmA)}[r + 1] * lo + ${sqlList(CmB)}[r + 1] * hi
+                  + ${sqlList(CmC)}[r + 1]) % $P61) % $CmWidth) AS bucket
+        FROM halves, (SELECT unnest(range(0, $CmDepth)) AS r)),
+      cm AS (
+        SELECT r, bucket, COUNT(*) AS cnt FROM bucketed GROUP BY r, bucket),
+      exact AS (
+        SELECT token, COUNT(*) AS n_exact FROM tok GROUP BY token
+        ORDER BY n_exact DESC, token LIMIT 20),
+      probes AS (
+        SELECT e.token, e.n_exact, b.r, b.bucket
+        FROM exact e JOIN bucketed b ON e.token = b.token),
+      est AS (
+        SELECT token, n_exact, r, bucket FROM probes GROUP BY ALL)
+      SELECT e.token, e.n_exact, MIN(cm.cnt) AS cm_est
+      FROM est e JOIN cm ON e.r = cm.r AND e.bucket = cm.bucket
+      GROUP BY e.token, e.n_exact
+      ORDER BY e.n_exact DESC, e.token""")
+  )
+
+  // ---- q64: Z-order clustering key ----------------------------------------
+
+  /** Z-order (Morton) clustering key over (o_custkey, o_orderdate) — the
+    * space-filling-curve layout that makes parquet min/max stats skip on
+    * TWO dimensions at once. Sorting 100 TB by custkey gives perfect
+    * custkey pruning and zero date pruning; sorting by interleaved bits
+    * gives ~√ pruning on both. The query computes the 32-bit z-value
+    * (both dims scaled to 16 bits against their observed range, bits
+    * interleaved with plan-time static shifts — pure codegen projection,
+    * no shuffle), buckets by the top 6 bits, and reports each bucket's
+    * extent in both dimensions: narrow extents = the layout a writer
+    * would get from `repartitionByRange(z).sortWithinPartitions(z)`.
+    * All arithmetic is integer (scale, shift, mask), so the oracle
+    * recomputes the identical z-values in DuckDB. */
+  val q64 = Q(
+    "q64_zorder",
+    (s, dir) => {
+      val o = orders(s, dir)
+      val ext = o.agg(
+        min(col("o_custkey")).as("minc"), max(col("o_custkey")).as("maxc"),
+        min(col("o_orderdate")).as("mind"), max(col("o_orderdate")).as("maxd"))
+      val scaled = o.crossJoin(ext)
+        .withColumn("x16",
+          expr("((o_custkey - minc) * 65535) div greatest(maxc - minc, 1)"))
+        .withColumn("y16",
+          expr("""(CAST(datediff(o_orderdate, mind) AS BIGINT) * 65535)
+                  div greatest(CAST(datediff(maxd, mind) AS BIGINT), 1)"""))
+      val z = (0 until 16).map { i =>
+        shiftleft(shiftright(col("x16"), i).bitwiseAND(lit(1L)), 2 * i) +
+          shiftleft(shiftright(col("y16"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+      }.reduce(_ + _)
+      scaled.withColumn("z", z)
+        .withColumn("bucket", expr("z div 67108864")) // top 6 of 32 bits
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("o_custkey")).as("min_cust"), max(col("o_custkey")).as("max_cust"),
+          min(col("o_orderdate")).as("min_date"), max(col("o_orderdate")).as("max_date"))
+        .orderBy("bucket")
+    },
+    Some {
+      val zTerms = (0 until 16).map(i =>
+        s"((((x16 >> $i) & 1) << ${2 * i}) + (((y16 >> $i) & 1) << ${2 * i + 1}))")
+        .mkString(" + ")
+      s"""
+      WITH ext AS (
+        SELECT MIN(o_custkey) AS minc, MAX(o_custkey) AS maxc,
+               MIN(o_orderdate) AS mind, MAX(o_orderdate) AS maxd
+        FROM orders),
+      scaled AS (
+        SELECT o_custkey, o_orderdate,
+               ((o_custkey - minc) * 65535) // greatest(maxc - minc, 1) AS x16,
+               (date_diff('day', CAST(mind AS DATE), CAST(o_orderdate AS DATE)) * 65535)
+                 // greatest(date_diff('day', CAST(mind AS DATE), CAST(maxd AS DATE)), 1) AS y16
+        FROM orders, ext),
+      zed AS (
+        SELECT o_custkey, o_orderdate, ($zTerms) AS z FROM scaled)
+      SELECT z // 67108864 AS bucket, COUNT(*) AS n_rows,
+             MIN(o_custkey) AS min_cust, MAX(o_custkey) AS max_cust,
+             MIN(o_orderdate) AS min_date, MAX(o_orderdate) AS max_date
+      FROM zed
+      GROUP BY z // 67108864
+      ORDER BY bucket"""
+    }
+  )
+
+  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64)
+}

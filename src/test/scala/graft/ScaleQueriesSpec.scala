@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.{DedupQueries, ScaleQueries, Tables}
+
+/** Semantic guarantees of the scale-technique suite (q60-q64) that the
+  * DuckDB hash-match can't express: one-sided error directions, salt
+  * invariance, grid density, and layout locality. */
+class ScaleQueriesSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q60: Bloom pre-filter never misses a truly contaminated shingle") {
+    // q38 computes the EXACT per-doc contaminated-shingle count against the
+    // same held-out split; the Bloom flag count must dominate it row-by-row
+    // (false positives allowed, false negatives structurally impossible).
+    val bloom = ScaleQueries.q60.spark(spark, sf)
+      .select(col("doc_id"), col("n_flagged"))
+    val exact = DedupQueries.q38.spark(spark, sf)
+      .select(col("doc_id"), col("n_contaminated"))
+    val misses = bloom.join(exact, "doc_id")
+      .filter(col("n_flagged") < col("n_contaminated"))
+      .count()
+    assert(misses === 0)
+  }
+
+  test("q61: salted join result is identical to the plain unsalted join") {
+    val salted = ScaleQueries.q61.spark(spark, sf).collect().toSeq
+    val plain = Tables.lineitem(spark, sf)
+      .filter(col("l_quantity") >= 30)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(Tables.revenueTerm(col("l_extendedprice"), col("l_discount"))), 2)
+          .cast("double").as("revenue"))
+      .orderBy("o_orderpriority")
+      .collect().toSeq
+    assert(salted === plain)
+  }
+
+  test("q62: grid is dense (hourly steps, no gaps) and fill is sticky") {
+    val rows = ScaleQueries.q62.spark(spark, sf)
+      .select("user_id", "hour", "n_events", "v_filled").collect()
+    val byUser = rows.groupBy(_.getLong(0))
+    byUser.foreach { case (_, rs) =>
+      val hours = rs.map(_.getTimestamp(1).getTime).sorted
+      hours.sliding(2).foreach {
+        case Array(a, b) => assert(b - a === 3600 * 1000L)
+        case _ =>
+      }
+      // once a value has been observed, v_filled never goes back to null
+      val seq = rs.sortBy(_.getTimestamp(1).getTime)
+      var seen = false
+      seq.foreach { r =>
+        if (!r.isNullAt(3)) seen = true
+        else assert(!seen, s"fill dropped back to null after an observation")
+      }
+    }
+    // the grid re-aggregates to the raw event count for the sliced users
+    val gridEvents = rows.map(_.getLong(2)).sum
+    val raw = Tables.events(spark, sf).filter(col("user_id") % 11 === 0).count()
+    assert(gridEvents === raw)
+  }
+
+  test("q63: count-min estimate dominates the exact count (one-sided error)") {
+    val under = ScaleQueries.q63.spark(spark, sf)
+      .filter(col("cm_est") < col("n_exact")).count()
+    assert(under === 0)
+  }
+
+  test("q64: z-order buckets are local in BOTH dimensions") {
+    // Mean per-bucket custkey extent must be well under the global extent —
+    // the whole point of the interleaved key vs a single-dim sort. 16
+    // occupied buckets of a 2-D curve should each cover roughly 1/4 of each
+    // axis; assert a loose 1/2 bound to stay robust to tiny SFs.
+    val rows = ScaleQueries.q64.spark(spark, sf)
+      .select("min_cust", "max_cust", "n_rows").collect()
+    val globalMin = rows.map(_.getLong(0)).min
+    val globalMax = rows.map(_.getLong(1)).max
+    val globalExtent = (globalMax - globalMin).toDouble
+    val meanExtent = rows.map(r => (r.getLong(1) - r.getLong(0)).toDouble).sum / rows.length
+    assert(meanExtent < globalExtent / 2,
+      s"meanExtent=$meanExtent globalExtent=$globalExtent")
+  }
+
+  test("q60 plan: Bloom membership join broadcasts the filter side") {
+    val plan = ScaleQueries.q60.spark(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("q61 plan: join keys carry the salt") {
+    val plan = ScaleQueries.q61.spark(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("salt"), plan.take(2000))
+  }
+}
