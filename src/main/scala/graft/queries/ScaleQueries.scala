@@ -344,6 +344,15 @@ object ScaleQueries {
 
   // ---- q64: Z-order clustering key ----------------------------------------
 
+  /** Interleave the low 16 bits of two non-negative columns into the 32-bit
+    * Morton (Z-order) value: x bits at even positions, y at odd. Static
+    * shifts/masks only — stays a single codegen'd projection. */
+  def mortonZ(x16: Column, y16: Column): Column =
+    (0 until 16).map { i =>
+      shiftleft(shiftright(x16, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(y16, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+
   /** Z-order (Morton) clustering key over (o_custkey, o_orderdate) — the
     * space-filling-curve layout that makes parquet min/max stats skip on
     * TWO dimensions at once. Sorting 100 TB by custkey gives perfect
@@ -369,11 +378,7 @@ object ScaleQueries {
         .withColumn("y16",
           expr("""(CAST(datediff(o_orderdate, mind) AS BIGINT) * 65535)
                   div greatest(CAST(datediff(maxd, mind) AS BIGINT), 1)"""))
-      val z = (0 until 16).map { i =>
-        shiftleft(shiftright(col("x16"), i).bitwiseAND(lit(1L)), 2 * i) +
-          shiftleft(shiftright(col("y16"), i).bitwiseAND(lit(1L)), 2 * i + 1)
-      }.reduce(_ + _)
-      scaled.withColumn("z", z)
+      scaled.withColumn("z", mortonZ(col("x16"), col("y16")))
         .withColumn("bucket", expr("z div 67108864")) // top 6 of 32 bits
         .groupBy("bucket")
         .agg(count(lit(1)).as("n_rows"),
