@@ -95,4 +95,19 @@ class ScaleQueriesSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("salt"), plan.take(2000))
   }
+
+  test("q62 plan: grid, join and fill all share the user_id partitioning") {
+    val plan = ScaleQueries.q62.spark(spark, sf)
+      .queryExecution.executedPlan.toString
+    // every exchange below the final presentation sort is keyed by user_id
+    val exchanges = "hashpartitioning\\(([a-z_0-9#]+)"
+      .r.findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(exchanges.nonEmpty && exchanges.forall(_.startsWith("user_id")), plan.take(3000))
+  }
+
+  test("q63 plan: counter build is partial+final hash aggregation") {
+    val plan = ScaleQueries.q63.spark(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(3000))
+  }
 }
