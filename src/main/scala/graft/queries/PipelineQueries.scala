@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import Tables._
@@ -450,5 +451,90 @@ object PipelineQueries {
       ORDER BY doc_id""")
   )
 
-  val all: Seq[Q] = Seq(q33, q34, q35, q37, q46, q53, q54, q55, q56, q57)
+  /** GPT-style sequence packing: concatenate documents and cut every
+    * `PackCap` tokens — each doc is assigned the training-sequence bin its
+    * FIRST token lands in, plus a flag for straddling a cut boundary (the
+    * fraction of docs split across sequences is the packing-quality metric
+    * pretraining cares about).
+    *
+    * Packing is inherently sequential (each offset depends on every prior
+    * doc), so the distributed shape bounds the sequential unit: docs hash
+    * deterministically onto 8 independent packer streams (md5-derived —
+    * NOT lang/source, so one giant stratum can't serialize), and
+    * the running offset is a window cumsum per (worker) ordered by doc_id.
+    * ONE exchange keyed by worker; each stream is 1/W of the corpus, and W
+    * scales with the cluster. The oracle replays the identical window. */
+  val q65 = Q(
+    "q65_pack_sequences",
+    (s, dir) => {
+      val cap = 2048L
+      val w = Window.partitionBy("worker").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), "\\s+")).cast("long").as("n_tokens"),
+          (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 8).cast("int").as("worker"))
+        .withColumn("end_off", sum(col("n_tokens")).over(w))
+        .withColumn("start_off", col("end_off") - col("n_tokens"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("worker"),
+          col("start_off"),
+          expr(s"start_off div $cap").as("bin"),
+          (expr(s"(end_off - 1) div $cap") > expr(s"start_off div $cap"))
+            .as("straddles"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,
+               CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS INT) AS worker
+        FROM documents),
+      offs AS (
+        SELECT *, CAST(SUM(n_tokens) OVER (
+                 PARTITION BY worker ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS end_off
+        FROM toks)
+      SELECT doc_id, lang, n_tokens, worker,
+             end_off - n_tokens AS start_off,
+             (end_off - n_tokens) // 2048 AS bin,
+             ((end_off - 1) // 2048) > ((end_off - n_tokens) // 2048) AS straddles
+      FROM offs ORDER BY doc_id""")
+  )
+
+  /** Overlapping chunking (RAG / long-context prep): every document is cut
+    * into windows of 512 tokens advancing by 448 (64-token overlap). Chunk
+    * starts are generated per doc (`sequence` + explode — never shuffled),
+    * the chunk itself is a slice of the token array, and the output carries
+    * `md5(chunk)` instead of the chunk text, so downstream exact-dedup of
+    * chunks (q20 shape) gets its 32-byte key for free and the shuffle never
+    * carries chunk bodies. Pure map-side generate→project: scan speed. */
+  val q66 = Q(
+    "q66_chunk_overlap",
+    (s, dir) => {
+      val win = 512
+      val stride = 448
+      documents(s, dir)
+        .select(col("doc_id"), split(col("text"), "\\s+").as("words"))
+        .select(col("doc_id"), col("words"),
+          explode(expr(s"sequence(0, size(words) - 1, $stride)")).as("start"))
+        .select(col("doc_id"),
+          expr(s"CAST(start div $stride AS BIGINT)").as("chunk_id"),
+          expr(s"CAST(size(slice(words, start + 1, $win)) AS BIGINT)").as("chunk_tokens"),
+          expr(s"md5(array_join(slice(words, start + 1, $win), ' '))").as("chunk_hash"))
+        .orderBy("doc_id", "chunk_id")
+    },
+    Some("""
+      WITH words AS (
+        SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+      starts AS (
+        SELECT doc_id, w, unnest(range(0, greatest(len(w), 1), 448)) AS start
+        FROM words)
+      SELECT doc_id, start // 448 AS chunk_id,
+             len(w[start + 1 : start + 512]) AS chunk_tokens,
+             md5(array_to_string(w[start + 1 : start + 512], ' ')) AS chunk_hash
+      FROM starts ORDER BY doc_id, chunk_id""")
+  )
+
+  val all: Seq[Q] = Seq(q33, q34, q35, q37, q46, q53, q54, q55, q56, q57, q65, q66)
 }

@@ -147,4 +147,48 @@ class PipelinePropertiesSpec extends SparkSpec {
       .map(_.getLong(0)).toSet
     rows.foreach(r => assert(survivors.contains(r.getLong(0))))
   }
+
+  test("q65 packing: offsets are gapless per worker and bins never exceed capacity") {
+    val rows = PipelineQueries.q65.spark(spark, sf)
+      .select("doc_id", "n_tokens", "worker", "start_off", "bin", "straddles")
+      .collect()
+    rows.groupBy(_.getInt(2)).foreach { case (_, ws) =>
+      val sorted = ws.sortBy(_.getLong(0))
+      // token stream is contiguous: each doc starts where the previous ended
+      sorted.foldLeft(0L) { (expected, r) =>
+        assert(r.getLong(3) === expected, s"gap at doc ${r.getLong(0)}")
+        expected + r.getLong(1)
+      }
+    }
+    rows.foreach { r =>
+      val (n, start, bin, straddles) =
+        (r.getLong(1), r.getLong(3), r.getLong(4), r.getBoolean(5))
+      assert(bin === start / 2048)
+      assert(straddles === (start + n - 1) / 2048 > bin)
+    }
+    // a healthy corpus at this SF must actually pack (some straddlers exist)
+    assert(rows.exists(_.getBoolean(5)))
+  }
+
+  test("q66 chunking: windows tile each doc with the configured overlap") {
+    val rows = PipelineQueries.q66.spark(spark, sf).collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    val nTokens = TextQueries.q30.spark(spark, sf)
+      .select("doc_id", "n_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byDoc.foreach { case (docId, cs) =>
+      val sorted = cs.sortBy(_.getLong(1))
+      // chunk ids are consecutive from 0
+      sorted.zipWithIndex.foreach { case (r, i) => assert(r.getLong(1) === i) }
+      val n = nTokens(docId)
+      // chunk i spans exactly [448*i, 448*i + min(512, n - 448*i)) — so the
+      // chunks tile the doc end-to-end with 64-token overlaps
+      sorted.foreach { r =>
+        val (i, len) = (r.getLong(1), r.getLong(2))
+        assert(len === math.min(512L, n - 448 * i), s"doc $docId chunk $i")
+      }
+      val covered = sorted.map(r => 448 * r.getLong(1) + r.getLong(2)).max
+      assert(covered === n, s"doc $docId covered $covered of $n")
+    }
+  }
 }
