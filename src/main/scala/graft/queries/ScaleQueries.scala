@@ -76,34 +76,42 @@ object ScaleQueries {
   val q60 = Q(
     "q60_bloom_prefilter",
     (s, dir) => {
+      val (lo, hi) = hexHalves(col("h"))
+      // both probe positions stay COLUMNS (no explode): membership is then
+      // two broadcast joins + a row-level conjunction — zero shuffles
+      // between the digest distinct and the final per-doc aggregate.
       val sh8 = documents(s, dir)
         .select(col("doc_id"),
           graft.functions.GraftFunctions.word_ngrams(col("text"), 8).as("sh"))
         .select(col("doc_id"), md5(col("sh")).as("h"))
         .distinct()
-        .localCheckpoint() // three consumers: bloom build, probes, totals
-      val (lo, hi) = hexHalves(col("h"))
-      val probes = sh8
-        .select(col("doc_id"), col("h"),
-          explode(array(lo % BloomBits, hi % BloomBits)).as("pos"))
-        .select(col("doc_id"), col("h"),
-          expr(s"pos div $WordBits").as("word"),
-          expr(s"shiftleft(CAST(1 AS BIGINT), CAST(pos % $WordBits AS INT))").as("mask"))
-      val bloom = probes.filter(col("doc_id") % 101 === 0)
+        .select(col("doc_id"),
+          (lo % BloomBits).as("pos0"), (hi % BloomBits).as("pos1"))
+        .select(col("doc_id"),
+          expr(s"pos0 div $WordBits").as("word0"),
+          expr(s"shiftleft(CAST(1 AS BIGINT), CAST(pos0 % $WordBits AS INT))").as("mask0"),
+          expr(s"pos1 div $WordBits").as("word1"),
+          expr(s"shiftleft(CAST(1 AS BIGINT), CAST(pos1 % $WordBits AS INT))").as("mask1"))
+        .localCheckpoint() // two consumers: bloom build + training probe
+      val bloom = sh8.filter(col("doc_id") % 101 === 0)
+        .select(col("word0").as("word"), col("mask0").as("mask"))
+        .unionAll(sh8.filter(col("doc_id") % 101 === 0)
+          .select(col("word1").as("word"), col("mask1").as("mask")))
         .groupBy("word").agg(bit_or(col("mask")).as("bits"))
-      // bloom is ≤128 rows at ANY corpus size — AQE broadcasts it; the
-      // training side never shuffles for the membership test itself.
-      val flagged = probes.filter(col("doc_id") % 101 =!= 0)
-        .join(bloom, "word")
-        .filter((col("bits").bitwiseAND(col("mask"))) === col("mask"))
-        .groupBy("doc_id", "h").agg(count(lit(1)).as("nset"))
-        .filter(col("nset") === 2)
-        .groupBy("doc_id").agg(count(lit(1)).as("n_flagged"))
-      val totals = sh8.filter(col("doc_id") % 101 =!= 0)
-        .groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-      totals.join(flagged, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_grams"),
-          coalesce(col("n_flagged"), lit(0L)).as("n_flagged"))
+      // bloom is ≤128 rows at ANY corpus size — AQE broadcasts both joins;
+      // the training side never shuffles for the membership test itself.
+      val b0 = bloom.select(col("word").as("word0"), col("bits").as("bits0"))
+      val b1 = bloom.select(col("word").as("word1"), col("bits").as("bits1"))
+      sh8.filter(col("doc_id") % 101 =!= 0)
+        .join(b0, Seq("word0"), "left")
+        .join(b1, Seq("word1"), "left")
+        .withColumn("flagged",
+          col("bits0").isNotNull && col("bits1").isNotNull &&
+            (col("bits0").bitwiseAND(col("mask0")) === col("mask0")) &&
+            (col("bits1").bitwiseAND(col("mask1")) === col("mask1")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("flagged"), 1L).otherwise(0L)).cast("long").as("n_flagged"))
         .withColumn("flag_frac",
           col("n_flagged").cast("double") / col("n_grams"))
         .orderBy("doc_id")

@@ -110,4 +110,24 @@ class ScaleQueriesSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(3000))
   }
+
+  test("engine-level runtime bloom pruning exists for single-job joins (q60 covers the rest)") {
+    // Catalyst's InjectRuntimeFilter gives shuffle joins a bloom pre-filter
+    // automatically WITHIN one plan; q60 exists because decontamination
+    // wants the filter to outlive the job (reusable across corpora and in
+    // streaming). Pin the behavior here so the division of labor stays
+    // documented-and-true against Spark upgrades.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    val fact = Tables.lineitem(s, sf).select("l_orderkey", "l_quantity")
+    val dim = Tables.orders(s, sf)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    val plan = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("might_contain"), plan.take(3000))
+  }
 }
