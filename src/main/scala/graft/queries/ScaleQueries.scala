@@ -272,6 +272,24 @@ object ScaleQueries {
   private val CmB = IndexedSeq.tabulate(CmDepth)(i => (mix64(0xE0000L + i) & Mask29) | 1L)
   private val CmC = IndexedSeq.tabulate(CmDepth)(i => mix64(0xF0000L + i) & Mask29)
 
+  /** One (r, bucket) sketch cell per token occurrence — q63's update
+    * stream, shared with [[graft.streaming.StreamingCountMin]] so the
+    * batch sketch and the streaming sketch provably use the same
+    * md5-derived hash family (their counters must be EQUAL, not close). */
+  def cmCells(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(explode(split(col("text"), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .select(md5(col("token")).as("h"))
+    val (lo, hi) = hexHalves(col("h"))
+    toks.select(explode(array((0 until CmDepth).map { r =>
+      struct(lit(r).as("r"),
+        (((lit(CmA(r)) * lo + lit(CmB(r)) * hi + lit(CmC(r))) % P61) % CmWidth)
+          .as("bucket"))
+    }: _*)).as("rb"))
+      .select(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+  }
+
   /** Count-min sketch over the token stream: 4 hash rows × 1024 counters
     * estimate any token's frequency with one-sided error (estimate ≥
     * truth). The sketch is the fixed-size, mergeable answer to "how often
