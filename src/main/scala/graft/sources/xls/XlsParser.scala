@@ -2,11 +2,15 @@ package graft.sources.xls
 
 import scala.collection.mutable
 
-/** Minimal BIFF8 (`.xls`) workbook parser, from the public [MS-XLS] record
-  * spec — the cell-record coverage xlrd needs for the reference's
-  * `dtype=str` read (`main.py:245`: engine xlrd): BOF/BOUNDSHEET/SST for
-  * structure, LABELSST/LABEL/RSTRING/NUMBER/RK/MULRK/BOOLERR/FORMULA(+
-  * STRING) for values.
+/** Minimal BIFF8 + BIFF5/7 (`.xls`) workbook parser, from the public
+  * [MS-XLS] record spec — the cell-record coverage xlrd needs for the
+  * reference's `dtype=str` read (`main.py:245`: engine xlrd, which reads
+  * BIFF5 through BIFF8): BOF/BOUNDSHEET/SST for structure,
+  * LABELSST/LABEL/RSTRING/NUMBER/RK/MULRK/BOOLERR/FORMULA(+STRING) for
+  * values. The BOF version field selects the dialect: BIFF5 has no
+  * SST/LABELSST, and its strings are flag-less byte strings (decoded as
+  * latin-1; per-CODEPAGE decoding is out of scope — xlrd defaults the
+  * same way for files that omit CODEPAGE).
   *
   * Value rendering under the `dtype=str` contract (same decision as the
   * xlsx reader: the raw stored value, stringified): BIFF stores every
@@ -66,6 +70,7 @@ object XlsParser {
     // ---- globals substream: BOUNDSHEETs + SST
     var sheets = Vector.empty[(String, Int)] // (name, stream offset of BOF)
     var sst = IndexedSeq.empty[String]
+    var biff5 = false
     var pos = 0
     var depth = 0
     var done = false
@@ -74,14 +79,17 @@ object XlsParser {
       val len = u16(wb, pos + 2)
       val body = pos + 4
       id match {
-        case BOF => depth += 1
+        case BOF =>
+          if (depth == 0) biff5 = u16(wb, body) < 0x0600
+          depth += 1
         case EOF => depth -= 1; if (depth <= 0) done = true
         case BOUNDSHEET =>
           val off = u32(wb, body)
           val cch = u8(wb, body + 6)
-          val grbit = u8(wb, body + 7)
           val name =
-            if ((grbit & 1) == 0)
+            if (biff5) // BIFF5 sheet names are flag-less byte strings
+              new String(wb, body + 7, cch, "ISO-8859-1")
+            else if ((u8(wb, body + 7) & 1) == 0)
               new String(wb, body + 8, cch, "ISO-8859-1")
             else new String(wb, body + 8, cch * 2, "UTF-16LE")
           sheets :+= (name, off)
@@ -101,7 +109,7 @@ object XlsParser {
     }
 
     sheets.map { case (name, off) =>
-      XlsSheet(name, parseSheetSubstream(wb, off, sst))
+      XlsSheet(name, parseSheetSubstream(wb, off, sst, biff5))
     }
   }
 
@@ -190,8 +198,12 @@ object XlsParser {
     renderNum(if (x100) v / 100.0 else v)
   }
 
+  /** BIFF5 byte string (cch u16 + codepage bytes, no flags). */
+  private def byteString(b: Array[Byte], off: Int): String =
+    new String(b, off + 2, u16(b, off), "ISO-8859-1")
+
   private def parseSheetSubstream(
-      wb: Array[Byte], start: Int, sst: IndexedSeq[String]
+      wb: Array[Byte], start: Int, sst: IndexedSeq[String], biff5: Boolean
   ): Seq[IndexedSeq[String]] = {
     val cells = mutable.Map.empty[(Int, Int), String]
     var pendingStringCell: Option[(Int, Int)] = None // FORMULA string result
@@ -209,7 +221,8 @@ object XlsParser {
           cells((u16(wb, b), u16(wb, b + 2))) =
             sst.lift(u32(wb, b + 6)).orNull
         case LABEL | RSTRING =>
-          cells((u16(wb, b), u16(wb, b + 2))) = inlineString(wb, b + 6)
+          cells((u16(wb, b), u16(wb, b + 2))) =
+            if (biff5) byteString(wb, b + 6) else inlineString(wb, b + 6)
         case NUMBER =>
           cells((u16(wb, b), u16(wb, b + 2))) = renderNum(f64(wb, b + 6))
         case RK =>
@@ -241,7 +254,9 @@ object XlsParser {
             }
           } else cells((row, col)) = renderNum(f64(wb, b + 6))
         case STRING =>
-          pendingStringCell.foreach(rc => cells(rc) = inlineString(wb, b))
+          pendingStringCell.foreach { rc =>
+            cells(rc) = if (biff5) byteString(wb, b) else inlineString(wb, b)
+          }
           pendingStringCell = None
         case _ =>
       }

@@ -212,6 +212,46 @@ class XlsImporterSpec extends SparkSpec {
     assert(rows(0) == Row("A" * 25 + "ü" * 15, "xyž"))
   }
 
+  test("xls: BIFF5 dialect (no SST, flag-less byte strings)") {
+    // xlrd reads BIFF5 through BIFF8; the dialect differences a minimal
+    // reader must honor: BOF version 0x0500, BOUNDSHEET names without the
+    // unicode-flags byte, LABEL/STRING as cch(u16)+codepage bytes.
+    val bofG = rec(0x0809, u16(0x0500) ++ u16(0x0005) ++ u16(0x0DBB) ++
+      u16(0x07CC))
+    val bofS = rec(0x0809, u16(0x0500) ++ u16(0x0010) ++ u16(0x0DBB) ++
+      u16(0x07CC))
+    val eof = rec(0x000A, Array.empty)
+    def cell(row: Int, col: Int): Array[Byte] = u16(row) ++ u16(col) ++ u16(0)
+    val sheet = Array(
+      bofS,
+      rec(0x0203, cell(0, 0) ++ f64(7.0)),                 // NUMBER → "7"
+      rec(0x0204, cell(0, 1) ++ u16(5) ++ latin1("héllo")), // BIFF5 LABEL
+      rec(0x027E, cell(1, 0) ++ u32((99 << 2) | 2)),       // RK int → "99"
+      rec(0x0205, cell(1, 1) ++ Array(0.toByte, 0.toByte)), // BOOL false
+      // FORMULA with cached string result + BIFF5 STRING record
+      rec(0x0006, cell(2, 0) ++
+        Array[Byte](0, 0, 0, 0, 0, 0, -1, -1) ++ u16(0) ++ u32(0) ++ u16(0)),
+      rec(0x0207, u16(3) ++ latin1("fx5")),
+      eof
+    ).flatten
+    def globals(off: Int): Array[Byte] = Array(
+      bofG,
+      rec(0x0085, u32(off) ++ u16(0) ++ Array(8.toByte) ++ latin1("OldSheet")),
+      eof).flatten
+    val wb = globals(globals(0).length) ++ sheet
+
+    val dir = tmpDir("xls5")
+    val p = dir.resolve("old.xls").toString
+    Files.write(Paths.get(p), cfb(wb))
+    val a = AnyFile.parse(spark, p).head
+    assert(a.sheetName == "OldSheet")
+    assert(a.parseInfo == "OK")
+    val rows = a.data.collect()
+    assert(rows(0) == Row("7", "héllo"))
+    assert(rows(1) == Row("99", "False"))
+    assert(rows(2) == Row("fx5", null))
+  }
+
   test("corrupt xls → Failed answer, no exception") {
     val dir = tmpDir("xlsbad")
     val p = writeFile(dir, "bad.xls", "not really excel")
