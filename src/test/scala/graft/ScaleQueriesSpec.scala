@@ -130,4 +130,31 @@ class ScaleQueriesSpec extends SparkSpec {
       .queryExecution.optimizedPlan.toString
     assert(plan.contains("might_contain"), plan.take(3000))
   }
+
+  test("AQE splits skewed sort-merge join partitions at runtime (q61 covers the rest)") {
+    // The engine-side half of the skew story: for shuffle sort-merge joins
+    // AQE re-splits oversized partitions AFTER materialization. q61's
+    // explicit salting exists for everything AQE can't touch (custom
+    // operators, streaming joins, bounding skew BEFORE the first shuffle).
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "20KB")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "20KB")
+    s.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    import s.implicits._
+    // one hot key carries ~95% of the fact side; pad derives from id so it
+    // actually flows through the shuffle (a literal would be re-projected
+    // above the join and the hot partition would be 8-byte keys only)
+    val fact = s.range(0, 20000)
+      .select(when($"id" < 19000, lit(7L)).otherwise($"id").as("k"),
+        concat(lit("x" * 64), $"id").as("pad"))
+    val dim = s.range(0, 200).select($"id".as("k"), lit(1L).as("v"))
+    val joined = fact.join(dim, "k")
+    joined.collect() // finalize THIS QueryExecution's adaptive plan
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"), plan.take(1500))
+    assert(plan.contains("skew=true"), plan.take(3000))
+  }
 }

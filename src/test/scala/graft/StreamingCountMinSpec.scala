@@ -19,6 +19,20 @@ class StreamingCountMinSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
   test("streamed counters equal the batch sketch; state stays sketch-sized") {
+    runSketchStream(spark)
+  }
+
+  test("same result under the RocksDB state store (the 100 TB backend)") {
+    // Production streaming state at scale lives off-heap in RocksDB, not
+    // in the default in-memory HDFS-backed store; pin that the sketch
+    // behaves identically under it.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    runSketchStream(s)
+  }
+
+  private def runSketchStream(spark: org.apache.spark.sql.SparkSession): Unit = {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val ids = docs.select("doc_id").as[Long].collect().sorted
