@@ -536,5 +536,67 @@ object PipelineQueries {
       FROM starts ORDER BY doc_id, chunk_id""")
   )
 
-  val all: Seq[Q] = Seq(q33, q34, q35, q37, q46, q53, q54, q55, q56, q57, q65, q66)
+  /** Temperature-based mixture sampling — the source-reweighting step of
+    * every pretraining data recipe (Pile-style mixing, DoReMi's baseline):
+    * draw a corpus of ~T docs where group g's share is proportional to
+    * n_g^alpha with alpha = 0.5, so rare languages are up-weighted
+    * relative to their raw share (rate ∝ 1/√n_g) without ever exceeding
+    * availability (rate caps at 1).
+    *
+    * Everything is deterministic integer arithmetic so the oracle matches
+    * bit-for-bit: weights are floor(√n) (IEEE sqrt is correctly rounded —
+    * identical in both engines — and floor kills any boundary doubt), the
+    * per-group keep-threshold is one integer division, and selection is
+    * `md5-half(doc_id) < thresh` — the same deterministic-hash-gate
+    * technique as q34, which also makes the sample REPRODUCIBLE and stable
+    * under corpus growth (a doc's fate depends only on its id and its
+    * group's stats, not on partitioning or row order).
+    *
+    * Scale shape: group stats are a 5-row aggregate; the rate table
+    * broadcast-joins onto the corpus scan and the gate filters map-side —
+    * the corpus itself never shuffles. */
+  val q67 = Q(
+    "q67_mixture_sample",
+    (s, dir) => {
+      val T = 200L
+      val Scale = 1L << 32
+      val docs = documents(s, dir)
+      val stats = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+        .withColumn("w", expr("CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT)"))
+      val denom = stats.agg(sum(col("w")).as("denom"))
+      val rates = stats.crossJoin(denom)
+        .withColumn("thresh",
+          least(lit(Scale), expr(s"($Scale * $T * w) div (denom * n)")))
+        .select("lang", "n", "thresh")
+      docs
+        .select(col("doc_id"), col("lang"),
+          conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long").as("hsh"))
+        .join(rates, "lang") // 5-row rate table — broadcast, gate is map-side
+        .filter(col("hsh") < col("thresh"))
+        .select(col("doc_id"), col("lang"), col("n").as("lang_docs"),
+          col("thresh"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH stats AS (
+        SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+      w AS (
+        SELECT lang, n, CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT) AS w
+        FROM stats),
+      d AS (SELECT CAST(SUM(w) AS BIGINT) AS denom FROM w),
+      rates AS (
+        SELECT lang, n,
+               CAST(LEAST(4294967296, (4294967296 * 200 * w) // (denom * n))
+                    AS BIGINT) AS thresh
+        FROM w, d)
+      SELECT doc_id, lang, n AS lang_docs, thresh
+      FROM documents JOIN rates USING (lang)
+      WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+            < thresh
+      ORDER BY doc_id""")
+  )
+
+  val all: Seq[Q] = Seq(q33, q34, q35, q37, q46, q53, q54, q55, q56, q57,
+    q65, q66, q67)
 }

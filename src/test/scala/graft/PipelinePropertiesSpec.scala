@@ -170,6 +170,23 @@ class PipelinePropertiesSpec extends SparkSpec {
     assert(rows.exists(_.getBoolean(5)))
   }
 
+  test("q67 mixture sampling: rare groups up-weighted, availability capped") {
+    val rows = PipelineQueries.q67.spark(spark, sf)
+      .select("lang", "lang_docs", "thresh").distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // temperature alpha=0.5 ⇒ keep-rate ∝ 1/sqrt(n). The integer floor in
+    // w=⌊√n⌋ can locally invert neighbors that straddle a perfect square
+    // (n=80 w=8 vs n=82 w=9), so assert monotonicity where it must hold:
+    // a group at least 2x bigger never gets a higher threshold
+    for ((_, na, ta) <- rows; (_, nb, tb) <- rows if nb >= 2 * na)
+      assert(ta >= tb, s"n=$na thresh=$ta vs n=$nb thresh=$tb")
+    // thresholds never exceed the hash-space size (rate caps at 1)
+    rows.foreach { case (_, _, t) => assert(t <= (1L << 32)) }
+    // the sample hits roughly the target size (deterministic given hashes)
+    val total = PipelineQueries.q67.spark(spark, sf).count()
+    assert(total > 0 && total < 500)
+  }
+
   test("q66 chunking: windows tile each doc with the configured overlap") {
     val rows = PipelineQueries.q66.spark(spark, sf).collect()
     val byDoc = rows.groupBy(_.getLong(0))
