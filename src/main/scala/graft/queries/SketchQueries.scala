@@ -151,5 +151,62 @@ object SketchQueries {
       GROUP BY 1, 2 ORDER BY win_start, event_type""")
   )
 
-  val all: Seq[Q] = Seq(q27, q39, q52)
+  /** Log-histogram approximate quantiles (HDR-histogram shape): bucket =
+    * number of binary digits of the value (computed as the LENGTH of the
+    * base-2 string — pure integer/string ops, so both engines agree at
+    * power-of-two boundaries where a float log2 could round either way),
+    * per-group counts per bucket, quantile estimate = lower bound 2^(b-1)
+    * of the first bucket whose running count crosses ⌈q·n⌉.
+    *
+    * This is the mergeable, fixed-size answer to quantiles at 100 TB:
+    * exact per-group percentiles (q35) sort or collect value lists, while
+    * the histogram is ≤64 counters per group, merges by addition (map-side
+    * partial aggregation, streaming state, cross-shard union), and bounds
+    * relative error by 2x by construction. Spark's own percentile_approx
+    * (GK sketch) has tighter error but engine-internal state; this shape
+    * is what monitoring systems (HDR, DDSketch) standardize on, and it is
+    * oracle-exact. */
+  val q68 = Q(
+    "q68_histogram_quantiles",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hist = documents(s, dir)
+        .select(col("lang"),
+          length(conv(col("n_chars"), 10, 2)).cast("long").as("bucket"))
+        .groupBy("lang", "bucket").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("lang").orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist
+        .withColumn("cum", sum(col("cnt")).over(w))
+        .withColumn("n", sum(col("cnt")).over(Window.partitionBy("lang")))
+      def qlb(q: Double, name: String) =
+        min(when(col("cum") * 100 >= lit((q * 100).toLong) * col("n"),
+          expr("CAST(POW(2, bucket - 1) AS BIGINT)"))).as(name)
+      cum.groupBy("lang")
+        .agg(max(col("n")).as("n_docs"),
+          qlb(0.5, "p50_lb"), qlb(0.9, "p90_lb"), qlb(0.99, "p99_lb"))
+        .orderBy("lang")
+    },
+    Some("""
+      WITH hist AS (
+        SELECT lang, CAST(LENGTH(bin(n_chars)) AS BIGINT) AS bucket,
+               COUNT(*) AS cnt
+        FROM documents GROUP BY lang, LENGTH(bin(n_chars))),
+      cum AS (
+        SELECT lang, bucket, cnt,
+               CAST(SUM(cnt) OVER (PARTITION BY lang ORDER BY bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+               CAST(SUM(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
+        FROM hist)
+      SELECT lang, MAX(n) AS n_docs,
+             MIN(CASE WHEN cum * 100 >= 50 * n
+                 THEN CAST(POW(2, bucket - 1) AS BIGINT) END) AS p50_lb,
+             MIN(CASE WHEN cum * 100 >= 90 * n
+                 THEN CAST(POW(2, bucket - 1) AS BIGINT) END) AS p90_lb,
+             MIN(CASE WHEN cum * 100 >= 99 * n
+                 THEN CAST(POW(2, bucket - 1) AS BIGINT) END) AS p99_lb
+      FROM cum GROUP BY lang ORDER BY lang""")
+  )
+
+  val all: Seq[Q] = Seq(q27, q39, q52, q68)
 }

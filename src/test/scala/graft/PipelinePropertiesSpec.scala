@@ -187,6 +187,29 @@ class PipelinePropertiesSpec extends SparkSpec {
     assert(total > 0 && total < 500)
   }
 
+  test("q68 histogram quantiles bracket the exact quantiles within 2x") {
+    import graft.queries.SketchQueries
+    val hist = SketchQueries.q68.spark(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // exact order statistics (the histogram's bound is vs the ⌈qn⌉-th
+    // ranked value, not an interpolated quantile)
+    val byLang = spark.read.parquet(s"$sf/documents.parquet")
+      .select("lang", "n_chars").collect()
+      .groupBy(_.getString(0)).map { case (l, rs) =>
+        l -> rs.map(_.getLong(1)).sorted
+      }
+    byLang.foreach { case (lang, vs) =>
+      val (lb50, lb90, lb99) = hist(lang)
+      def rank(q: Double): Long = vs((math.ceil(q * vs.length) - 1).toInt.max(0))
+      for ((lb, q) <- Seq((lb50, 0.5), (lb90, 0.9), (lb99, 0.99))) {
+        val v = rank(q)
+        assert(lb <= v && v < 2 * lb, s"$lang q=$q lb=$lb exact=$v")
+      }
+      // quantile estimates are monotone in q
+      assert(lb50 <= lb90 && lb90 <= lb99)
+    }
+  }
+
   test("q66 chunking: windows tile each doc with the configured overlap") {
     val rows = PipelineQueries.q66.spark(spark, sf).collect()
     val byDoc = rows.groupBy(_.getLong(0))
