@@ -572,7 +572,10 @@ object PipelineQueries {
         .select(col("doc_id"), col("lang"),
           conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
             .cast("long").as("hsh"))
-        .join(rates, "lang") // 5-row rate table — broadcast, gate is map-side
+        // rate table is ≤ #languages rows at ANY scale — a legitimate
+        // explicit broadcast (same class as nation/region); without the
+        // hint AQE happily broadcasts the CORPUS side at toy SFs
+        .join(broadcast(rates), "lang")
         .filter(col("hsh") < col("thresh"))
         .select(col("doc_id"), col("lang"), col("n").as("lang_docs"),
           col("thresh"))
