@@ -600,6 +600,99 @@ object PipelineQueries {
       ORDER BY doc_id""")
   )
 
+  /** Capstone recipe — exact dedup → quality gate → temperature mixture
+    * sample → sequence packing, as one declarative chain (the full
+    * "raw corpus in, training sequences out" pipeline; q55 is the sibling
+    * recipe ending in a stratified sample instead). Each stage is the
+    * already-verified operator: q20's md5-groupBy dedup, a token-count
+    * gate, q67's integer-threshold mixture sampler (T=150 here, computed
+    * on the GATED survivor stats), q65's packer (4 streams, 1024-token
+    * bins, worker from the hi md5 half so it is independent of the
+    * sampling gate's lo half).
+    *
+    * The point of composing declaratively: Catalyst pipelines the gate
+    * into the dedup join's scan, the sampler's rate table builds from the
+    * checkpointed gated survivors (one narrow (doc_id, lang, n_tokens)
+    * table serving both the stats and the gate — no second pass over the
+    * corpus), and the whole recipe shuffles document text exactly once
+    * (the dedup groupBy on md5), which is the minimum any content-dedup
+    * recipe can do. */
+  val q69 = Q(
+    "q69_recipe",
+    (s, dir) => {
+      val T = 150L
+      val Scale = 1L << 32
+      val docs = documents(s, dir)
+      val keep = docs.groupBy(md5(col("text")).as("hh"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val gated = docs.join(keep, "doc_id")
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+        .filter(col("n_tokens") >= 20)
+        .localCheckpoint() // two consumers: rate stats + sampling gate
+      val stats = gated.groupBy("lang").agg(count(lit(1)).as("n"))
+        .withColumn("w", expr("CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT)"))
+      val denom = stats.agg(sum(col("w")).as("denom"))
+      val rates = stats.crossJoin(denom)
+        .withColumn("thresh",
+          least(lit(Scale), expr(s"($Scale * $T * w) div (denom * n)")))
+        .select("lang", "thresh")
+      val sampled = gated
+        .withColumn("hsh",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long"))
+        .join(broadcast(rates), "lang")
+        .filter(col("hsh") < col("thresh"))
+        .withColumn("worker",
+          (conv(substring(md5(col("doc_id").cast("string")), 9, 8), 16, 10)
+            .cast("long") % 4).cast("int"))
+      val w = Window.partitionBy("worker").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      sampled
+        .withColumn("end_off", sum(col("n_tokens")).over(w))
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("worker"),
+          (col("end_off") - col("n_tokens")).as("start_off"),
+          expr("(end_off - n_tokens) div 1024").as("bin"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH keep AS (
+        SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+      gated AS (
+        SELECT d.doc_id, d.lang,
+               CAST(len(string_split_regex(d.text, '\s+')) AS BIGINT) AS n_tokens
+        FROM documents d JOIN keep USING (doc_id)
+        WHERE len(string_split_regex(d.text, '\s+')) >= 20),
+      stats AS (SELECT lang, COUNT(*) AS n FROM gated GROUP BY lang),
+      w AS (
+        SELECT lang, n, CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT) AS w
+        FROM stats),
+      d AS (SELECT CAST(SUM(w) AS BIGINT) AS denom FROM w),
+      rates AS (
+        SELECT lang,
+               CAST(LEAST(4294967296, (4294967296 * 150 * w) // (denom * n))
+                    AS BIGINT) AS thresh
+        FROM w, d),
+      sampled AS (
+        SELECT g.*,
+               CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8))
+                    AS BIGINT) % 4 AS INT) AS worker
+        FROM gated g JOIN rates USING (lang)
+        WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              < thresh),
+      offs AS (
+        SELECT *, CAST(SUM(n_tokens) OVER (
+                 PARTITION BY worker ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS end_off
+        FROM sampled)
+      SELECT doc_id, lang, n_tokens, worker,
+             end_off - n_tokens AS start_off,
+             (end_off - n_tokens) // 1024 AS bin
+      FROM offs ORDER BY doc_id""")
+  )
+
   val all: Seq[Q] = Seq(q33, q34, q35, q37, q46, q53, q54, q55, q56, q57,
-    q65, q66, q67)
+    q65, q66, q67, q69)
 }
