@@ -187,6 +187,28 @@ class PipelinePropertiesSpec extends SparkSpec {
     assert(total > 0 && total < 500)
   }
 
+  test("q69 recipe: stages agree with their standalone operators") {
+    val rows = PipelineQueries.q69.spark(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // every output doc is an exact-dedup survivor and passed the gate
+    val survivors = DedupQueries.q20.spark(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    rows.foreach { r =>
+      assert(survivors.contains(r.getLong(0)))
+      assert(r.getLong(2) >= 20) // n_tokens gate
+    }
+    // packing law: per worker, offsets are gapless and bins follow offsets
+    rows.groupBy(_.getInt(3)).foreach { case (_, ws) =>
+      ws.sortBy(_.getLong(0)).foldLeft(0L) { (expected, r) =>
+        assert(r.getLong(4) === expected) // start_off
+        assert(r.getLong(5) === expected / 1024) // bin
+        expected + r.getLong(2)
+      }
+    }
+    // the mixture stage actually cut the corpus
+    assert(rows.length < survivors.size)
+  }
+
   test("q68 histogram quantiles bracket the exact quantiles within 2x") {
     import graft.queries.SketchQueries
     val hist = SketchQueries.q68.spark(spark, sf).collect()
