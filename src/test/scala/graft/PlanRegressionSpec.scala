@@ -134,4 +134,24 @@ class PlanRegressionSpec extends SparkSpec {
     // per-doc signal aggregation is partial+final hash agg
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(3000))
   }
+
+  test("suite-wide: no cartesian products; nested-loop joins only where intended") {
+    // The 100 TB kill-switch: a CartesianProduct anywhere is a bug, and a
+    // BroadcastNestedLoopJoin is legitimate ONLY for (a) one-row scalar
+    // cross joins (corpus extents / rate denominators: q46, q64, q67,
+    // q69), (b) deliberately-broadcast tiny query sets scored against a
+    // streaming big side (q40, q49), and (c) the documented quadratic
+    // exact verifier q42 whose scalable twin is q41. Any new query that
+    // trips this list must either fix its join or justify itself here.
+    val bnljAllowed = Set(
+      "q40_cosine_topk", "q42_dedup_embedding", "q46_tfidf",
+      "q49_pq_adc_topk", "q64_zorder", "q67_mixture_sample", "q69_recipe")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")
+      if (!bnljAllowed.contains(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name has an unexpected nested-loop join")
+    }
+  }
 }
