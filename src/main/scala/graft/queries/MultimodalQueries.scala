@@ -51,5 +51,52 @@ object MultimodalQueries {
       ORDER BY kind, size_bucket""")
   )
 
-  val all: Seq[Q] = Seq(q50, q51)
+  /** Deterministic frame sampling over binary payloads — the video-shaped
+    * multimodal op: K=4 evenly spaced 64-byte windows per payload
+    * ("frames"), each reduced to its md5 fingerprint. The byte arithmetic
+    * (offset = 1 + k·(n−64)/3, binary substring, binary md5) is exactly
+    * what a real frame sampler does before the codec runs, and — unlike
+    * the codec — it is fully expressible in codegen'd built-ins, so this
+    * path is hash-checked while q50's stubbed decode stays rows-only.
+    *
+    * Scale shape: pure map-side generate → slice → hash; payload bytes
+    * never shuffle (only 32-char fingerprints leave the scan stage), and
+    * downstream frame-level dedup inherits q20's key discipline.
+    *
+    * Oracle note: the fixture payloads are `encode(text,'UTF-8')` and the
+    * fixture text is pure ASCII (verified: strlen == length for every
+    * row), so DuckDB — which has no BLOB substring/md5 — mirrors the byte
+    * windows with VARCHAR slicing bit-for-bit. */
+  val q70 = Q(
+    "q70_frame_sample",
+    (s, dir) => {
+      val W = 64
+      val K = 4
+      Multimodal.mediaTable(s, dir).toDF()
+        .select(col("doc_id"), col("payload"),
+          length(col("payload")).cast("long").as("n_bytes"))
+        .filter(col("n_bytes") >= W)
+        .select(col("doc_id"), col("payload"), col("n_bytes"),
+          explode(expr(s"sequence(0, ${K - 1})")).as("k"))
+        .select(col("doc_id"), col("payload"),
+          col("k").cast("long").as("frame_id"),
+          expr(s"1 + (k * (n_bytes - $W)) div ${K - 1}").as("off"))
+        .select(col("doc_id"), col("frame_id"), col("off"),
+          md5(expr(s"substring(payload, CAST(off AS INT), $W)")).as("frame_hash"))
+        .orderBy("doc_id", "frame_id")
+    },
+    Some("""
+      WITH media AS (
+        SELECT doc_id, text, CAST(strlen(text) AS BIGINT) AS n_bytes
+        FROM documents WHERE strlen(text) >= 64),
+      frames AS (
+        SELECT doc_id, k, 1 + (k * (n_bytes - 64)) // 3 AS off
+        FROM media, (SELECT unnest(range(0, 4)) AS k))
+      SELECT f.doc_id, CAST(f.k AS BIGINT) AS frame_id, f.off,
+             md5(substring(m.text, f.off, 64)) AS frame_hash
+      FROM frames f JOIN media m USING (doc_id)
+      ORDER BY f.doc_id, frame_id""")
+  )
+
+  val all: Seq[Q] = Seq(q50, q51, q70)
 }
