@@ -7,6 +7,45 @@ import org.apache.spark.sql.functions._
   * scan into a single-partition read for selective predicates. */
 class SinkSpec extends SparkSpec {
 
+  test("training shards: q69 output written partitioned, sorted, size-capped") {
+    // The last mile of the recipe: packed sequences land on disk as the
+    // shards a trainer reads — one directory per packer stream (partition
+    // pruning per data-loader rank), rows sorted by bin inside each file
+    // (sequential reads assemble whole training sequences), file sizes
+    // capped (maxRecordsPerFile is the knob that keeps 100 TB outputs in
+    // object-store-friendly chunks).
+    import graft.queries.PipelineQueries
+    val out = tmpDir("shards").resolve("packed").toString
+    val packed = PipelineQueries.q69.spark(spark, "/root/testdata/sf0.001")
+    packed
+      .repartition(col("worker"))
+      .sortWithinPartitions("bin", "doc_id")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", 20)
+      .partitionBy("worker")
+      .parquet(out)
+
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+    assert(dirs.nonEmpty && dirs.forall(_.getName.startsWith("worker=")))
+    // size cap respected in every shard
+    dirs.foreach { d =>
+      d.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+        val n = spark.read.parquet(f.getAbsolutePath).count()
+        assert(n <= 20, s"${f.getName} has $n rows")
+      }
+    }
+    // rows inside each file are bin-sorted (sequential assembly order)
+    dirs.foreach { d =>
+      d.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+        val bins = spark.read.parquet(f.getAbsolutePath)
+          .select("bin").collect().map(_.getLong(0))
+        assert(bins.sameElements(bins.sorted), s"${f.getName} not bin-sorted")
+      }
+    }
+    // nothing lost or duplicated on the way to disk
+    assert(spark.read.parquet(out).count() == packed.count())
+  }
+
   test("partitionBy write → directory layout → pruned re-read") {
     val out = tmpDir("sink").resolve("orders_by_status").toString
     val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
