@@ -33,7 +33,7 @@ object DedupQueries {
     * shingle TEXT — the single most expensive exchange in these pipelines
     * at corpus scale) for consumers whose aggregate is duplicate-insensitive
     * (minhash's `min`). */
-  private def shingles(docs: DataFrame, nWords: Int = 5, dedup: Boolean = true): DataFrame = {
+  private[queries] def shingles(docs: DataFrame, nWords: Int = 5, dedup: Boolean = true): DataFrame = {
     // word_ngrams is the custom Generator (UDTF): lazily emits each shingle
     // inside whole-stage codegen instead of exploding an index sequence and
     // re-slicing the token array per row. Output is bit-identical to the

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -464,19 +465,29 @@ object PipelineQueries {
     * the running offset is a window cumsum per (worker) ordered by doc_id.
     * ONE exchange keyed by worker; each stream is 1/W of the corpus, and W
     * scales with the cluster. The oracle replays the identical window. */
+  /** Deterministic packer core shared by q65 and q69: route each row to
+    * one of `streams` independent packer streams via an md5 half of
+    * doc_id (`hexStart` 1 = lo half, 9 = hi half), then compute the
+    * running token offset within the stream (doc_id order). Input needs
+    * (doc_id, n_tokens); adds worker/end_off/start_off. */
+  private def packOffsets(df: DataFrame, streams: Int, hexStart: Int): DataFrame = {
+    val w = Window.partitionBy("worker").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("worker",
+        (conv(substring(md5(col("doc_id").cast("string")), hexStart, 8), 16, 10)
+          .cast("long") % streams).cast("int"))
+      .withColumn("end_off", sum(col("n_tokens")).over(w))
+      .withColumn("start_off", col("end_off") - col("n_tokens"))
+  }
+
   val q65 = Q(
     "q65_pack_sequences",
     (s, dir) => {
       val cap = 2048L
-      val w = Window.partitionBy("worker").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      documents(s, dir)
-        .select(col("doc_id"), col("lang"),
-          size(split(col("text"), "\\s+")).cast("long").as("n_tokens"),
-          (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-            .cast("long") % 8).cast("int").as("worker"))
-        .withColumn("end_off", sum(col("n_tokens")).over(w))
-        .withColumn("start_off", col("end_off") - col("n_tokens"))
+      packOffsets(
+        documents(s, dir).select(col("doc_id"), col("lang"),
+          size(split(col("text"), "\\s+")).cast("long").as("n_tokens")),
+        streams = 8, hexStart = 1)
         .select(col("doc_id"), col("lang"), col("n_tokens"), col("worker"),
           col("start_off"),
           expr(s"start_off div $cap").as("bin"),
@@ -555,19 +566,26 @@ object PipelineQueries {
     * Scale shape: group stats are a 5-row aggregate; the rate table
     * broadcast-joins onto the corpus scan and the gate filters map-side —
     * the corpus itself never shuffles. */
+  /** (lang, n, thresh) keep-rate table for alpha=0.5 temperature sampling
+    * toward ~targetDocs — shared by q67 and q69 so the capstone recipe
+    * provably applies the same sampler. thresh/2^32 = T·⌊√n⌋/(Σ⌊√n⌋·n),
+    * capped at 1; all integer arithmetic (the oracles mirror it). */
+  private def mixtureRates(grouped: DataFrame, targetDocs: Long): DataFrame = {
+    val Scale = 1L << 32
+    val stats = grouped.groupBy("lang").agg(count(lit(1)).as("n"))
+      .withColumn("w", expr("CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT)"))
+    val denom = stats.agg(sum(col("w")).as("denom"))
+    stats.crossJoin(denom)
+      .withColumn("thresh",
+        least(lit(Scale), expr(s"($Scale * $targetDocs * w) div (denom * n)")))
+      .select("lang", "n", "thresh")
+  }
+
   val q67 = Q(
     "q67_mixture_sample",
     (s, dir) => {
-      val T = 200L
-      val Scale = 1L << 32
       val docs = documents(s, dir)
-      val stats = docs.groupBy("lang").agg(count(lit(1)).as("n"))
-        .withColumn("w", expr("CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT)"))
-      val denom = stats.agg(sum(col("w")).as("denom"))
-      val rates = stats.crossJoin(denom)
-        .withColumn("thresh",
-          least(lit(Scale), expr(s"($Scale * $T * w) div (denom * n)")))
-        .select("lang", "n", "thresh")
+      val rates = mixtureRates(docs, targetDocs = 200L)
       docs
         .select(col("doc_id"), col("lang"),
           conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
@@ -620,8 +638,6 @@ object PipelineQueries {
   val q69 = Q(
     "q69_recipe",
     (s, dir) => {
-      val T = 150L
-      val Scale = 1L << 32
       val docs = documents(s, dir)
       val keep = docs.groupBy(md5(col("text")).as("hh"))
         .agg(min(col("doc_id")).as("doc_id"))
@@ -631,29 +647,17 @@ object PipelineQueries {
           size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
         .filter(col("n_tokens") >= 20)
         .localCheckpoint() // two consumers: rate stats + sampling gate
-      val stats = gated.groupBy("lang").agg(count(lit(1)).as("n"))
-        .withColumn("w", expr("CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT)"))
-      val denom = stats.agg(sum(col("w")).as("denom"))
-      val rates = stats.crossJoin(denom)
-        .withColumn("thresh",
-          least(lit(Scale), expr(s"($Scale * $T * w) div (denom * n)")))
-        .select("lang", "thresh")
+      val rates = mixtureRates(gated, targetDocs = 150L).select("lang", "thresh")
       val sampled = gated
         .withColumn("hsh",
           conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
             .cast("long"))
         .join(broadcast(rates), "lang")
         .filter(col("hsh") < col("thresh"))
-        .withColumn("worker",
-          (conv(substring(md5(col("doc_id").cast("string")), 9, 8), 16, 10)
-            .cast("long") % 4).cast("int"))
-      val w = Window.partitionBy("worker").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      sampled
-        .withColumn("end_off", sum(col("n_tokens")).over(w))
+      packOffsets(sampled, streams = 4, hexStart = 9)
         .select(col("doc_id"), col("lang"), col("n_tokens"), col("worker"),
-          (col("end_off") - col("n_tokens")).as("start_off"),
-          expr("(end_off - n_tokens) div 1024").as("bin"))
+          col("start_off"),
+          expr("start_off div 1024").as("bin"))
         .orderBy("doc_id")
     },
     Some("""

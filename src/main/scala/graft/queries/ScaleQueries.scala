@@ -80,11 +80,11 @@ object ScaleQueries {
       // both probe positions stay COLUMNS (no explode): membership is then
       // two broadcast joins + a row-level conjunction — zero shuffles
       // between the digest distinct and the final per-doc aggregate.
-      val sh8 = documents(s, dir)
-        .select(col("doc_id"),
-          graft.functions.GraftFunctions.word_ngrams(col("text"), 8).as("sh"))
+      // The shingle front end is q38's own helper (DedupQueries.shingles),
+      // so the Bloom-dominates-exact property test compares like with like
+      // by construction.
+      val sh8 = DedupQueries.shingles(documents(s, dir), nWords = 8)
         .select(col("doc_id"), md5(col("sh")).as("h"))
-        .distinct()
         .select(col("doc_id"),
           (lo % BloomBits).as("pos0"), (hi % BloomBits).as("pos1"))
         .select(col("doc_id"),
@@ -224,12 +224,15 @@ object ScaleQueries {
     "q62_gap_fill",
     (s, dir) => {
       val ev = events(s, dir).filter(col("user_id") % 11 === 0)
+      // ONE scan of events: the hourly aggregate is checkpointed (it is
+      // span-hours × users small) and the grid extent derives from it —
+      // min/max of truncated hours equal the truncated min/max timestamps.
       val hourly = ev
         .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
         .agg(count(lit(1)).as("n_events"), max(col("value")).as("v"))
-      val grid = ev.groupBy("user_id")
-        .agg(date_trunc("hour", min(col("ts"))).as("h0"),
-          date_trunc("hour", max(col("ts"))).as("h1"))
+        .localCheckpoint() // two consumers: grid extent + grid join
+      val grid = hourly.groupBy("user_id")
+        .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
         .select(col("user_id"),
           explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
       val w = Window.partitionBy("user_id").orderBy("hour")
@@ -272,23 +275,34 @@ object ScaleQueries {
   private val CmB = IndexedSeq.tabulate(CmDepth)(i => (mix64(0xE0000L + i) & Mask29) | 1L)
   private val CmC = IndexedSeq.tabulate(CmDepth)(i => mix64(0xF0000L + i) & Mask29)
 
-  /** One (r, bucket) sketch cell per token occurrence — q63's update
-    * stream, shared with [[graft.streaming.StreamingCountMin]] so the
-    * batch sketch and the streaming sketch provably use the same
-    * md5-derived hash family (their counters must be EQUAL, not close). */
-  def cmCells(docs: DataFrame): DataFrame = {
-    val toks = docs
-      .select(explode(split(col("text"), "\\s+")).as("token"))
-      .filter(length(col("token")) > 0)
-      .select(md5(col("token")).as("h"))
-    val (lo, hi) = hexHalves(col("h"))
-    toks.select(explode(array((0 until CmDepth).map { r =>
-      struct(lit(r).as("r"),
-        (((lit(CmA(r)) * lo + lit(CmB(r)) * hi + lit(CmC(r))) % P61) % CmWidth)
-          .as("bucket"))
-    }: _*)).as("rb"))
-      .select(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+  /** Sketch row r's bucket for an md5-halved value — THE count-min hash
+    * family, in exactly one place: q63's counter build, q63's probes, and
+    * the streaming sketch's cell stream all call this, so batch and stream
+    * cannot drift apart (their counters must be EQUAL, not close). */
+  private def cmBucket(r: Int, lo: Column, hi: Column): Column =
+    ((lit(CmA(r)) * lo + lit(CmB(r)) * hi + lit(CmC(r))) % P61) % CmWidth
+
+  /** All CmDepth (r, bucket) cells for the md5 hex column `h`, exploded —
+    * one row per (occurrence, sketch row). */
+  private def cmCellsOf(df: DataFrame, h: Column): DataFrame = {
+    val (lo, hi) = hexHalves(h)
+    df.select(df.columns.map(col) :+
+      explode(array((0 until CmDepth).map { r =>
+        struct(lit(r).as("r"), cmBucket(r, lo, hi).as("bucket"))
+      }: _*)).as("rb"): _*)
+      .withColumn("r", col("rb.r"))
+      .withColumn("bucket", col("rb.bucket"))
+      .drop("rb")
   }
+
+  /** One (r, bucket) sketch cell per token occurrence — q63's update
+    * stream, shared with [[graft.streaming.StreamingCountMin]]. */
+  def cmCells(docs: DataFrame): DataFrame =
+    cmCellsOf(
+      docs.select(explode(split(col("text"), "\\s+")).as("token"))
+        .filter(length(col("token")) > 0)
+        .select(md5(col("token")).as("h")),
+      col("h")).select("r", "bucket")
 
   /** Count-min sketch over the token stream: 4 hash rows × 1024 counters
     * estimate any token's frequency with one-sided error (estimate ≥
@@ -307,31 +321,22 @@ object ScaleQueries {
   val q63 = Q(
     "q63_countmin",
     (s, dir) => {
+      // Two passes over the corpus by DESIGN, not oversight: both consumers
+      // (counter build, exact top-20) reduce the token stream to tiny
+      // aggregates map-side, so re-scanning is strictly cheaper at corpus
+      // scale than checkpointing the exploded token stream (which is wider
+      // than the documents themselves).
       val tokens = documents(s, dir)
         .select(explode(split(col("text"), "\\s+")).as("token"))
         .filter(length(col("token")) > 0)
         .select(col("token"), md5(col("token")).as("h"))
-      val (lo, hi) = hexHalves(col("h"))
-      val bucketed = tokens.select(col("token"),
-        explode(array((0 until CmDepth).map { r =>
-          struct(lit(r).as("r"),
-            (((lit(CmA(r)) * lo + lit(CmB(r)) * hi + lit(CmC(r))) % P61) % CmWidth)
-              .as("bucket"))
-        }: _*)).as("rb"))
-        .select(col("token"), col("rb.r").as("r"), col("rb.bucket").as("bucket"))
-      val cm = bucketed.groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
+      val cm = cmCellsOf(tokens, col("h"))
+        .groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
       val exact = tokens.groupBy("token").agg(count(lit(1)).as("n_exact"))
         .orderBy(col("n_exact").desc, col("token")).limit(20)
-      val probeB = exact.select(col("token"), col("n_exact"), md5(col("token")).as("h"))
-      val (plo, phi) = hexHalves(col("h"))
-      val probes = probeB.select(col("token"), col("n_exact"),
-        explode(array((0 until CmDepth).map { r =>
-          struct(lit(r).as("r"),
-            (((lit(CmA(r)) * plo + lit(CmB(r)) * phi + lit(CmC(r))) % P61) % CmWidth)
-              .as("bucket"))
-        }: _*)).as("rb"))
-        .select(col("token"), col("n_exact"),
-          col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      val probes = cmCellsOf(
+        exact.withColumn("h", md5(col("token"))), col("h"))
+        .select("token", "n_exact", "r", "bucket")
       probes.join(cm, Seq("r", "bucket"))
         .groupBy("token", "n_exact").agg(min(col("cnt")).as("cm_est"))
         .orderBy(col("n_exact").desc, col("token"))
@@ -379,6 +384,23 @@ object ScaleQueries {
         shiftleft(shiftright(y16, i).bitwiseAND(lit(1L)), 2 * i + 1)
     }.reduce(_ + _)
 
+  /** Orders + observed extents → 16-bit scaled dims (x16, y16) and the
+    * Morton z — the SAME projection q64 reports on and ZOrderLayoutSpec
+    * writes with, so the layout proof always tests the key the query
+    * computes. */
+  def zOrderKey(o: DataFrame): DataFrame = {
+    val ext = o.agg(
+      min(col("o_custkey")).as("minc"), max(col("o_custkey")).as("maxc"),
+      min(col("o_orderdate")).as("mind"), max(col("o_orderdate")).as("maxd"))
+    o.crossJoin(ext)
+      .withColumn("x16",
+        expr("((o_custkey - minc) * 65535) div greatest(maxc - minc, 1)"))
+      .withColumn("y16",
+        expr("""(CAST(datediff(o_orderdate, mind) AS BIGINT) * 65535)
+                div greatest(CAST(datediff(maxd, mind) AS BIGINT), 1)"""))
+      .withColumn("z", mortonZ(col("x16"), col("y16")))
+  }
+
   /** Z-order (Morton) clustering key over (o_custkey, o_orderdate) — the
     * space-filling-curve layout that makes parquet min/max stats skip on
     * TWO dimensions at once. Sorting 100 TB by custkey gives perfect
@@ -394,17 +416,7 @@ object ScaleQueries {
   val q64 = Q(
     "q64_zorder",
     (s, dir) => {
-      val o = orders(s, dir)
-      val ext = o.agg(
-        min(col("o_custkey")).as("minc"), max(col("o_custkey")).as("maxc"),
-        min(col("o_orderdate")).as("mind"), max(col("o_orderdate")).as("maxd"))
-      val scaled = o.crossJoin(ext)
-        .withColumn("x16",
-          expr("((o_custkey - minc) * 65535) div greatest(maxc - minc, 1)"))
-        .withColumn("y16",
-          expr("""(CAST(datediff(o_orderdate, mind) AS BIGINT) * 65535)
-                  div greatest(CAST(datediff(maxd, mind) AS BIGINT), 1)"""))
-      scaled.withColumn("z", mortonZ(col("x16"), col("y16")))
+      zOrderKey(orders(s, dir))
         .withColumn("bucket", expr("z div 67108864")) // top 6 of 32 bits
         .groupBy("bucket")
         .agg(count(lit(1)).as("n_rows"),

@@ -47,8 +47,11 @@ class StreamingCountMinSpec extends SparkSpec {
     def stage(name: String, cond: org.apache.spark.sql.Column, mtime: Long): Unit = {
       val tmp = tmpDir("cm_stage")
       cells(cond).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
-        .findFirst().get()
+      val listing = Files.list(tmp)
+      val part =
+        try listing.filter(_.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        finally listing.close()
       val dst = dir.resolve(name)
       Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
       Files.setLastModifiedTime(dst, FileTime.fromMillis(mtime))

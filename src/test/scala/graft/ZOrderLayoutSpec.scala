@@ -53,18 +53,11 @@ class ZOrderLayoutSpec extends SparkSpec {
     }
   }
 
-  private def writeLayouts(): (String, String) = {
-    val o = Tables.orders(spark, sf)
-    val ext = o.agg(
-      min(col("o_custkey")).as("minc"), max(col("o_custkey")).as("maxc"),
-      min(col("o_orderdate")).as("mind"), max(col("o_orderdate")).as("maxd"))
-    val scaled = o.crossJoin(ext)
-      .withColumn("x16",
-        expr("((o_custkey - minc) * 65535) div greatest(maxc - minc, 1)"))
-      .withColumn("y16",
-        expr("""(CAST(datediff(o_orderdate, mind) AS BIGINT) * 65535)
-                div greatest(CAST(datediff(maxd, mind) AS BIGINT), 1)"""))
-      .withColumn("z", ScaleQueries.mortonZ(col("x16"), col("y16")))
+  /** Written once, shared by both tests; the key is q64's own projection
+    * (ScaleQueries.zOrderKey), so the layout proof cannot drift from the
+    * query. */
+  private lazy val layouts: (String, String) = {
+    val scaled = ScaleQueries.zOrderKey(Tables.orders(spark, sf))
       .select("o_orderkey", "o_custkey", "o_orderdate", "z")
 
     val byCust = tmpDir("zorder_bycust").toString
@@ -82,7 +75,7 @@ class ZOrderLayoutSpec extends SparkSpec {
   }
 
   test("z-order layout skips row groups on the date dimension; single-dim sort cannot") {
-    val (byCust, byZ) = writeLayouts()
+    val (byCust, byZ) = layouts
 
     def candidates(dir: String, lo: Long, hi: Long): (Int, Int) = {
       val stats = rowGroupStats(dir, "o_orderdate")
@@ -107,7 +100,7 @@ class ZOrderLayoutSpec extends SparkSpec {
   }
 
   test("z-order layout still bounds the custkey extent per file") {
-    val (_, byZ) = writeLayouts()
+    val (_, byZ) = layouts
     val stats = rowGroupStats(byZ, "o_custkey")
     val gMin = stats.map(_._2).min
     val gMax = stats.map(_._3).max
