@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import Tables._
@@ -582,5 +583,104 @@ object DedupQueries {
       ORDER BY doc_id""")
   )
 
-  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q26, q38)
+  /** Content-defined chunking dedup signal — the rsync/LBFS/storage-dedup
+    * primitive: chunk boundaries are set where a rolling content hash
+    * satisfies `h % 64 == 0`, so boundaries are a function of CONTENT, not
+    * position. An insertion early in a document shifts every fixed-window
+    * span (q26's signal degrades) but re-synchronizes CDC chunks after one
+    * boundary — the property that makes CDC the standard for dedup of
+    * edited/shifted content. Expected chunk length = 64 windows.
+    *
+    * Chunk identity = the (n_windows, min, sum) triple of the chunk's
+    * window hashes — order-independent, integer-exact, equality-joinable
+    * in both engines (a fp collision needs all three to agree). Output per
+    * doc: chunk count + how many of its chunks appear verbatim in another
+    * doc.
+    *
+    * Scale shape: the boundary cumsum is one exchange keyed doc_id with an
+    * in-partition sort (a doc's windows fit one task — q16's accepted
+    * bound); chunk aggregation and the dup-triple join shuffle only small
+    * integer keys, never text. */
+  /** The CDC chunk table for any (doc_id, text) frame: one row per chunk
+    * with its (n_windows, fp_min, fp_sum) identity triple. Shared by q71
+    * and the resync property test. */
+  private[graft] def cdcChunks(docs: DataFrame): DataFrame = {
+    val win = Window.partitionBy("doc_id").orderBy("i")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"), split(col("text"), "\\s+").as("w"))
+      .select(col("doc_id"),
+        explode(expr("sequence(1, greatest(size(w) - 7, 1))")).as("i"),
+        col("w"))
+      .select(col("doc_id"), col("i"),
+        conv(substring(md5(expr("array_join(slice(w, i, 8), ' ')")), 1, 8), 16, 10)
+          .cast("long").as("h"))
+      .withColumn("b", when(col("h") % 64 === 0, 1L).otherwise(0L))
+      .withColumn("chunk_id", sum(col("b")).over(win))
+      .groupBy("doc_id", "chunk_id")
+      .agg(count(lit(1)).as("n_windows"),
+        min(col("h")).as("fp_min"), sum(col("h")).as("fp_sum"))
+  }
+
+  val q71 = Q(
+    "q71_cdc_chunks",
+    (s, dir) => {
+      val chunks = cdcChunks(documents(s, dir))
+        .localCheckpoint() // two consumers: dup-triple set + per-doc stats
+      val dup = chunks.groupBy("n_windows", "fp_min", "fp_sum")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") > 1)
+        .select("n_windows", "fp_min", "fp_sum")
+      val dups = chunks
+        .join(dup, Seq("n_windows", "fp_min", "fp_sum"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_dup_chunks"))
+      chunks.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+        .join(dups, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chunks"),
+          coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"))
+        .withColumn("dup_frac",
+          col("n_dup_chunks").cast("double") / col("n_chunks"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH words AS (
+        SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+      idx AS (
+        SELECT doc_id, w, unnest(range(1, greatest(len(w) - 7, 1) + 1)) AS i
+        FROM words),
+      wh AS (
+        SELECT doc_id, i,
+               CAST(('0x' || substr(md5(array_to_string(w[i:i+7], ' ')), 1, 8))
+                    AS BIGINT) AS h
+        FROM idx),
+      chunks AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN h % 64 = 0 THEN 1 ELSE 0 END) OVER (
+                 PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS chunk_id,
+               h
+        FROM wh),
+      agg AS (
+        SELECT doc_id, chunk_id, COUNT(*) AS n_windows,
+               MIN(h) AS fp_min, CAST(SUM(h) AS BIGINT) AS fp_sum
+        FROM chunks GROUP BY doc_id, chunk_id),
+      dup AS (
+        SELECT n_windows, fp_min, fp_sum FROM agg
+        GROUP BY n_windows, fp_min, fp_sum
+        HAVING COUNT(DISTINCT doc_id) > 1),
+      dups AS (
+        SELECT doc_id, COUNT(*) AS n_dup_chunks
+        FROM agg SEMI JOIN dup USING (n_windows, fp_min, fp_sum)
+        GROUP BY doc_id),
+      totals AS (
+        SELECT doc_id, COUNT(*) AS n_chunks FROM agg GROUP BY doc_id)
+      SELECT doc_id, n_chunks,
+             COALESCE(n_dup_chunks, 0) AS n_dup_chunks,
+             CAST(COALESCE(n_dup_chunks, 0) AS DOUBLE) / n_chunks AS dup_frac
+      FROM totals LEFT JOIN dups USING (doc_id)
+      ORDER BY doc_id""")
+  )
+
+  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q26, q38, q71)
 }

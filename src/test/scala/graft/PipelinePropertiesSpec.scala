@@ -187,6 +187,29 @@ class PipelinePropertiesSpec extends SparkSpec {
     assert(total > 0 && total < 500)
   }
 
+  test("q71 CDC chunks re-synchronize after an insertion (fixed spans cannot)") {
+    import spark.implicits._
+    // a long pseudo-random word stream, and the same stream with one word
+    // inserted near the front — every fixed-position window after the
+    // insertion shifts, but CDC boundaries re-synchronize at the first
+    // content-defined cut, so most chunk triples still match
+    val words = (0 until 4000).map(i => s"w${(i * 2654435761L) % 9973}")
+    val original = words.mkString(" ")
+    val shifted = (words.take(5) ++ Seq("INSERTED") ++ words.drop(5)).mkString(" ")
+    val docs = Seq((1L, original), (2L, shifted)).toDF("doc_id", "text")
+    val chunks = DedupQueries.cdcChunks(docs).collect()
+      .groupBy(_.getLong(0))
+    def triples(id: Long) =
+      chunks(id).map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val a = triples(1L)
+    val b = triples(2L)
+    assert(a.size > 10, s"expected many chunks, got ${a.size} (tune the stream)")
+    val shared = a.intersect(b).size
+    // all chunks strictly after the insertion's chunk re-sync; only the
+    // chunk containing the insertion (and possibly its neighbor) differ
+    assert(shared >= a.size - 3, s"only $shared of ${a.size} chunks re-synced")
+  }
+
   test("q69 recipe: stages agree with their standalone operators") {
     val rows = PipelineQueries.q69.spark(spark, sf).collect()
     assert(rows.nonEmpty)
