@@ -697,6 +697,80 @@ object PipelineQueries {
       FROM offs ORDER BY doc_id""")
   )
 
+  /** BM25 document ranking — the retrieval scorer that pairs with q39's
+    * inverted index (dense-side retrieval is q40/q43): Okapi BM25 with
+    * k1 = 1.2, b = 0.75, in fully integer arithmetic. As in q46, the idf
+    * factor is the integer surrogate `10^6·N div df` (strictly decreasing
+    * in df) instead of a float log, and the length normalization
+    * `(1-b) + b·dl/avgdl` is carried at scale 1000 with `dl/avgdl`
+    * computed as `dl·N div total_tokens` — every division is integer
+    * floor division, so DuckDB reproduces each score bit-for-bit (this
+    * declares an integer BM25 VARIANT; a float-log BM25 could not be
+    * hash-checked across engines and would drift across libm versions).
+    *
+    * The query = the 5 highest-df tokens of length ≥ 4 (data-derived, so
+    * no magic literals). Scale shape: tf/df/dl are the q46 wordcount
+    * aggregates; the 5-term query table broadcast-joins onto the posting
+    * stream; the final top-20 is q09's TakeOrderedAndProject. */
+  val q72 = Q(
+    "q72_bm25",
+    (s, dir) => {
+      val docs = documents(s, dir)
+      val tokens = docs
+        .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("token"))
+        .filter(length(col("token")) > 0)
+      val tf = tokens.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dl = tokens.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val corpus = dl.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).cast("long").as("total_tokens"))
+      val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val query = df.filter(length(col("token")) >= 4)
+        .orderBy(col("df").desc, col("token")).limit(5)
+      tf.join(broadcast(query), "token")
+        .join(dl, "doc_id")
+        .crossJoin(corpus)
+        .withColumn("idf_int", expr("(1000000 * n_docs) div df"))
+        .withColumn("norm1000",
+          expr("250 + (750 * dl * n_docs * 1000 div total_tokens) div 1000"))
+        .withColumn("term_score",
+          expr("idf_int * tf * 2200 div (tf * 1000 + 1200 * norm1000 div 1000 * 1000)"))
+        .groupBy("doc_id")
+        .agg(sum(col("term_score")).cast("long").as("bm25_int"),
+          count(lit(1)).as("n_query_terms"))
+        .orderBy(col("bm25_int").desc, col("doc_id"))
+        .limit(20)
+    },
+    Some("""
+      WITH tokens AS (
+        SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
+        FROM documents),
+      tok AS (SELECT doc_id, token FROM tokens WHERE len(token) > 0),
+      tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+      dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+      corpus AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS BIGINT) AS total_tokens
+        FROM dl),
+      df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+      query AS (
+        SELECT token, df FROM df WHERE len(token) >= 4
+        ORDER BY df DESC, token LIMIT 5),
+      scored AS (
+        SELECT tf.doc_id,
+               ((1000000 * n_docs) // q.df) * tf.tf * 2200 //
+                 (tf.tf * 1000 +
+                  1200 * (250 + (750 * dl.dl * n_docs * 1000 // total_tokens) // 1000) // 1000 * 1000)
+                 AS term_score
+        FROM tf
+        JOIN query q USING (token)
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN corpus)
+      SELECT doc_id, CAST(SUM(term_score) AS BIGINT) AS bm25_int,
+             COUNT(*) AS n_query_terms
+      FROM scored GROUP BY doc_id
+      ORDER BY bm25_int DESC, doc_id LIMIT 20""")
+  )
+
   val all: Seq[Q] = Seq(q33, q34, q35, q37, q46, q53, q54, q55, q56, q57,
-    q65, q66, q67, q69)
+    q65, q66, q67, q69, q72)
 }

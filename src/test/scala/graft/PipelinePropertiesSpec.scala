@@ -187,6 +187,41 @@ class PipelinePropertiesSpec extends SparkSpec {
     assert(total > 0 && total < 500)
   }
 
+  test("q72 BM25 score matches a from-scratch recompute for the top doc") {
+    val top = PipelineQueries.q72.spark(spark, sf).collect()
+    assert(top.nonEmpty && top.length <= 20)
+    // scores are positive, ranked descending, term counts within the query
+    top.foreach { r =>
+      assert(r.getLong(1) > 0 && r.getLong(2) >= 1 && r.getLong(2) <= 5)
+    }
+    assert(top.map(_.getLong(1)).toSeq == top.map(_.getLong(1)).sortBy(-_).toSeq)
+
+    // third, independent implementation: plain Scala over the raw text
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+").filter(_.nonEmpty).toSeq)
+      .toMap
+    val nDocs = docs.size.toLong
+    val totalTokens = docs.values.map(_.size.toLong).sum
+    val dfMap = docs.values.flatMap(_.distinct).groupBy(identity)
+      .map { case (t, xs) => t -> xs.size.toLong }
+    val query = dfMap.filter(_._1.length >= 4).toSeq
+      .sortBy { case (t, d) => (-d, t) }.take(5)
+    val docId = top.head.getLong(0)
+    val words = docs(docId)
+    val dl = words.size.toLong
+    val expected = query.flatMap { case (t, d) =>
+      val tf = words.count(_ == t).toLong
+      if (tf == 0) None
+      else {
+        val idf = (1000000L * nDocs) / d
+        val norm = 250L + (750L * dl * nDocs * 1000L / totalTokens) / 1000L
+        Some(idf * tf * 2200L / (tf * 1000L + 1200L * norm / 1000L * 1000L))
+      }
+    }.sum
+    assert(top.head.getLong(1) === expected)
+  }
+
   test("q71 CDC chunks re-synchronize after an insertion (fixed spans cannot)") {
     import spark.implicits._
     // a long pseudo-random word stream, and the same stream with one word
