@@ -138,14 +138,16 @@ class PlanRegressionSpec extends SparkSpec {
   test("suite-wide: no cartesian products; nested-loop joins only where intended") {
     // The 100 TB kill-switch: a CartesianProduct anywhere is a bug, and a
     // BroadcastNestedLoopJoin is legitimate ONLY for (a) one-row scalar
-    // cross joins (corpus extents / rate denominators: q46, q64, q67,
-    // q69), (b) deliberately-broadcast tiny query sets scored against a
-    // streaming big side (q40, q49), and (c) the documented quadratic
-    // exact verifier q42 whose scalable twin is q41. Any new query that
-    // trips this list must either fix its join or justify itself here.
+    // cross joins (corpus extents / rate denominators / corpus stats:
+    // q46, q64, q67, q69, q72), (b) deliberately-broadcast tiny query
+    // sets scored against a streaming big side (q40, q49), and (c) the
+    // documented quadratic exact verifier q42 whose scalable twin is q41.
+    // Any new query that trips this list must either fix its join or
+    // justify itself here.
     val bnljAllowed = Set(
       "q40_cosine_topk", "q42_dedup_embedding", "q46_tfidf",
-      "q49_pq_adc_topk", "q64_zorder", "q67_mixture_sample", "q69_recipe")
+      "q49_pq_adc_topk", "q64_zorder", "q67_mixture_sample", "q69_recipe",
+      "q72_bm25")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")
