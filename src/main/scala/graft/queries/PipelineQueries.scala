@@ -716,11 +716,12 @@ object PipelineQueries {
     "q72_bm25",
     (s, dir) => {
       val docs = documents(s, dir)
-      val tokens = docs
+      val tf = docs
         .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("token"))
         .filter(length(col("token")) > 0)
-      val tf = tokens.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      val dl = tokens.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        .localCheckpoint() // three consumers: df→query, dl, scoring join
+      val dl = tf.groupBy("doc_id").agg(sum(col("tf")).cast("long").as("dl"))
       val corpus = dl.agg(count(lit(1)).as("n_docs"),
         sum(col("dl")).cast("long").as("total_tokens"))
       val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
@@ -731,9 +732,9 @@ object PipelineQueries {
         .crossJoin(corpus)
         .withColumn("idf_int", expr("(1000000 * n_docs) div df"))
         .withColumn("norm1000",
-          expr("250 + (750 * dl * n_docs * 1000 div total_tokens) div 1000"))
+          expr("250 + (750 * dl * n_docs) div total_tokens"))
         .withColumn("term_score",
-          expr("idf_int * tf * 2200 div (tf * 1000 + 1200 * norm1000 div 1000 * 1000)"))
+          expr("idf_int * tf * 2200 div (tf * 1000 + 1200 * norm1000 div 1000)"))
         .groupBy("doc_id")
         .agg(sum(col("term_score")).cast("long").as("bm25_int"),
           count(lit(1)).as("n_query_terms"))
@@ -759,7 +760,7 @@ object PipelineQueries {
         SELECT tf.doc_id,
                ((1000000 * n_docs) // q.df) * tf.tf * 2200 //
                  (tf.tf * 1000 +
-                  1200 * (250 + (750 * dl.dl * n_docs * 1000 // total_tokens) // 1000) // 1000 * 1000)
+                  1200 * (250 + (750 * dl.dl * n_docs) // total_tokens) // 1000)
                  AS term_score
         FROM tf
         JOIN query q USING (token)

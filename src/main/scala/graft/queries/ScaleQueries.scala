@@ -82,8 +82,13 @@ object ScaleQueries {
     * construction. */
   private[graft] def bloomProbes(docs: DataFrame): DataFrame = {
     val (lo, hi) = hexHalves(col("h"))
-    DedupQueries.shingles(docs, nWords = 8)
+    // dedup = false + distinct AFTER md5: the distinct's shuffle then
+    // carries 32-byte digests, not shingle text (the file-header key
+    // discipline; shingles' default distinct would key on the raw 8-word
+    // strings). Same result set — md5 is applied before the dedup.
+    DedupQueries.shingles(docs, nWords = 8, dedup = false)
       .select(col("doc_id"), md5(col("sh")).as("h"))
+      .distinct()
       .select(col("doc_id"),
         (lo % BloomBits).as("pos0"), (hi % BloomBits).as("pos1"))
       .select(col("doc_id"),

@@ -215,8 +215,8 @@ class PipelinePropertiesSpec extends SparkSpec {
       if (tf == 0) None
       else {
         val idf = (1000000L * nDocs) / d
-        val norm = 250L + (750L * dl * nDocs * 1000L / totalTokens) / 1000L
-        Some(idf * tf * 2200L / (tf * 1000L + 1200L * norm / 1000L * 1000L))
+        val norm = 250L + (750L * dl * nDocs) / totalTokens
+        Some(idf * tf * 2200L / (tf * 1000L + 1200L * norm / 1000L))
       }
     }.sum
     assert(top.head.getLong(1) === expected)
