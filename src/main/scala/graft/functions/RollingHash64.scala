@@ -67,6 +67,10 @@ object GraftFunctions {
   def poly_fingerprint(c: Column): Column =
     ColumnBridge.column(PolyFingerprint(ColumnBridge.expression(c)))
 
+  /** First 8 md5 digest bytes as a big-endian long (see [[Md5Prefix64]]). */
+  def md5_prefix64(c: Column): Column =
+    ColumnBridge.column(Md5Prefix64(ColumnBridge.expression(c)))
+
   def winnow_min(c: Column, k: Int): Column =
     ColumnBridge.column(WinnowExtreme(ColumnBridge.expression(c), k, takeMin = true))
 
@@ -89,6 +93,8 @@ object GraftFunctions {
       "rolling_hash", exprs => RollingHash64(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "poly_fingerprint", exprs => PolyFingerprint(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "md5_prefix64", exprs => Md5Prefix64(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "winnow_min",
       exprs => WinnowExtreme(exprs.head, litInt(exprs(1)), takeMin = true),

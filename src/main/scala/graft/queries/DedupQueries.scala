@@ -151,11 +151,13 @@ object DedupQueries {
   private def sqlList(xs: Seq[Long]): String = xs.mkString("[", ",", "]")
 
   /** Two 32-bit halves of the first 16 md5 hex chars — the cross-engine base
-    * hash (`('0x' || substr(md5(x),1,8))::BIGINT` on the DuckDB side). */
+    * hash (`('0x' || substr(md5(x),1,8))::BIGINT` on the DuckDB side).
+    * Computed via the codegen'd [[graft.functions.Md5Prefix64]] (one digest,
+    * two bit ops) instead of md5→hex→conv×2 — bit-identical values, no
+    * 32-char string materialization per shingle on the signature hot path. */
   private def md5Halves(src: Column): (Column, Column) = {
-    val m = md5(src)
-    (conv(substring(m, 1, 8), 16, 10).cast("long"),
-      conv(substring(m, 9, 8), 16, 10).cast("long"))
+    val p = graft.functions.GraftFunctions.md5_prefix64(src)
+    (shiftrightunsigned(p, 32), p.bitwiseAND(lit(0xFFFFFFFFL)))
   }
 
   /** MinHash signature per doc: element k = min over shingles of permutation

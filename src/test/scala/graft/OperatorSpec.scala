@@ -107,6 +107,31 @@ class OperatorSpec extends SparkSpec {
     assert(viaSql == hs(0))
   }
 
+  test("md5_prefix64 halves are bit-identical to the hex conv/substring form") {
+    import spark.implicits._
+    import graft.functions.GraftFunctions
+    // the oracle keeps using ('0x'||substr(md5(x),1,8))::BIGINT — the
+    // expression must agree on every input, including unicode and empty
+    val inputs = Seq("", "a", "hello world", "héllo wörld", "日本語テキスト",
+      "x" * 1000, "a b c d e f g h")
+    val rows = inputs.toDF("s").select(
+      GraftFunctions.md5_prefix64(col("s")).as("p"),
+      conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long").as("lo"),
+      conv(substring(md5(col("s")), 9, 8), 16, 10).cast("long").as("hi"))
+      .collect()
+    rows.foreach { r =>
+      val p = r.getLong(0)
+      assert((p >>> 32) === r.getLong(1))
+      assert((p & 0xFFFFFFFFL) === r.getLong(2))
+    }
+    // SQL registration path
+    GraftFunctions.registerAll(spark)
+    Seq("abc").toDF("s").createOrReplaceTempView("mp_t")
+    val viaSql = spark.sql("SELECT md5_prefix64(s) FROM mp_t").head().getLong(0)
+    assert(viaSql === graft.functions.Md5Prefix64.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString("abc")))
+  }
+
   test("winnow hashes: reference fold parity, window extremes, edge cases") {
     import spark.implicits._
     import graft.functions.{GraftFunctions, WinnowHash}
