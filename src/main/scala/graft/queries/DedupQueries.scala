@@ -615,8 +615,8 @@ object DedupQueries {
         explode(expr("sequence(1, greatest(size(w) - 7, 1))")).as("i"),
         col("w"))
       .select(col("doc_id"), col("i"),
-        conv(substring(md5(expr("array_join(slice(w, i, 8), ' ')")), 1, 8), 16, 10)
-          .cast("long").as("h"))
+        shiftrightunsigned(graft.functions.GraftFunctions.md5_prefix64(
+          expr("array_join(slice(w, i, 8), ' ')")), 32).as("h"))
       .withColumn("b", when(col("h") % 64 === 0, 1L).otherwise(0L))
       .withColumn("chunk_id", sum(col("b")).over(win))
       .groupBy("doc_id", "chunk_id")

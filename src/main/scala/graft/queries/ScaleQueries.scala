@@ -301,10 +301,13 @@ object ScaleQueries {
   private def cmBucket(r: Int, lo: Column, hi: Column): Column =
     ((lit(CmA(r)) * lo + lit(CmB(r)) * hi + lit(CmC(r))) % P61) % CmWidth
 
-  /** All CmDepth (r, bucket) cells for the md5 hex column `h`, exploded —
-    * one row per (occurrence, sketch row). */
-  private def cmCellsOf(df: DataFrame, h: Column): DataFrame = {
-    val (lo, hi) = hexHalves(h)
+  /** All CmDepth (r, bucket) cells for the md5-prefix64 column `p`,
+    * exploded — one row per (occurrence, sketch row). The halves come
+    * from bit ops on the codegen'd [[graft.functions.Md5Prefix64]]
+    * (bit-identical to the oracle's hex conv/substring form). */
+  private def cmCellsOf(df: DataFrame, p: Column): DataFrame = {
+    val lo = shiftrightunsigned(p, 32)
+    val hi = p.bitwiseAND(lit(0xFFFFFFFFL))
     df.select(df.columns.map(col) :+
       explode(array((0 until CmDepth).map { r =>
         struct(lit(r).as("r"), cmBucket(r, lo, hi).as("bucket"))
@@ -320,8 +323,8 @@ object ScaleQueries {
     cmCellsOf(
       docs.select(explode(split(col("text"), "\\s+")).as("token"))
         .filter(length(col("token")) > 0)
-        .select(md5(col("token")).as("h")),
-      col("h")).select("r", "bucket")
+        .select(graft.functions.GraftFunctions.md5_prefix64(col("token")).as("p")),
+      col("p")).select("r", "bucket")
 
   /** Count-min sketch over the token stream: 4 hash rows × 1024 counters
     * estimate any token's frequency with one-sided error (estimate ≥
@@ -348,13 +351,15 @@ object ScaleQueries {
       val tokens = documents(s, dir)
         .select(explode(split(col("text"), "\\s+")).as("token"))
         .filter(length(col("token")) > 0)
-        .select(col("token"), md5(col("token")).as("h"))
-      val cm = cmCellsOf(tokens, col("h"))
+        .select(col("token"),
+          graft.functions.GraftFunctions.md5_prefix64(col("token")).as("p"))
+      val cm = cmCellsOf(tokens, col("p"))
         .groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
       val exact = tokens.groupBy("token").agg(count(lit(1)).as("n_exact"))
         .orderBy(col("n_exact").desc, col("token")).limit(20)
       val probes = cmCellsOf(
-        exact.withColumn("h", md5(col("token"))), col("h"))
+        exact.withColumn("p",
+          graft.functions.GraftFunctions.md5_prefix64(col("token"))), col("p"))
         .select("token", "n_exact", "r", "bucket")
       probes.join(cm, Seq("r", "bucket"))
         .groupBy("token", "n_exact").agg(min(col("cnt")).as("cm_est"))
