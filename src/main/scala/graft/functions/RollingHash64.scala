@@ -71,6 +71,19 @@ object GraftFunctions {
   def md5_prefix64(c: Column): Column =
     ColumnBridge.column(Md5Prefix64(ColumnBridge.expression(c)))
 
+  /** Split an [[md5_prefix64]] value into its two 32-bit halves — THE
+    * cross-engine base-hash pair, in one place: bit-identical to the
+    * oracle's `('0x' || substr(md5(x), {1,9}, 8))::BIGINT` forms (hex
+    * chars 1-8 = digest bytes 0-3 = the high half; chars 9-16 = bytes
+    * 4-7 = the low half). */
+  def halves64(p: Column): (Column, Column) = {
+    import org.apache.spark.sql.functions.{lit, shiftrightunsigned}
+    (shiftrightunsigned(p, 32), p.bitwiseAND(lit(0xFFFFFFFFL)))
+  }
+
+  /** (lo, hi) 32-bit md5 halves of a string column. */
+  def md5_halves(c: Column): (Column, Column) = halves64(md5_prefix64(c))
+
   def winnow_min(c: Column, k: Int): Column =
     ColumnBridge.column(WinnowExtreme(ColumnBridge.expression(c), k, takeMin = true))
 

@@ -155,10 +155,8 @@ object DedupQueries {
     * Computed via the codegen'd [[graft.functions.Md5Prefix64]] (one digest,
     * two bit ops) instead of md5→hex→conv×2 — bit-identical values, no
     * 32-char string materialization per shingle on the signature hot path. */
-  private def md5Halves(src: Column): (Column, Column) = {
-    val p = graft.functions.GraftFunctions.md5_prefix64(src)
-    (shiftrightunsigned(p, 32), p.bitwiseAND(lit(0xFFFFFFFFL)))
-  }
+  private def md5Halves(src: Column): (Column, Column) =
+    graft.functions.GraftFunctions.md5_halves(src)
 
   /** MinHash signature per doc: element k = min over shingles of permutation
     * k of the shingle's md5. The md5 is computed ONCE per shingle; the 64
@@ -615,8 +613,8 @@ object DedupQueries {
         explode(expr("sequence(1, greatest(size(w) - 7, 1))")).as("i"),
         col("w"))
       .select(col("doc_id"), col("i"),
-        shiftrightunsigned(graft.functions.GraftFunctions.md5_prefix64(
-          expr("array_join(slice(w, i, 8), ' ')")), 32).as("h"))
+        graft.functions.GraftFunctions
+          .md5_halves(expr("array_join(slice(w, i, 8), ' ')"))._1.as("h"))
       .withColumn("b", when(col("h") % 64 === 0, 1L).otherwise(0L))
       .withColumn("chunk_id", sum(col("b")).over(win))
       .groupBy("doc_id", "chunk_id")

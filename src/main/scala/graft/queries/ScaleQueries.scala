@@ -306,8 +306,7 @@ object ScaleQueries {
     * from bit ops on the codegen'd [[graft.functions.Md5Prefix64]]
     * (bit-identical to the oracle's hex conv/substring form). */
   private def cmCellsOf(df: DataFrame, p: Column): DataFrame = {
-    val lo = shiftrightunsigned(p, 32)
-    val hi = p.bitwiseAND(lit(0xFFFFFFFFL))
+    val (lo, hi) = graft.functions.GraftFunctions.halves64(p)
     df.select(df.columns.map(col) :+
       explode(array((0 until CmDepth).map { r =>
         struct(lit(r).as("r"), cmBucket(r, lo, hi).as("bucket"))
