@@ -46,6 +46,25 @@ class SinkSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == packed.count())
   }
 
+  test("schema evolution: old and new shards merge on read, old rows null-fill") {
+    // A 100 TB dataset outlives its schema: shards written last year lack
+    // columns added since. mergeSchema reads both generations as one
+    // table — new columns null-fill on old shards, so downstream plans
+    // need no per-generation branching.
+    import spark.implicits._
+    val out = tmpDir("evolve").resolve("docs").toString
+    Seq((1L, "alpha")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$out/gen=0")
+    Seq((2L, "beta", "en")).toDF("doc_id", "text", "lang")
+      .write.mode("append").parquet(s"$out/gen=1")
+    val merged = spark.read.option("mergeSchema", "true").parquet(out)
+      .orderBy("doc_id").collect()
+    assert(merged.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    val langIdx = 2
+    assert(merged(0).isNullAt(langIdx)) // old shard null-fills the new column
+    assert(merged(1).getString(langIdx) == "en")
+  }
+
   test("partitionBy write → directory layout → pruned re-read") {
     val out = tmpDir("sink").resolve("orders_by_status").toString
     val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
