@@ -123,5 +123,8 @@ object GraftFunctions {
       "scale_floor", exprs => ScaleFloor(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "long_sq_dist", exprs => LongSqDist(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "topk_by_key",
+      exprs => TopKByKey(exprs.head, exprs(1), litInt(exprs(2))), "built-in")
   }
 }

@@ -473,5 +473,44 @@ object ScaleQueries {
     }
   )
 
-  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64)
+  // ---- q73: bounded-heap top-k aggregate ---------------------------------
+
+  /** Top-3 orders per customer via [[graft.functions.TopKByKey]] — the
+    * aggregate-shaped twin of q07's window composition, sharing its oracle.
+    * q07's `row_number().over(partitionBy(cust))` shuffles and sorts the
+    * ENTIRE orders table; this plan partial-aggregates a 48-byte heap per
+    * customer map-side (ObjectHashAggregate), so the exchange carries at
+    * most 3 (price, orderkey) pairs per customer per input split —
+    * shuffle volume is O(k · groups · splits), independent of rows per
+    * group. On a 1000-executor run against a hot-customer skew, the
+    * window plan's skewed partition sorts the whole hot group; this one
+    * never holds more than k entries for it anywhere.
+    *
+    * The payload here IS the (key, tie) pair, so no re-join is needed;
+    * wider payloads re-join on the tie key at k·groups cardinality. */
+  val q73 = Q(
+    "q73_topk_agg",
+    (s, dir) => {
+      orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(graft.functions.TopKByKey
+          .topkByKey(col("o_totalprice"), col("o_orderkey"), 3).as("tk"))
+        .select(col("o_custkey"), posexplode(col("tk")))
+        .select(col("o_custkey"),
+          (col("pos") + 1).cast("int").as("rk"),
+          col("col.tie").as("o_orderkey"),
+          col("col.key").as("o_totalprice"))
+        .orderBy("o_custkey", "rk")
+    },
+    Some("""
+      SELECT o_custkey, rk, o_orderkey, o_totalprice
+      FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+            FROM orders)
+      WHERE rk <= 3
+      ORDER BY o_custkey, rk""")
+  )
+
+  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q73)
 }
