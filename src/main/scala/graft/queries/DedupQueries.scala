@@ -682,5 +682,68 @@ object DedupQueries {
       ORDER BY doc_id""")
   )
 
-  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q26, q38, q71)
+  /** Edit-distance near-dup — the character-level verifier family (vs
+    * q21's set-overlap Jaccard): candidate pairs from shared-shingle
+    * blocking are CONFIRMED duplicates iff `levenshtein(a, b) <= 6`.
+    * Edit distance catches what shingle-set similarity scores loosely
+    * (transpositions, small in-word edits) and is the verifier of
+    * record in entity-resolution pipelines (PassJoin, Li et al. VLDB'11,
+    * uses pigeonhole substring blocking for the same verify step).
+    *
+    * Scale shape: blocking shuffles (doc_id, digest) pairs only; document
+    * text is joined back solely for the candidate pairs (narrow re-joins
+    * on doc_id at candidate cardinality ≪ corpus, q20's key discipline).
+    * The length prefilter |n_chars_a − n_chars_b| ≤ d is a free implied
+    * bound (edit distance ≥ length difference) applied before any text
+    * ships. Verification uses Spark's THRESHOLDED levenshtein — banded
+    * O(n·d) DP that bails at distance > d and returns −1, not the O(n²)
+    * full matrix; kept rows carry the exact distance, so the oracle's
+    * unbounded levenshtein agrees on every surviving pair.
+    *
+    * Recall is bounded by the blocking (a pair sharing no 8-word shingle
+    * is never verified) — same documented trade as q22/q23's LSH banding;
+    * the oracle replicates the identical blocking, so the hash check
+    * proves the pipeline, not just the verifier. */
+  val q74 = Q(
+    "q74_dedup_editdist",
+    (s, dir) => {
+      val docs = documents(s, dir)
+      val sh8 = shingles(docs, nWords = 8)
+        .select(col("doc_id"), md5(col("sh")).as("h"))
+      val cand = sh8.as("a").join(sh8.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val txt = docs.select(col("doc_id"), col("text"), col("n_chars"))
+      cand
+        .join(txt.as("x"), col("doc_a") === col("x.doc_id"))
+        .join(txt.as("y"), col("doc_b") === col("y.doc_id"))
+        .filter(abs(col("x.n_chars") - col("y.n_chars")) <= 6)
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("x.text"), col("y.text"), 6).as("edit_dist"))
+        .filter(col("edit_dist").between(0, 6))
+        .orderBy("doc_a", "doc_b")
+    },
+    Some("""
+      WITH words AS (
+        SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+      idx AS (
+        SELECT doc_id, w, unnest(range(1, greatest(len(w) - 7, 1) + 1)) AS i
+        FROM words),
+      sh AS (
+        SELECT DISTINCT doc_id, md5(array_to_string(w[i:i+7], ' ')) AS h
+        FROM idx),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b, levenshtein(x.text, y.text) AS edit_dist
+      FROM cand
+      JOIN documents x ON x.doc_id = doc_a
+      JOIN documents y ON y.doc_id = doc_b
+      WHERE abs(x.n_chars - y.n_chars) <= 6
+        AND levenshtein(x.text, y.text) <= 6
+      ORDER BY doc_a, doc_b""")
+  )
+
+  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q26, q38, q71, q74)
 }

@@ -262,6 +262,19 @@ class OperatorSpec extends SparkSpec {
     new GraftExtensions()(ext)
   }
 
+  test("thresholded levenshtein: exact distance within bound, -1 beyond (q74's verifier)") {
+    import spark.implicits._
+    val df = Seq(
+      ("kitten", "sitting"),   // distance 3
+      ("abcdefgh", "hgfedcba") // distance 8, beyond threshold 6
+    ).toDF("a", "b")
+    val got = df.select(levenshtein($"a", $"b", 6)).collect().map(_.getInt(0)).toSeq
+    // Spark's banded DP reports the true distance when <= threshold and
+    // bails with -1 past it; q74 filters between(0, d), so a -1 row can
+    // never masquerade as a confirmed duplicate
+    assert(got == Seq(3, -1))
+  }
+
   test("multimodal decode: deterministic fake features + real plumbing") {
     val out = Multimodal.query(spark, "/root/testdata/sf0.001").collect()
     assert(out.length == 500)
