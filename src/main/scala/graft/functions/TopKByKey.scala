@@ -73,6 +73,29 @@ final class TopKHeap(val k: Int) extends Serializable {
     // boxed sort is fine here: runs once per group at eval, size ≤ k
     idx.sortWith((a, b) => worseThan(keys(b), ties(b), keys(a), ties(a)))
   }
+
+  /** Wire format shared by the aggregate buffer and streaming state:
+    * count + (key, tie) pairs in heap-array order. A valid heap
+    * round-trips to a valid heap, so no re-heapify on read. */
+  def toBytes: Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + size * 16)
+    bb.putInt(size)
+    var i = 0
+    while (i < size) { bb.putDouble(keys(i)); bb.putLong(ties(i)); i += 1 }
+    bb.array()
+  }
+}
+
+object TopKHeap {
+  def fromBytes(k: Int, bytes: Array[Byte]): TopKHeap = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new TopKHeap(k)
+    var i = 0
+    while (i < n) { buf.keys(i) = bb.getDouble; buf.ties(i) = bb.getLong; i += 1 }
+    buf.size = n
+    buf
+  }
 }
 
 /** Exact top-k per group as a [[TypedImperativeAggregate]] — the
@@ -154,33 +177,10 @@ case class TopKByKey(
     new GenericArrayData(rows)
   }
 
-  /** Heap array order is preserved verbatim: a valid heap round-trips to a
-    * valid heap, so deserialize is a plain copy with no re-heapify. */
-  override def serialize(buffer: TopKHeap): Array[Byte] = {
-    val bb = ByteBuffer.allocate(4 + buffer.size * 16)
-    bb.putInt(buffer.size)
-    var i = 0
-    while (i < buffer.size) {
-      bb.putDouble(buffer.keys(i))
-      bb.putLong(buffer.ties(i))
-      i += 1
-    }
-    bb.array()
-  }
+  override def serialize(buffer: TopKHeap): Array[Byte] = buffer.toBytes
 
-  override def deserialize(storageFormat: Array[Byte]): TopKHeap = {
-    val bb = ByteBuffer.wrap(storageFormat)
-    val n = bb.getInt
-    val buf = new TopKHeap(k)
-    var i = 0
-    while (i < n) {
-      buf.keys(i) = bb.getDouble
-      buf.ties(i) = bb.getLong
-      i += 1
-    }
-    buf.size = n
-    buf
-  }
+  override def deserialize(storageFormat: Array[Byte]): TopKHeap =
+    TopKHeap.fromBytes(k, storageFormat)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): TopKByKey =
     copy(mutableAggBufferOffset = newOffset)

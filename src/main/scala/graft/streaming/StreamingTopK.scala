@@ -1,0 +1,76 @@
+package graft.streaming
+
+import graft.functions.TopKHeap
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
+import org.apache.spark.sql.streaming.ValueState
+
+/** Streaming per-key top-k leaderboard — the continuous twin of q73's
+  * [[graft.functions.TopKByKey]] bounded-heap aggregate, built on Spark 4's
+  * `transformWithState` (the arbitrary-state API that supersedes
+  * `flatMapGroupsWithState`: typed state variables, per-variable TTL, and
+  * the RocksDB state store as the production backend).
+  *
+  * Semantics: group by `g`; state per key is ONE 16·k-byte heap (the same
+  * wire format as the batch aggregate buffer — [[TopKHeap.toBytes]]); each
+  * micro-batch folds its rows into the heap and emits the key's refreshed
+  * ranking (Update-mode leaderboard). After any prefix of the stream, a
+  * key's latest emission is IDENTICAL to running the batch aggregate over
+  * everything seen so far — the replayability property StreamingTopKSpec
+  * checks against the q73 plan.
+  *
+  * Scale shape: state size is k pairs per key regardless of stream length
+  * (vs. the windowed-aggregation alternative which either retains all rows
+  * or can't look across watermark expiry); a hot key costs O(log k) per
+  * event. State lives in the state store (RocksDB off-heap at scale), and
+  * only (key, 16·k bytes) ever persists.
+  */
+object StreamingTopK {
+
+  /** Input event: group, ordering key, unique row id (q73's column trio). */
+  final case class Scored(g: Long, key: Double, id: Long)
+
+  /** One ranking row; `n_seen` = total events folded for the group, so the
+    * latest emission per group is the one with the maximal n_seen. */
+  final case class Ranked(g: Long, rk: Int, key: Double, id: Long, n_seen: Long)
+
+  final class TopKProcessor(k: Int)
+      extends StatefulProcessor[Long, Scored, Ranked] {
+
+    @transient private var heap: ValueState[Array[Byte]] = _
+    @transient private var seen: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      heap = getHandle.getValueState[Array[Byte]](
+        "topk_heap", Encoders.BINARY, TTLConfig.NONE)
+      seen = getHandle.getValueState[Long](
+        "n_seen", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        g: Long,
+        rows: Iterator[Scored],
+        timerValues: TimerValues): Iterator[Ranked] = {
+      val h =
+        if (heap.exists()) TopKHeap.fromBytes(k, heap.get())
+        else new TopKHeap(k)
+      var n = if (seen.exists()) seen.get() else 0L
+      rows.foreach { r => h.insert(r.key, r.id); n += 1 }
+      heap.update(h.toBytes)
+      seen.update(n)
+      val idx = h.sortedIndices
+      idx.iterator.zipWithIndex.map { case (i, rk) =>
+        Ranked(g, rk + 1, h.keys(i), h.ties(i), n)
+      }
+    }
+  }
+
+  /** Update-mode leaderboard over a stream of [[Scored]] events. */
+  def leaderboard(events: Dataset[Scored], k: Int): Dataset[Ranked] = {
+    implicit val outEnc = Encoders.product[Ranked]
+    events
+      .groupByKey(_.g)(Encoders.scalaLong)
+      .transformWithState(
+        new TopKProcessor(k), TimeMode.None(), OutputMode.Update())
+  }
+}
