@@ -708,8 +708,12 @@ object DedupQueries {
     "q74_dedup_editdist",
     (s, dir) => {
       val docs = documents(s, dir)
+      // localCheckpoint: both sides of the blocking self-join read the
+      // digest table — without it each side re-scans + re-shingles the
+      // corpus (q22's multi-branch discipline)
       val sh8 = shingles(docs, nWords = 8)
         .select(col("doc_id"), md5(col("sh")).as("h"))
+        .localCheckpoint()
       val cand = sh8.as("a").join(sh8.as("b"),
           col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
