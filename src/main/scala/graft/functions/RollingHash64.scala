@@ -126,5 +126,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "topk_by_key",
       exprs => TopKByKey(exprs.head, exprs(1), litInt(exprs(2))), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "misra_gries",
+      exprs => MisraGries(exprs.head, litInt(exprs(1))), "built-in")
   }
 }

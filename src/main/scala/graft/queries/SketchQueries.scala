@@ -208,5 +208,52 @@ object SketchQueries {
       FROM cum GROUP BY lang ORDER BY lang""")
   )
 
-  val all: Seq[Q] = Seq(q27, q39, q52, q68)
+  /** Exact heavy hitters via the two-pass Misra–Gries pattern: pass 1 is
+    * the bounded [[graft.functions.MisraGries]] sketch (≤ m counters per
+    * partition, partial aggregation IS the sketch merge) whose guarantee
+    * — every token of count > N/(m+1) survives — makes the candidate set
+    * a SUPERSET of the true heavy hitters; pass 2 recounts ONLY the ≤ m
+    * candidates exactly (the inner join bounds aggregation state at m
+    * groups) and keeps tokens with n_exact·31 > N (integer compare,
+    * sound for capacity m = 30 since N/31 ≥ N/(m+1)).
+    *
+    * Why not one exact vocabulary groupBy: its state is proportional to
+    * DISTINCT tokens — unbounded on a 100 TB web corpus (q33's vocab cap
+    * is a top-k report, not a guarantee). Here every stage's state is
+    * m counters; only the final ≤ m survivors materialize. The sketch's
+    * internal counts are order-dependent, so they never leave the
+    * pipeline: membership (deterministic by the guarantee) + exact
+    * recount is what the oracle hash-checks with a plain GROUP BY +
+    * HAVING — no sketch simulation needed on the DuckDB side. */
+  val q75 = Q(
+    "q75_heavy_hitters",
+    (s, dir) => {
+      val tokens = documents(s, dir)
+        .select(explode(split(col("text"), "\\s+")).as("token"))
+        .filter(length(col("token")) > 0)
+        .localCheckpoint() // three consumers: sketch, total, recount
+      val cands = tokens
+        .agg(graft.functions.MisraGries.misraGries(col("token"), 30).as("cand"))
+        .select(explode(col("cand")).as("token"))
+      val total = tokens.agg(count(lit(1)).as("total"))
+      tokens.join(cands, "token")
+        .groupBy("token").agg(count(lit(1)).as("n_exact"))
+        .crossJoin(total) // one-row scalar (plan-guard allowlisted)
+        .filter(col("n_exact") * 31 > col("total"))
+        .select(col("token"), col("n_exact"))
+        .orderBy(col("n_exact").desc, col("token"))
+    },
+    Some("""
+      WITH tok AS (
+        SELECT unnest(string_split_regex(text, '\s+')) AS token
+        FROM documents),
+      tok2 AS (SELECT token FROM tok WHERE length(token) > 0),
+      tot AS (SELECT COUNT(*) AS total FROM tok2),
+      c AS (SELECT token, COUNT(*) AS n_exact FROM tok2 GROUP BY token)
+      SELECT token, n_exact FROM c, tot
+      WHERE n_exact * 31 > total
+      ORDER BY n_exact DESC, token""")
+  )
+
+  val all: Seq[Q] = Seq(q27, q39, q52, q68, q75)
 }

@@ -147,7 +147,7 @@ class PlanRegressionSpec extends SparkSpec {
     val bnljAllowed = Set(
       "q40_cosine_topk", "q42_dedup_embedding", "q46_tfidf",
       "q49_pq_adc_topk", "q64_zorder", "q67_mixture_sample", "q69_recipe",
-      "q72_bm25")
+      "q72_bm25", "q75_heavy_hitters")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")
