@@ -775,12 +775,17 @@ object DedupQueries {
       val sh3 = shingles(documents(s, dir), nWords = 3)
         .select(col("doc_id"), md5(col("sh")).as("h"))
         .localCheckpoint() // consumers: df, sizes, ranking, verify both sides
-      val dfreq = sh3.groupBy("h").agg(count(lit(1)).as("df"))
       val sizes = sh3.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        .localCheckpoint() // consumers: ranking + both verify sides
-      val ranked = sh3.join(dfreq, "h").join(sizes, "doc_id")
+        .localCheckpoint() // consumers: both verify sides
+      // df and the per-doc rank/size via WINDOW counts: one exchange on h,
+      // one on doc_id (rank + n share the doc_id partitioning) — vs the
+      // groupBy-then-join-back form which pays the h shuffle twice and
+      // adds a join
+      val ranked = sh3
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
         .withColumn("rk", row_number().over(
           Window.partitionBy("doc_id").orderBy(col("df"), col("h"))))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
       val prefix = ranked
         .filter(expr("rk <= n - ((6 * n + 9) div 10) + 1"))
         .select("doc_id", "h")
