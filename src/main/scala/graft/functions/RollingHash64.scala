@@ -94,11 +94,13 @@ object GraftFunctions {
   def word_ngrams(c: Column, n: Int): Column =
     ColumnBridge.column(WordNgrams(ColumnBridge.expression(c), n))
 
-  private def litInt(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+  private def litInt(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      what: String = "window size"): Int =
     e match {
       case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
       case other => throw new IllegalArgumentException(
-        s"window size must be an integer literal, got $other")
+        s"$what must be an integer literal, got $other")
     }
 
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -125,9 +127,9 @@ object GraftFunctions {
       "long_sq_dist", exprs => LongSqDist(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "topk_by_key",
-      exprs => TopKByKey(exprs.head, exprs(1), litInt(exprs(2))), "built-in")
+      exprs => TopKByKey(exprs.head, exprs(1), litInt(exprs(2), "k")), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "misra_gries",
-      exprs => MisraGries(exprs.head, litInt(exprs(1))), "built-in")
+      exprs => MisraGries(exprs.head, litInt(exprs(1), "capacity")), "built-in")
   }
 }

@@ -25,9 +25,14 @@ final class TopKHeap(val k: Int) extends Serializable {
   val keys: Array[Double] = new Array[Double](k)
   val ties: Array[Long] = new Array[Long](k)
 
-  /** (ka, ta) sorts strictly after (kb, tb) under (key DESC, tie ASC). */
-  @inline private def worseThan(ka: Double, ta: Long, kb: Double, tb: Long): Boolean =
-    ka < kb || (ka == kb && ta > tb)
+  /** (ka, ta) sorts strictly after (kb, tb) under (key DESC, tie ASC).
+    * `Double.compare` gives the TOTAL order Spark's window sort uses
+    * (NaN greatest, -0.0 < 0.0) — a plain `<` would let a NaN at the root
+    * block every later insert and make output partitioning-dependent. */
+  @inline private def worseThan(ka: Double, ta: Long, kb: Double, tb: Long): Boolean = {
+    val c = java.lang.Double.compare(ka, kb)
+    c < 0 || (c == 0 && ta > tb)
+  }
 
   @inline private def swap(i: Int, j: Int): Unit = {
     val dk = keys(i); keys(i) = keys(j); keys(j) = dk
@@ -90,6 +95,9 @@ object TopKHeap {
   def fromBytes(k: Int, bytes: Array[Byte]): TopKHeap = {
     val bb = ByteBuffer.wrap(bytes)
     val n = bb.getInt
+    require(n <= k,
+      s"serialized heap holds $n entries > capacity $k — " +
+        "state was written with a larger k (incompatible restart)")
     val buf = new TopKHeap(k)
     var i = 0
     while (i < n) { buf.keys(i) = bb.getDouble; buf.ties(i) = bb.getLong; i += 1 }

@@ -718,11 +718,17 @@ object DedupQueries {
           col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
-      val txt = docs.select(col("doc_id"), col("text"), col("n_chars"))
+      // length prefilter on the NARROW (doc_id, n_chars) projection first:
+      // document bodies join in only for pairs that survive it
+      val meta = docs.select(col("doc_id"), col("n_chars"))
+      val txt = docs.select(col("doc_id"), col("text"))
       cand
+        .join(meta.as("ma"), col("doc_a") === col("ma.doc_id"))
+        .join(meta.as("mb"), col("doc_b") === col("mb.doc_id"))
+        .filter(abs(col("ma.n_chars") - col("mb.n_chars")) <= 6)
+        .select(col("doc_a"), col("doc_b"))
         .join(txt.as("x"), col("doc_a") === col("x.doc_id"))
         .join(txt.as("y"), col("doc_b") === col("y.doc_id"))
-        .filter(abs(col("x.n_chars") - col("y.n_chars")) <= 6)
         .select(col("doc_a"), col("doc_b"),
           levenshtein(col("x.text"), col("y.text"), 6).as("edit_dist"))
         .filter(col("edit_dist").between(0, 6))

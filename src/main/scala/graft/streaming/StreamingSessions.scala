@@ -49,23 +49,37 @@ object StreamingSessions {
         user: Long,
         rows: Iterator[SEvent],
         timerValues: TimerValues): Iterator[Session] = {
-      // micro-batch iterator order is not deterministic; event time is
-      val times = rows.map(_.ts.getTime).toArray
-      java.util.Arrays.sort(times)
-      val closed = ArrayBuffer.empty[Session]
-      var st = if (state.exists()) state.get() else null
-      times.foreach { t =>
-        if (st == null) st = SessState(t, t, 1L)
-        else if (t - st.lastMs > gapMs) {
-          closed += Session(user, st.startMs, st.lastMs, st.n)
-          st = SessState(t, t, 1L)
-        } else if (t > st.lastMs) st = SessState(st.startMs, t, st.n + 1)
-        else st = SessState(st.startMs, st.lastMs, st.n + 1)
+      // Interval sweep over {parked session} ∪ {batch events}: late events
+      // (older than the parked session, legal up to the watermark delay)
+      // extend the session BACKWARD when within the gap, or form their own
+      // earlier session when disjoint — a cross-batch out-of-order event
+      // must never silently inflate the parked session's count (it would
+      // corrupt both bounds and splits).
+      val evs = rows.map(_.ts.getTime).toArray
+      java.util.Arrays.sort(evs)
+      var ivs = evs.map(t => SessState(t, t, 1L))
+      if (state.exists()) {
+        val st = state.get()
+        val at = ivs.indexWhere(_.startMs > st.startMs) match {
+          case -1 => ivs.length
+          case i => i
+        }
+        ivs = (ivs.take(at) :+ st) ++ ivs.drop(at)
       }
-      if (st != null) {
-        state.update(st)
+      val closed = ArrayBuffer.empty[Session]
+      var cur: SessState = null
+      ivs.foreach { iv =>
+        if (cur == null) cur = iv
+        else if (iv.startMs - cur.lastMs > gapMs) {
+          closed += Session(user, cur.startMs, cur.lastMs, cur.n)
+          cur = iv
+        } else cur = SessState(cur.startMs,
+          math.max(cur.lastMs, iv.lastMs), cur.n + iv.n)
+      }
+      if (cur != null) {
+        state.update(cur)
         clearTimers()
-        getHandle.registerTimer(st.lastMs + gapMs)
+        getHandle.registerTimer(cur.lastMs + gapMs)
       }
       closed.iterator
     }
@@ -88,6 +102,7 @@ object StreamingSessions {
 
   /** Append-mode closed sessions; `events` must carry a watermark on `ts`. */
   def sessions(events: Dataset[SEvent], gapMs: Long): Dataset[Session] = {
+    require(gapMs > 0, s"session gap must be positive, got $gapMs")
     implicit val outEnc = Encoders.product[Session]
     events
       .groupByKey(_.user_id)(Encoders.scalaLong)

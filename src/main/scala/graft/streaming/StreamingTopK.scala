@@ -67,6 +67,7 @@ object StreamingTopK {
 
   /** Update-mode leaderboard over a stream of [[Scored]] events. */
   def leaderboard(events: Dataset[Scored], k: Int): Dataset[Ranked] = {
+    require(k >= 1, s"k must be >= 1, got $k") // fail at plan build, not mid-batch
     implicit val outEnc = Encoders.product[Ranked]
     events
       .groupByKey(_.g)(Encoders.scalaLong)

@@ -81,6 +81,63 @@ class StreamingSessionsSpec extends SparkSpec {
     ), s"got $out")
   }
 
+  test("cross-batch late events extend backward or split — never inflate the parked session") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s.implicits._
+
+    // generous watermark delay so the late events are legal (not dropped):
+    // batch0 parks user 4's session at [60, 60]. batch1 delivers two LATE
+    // events: 50min (within gap 15 → extends the session BACKWARD... no:
+    // 60-50=10 <= 15, merges, start moves to 50) and 10min (disjoint —
+    // its own earlier session, closed inline by the sweep since the parked
+    // interval follows it beyond the gap). batch2 advances the watermark
+    // far enough to flush the merged session too.
+    val batches = Seq(
+      Seq(SEvent(4L, ts(60))),
+      Seq(SEvent(4L, ts(50)), SEvent(4L, ts(10))),
+      Seq(SEvent(5L, ts(600)))
+    )
+    val dir = tmpDir("sess_late")
+    val now = System.currentTimeMillis()
+    batches.zipWithIndex.foreach { case (evs, i) =>
+      val tmp = tmpDir("sess_late_stage")
+      evs.toDF().coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val listing = Files.list(tmp)
+      val part =
+        try listing.filter(_.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        finally listing.close()
+      val dst = dir.resolve(s"batch$i.parquet")
+      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(now - 60000 + i * 1000))
+    }
+
+    val stream = s.readStream
+      .schema(batches.head.toDF().schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+      .withWatermark("ts", "2 hours") // late events stay above the watermark
+      .as[SEvent]
+    val q = StreamingSessions.sessions(stream, gapMs = 15 * 60000L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_late").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+
+    val out = s.table("sess_late")
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_ms"),
+        r.getAs[Long]("end_ms"), r.getAs[Long]("n_events"))).toSet
+    // the disjoint late singleton {10} closes inline; the parked session
+    // grows BACKWARD to [50, 60] with 2 events and closes via timer once
+    // batch2's watermark passes 60+15
+    assert(out == Set(
+      (4L, T0 + 10 * 60000L, T0 + 10 * 60000L, 1L),
+      (4L, T0 + 50 * 60000L, T0 + 60 * 60000L, 2L)
+    ), s"got $out")
+  }
+
   test("in-batch gap splits emit inline without waiting for a timer") {
     val s = spark.newSession()
     s.conf.set("spark.sql.streaming.stateStore.providerClass",

@@ -17,6 +17,25 @@ class TopKAggSpec extends SparkSpec {
     assert(got == Seq((9.0, 3L), (5.0, 0L), (5.0, 1L)))
   }
 
+  test("NaN keys follow Spark's total order (greatest) and never wedge the heap") {
+    val h = new TopKHeap(2)
+    h.insert(Double.NaN, 5L)
+    h.insert(1.0, 1L)   // must displace nothing (NaN is greatest) but insert fine
+    h.insert(2.0, 2L)   // must displace 1.0, not be blocked by the NaN root
+    val got = h.sortedIndices.map(i => (h.keys(i), h.ties(i))).toSeq
+    assert(java.lang.Double.isNaN(got.head._1) && got.head._2 == 5L)
+    assert(got(1) == ((2.0, 2L)), got.toString)
+  }
+
+  test("fromBytes rejects state written with a larger k (incompatible restart)") {
+    val big = new TopKHeap(5)
+    (1 to 5).foreach(i => big.insert(i.toDouble, i.toLong))
+    val e = intercept[IllegalArgumentException] {
+      TopKHeap.fromBytes(3, big.toBytes)
+    }
+    assert(e.getMessage.contains("capacity 3"), e.getMessage)
+  }
+
   test("topk_by_key matches the window row_number composition on random data") {
     import spark.implicits._
     val rnd = new Random(7)
