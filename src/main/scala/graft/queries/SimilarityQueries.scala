@@ -787,5 +787,107 @@ object SimilarityQueries {
       ORDER BY query_id, rank""")
   )
 
-  val all: Seq[Q] = Seq(q40, q41, q42, q43, q45, q47, q48, q49)
+  /** Metadata-FILTERED approximate nearest neighbors — q43's IVF pipeline
+    * with a label predicate applied to candidates BEFORE any dot product
+    * (the "pre-filtering" strategy of filtered vector search: FAISS
+    * IDSelector / filtered-HNSW territory). Placement matters at scale:
+    * filtering after top-k (post-filtering) can return < k or even zero
+    * matching rows for a selective predicate, while filtering after
+    * scoring wastes the dot products on candidates the predicate kills.
+    * Here the (vec_id, label) projection — narrow at any corpus size —
+    * joins onto the probed cells first, so scoring cost is proportional
+    * to MATCHING candidates only, and every returned neighbor satisfies
+    * the predicate by construction.
+    *
+    * Scale shape: identical to q43 (map-side assignment, broadcast
+    * probes, per-query WindowGroupLimit rank) plus one narrow equi-join;
+    * the label column never rides along with the vectors. The oracle
+    * recomputes the full filtered pipeline. */
+  val q77 = Q(
+    "q77_filtered_ann",
+    (s, dir) => {
+      val emb = embeddings(s, dir)
+      val cents = codebook(emb)
+      val assigned = ivfAssigned(emb, cents)
+
+      val probes = assigned.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("nrm").as("qn"),
+          sort_array(scoredCells(cents, col("embedding")), asc = false).as("sc"))
+        .select(col("query_id"), col("qe"), col("qn"),
+          explode(array((1 to IvfNProbe).map(i =>
+            -element_at(col("sc"), i).getField("negc")): _*)).as("cell"))
+
+      val labels = emb.select(col("vec_id").as("neighbor_id"), col("label"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      assigned
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
+          col("nrm").as("cn"), col("cell"))
+        .join(labels, "neighbor_id")
+        .filter(col("label") === 3) // predicate BEFORE any scoring
+        .join(broadcast(probes), Seq("cell"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          (dotDec(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""
+      WITH u AS (
+        SELECT vec_id, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings),
+      nrm AS (
+        SELECT vec_id,
+               sqrt(CAST(CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * x * 1e15) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e15) AS nrm
+        FROM u GROUP BY vec_id),
+      cd AS (
+        SELECT a.vec_id, b.vec_id AS cid,
+               CAST(SUM(CAST(FLOOR(CAST(a.x AS DOUBLE) * b.x * 1e15) AS BIGINT)) AS BIGINT) AS dt
+        FROM u a JOIN u b ON a.i = b.i AND b.vec_id < $IvfK
+        GROUP BY a.vec_id, b.vec_id),
+      score AS (
+        SELECT cd.vec_id, cd.cid,
+               (CAST(cd.dt AS DOUBLE) / 1e15) / cn.nrm AS s
+        FROM cd JOIN nrm cn ON cn.vec_id = cd.cid),
+      ranked_cells AS (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+        FROM score),
+      assign AS (SELECT vec_id, cid AS cell FROM ranked_cells WHERE rn = 1),
+      probe AS (
+        SELECT vec_id AS query_id, cid AS cell
+        FROM ranked_cells WHERE vec_id < 8 AND rn <= $IvfNProbe),
+      cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id
+        FROM probe p JOIN assign a ON a.cell = p.cell
+        JOIN embeddings e ON e.vec_id = a.vec_id
+        WHERE a.vec_id <> p.query_id AND e.label = 3),
+      dots AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               CAST(SUM(CAST(FLOOR(CAST(a.x AS DOUBLE) * b.x * 1e15) AS BIGINT)) AS BIGINT) AS dt
+        FROM cand
+        JOIN u a ON a.vec_id = cand.query_id
+        JOIN u b ON b.vec_id = cand.neighbor_id AND a.i = b.i
+        GROUP BY cand.query_id, cand.neighbor_id),
+      scored AS (
+        SELECT d.query_id, d.neighbor_id,
+               (CAST(d.dt AS DOUBLE) / 1e15) / (qn.nrm * cn.nrm) AS cosine
+        FROM dots d
+        JOIN nrm qn ON qn.vec_id = d.query_id
+        JOIN nrm cn ON cn.vec_id = d.neighbor_id),
+      out AS (
+        SELECT query_id, neighbor_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored)
+      SELECT query_id, rank, neighbor_id, cosine
+      FROM out WHERE rank <= 5
+      ORDER BY query_id, rank""")
+  )
+
+  val all: Seq[Q] = Seq(q40, q41, q42, q43, q45, q47, q48, q49, q77)
 }
