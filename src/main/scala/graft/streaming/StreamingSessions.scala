@@ -21,6 +21,10 @@ import scala.collection.mutable.ArrayBuffer
   * trailing open session parks in a ValueState with one pending timer
   * (re-registered as events extend the session). State per key is one
   * (start, last, n) struct + one timer at any moment.
+  *
+  * The reference (`/root/reference/main.py:1-466`) has no streaming
+  * constructs (SURVEY.md §1.1); this is engine-surface extension, the
+  * timer-API twin of q16's batch gap sessionization.
   */
 object StreamingSessions {
 

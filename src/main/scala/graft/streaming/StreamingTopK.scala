@@ -24,6 +24,10 @@ import org.apache.spark.sql.streaming.ValueState
   * or can't look across watermark expiry); a hot key costs O(log k) per
   * event. State lives in the state store (RocksDB off-heap at scale), and
   * only (key, 16·k bytes) ever persists.
+  *
+  * The reference (`/root/reference/main.py:1-466`) is whole-file batch
+  * with no streaming constructs (SURVEY.md §1.1); this extends the
+  * declared engine surface alongside q73's batch aggregate.
   */
 object StreamingTopK {
 
