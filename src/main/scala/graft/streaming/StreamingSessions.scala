@@ -1,26 +1,28 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
-import org.apache.spark.sql.streaming.ValueState
-
-import scala.collection.mutable.ArrayBuffer
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
 
 /** Timer-based streaming sessionization on `transformWithState` — the
   * EVENT-TIME-TIMER form of q16's gap sessionization: a session closes
   * when the WATERMARK passes `last_event + gap`, not when the next event
   * for the key happens to arrive. The built-in `session_window`
-  * aggregation emits merged windows but hides expiry; an explicit
-  * `registerTimer(lastMs + gap)` + `handleExpiredTimer` is the API that
-  * lets a 100 TB pipeline hold per-key session state (one small struct)
-  * and flush it deterministically as event time advances — including for
-  * keys that NEVER receive another event (the case per-key gap logic
-  * alone cannot close).
+  * aggregation emits merged windows but hides expiry; explicit timers +
+  * `handleExpiredTimer` are the API that lets a 100 TB pipeline hold
+  * per-key session state and flush it deterministically as event time
+  * advances — including for keys that NEVER receive another event (the
+  * case per-key gap logic alone cannot close).
   *
-  * In-batch gaps split sessions immediately (emitted inline); the
-  * trailing open session parks in a ValueState with one pending timer
-  * (re-registered as events extend the session). State per key is one
-  * (start, last, n) struct + one timer at any moment.
+  * Correctness under disorder: NOTHING is emitted from `handleInputRows`.
+  * Every gap-separated interval parks in a ListState until the watermark
+  * passes its `last + gap` — only then is a bridging event impossible
+  * (such an event would have `t ≤ last + gap < watermark` and be dropped
+  * as late before reaching the processor), so emission is final by
+  * construction. Late-but-legal events (within the watermark delay)
+  * extend parked intervals backward, merge them, or form new earlier
+  * intervals via one interval sweep per batch. State per key is the
+  * pending-interval list (bounded by disorder, not stream length) and
+  * ONE timer at the earliest pending close.
   *
   * The reference (`/root/reference/main.py:1-466`) has no streaming
   * constructs (SURVEY.md §1.1); this is engine-surface extension, the
@@ -32,14 +34,30 @@ object StreamingSessions {
   final case class Session(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)
   final case class SessState(startMs: Long, lastMs: Long, n: Long)
 
+  /** Merge gap-connected intervals; input ANY order, output sorted by
+    * start, pairwise gap-disjoint. Pure — property-tested in
+    * StreamingSessionsSpec against single-pass sessionization. */
+  def sweep(ivs: Seq[SessState], gapMs: Long): Seq[SessState] = {
+    val sorted = ivs.sortBy(iv => (iv.startMs, iv.lastMs))
+    val out = scala.collection.mutable.ArrayBuffer.empty[SessState]
+    sorted.foreach { iv =>
+      if (out.nonEmpty && iv.startMs - out.last.lastMs <= gapMs) {
+        val cur = out.remove(out.length - 1)
+        out += SessState(cur.startMs,
+          math.max(cur.lastMs, iv.lastMs), cur.n + iv.n)
+      } else out += iv
+    }
+    out.toSeq
+  }
+
   final class SessionProcessor(gapMs: Long)
       extends StatefulProcessor[Long, SEvent, Session] {
 
-    @transient private var state: ValueState[SessState] = _
+    @transient private var pending: ListState[SessState] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      state = getHandle.getValueState[SessState](
-        "session", Encoders.product[SessState], TTLConfig.NONE)
+      pending = getHandle.getListState[SessState](
+        "pending", Encoders.product[SessState], TTLConfig.NONE)
     }
 
     private def clearTimers(): Unit = {
@@ -49,58 +67,37 @@ object StreamingSessions {
       }
     }
 
+    private def park(ivs: Seq[SessState]): Unit = {
+      if (ivs.isEmpty) pending.clear()
+      else pending.put(ivs.toArray)
+      clearTimers()
+      // one timer at the earliest pending close (intervals are sorted and
+      // gap-disjoint, so the first interval closes first)
+      ivs.headOption.foreach(iv => getHandle.registerTimer(iv.lastMs + gapMs))
+    }
+
     override def handleInputRows(
         user: Long,
         rows: Iterator[SEvent],
         timerValues: TimerValues): Iterator[Session] = {
-      // Interval sweep over {parked session} ∪ {batch events}: late events
-      // (older than the parked session, legal up to the watermark delay)
-      // extend the session BACKWARD when within the gap, or form their own
-      // earlier session when disjoint — a cross-batch out-of-order event
-      // must never silently inflate the parked session's count (it would
-      // corrupt both bounds and splits).
-      val evs = rows.map(_.ts.getTime).toArray
-      java.util.Arrays.sort(evs)
-      var ivs = evs.map(t => SessState(t, t, 1L))
-      if (state.exists()) {
-        val st = state.get()
-        val at = ivs.indexWhere(_.startMs > st.startMs) match {
-          case -1 => ivs.length
-          case i => i
-        }
-        ivs = (ivs.take(at) :+ st) ++ ivs.drop(at)
-      }
-      val closed = ArrayBuffer.empty[Session]
-      var cur: SessState = null
-      ivs.foreach { iv =>
-        if (cur == null) cur = iv
-        else if (iv.startMs - cur.lastMs > gapMs) {
-          closed += Session(user, cur.startMs, cur.lastMs, cur.n)
-          cur = iv
-        } else cur = SessState(cur.startMs,
-          math.max(cur.lastMs, iv.lastMs), cur.n + iv.n)
-      }
-      if (cur != null) {
-        state.update(cur)
-        clearTimers()
-        getHandle.registerTimer(cur.lastMs + gapMs)
-      }
-      closed.iterator
+      val existing =
+        if (pending.exists()) pending.get().toSeq else Seq.empty
+      val fresh = rows.map(e => SessState(e.ts.getTime, e.ts.getTime, 1L)).toSeq
+      park(sweep(existing ++ fresh, gapMs))
+      Iterator.empty // emission is the watermark's job, never the batch's
     }
 
     override def handleExpiredTimer(
         user: Long,
         timerValues: TimerValues,
         expiredTimerInfo: ExpiredTimerInfo): Iterator[Session] = {
-      if (state.exists()) {
-        val st = state.get()
-        // a stale timer (already superseded by a re-registration) must not
-        // flush a still-open session
-        if (st.lastMs + gapMs <= expiredTimerInfo.getExpiryTimeInMs) {
-          state.clear()
-          Iterator.single(Session(user, st.startMs, st.lastMs, st.n))
-        } else Iterator.empty
-      } else Iterator.empty
+      val wm = math.max(
+        timerValues.getCurrentWatermarkInMs,
+        expiredTimerInfo.getExpiryTimeInMs)
+      val ivs = if (pending.exists()) pending.get().toSeq else Seq.empty
+      val (close, keep) = ivs.partition(_.lastMs + gapMs <= wm)
+      park(keep)
+      close.iterator.map(iv => Session(user, iv.startMs, iv.lastMs, iv.n))
     }
   }
 

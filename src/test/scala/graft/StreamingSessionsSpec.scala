@@ -129,23 +129,55 @@ class StreamingSessionsSpec extends SparkSpec {
     val out = s.table("sess_late")
       .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_ms"),
         r.getAs[Long]("end_ms"), r.getAs[Long]("n_events"))).toSet
-    // the disjoint late singleton {10} closes inline; the parked session
-    // grows BACKWARD to [50, 60] with 2 events and closes via timer once
-    // batch2's watermark passes 60+15
+    // the disjoint late singleton {10} and the backward-grown [50, 60]
+    // session (2 events) both park, then close via timer once batch2's
+    // watermark passes their gaps — nothing was emitted prematurely, so
+    // the late events could still have merged or split them
     assert(out == Set(
       (4L, T0 + 10 * 60000L, T0 + 10 * 60000L, 1L),
       (4L, T0 + 50 * 60000L, T0 + 60 * 60000L, 2L)
     ), s"got $out")
   }
 
-  test("in-batch gap splits emit inline without waiting for a timer") {
+  test("sweep property: incremental batch folding = one-shot gap sessionization") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import graft.streaming.StreamingSessions.{sweep, SessState}
+    val gen = for {
+      gap <- Gen.chooseNum(1L, 50L)
+      times <- Gen.nonEmptyListOf(Gen.chooseNum(0L, 500L))
+      cuts <- Gen.listOf(Gen.chooseNum(0, times.length))
+    } yield (gap, times, cuts.sorted)
+    val prop = Prop.forAll(gen) { case (gap, times, cuts) =>
+      // reference: single-pass gap scan over globally sorted times
+      val sorted = times.sorted
+      val ref = sorted.tail.foldLeft(
+        List(SessState(sorted.head, sorted.head, 1L))) { (acc, t) =>
+        if (t - acc.head.lastMs > gap)
+          SessState(t, t, 1L) :: acc
+        else SessState(acc.head.startMs, t, acc.head.n + 1) :: acc.tail
+      }.reverse
+      // incremental: arbitrary batch boundaries, sweep folds each batch
+      // into the parked intervals exactly as handleInputRows does
+      val bounds = (0 +: cuts :+ times.length).distinct.sorted
+      val chunks = bounds.zip(bounds.tail).map { case (a, b) => times.slice(a, b) }
+      val folded = chunks.foldLeft(Seq.empty[SessState]) { (parked, chunk) =>
+        sweep(parked ++ chunk.map(t => SessState(t, t, 1L)), gap)
+      }
+      folded == ref
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.toString)
+  }
+
+  test("gap-split intervals close via the watermark; the open tail is withheld") {
     val s = spark.newSession()
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     import s.implicits._
 
     // one batch holding TWO sessions for the same user (90min gap): the
-    // first closes inline during handleInputRows; the second stays open
+    // first parks and closes once the trailing batch's watermark passes
+    // its gap; the second stays open (timer beyond the final watermark)
     val evs = Seq(SEvent(9L, ts(0)), SEvent(9L, ts(5)), SEvent(9L, ts(95)))
     val dir = tmpDir("sess_inline")
     evs.toDF().coalesce(1).write.mode("overwrite").parquet(dir.toString)
