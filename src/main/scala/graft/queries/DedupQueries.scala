@@ -174,16 +174,15 @@ object DedupQueries {
     * map-side. The entire signature stage is one narrow pass + one
     * signature-array shuffle; the oracle keeps its DISTINCT (same min). */
   private def minhashSignatures(docs: DataFrame): DataFrame = {
-    import graft.functions.ArrayLongFold.arrayMinAgg
     val (lo, hi) = md5Halves(col("sh"))
     shingles(docs, dedup = false)
       .select(col("doc_id"), lo.as("lo"), hi.as("hi"))
-      .select(col("doc_id"),
-        array((0 until MinhashK).map(i =>
-          (lit(PermA(i)) * col("lo") + lit(PermB(i)) * col("hi") + lit(PermC(i))) % P61): _*)
-          .as("hs"))
       .groupBy("doc_id")
-      .agg(arrayMinAgg(col("hs")).as("sig"))
+      // fused fold: the 64 permutations run INSIDE the aggregate update —
+      // no 64-long ArrayData per shingle (see MinHashFold; same values as
+      // the array(...)+arrayMinAgg composition, cross-checked in its spec)
+      .agg(graft.functions.MinHashFold
+        .minhashFold(col("lo"), col("hi"), PermA, PermB, PermC, P61).as("sig"))
   }
 
   /** MinHash + LSH banding near-dup candidates, verified by signature
@@ -300,27 +299,23 @@ object DedupQueries {
   val q23 = Q(
     "q23_dedup_simhash",
     (s, dir) => {
-      import graft.functions.ArrayLongFold.arraySumAgg
       val (lo, hi) = md5Halves(col("word"))
       val words = documents(s, dir)
         .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("word"))
         .select(col("doc_id"), lo.as("lo"), hi.as("hi"))
-      // per-word vote vector: +1 if bit set else -1, folded per doc by the
-      // custom array-sum aggregate (see minhashSignatures for why not 64
-      // separate sum() columns); sign of each vote → signature bit.
-      // array(...) of 64 codegen'd bit tests (HOF lambdas are interpreted);
-      // half assembly = 32 codegen'd when-sums per half (ditto).
+      // per-word ±1 bit votes folded per doc INSIDE the fused aggregate
+      // (SimHashFold — no 64-long vote array per word; integer sums
+      // commute so values are identical to the projection+sum composition,
+      // cross-checked in MinHashFoldSpec); sign of each vote → signature
+      // bit. Half assembly = 32 codegen'd when-sums per half (HOF lambdas
+      // are interpreted).
       def half(base: Int): Column = (0 until 32).map(b =>
         when(element_at(col("v"), base + b + 1) > 0, lit(1L << b)).otherwise(lit(0L)))
         .reduce(_ + _)
       val sigs = words
-        .select(col("doc_id"),
-          array((0 until 64).map { b =>
-            val src = if (b < 32) col("lo") else col("hi")
-            when(src.bitwiseAND(lit(1L << (b % 32))) =!= 0L, 1L).otherwise(-1L)
-          }: _*).as("votes"))
         .groupBy("doc_id")
-        .agg(arraySumAgg(col("votes")).as("v"))
+        .agg(graft.functions.SimHashFold
+          .simhashFold(col("lo"), col("hi")).as("v"))
         .select(col("doc_id"), half(0).as("sim_lo"), half(32).as("sim_hi"))
         .localCheckpoint() // multi-branch reuse, see q22's sigs note
       val chunks = sigs.select(
