@@ -10,9 +10,11 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
-/** Element-wise fold of `array<long>` rows into one `array<long>` — the
-  * signature-building primitive for MinHash (fold = min) and SimHash
-  * (fold = sum).
+/** Element-wise fold of `array<long>` rows into one `array<long>` —
+  * fold = min or sum per slot. The k-means centroid update (q47) folds
+  * coordinate sums with it; the MinHash/SimHash signature paths moved to
+  * the fused [[MinHashFold]]/[[SimHashFold]] variants (same arithmetic,
+  * no per-row array), with equivalence pinned in MinHashFoldSpec.
   *
   * Why a custom `TypedImperativeAggregate` instead of 64 separate
   * `min(...)`/`sum(...)` agg columns: with one agg expression per signature
