@@ -1,5 +1,8 @@
 package graft.operators
 
+import java.nio.charset.StandardCharsets
+import java.util.zip.CRC32
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -7,11 +10,15 @@ import org.apache.spark.sql.functions._
   * `binary` columns plus a typed metadata struct, and run decode /
   * feature-extraction as a partition-wise typed transformation.
   *
-  * The decode step itself is STUBBED (no image/audio codecs exist in this
-  * offline container): [[FakeDecoder.decode]] derives deterministic
-  * pseudo-metadata and a fixed-length feature vector from the payload
-  * bytes. Everything AROUND the stub is the real Spark shape a production
-  * decoder would use:
+  * The container-header decode is REAL: [[MediaCodec.decode]] parses the
+  * PNG (ISO 15948 §5.3/11.2.2: signature + IHDR), JPEG (ITU T.81 §B.2.2:
+  * marker scan to SOFn), GIF (GIF89a spec: logical screen descriptor) and
+  * WAV (RIFF: `fmt ` chunk) formats from their public specifications, and
+  * emits (width, height, format) straight from the header bytes. Only the
+  * vision-model feature extraction is a deterministic stand-in (no ML
+  * runtime exists in this offline container): features derive from the
+  * decoded metadata via small-integer arithmetic so the whole path is
+  * oracle-expressible. The Spark shape is what a production decoder uses:
   *
   *  - payloads stay `Array[Byte]` end-to-end (no driver materialization);
   *  - the work runs via `Dataset.mapPartitions` with product encoders — the
@@ -19,9 +26,6 @@ import org.apache.spark.sql.functions._
   *    decoder amortizes model/codec init across its partition's rows);
   *  - output is a typed row (id, meta, features) ready for the similarity
   *    suite to consume.
-  *
-  * Swapping in a real decoder = replacing the body of `FakeDecoder.decode`;
-  * schema, partitioning and batch shape are unchanged.
   */
 object Multimodal {
 
@@ -33,28 +37,198 @@ object Multimodal {
       width: Int,
       height: Int,
       format: String,
+      feat_ss: Long,
       features: Array[Float])
 
-  object FakeDecoder {
+  /** Real container-header codec. Parses the four public container formats
+    * from their magic bytes (the `kind` hint is deliberately ignored — a
+    * catalog scan must trust the bytes, not the label). */
+  object MediaCodec {
     val FeatureDim = 8
 
-    /** Deterministic stand-in for an image decode + feature extraction.
-      * Real implementation would parse the container header and run a
-      * vision model; this derives everything from the bytes so tests are
-      * reproducible. */
+    private def be16(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+    private def be32(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) | ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+    private def le16(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+
+    private val PngSig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+    private def startsWith(b: Array[Byte], sig: Array[Byte]): Boolean =
+      b.length >= sig.length && {
+        var i = 0
+        while (i < sig.length && b(i) == sig(i)) i += 1
+        i == sig.length
+      }
+
+    /** PNG: 8-byte signature, then the IHDR chunk (length+type at 8..15,
+      * width/height big-endian u32 at 16/20). */
+    private def parsePng(b: Array[Byte]): Option[(Int, Int)] =
+      if (b.length >= 24 && b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
+        Some((be32(b, 16), be32(b, 20)))
+      else None
+
+    /** JPEG: marker scan from after SOI; SOFn segment carries
+      * precision(1) height(2) width(2) after the 2-byte length. */
+    private def parseJpeg(b: Array[Byte]): Option[(Int, Int)] = {
+      var i = 2
+      while (i + 3 < b.length) {
+        if ((b(i) & 0xff) != 0xff) return None
+        val m = b(i + 1) & 0xff
+        if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2 // standalone markers
+        else if ((m >= 0xc0 && m <= 0xcf) && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+          // SOF0..SOF15 minus DHT/JPG/DAC
+          return if (i + 8 < b.length) Some((be16(b, i + 7), be16(b, i + 5))) else None
+        } else {
+          if (i + 3 >= b.length) return None
+          i += 2 + be16(b, i + 2)
+        }
+      }
+      None
+    }
+
+    /** WAV: RIFF/WAVE, then a chunk scan to `fmt ` (channels LE16 at +2,
+      * sample rate LE32 at +4 inside the chunk body). */
+    private def parseWav(b: Array[Byte]): Option[(Int, Int)] = {
+      if (b.length < 12 || !(b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
+      var i = 12
+      while (i + 8 <= b.length) {
+        val size = le32(b, i + 4)
+        if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ') {
+          return if (i + 16 <= b.length) Some((le32(b, i + 12), le16(b, i + 10))) else None
+        }
+        i += 8 + size + (size & 1) // chunks are word-aligned
+      }
+      None
+    }
+
+    /** Parse (width, height, format) from the container header. For audio
+      * the spatial slots carry (sample_rate, channels) — the catalog treats
+      * both as "media extent" metadata. */
+    def parseHeader(b: Array[Byte]): (Int, Int, String) = {
+      if (startsWith(b, PngSig))
+        parsePng(b).map { case (w, h) => (w, h, "png") }.getOrElse((0, 0, "corrupt"))
+      else if (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8)
+        parseJpeg(b).map { case (w, h) => (w, h, "jpeg") }.getOrElse((0, 0, "corrupt"))
+      else if (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+        (b(4) == '7' || b(4) == '9') && b(5) == 'a')
+        Some((le16(b, 6), le16(b, 8))).map { case (w, h) => (w, h, "gif") }.getOrElse((0, 0, "corrupt"))
+      else if (b.length >= 4 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F')
+        parseWav(b).map { case (w, h) => (w, h, "wav") }.getOrElse((0, 0, "corrupt"))
+      else (0, 0, if (b.isEmpty) "empty" else "unknown")
+    }
+
+    /** Decode a payload: real header parse, then the feature stand-in.
+      * Feature d is ((w·(2d+1) + h·(3d+2) + n·(d+1)) mod 2000 − 1000)/1000 —
+      * small-integer arithmetic over decoded metadata, so the norm is exact
+      * in both engines. A real pipeline replaces only this block with a
+      * model forward pass; schema and partitioning are unchanged. */
     def decode(row: MediaRow): DecodedRow = {
       val bytes = row.payload
-      var h = 1469598103934665603L
-      var i = 0
-      while (i < bytes.length) { h = (h ^ (bytes(i) & 0xffL)) * 1099511628211L; i += 1 }
-      val width = 64 + math.floorMod(h, 512).toInt
-      val height = 64 + math.floorMod(h >> 9, 512).toInt
-      val features = Array.tabulate(FeatureDim) { d =>
-        val hd = h * (d * 2 + 1) + d
-        (math.floorMod(hd, 2000) - 1000) / 1000.0f
+      val (w, h, fmt) = parseHeader(bytes)
+      val n = bytes.length.toLong
+      var ss = 0L
+      val features = new Array[Float](FeatureDim)
+      var d = 0
+      while (d < FeatureDim) {
+        val m = math.floorMod(w.toLong * (2 * d + 1) + h.toLong * (3 * d + 2) + n * (d + 1), 2000L)
+        val c = m - 1000L
+        ss += c * c
+        features(d) = c / 1000.0f
+        d += 1
       }
-      DecodedRow(row.doc_id, bytes.length.toLong, width, height,
-        if (bytes.isEmpty) "empty" else "fake/v1", features)
+      DecodedRow(row.doc_id, n, w, h, fmt, ss, features)
+    }
+  }
+
+  /** Real container builders — each writes the public-spec header around an
+    * arbitrary body. Used by [[containerTable]] to synthesize media
+    * fixtures; the headers are byte-for-byte what the formats mandate, so
+    * [[MediaCodec]] exercises the real parse path. */
+  object Containers {
+    /** 8-byte signature + 25-byte IHDR (incl. real CRC32) = 33-byte header. */
+    def png(width: Int, height: Int, body: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](33 + body.length)
+      val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      var i = 0
+      while (i < 8) { out(i) = sig(i).toByte; i += 1 }
+      putBE32(out, 8, 13) // IHDR data length
+      out(12) = 'I'; out(13) = 'H'; out(14) = 'D'; out(15) = 'R'
+      putBE32(out, 16, width); putBE32(out, 20, height)
+      out(24) = 8 // bit depth
+      out(25) = 6 // color type RGBA
+      out(26) = 0; out(27) = 0; out(28) = 0 // compression/filter/interlace
+      val crc = new CRC32; crc.update(out, 12, 17)
+      putBE32(out, 29, crc.getValue.toInt)
+      System.arraycopy(body, 0, out, 33, body.length)
+      out
+    }
+
+    /** SOI + 17-byte SOF0 segment (3 components) = 21-byte header. */
+    def jpeg(width: Int, height: Int, body: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](21 + body.length)
+      out(0) = 0xff.toByte; out(1) = 0xd8.toByte // SOI
+      out(2) = 0xff.toByte; out(3) = 0xc0.toByte // SOF0
+      out(4) = 0; out(5) = 17 // segment length
+      out(6) = 8 // precision
+      out(7) = ((height >> 8) & 0xff).toByte; out(8) = (height & 0xff).toByte
+      out(9) = ((width >> 8) & 0xff).toByte; out(10) = (width & 0xff).toByte
+      out(11) = 3 // components
+      var c = 0
+      while (c < 3) { // id, sampling, quant table per component
+        out(12 + 3 * c) = (c + 1).toByte; out(13 + 3 * c) = 0x11; out(14 + 3 * c) = c.toByte
+        c += 1
+      }
+      System.arraycopy(body, 0, out, 21, body.length)
+      out
+    }
+
+    /** GIF89a logical screen descriptor = 13-byte header. */
+    def gif(width: Int, height: Int, body: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](13 + body.length)
+      val sig = "GIF89a".getBytes(StandardCharsets.US_ASCII)
+      System.arraycopy(sig, 0, out, 0, 6)
+      out(6) = (width & 0xff).toByte; out(7) = ((width >> 8) & 0xff).toByte
+      out(8) = (height & 0xff).toByte; out(9) = ((height >> 8) & 0xff).toByte
+      out(10) = 0; out(11) = 0; out(12) = 0 // packed, bg index, aspect
+      System.arraycopy(body, 0, out, 13, body.length)
+      out
+    }
+
+    /** Canonical 44-byte RIFF/WAVE header (PCM fmt + data chunk). */
+    def wav(sampleRate: Int, channels: Int, body: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](44 + body.length)
+      putTag(out, 0, "RIFF"); putLE32(out, 4, 36 + body.length)
+      putTag(out, 8, "WAVE"); putTag(out, 12, "fmt ")
+      putLE32(out, 16, 16) // PCM fmt chunk size
+      putLE16(out, 20, 1) // audio format = PCM
+      putLE16(out, 22, channels)
+      putLE32(out, 24, sampleRate)
+      putLE32(out, 28, sampleRate * channels * 2) // byte rate
+      putLE16(out, 32, channels * 2) // block align
+      putLE16(out, 34, 16) // bits per sample
+      putTag(out, 36, "data"); putLE32(out, 40, body.length)
+      System.arraycopy(body, 0, out, 44, body.length)
+      out
+    }
+
+    private def putBE32(b: Array[Byte], i: Int, v: Int): Unit = {
+      b(i) = ((v >> 24) & 0xff).toByte; b(i + 1) = ((v >> 16) & 0xff).toByte
+      b(i + 2) = ((v >> 8) & 0xff).toByte; b(i + 3) = (v & 0xff).toByte
+    }
+    private def putLE16(b: Array[Byte], i: Int, v: Int): Unit = {
+      b(i) = (v & 0xff).toByte; b(i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    private def putLE32(b: Array[Byte], i: Int, v: Int): Unit = {
+      b(i) = (v & 0xff).toByte; b(i + 1) = ((v >> 8) & 0xff).toByte
+      b(i + 2) = ((v >> 16) & 0xff).toByte; b(i + 3) = ((v >> 24) & 0xff).toByte
+    }
+    private def putTag(b: Array[Byte], i: Int, t: String): Unit = {
+      var k = 0
+      while (k < 4) { b(i + k) = t.charAt(k).toByte; k += 1 }
     }
   }
 
@@ -68,24 +242,45 @@ object Multimodal {
       .as[MediaRow]
   }
 
+  /** Fixture corpus with REAL container headers: each document's UTF-8
+    * bytes wrapped in a PNG / JPEG / GIF / WAV container (doc_id mod 4),
+    * with header dimensions derived from doc_id so the decode is
+    * oracle-checkable end-to-end. The wrap runs executor-side per
+    * partition — payload bytes never visit the driver. */
+  def containerTable(s: SparkSession, dir: String): Dataset[MediaRow] = {
+    import s.implicits._
+    mediaTable(s, dir).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.doc_id
+        val w = (16 + math.floorMod(id * 31 + 7, 2048L)).toInt
+        val h = (16 + math.floorMod(id * 17 + 3, 2048L)).toInt
+        val rate = (8000 + math.floorMod(id, 8L) * 4000).toInt
+        val chans = (1 + math.floorMod(id, 2L)).toInt
+        math.floorMod(id, 4L) match {
+          case 0 => MediaRow(id, Containers.png(w, h, r.payload), "image")
+          case 1 => MediaRow(id, Containers.jpeg(w, h, r.payload), "image")
+          case 2 => MediaRow(id, Containers.gif(w, h, r.payload), "image")
+          case _ => MediaRow(id, Containers.wav(rate, chans, r.payload), "audio")
+        }
+      }
+    }
+  }
+
   /** Partition-wise decode: the real-decoder shape (iterator in, iterator
     * out, per-partition init amortized). */
   def decodeAll(media: Dataset[MediaRow]): Dataset[DecodedRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // a real decoder would init its codec/model HERE, once per partition
-      rows.map(FakeDecoder.decode)
+      rows.map(MediaCodec.decode)
     }
   }
 
-  /** Declared query: decode features + a feature-norm summary, flattened to
-    * a stable schema for the rows-only check. */
+  /** Declared query: full container decode (real header parse) + the exact
+    * feature-norm, flattened to a stable hash-checkable schema. */
   def query(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    decodeAll(mediaTable(s, dir))
-      .withColumn("feat_norm",
-        sqrt(aggregate(col("features"),
-          lit(0.0d), (acc, x) => acc + x.cast("double") * x.cast("double"))))
+    decodeAll(containerTable(s, dir))
+      .withColumn("feat_norm", sqrt(col("feat_ss").cast("double")) / lit(1000.0d))
       .select("doc_id", "n_bytes", "width", "height", "format", "feat_norm")
       .orderBy("doc_id")
   }

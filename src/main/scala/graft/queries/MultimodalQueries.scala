@@ -4,22 +4,57 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.Multimodal
 
-/** Multimodal suite — binary payload columns with a stubbed decode
-  * (see [[graft.operators.Multimodal]] for why the decode is fake and what
-  * is real).
+/** Multimodal suite — binary payload columns with a REAL container-header
+  * decode (see [[graft.operators.Multimodal]]: PNG/JPEG/GIF/WAV headers
+  * parsed from their public specs; only the feature extraction is a
+  * deterministic metadata-derived stand-in).
   *
-  * q50 runs the full decode path; its fake metadata/features derive from a
-  * wraparound-64-bit FNV hash, so it stays a rows-only check. q51 is the
-  * oracle-checkable core split out per the same pipeline: the binary
-  * payload column and its exact byte-length metadata (what a real media
-  * catalog scan computes before any codec runs), aggregated per size
-  * bucket — every value is integer-exact in both engines. */
+  * q50 runs the full path: wrap each document's bytes in a real container
+  * (format/dimensions derived from doc_id), parse the header back
+  * executor-side, and emit (width, height, format, feat_norm). The oracle
+  * recomputes the same values from the doc_id arithmetic + header sizes —
+  * if either the builders or the parser mis-handle a single byte, the hash
+  * diverges. q51 is the pre-codec catalog core (exact byte-length
+  * metadata) over the raw payloads. */
 object MultimodalQueries {
 
   val q50 = Q(
     "q50_multimodal_decode",
     (s, dir) => Multimodal.query(s, dir),
-    None
+    // Mirrors the container build arithmetic: header sizes are the exact
+    // public-spec header lengths the builders emit (png 33 = sig+IHDR,
+    // jpeg 21 = SOI+SOF0, gif 13 = GIF89a LSD, wav 44 = RIFF/fmt/data);
+    // width/height for audio carry (sample_rate, channels). feat_ss is
+    // integer, so sqrt(ss)/1000 is bit-identical in both engines.
+    Some("""
+      WITH base AS (
+        SELECT doc_id,
+               doc_id % 4 AS fk,
+               CAST(strlen(text) AS BIGINT) AS body_len
+        FROM documents),
+      meta AS (
+        SELECT doc_id,
+               CASE fk WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                       WHEN 2 THEN 'gif' ELSE 'wav' END AS format,
+               CASE fk WHEN 0 THEN 33 WHEN 1 THEN 21
+                       WHEN 2 THEN 13 ELSE 44 END + body_len AS n_bytes,
+               CAST(CASE WHEN fk = 3 THEN 8000 + (doc_id % 8) * 4000
+                         ELSE 16 + (doc_id * 31 + 7) % 2048 END AS INTEGER) AS width,
+               CAST(CASE WHEN fk = 3 THEN 1 + doc_id % 2
+                         ELSE 16 + (doc_id * 17 + 3) % 2048 END AS INTEGER) AS height
+        FROM base),
+      feats AS (
+        SELECT m.doc_id,
+               CAST(SUM(((m.width * (2*d.d + 1) + m.height * (3*d.d + 2)
+                          + m.n_bytes * (d.d + 1)) % 2000 - 1000)
+                        * ((m.width * (2*d.d + 1) + m.height * (3*d.d + 2)
+                            + m.n_bytes * (d.d + 1)) % 2000 - 1000)) AS BIGINT) AS ss
+        FROM meta m, (SELECT unnest(range(0, 8)) AS d) d
+        GROUP BY m.doc_id)
+      SELECT m.doc_id, m.n_bytes, m.width, m.height, m.format,
+             sqrt(CAST(f.ss AS DOUBLE)) / 1000.0 AS feat_norm
+      FROM meta m JOIN feats f USING (doc_id)
+      ORDER BY m.doc_id""")
   )
 
   val q51 = Q(

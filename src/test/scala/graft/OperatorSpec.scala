@@ -281,6 +281,13 @@ class OperatorSpec extends SparkSpec {
     val first = out.head
     assert(first.getAs[Long]("n_bytes") > 0)
     assert(first.getAs[Double]("feat_norm") >= 0.0)
+    // real header parse: all four container formats present, none corrupt
+    assert(out.map(_.getAs[String]("format")).toSet == Set("png", "jpeg", "gif", "wav"))
+    // doc_id % 4 == 0 → png with width 16 + (id*31+7) % 2048
+    val d0 = out.find(_.getAs[Long]("doc_id") % 4 == 0).get
+    val id0 = d0.getAs[Long]("doc_id")
+    assert(d0.getAs[String]("format") == "png")
+    assert(d0.getAs[Int]("width") == 16 + math.floorMod(id0 * 31 + 7, 2048L).toInt)
     // deterministic: same input → same features
     val again = Multimodal.query(spark, "/root/testdata/sf0.001").collect()
     assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
