@@ -50,6 +50,16 @@ case class MinHashFold(
     else if (loChild.dataType != LongType || hiChild.dataType != LongType)
       TypeCheckResult.TypeCheckFailure(
         s"minhash_fold requires bigint halves, got ${loChild.dataType}/${hiChild.dataType}")
+    else if (a.exists(v => v < 0 || v >= MinHashFold.MaxMultiplier) ||
+      b.exists(v => v < 0 || v >= MinHashFold.MaxMultiplier))
+      // overflow discipline: with 32-bit halves, a·lo + b·hi + c must stay
+      // below 2^63 or the JVM wraps negative while a SQL oracle would
+      // throw — silent drift. Multipliers < 2^29 keep each product < 2^61.
+      TypeCheckResult.TypeCheckFailure(
+        s"minhash_fold multipliers must be in [0, 2^29) for overflow-free 32-bit-half permutation")
+    else if (c.exists(v => v < 0 || v >= MinHashFold.MaxAddend) || p <= 0 || p > MinHashFold.MaxModulus)
+      TypeCheckResult.TypeCheckFailure(
+        s"minhash_fold addends must be in [0, 2^61) and modulus in (0, 2^62]")
     else TypeCheckResult.TypeCheckSuccess
 
   override def createAggregationBuffer(): Array[Long] = Array.empty
@@ -108,6 +118,14 @@ case class MinHashFold(
 }
 
 object MinHashFold {
+  /** Largest safe a/b multiplier (exclusive): products with 32-bit halves
+    * stay < 2^61, so a·lo + b·hi + c < 2^63 never wraps. */
+  val MaxMultiplier: Long = 1L << 29
+  /** Largest safe additive constant (exclusive). */
+  val MaxAddend: Long = 1L << 61
+  /** Largest safe modulus (inclusive). */
+  val MaxModulus: Long = 1L << 62
+
   def minhashFold(
       lo: Column, hi: Column,
       a: IndexedSeq[Long], b: IndexedSeq[Long], c: IndexedSeq[Long],

@@ -15,6 +15,68 @@ import org.apache.spark.unsafe.types.UTF8String
 
 import scala.collection.mutable
 
+/** Mutable Misra–Gries summary with the standard shared-decrement-offset
+  * representation: counters are stored as `s` with true count `s − offset`,
+  * so the "decrement every counter" step is a single `offset += 1` instead
+  * of an O(m) rewrite. A TreeMap from stored count → tokens makes eviction
+  * of newly-dead counters (s ≤ offset) a pop of the lowest buckets — each
+  * token is evicted at most once per residence, so an adversarial
+  * high-cardinality tail stream costs amortized O(log m) per input token
+  * rather than O(m).
+  */
+final class MGSummary {
+  private val stored = mutable.HashMap.empty[String, Long]
+  private val buckets = new java.util.TreeMap[Long, mutable.HashSet[String]]()
+  private var offset = 0L
+
+  private def bucketAdd(s: Long, t: String): Unit = {
+    val set = buckets.get(s)
+    if (set == null) {
+      val fresh = mutable.HashSet.empty[String]
+      fresh += t
+      buckets.put(s, fresh)
+    } else set += t
+  }
+
+  private def bucketRemove(s: Long, t: String): Unit = {
+    val set = buckets.get(s)
+    if (set != null) {
+      set -= t
+      if (set.isEmpty) buckets.remove(s)
+    }
+  }
+
+  def size: Int = stored.size
+
+  def contains(t: String): Boolean = stored.contains(t)
+
+  /** Add `delta` to `t`'s true count (inserting at `delta` if absent). */
+  def add(t: String, delta: Long): Unit = stored.get(t) match {
+    case Some(s) =>
+      stored.update(t, s + delta)
+      bucketRemove(s, t)
+      bucketAdd(s + delta, t)
+    case None =>
+      val s = offset + delta
+      stored.update(t, s)
+      bucketAdd(s, t)
+  }
+
+  /** The MG decrement-all step: O(1) offset bump + pop of dead buckets. */
+  def decrementAll(): Unit = {
+    offset += 1
+    while (!buckets.isEmpty && buckets.firstKey <= offset) {
+      val dead = buckets.pollFirstEntry()
+      dead.getValue.foreach(stored.remove)
+    }
+  }
+
+  def trueCounts: Iterator[(String, Long)] =
+    stored.iterator.map { case (t, s) => (t, s - offset) }
+
+  def tokens: Iterator[String] = stored.keysIterator
+}
+
 /** Misra–Gries frequent-items sketch: at most `m` (token, counter) pairs,
   * with the MERGEABLE-SUMMARIES guarantee (Agarwal et al., PODS'12) that
   * every item of true count > N/(m+1) survives in the summary, N the total
@@ -24,7 +86,9 @@ import scala.collection.mutable
   * sketch merge, so the exchange carries ≤ m pairs per partition while a
   * full vocabulary groupBy carries state proportional to DISTINCT tokens —
   * the difference between bounded and unbounded aggregation state on a
-  * 100 TB token stream.
+  * 100 TB token stream. The decrement step uses the shared-offset
+  * representation ([[MGSummary]]) so tail-heavy streams cost amortized
+  * O(log m), not O(m), per token.
   *
   * The summary's counts are order-dependent (not oracle-comparable); its
   * MEMBERSHIP guarantee is not. q75 therefore emits candidates only and
@@ -40,7 +104,7 @@ case class MisraGries(
     m: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0
-) extends TypedImperativeAggregate[mutable.HashMap[String, Long]] {
+) extends TypedImperativeAggregate[MGSummary] {
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
@@ -54,60 +118,45 @@ case class MisraGries(
         s"misra_gries requires a string argument, got ${child.dataType}")
     else TypeCheckResult.TypeCheckSuccess
 
-  override def createAggregationBuffer(): mutable.HashMap[String, Long] =
-    mutable.HashMap.empty
+  override def createAggregationBuffer(): MGSummary = new MGSummary
 
-  override def update(
-      buf: mutable.HashMap[String, Long],
-      input: InternalRow): mutable.HashMap[String, Long] = {
+  override def update(buf: MGSummary, input: InternalRow): MGSummary = {
     val v = child.eval(input)
     if (v != null) {
       val token = v.asInstanceOf[UTF8String].toString
-      buf.get(token) match {
-        case Some(c) => buf.update(token, c + 1)
-        case None if buf.size < m => buf.update(token, 1L)
-        case None =>
-          // decrement-all step: every counter pays one; zeros evict
-          val dead = mutable.ArrayBuffer.empty[String]
-          buf.foreach { case (t, c) =>
-            if (c == 1L) dead += t else buf.update(t, c - 1)
-          }
-          dead.foreach(buf.remove)
-      }
+      if (buf.contains(token) || buf.size < m) buf.add(token, 1L)
+      else buf.decrementAll()
     }
     buf
   }
 
-  override def merge(
-      buf: mutable.HashMap[String, Long],
-      other: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
-    other.foreach { case (t, c) =>
-      buf.update(t, buf.getOrElse(t, 0L) + c)
+  override def merge(buf: MGSummary, other: MGSummary): MGSummary = {
+    val combined = mutable.HashMap.empty[String, Long]
+    buf.trueCounts.foreach { case (t, c) => combined.update(t, c) }
+    other.trueCounts.foreach { case (t, c) =>
+      combined.update(t, combined.getOrElse(t, 0L) + c)
     }
-    if (buf.size > m) {
+    val out = new MGSummary
+    if (combined.size > m) {
       // restore capacity: subtract the (m+1)-th largest counter from all
-      val counts = buf.values.toArray
+      val counts = combined.values.toArray
       java.util.Arrays.sort(counts)
       val d = counts(counts.length - (m + 1)) // (m+1)-th largest
-      val dead = mutable.ArrayBuffer.empty[String]
-      buf.foreach { case (t, c) =>
-        if (c - d <= 0L) dead += t else buf.update(t, c - d)
-      }
-      dead.foreach(buf.remove)
-    }
-    buf
+      combined.foreach { case (t, c) => if (c - d > 0L) out.add(t, c - d) }
+    } else combined.foreach { case (t, c) => out.add(t, c) }
+    out
   }
 
   /** Candidate tokens, sorted (deterministic output; counts are summary
     * artifacts and deliberately NOT exposed — recount candidates exactly). */
-  override def eval(buf: mutable.HashMap[String, Long]): Any = {
-    val toks = buf.keys.toArray
+  override def eval(buf: MGSummary): Any = {
+    val toks = buf.tokens.toArray
     java.util.Arrays.sort(toks, Ordering[String])
     new GenericArrayData(toks.map(t => UTF8String.fromString(t): Any))
   }
 
-  override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
-    val entries = buf.toArray
+  override def serialize(buf: MGSummary): Array[Byte] = {
+    val entries = buf.trueCounts.toArray
     val payload = entries.map { case (t, _) => t.getBytes(StandardCharsets.UTF_8) }
     val size = 4 + payload.map(_.length + 12).sum
     val bb = ByteBuffer.allocate(size)
@@ -120,16 +169,16 @@ case class MisraGries(
     bb.array()
   }
 
-  override def deserialize(bytes: Array[Byte]): mutable.HashMap[String, Long] = {
+  override def deserialize(bytes: Array[Byte]): MGSummary = {
     val bb = ByteBuffer.wrap(bytes)
     val n = bb.getInt
-    val buf = mutable.HashMap.empty[String, Long]
+    val buf = new MGSummary
     var i = 0
     while (i < n) {
       val len = bb.getInt
       val arr = new Array[Byte](len)
       bb.get(arr)
-      buf.update(new String(arr, StandardCharsets.UTF_8), bb.getLong)
+      buf.add(new String(arr, StandardCharsets.UTF_8), bb.getLong)
       i += 1
     }
     buf

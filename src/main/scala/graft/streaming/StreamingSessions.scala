@@ -61,10 +61,15 @@ object StreamingSessions {
     }
 
     private def clearTimers(): Unit = {
-      val it = getHandle.listTimers()
-      while (it.hasNext) {
-        getHandle.deleteTimer(it.next().asInstanceOf[Long])
+      // materialize before deleting: the timer iterator is state-store
+      // backed, and mutation during iteration is not a safe contract
+      val timers = {
+        val it = getHandle.listTimers()
+        val b = scala.collection.mutable.ArrayBuffer.empty[Long]
+        while (it.hasNext) b += it.next().asInstanceOf[Long]
+        b
       }
+      timers.foreach(getHandle.deleteTimer)
     }
 
     private def park(ivs: Seq[SessState]): Unit = {
@@ -95,7 +100,11 @@ object StreamingSessions {
         timerValues.getCurrentWatermarkInMs,
         expiredTimerInfo.getExpiryTimeInMs)
       val ivs = if (pending.exists()) pending.get().toSeq else Seq.empty
-      val (close, keep) = ivs.partition(_.lastMs + gapMs <= wm)
+      // STRICT <: Spark admits rows with event time == watermark, so a
+      // bridging event at exactly last + gap == wm could still arrive.
+      // Such an interval stays parked; its re-registered (past) timer
+      // re-fires on the next watermark advance.
+      val (close, keep) = ivs.partition(_.lastMs + gapMs < wm)
       park(keep)
       close.iterator.map(iv => Session(user, iv.startMs, iv.lastMs, iv.n))
     }

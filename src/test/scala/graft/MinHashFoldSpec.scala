@@ -41,6 +41,19 @@ class MinHashFoldSpec extends SparkSpec {
     assert(fused.nonEmpty && fused.head._2.length == k)
   }
 
+  test("multipliers beyond the 29-bit overflow bound fail analysis, not silently wrap") {
+    import spark.implicits._
+    val df = Seq((1L, 2L, 3L)).toDF("g", "lo", "hi")
+    val wide = IndexedSeq(1L << 30) // a·lo could wrap negative with 32-bit halves
+    val ok = IndexedSeq(5L)
+    val ex = intercept[Exception] {
+      df.groupBy($"g")
+        .agg(MinHashFold.minhashFold($"lo", $"hi", wide, ok, ok, 97L).as("sig"))
+        .collect()
+    }
+    assert(ex.getMessage.contains("overflow-free"))
+  }
+
   test("fused simhash votes ≡ array projection + arraySumAgg") {
     import spark.implicits._
     val rnd = new Random(9)

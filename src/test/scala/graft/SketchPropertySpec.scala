@@ -65,7 +65,7 @@ class SketchPropertySpec extends AnyFunSuite {
         agg.update(b, InternalRow(UTF8String.fromString(t))) }
       val merged = agg.merge(
         agg.deserialize(agg.serialize(bl)), agg.deserialize(agg.serialize(br)))
-      val kept = merged.keySet
+      val kept = merged.tokens.toSet
       heavy.subsetOf(kept) && merged.size <= m
     })
   }
