@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.operators.Materialize.MaterializeOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -72,7 +73,7 @@ object DedupQueries {
     * over 5-word shingles — q21's output and q24's edge set. Columns:
     * (doc_a, doc_b, inter_cnt, jaccard). */
   private def jaccardPairs(docs: DataFrame): DataFrame = {
-    val sh = shingles(docs).localCheckpoint()
+    val sh = shingles(docs).materialized
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = sh.as("a")
       .join(sh.as("b"),
@@ -198,12 +199,12 @@ object DedupQueries {
   val q22 = Q(
     "q22_dedup_minhash",
     (s, dir) => {
-      // localCheckpoint (not cache): the signature table is referenced by 4
+      // Materialize cut (not cache): the signature table is referenced by 4
       // downstream branches (bands, okBuckets, both sides of the est join);
       // with a lazy cache each branch re-plans + re-codegens the whole
       // shingle pipeline. The checkpoint truncates lineage at a table of
       // n_docs × 64 longs — tiny at any corpus size.
-      val sigs = minhashSignatures(documents(s, dir)).localCheckpoint()
+      val sigs = minhashSignatures(documents(s, dir)).materialized
       val bands = sigs.select(
         col("doc_id"),
         explode(array((0 until Bands).map { b =>
@@ -228,7 +229,7 @@ object DedupQueries {
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct()
-        .localCheckpoint() // candidate set is small by construction (capped buckets)
+        .materialized // candidate set is small by construction (capped buckets)
       // positional agreement count as 64 codegen'd comparisons — an
       // aggregate(zip_with(...)) lambda evaluates interpreted and dominates
       // runtime once candidates number in the millions
@@ -317,7 +318,7 @@ object DedupQueries {
         .agg(graft.functions.SimHashFold
           .simhashFold(col("lo"), col("hi")).as("v"))
         .select(col("doc_id"), half(0).as("sim_lo"), half(32).as("sim_hi"))
-        .localCheckpoint() // multi-branch reuse, see q22's sigs note
+        .materialized // multi-branch reuse, see q22's sigs note
       val chunks = sigs.select(
         col("doc_id"), col("sim_lo"), col("sim_hi"),
         explode(array((0 until 4).map { c =>
@@ -409,7 +410,7 @@ object DedupQueries {
     * "Connected Components in MapReduce", SoCC'14) drops rounds to
     * O(log d) with the same join-per-round shape. Each round is one
     * shuffle of (node, label) pairs — label tables, never documents — plus
-    * a Pregel-style driver-side convergence count; `localCheckpoint`
+    * a Pregel-style driver-side convergence count; the materialize cut
     * truncates the per-round lineage growth.
     *
     * Edge set: q21's thresholded Jaccard pairs (shared code path).
@@ -424,9 +425,9 @@ object DedupQueries {
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       val sym = edges
         .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-        .localCheckpoint()
+        .materialized
       var labels = docs.select(col("doc_id").as("node"),
-        col("doc_id").as("lbl")).localCheckpoint()
+        col("doc_id").as("lbl")).materialized
       var changed = 1L
       var rounds = 0
       while (changed > 0 && rounds < 50) {
@@ -435,7 +436,7 @@ object DedupQueries {
         val next = labels.join(nbrMin, col("node") === col("src"), "left")
           .select(col("node"), col("lbl"),
             least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("nxt"))
-          .localCheckpoint()
+          .materialized
         changed = next.filter(col("nxt") < col("lbl")).count()
         labels = next.select(col("node"), col("nxt").as("lbl"))
         rounds += 1
@@ -490,7 +491,7 @@ object DedupQueries {
     (s, dir) => {
       val sh8 = shingles(documents(s, dir), nWords = 8)
         .select(col("doc_id"), md5(col("sh")).as("h"))
-        .localCheckpoint() // three consumers: dup set, totals, hits
+        .materialized // three consumers: dup set, totals, hits
       val dup = sh8.groupBy("h")
         .agg(countDistinct(col("doc_id")).as("nd"))
         .filter(col("nd") > 1)
@@ -541,7 +542,7 @@ object DedupQueries {
     (s, dir) => {
       val sh8 = shingles(documents(s, dir), nWords = 8)
         .select(col("doc_id"), md5(col("sh")).as("h"))
-        .localCheckpoint() // two branches (bench set + training side)
+        .materialized // two branches (bench set + training side)
       val bench = sh8.filter(col("doc_id") % 101 === 0)
         .select("h").distinct()
       val train = sh8.filter(col("doc_id") % 101 =!= 0)
@@ -621,7 +622,7 @@ object DedupQueries {
     "q71_cdc_chunks",
     (s, dir) => {
       val chunks = cdcChunks(documents(s, dir))
-        .localCheckpoint() // two consumers: dup-triple set + per-doc stats
+        .materialized // two consumers: dup-triple set + per-doc stats
       val dup = chunks.groupBy("n_windows", "fp_min", "fp_sum")
         .agg(countDistinct(col("doc_id")).as("nd"))
         .filter(col("nd") > 1)
@@ -703,12 +704,12 @@ object DedupQueries {
     "q74_dedup_editdist",
     (s, dir) => {
       val docs = documents(s, dir)
-      // localCheckpoint: both sides of the blocking self-join read the
+      // materialize cut: both sides of the blocking self-join read the
       // digest table — without it each side re-scans + re-shingles the
       // corpus (q22's multi-branch discipline)
       val sh8 = shingles(docs, nWords = 8)
         .select(col("doc_id"), md5(col("sh")).as("h"))
-        .localCheckpoint()
+        .materialized
       val cand = sh8.as("a").join(sh8.as("b"),
           col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -775,9 +776,9 @@ object DedupQueries {
     (s, dir) => {
       val sh3 = shingles(documents(s, dir), nWords = 3)
         .select(col("doc_id"), md5(col("sh")).as("h"))
-        .localCheckpoint() // consumers: df, sizes, ranking, verify both sides
+        .materialized // consumers: df, sizes, ranking, verify both sides
       val sizes = sh3.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        .localCheckpoint() // consumers: both verify sides
+        .materialized // consumers: both verify sides
       // df and the per-doc rank/size via WINDOW counts: one exchange on h,
       // one on doc_id (rank + n share the doc_id partitioning) — vs the
       // groupBy-then-join-back form which pays the h shuffle twice and
@@ -794,7 +795,7 @@ object DedupQueries {
           col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
-        .localCheckpoint() // small by construction (prefix postings)
+        .materialized // small by construction (prefix postings)
       val inter = cand
         .join(sh3.as("xa"), col("doc_a") === col("xa.doc_id"))
         .join(sh3.as("xb"),

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.operators.Materialize.MaterializeOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -646,7 +647,7 @@ object PipelineQueries {
         .select(col("doc_id"), col("lang"),
           size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
         .filter(col("n_tokens") >= 20)
-        .localCheckpoint() // two consumers: rate stats + sampling gate
+        .materialized // two consumers: rate stats + sampling gate
       val rates = mixtureRates(gated, targetDocs = 150L).select("lang", "thresh")
       val sampled = gated
         .withColumn("hsh",
@@ -720,7 +721,7 @@ object PipelineQueries {
         .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("token"))
         .filter(length(col("token")) > 0)
         .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-        .localCheckpoint() // three consumers: df→query, dl, scoring join
+        .materialized // three consumers: df→query, dl, scoring join
       val dl = tf.groupBy("doc_id").agg(sum(col("tf")).cast("long").as("dl"))
       val corpus = dl.agg(count(lit(1)).as("n_docs"),
         sum(col("dl")).cast("long").as("total_tokens"))

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.operators.Materialize.MaterializeOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -130,7 +131,7 @@ object ScaleQueries {
     "q60_bloom_prefilter",
     (s, dir) => {
       val probes = bloomProbes(documents(s, dir))
-        .localCheckpoint() // two consumers: bloom build + training probe
+        .materialized // two consumers: bloom build + training probe
       val bloom = bloomBuild(probes.filter(col("doc_id") % 101 === 0))
       bloomApply(probes.filter(col("doc_id") % 101 =!= 0), bloom)
         .orderBy("doc_id")
@@ -249,7 +250,7 @@ object ScaleQueries {
       val hourly = ev
         .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
         .agg(count(lit(1)).as("n_events"), max(col("value")).as("v"))
-        .localCheckpoint() // two consumers: grid extent + grid join
+        .materialized // two consumers: grid extent + grid join
       val grid = hourly.groupBy("user_id")
         .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
         .select(col("user_id"),

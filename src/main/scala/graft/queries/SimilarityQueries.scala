@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.operators.Materialize.MaterializeOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -443,7 +444,7 @@ object SimilarityQueries {
     (s, dir) => {
       val emb = embeddings(s, dir)
       val cents = codebook(emb)
-      val assigned = ivfAssigned(emb, cents).localCheckpoint() // 2 branches
+      val assigned = ivfAssigned(emb, cents).materialized // 2 branches
       val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
         col("embedding").as("ea"), col("nrm").as("na"))
       val b = assigned.select(col("cell"), col("vec_id").as("id_b"),
@@ -563,7 +564,7 @@ object SimilarityQueries {
       import graft.functions.{LongSqDist, ScaleFloor}
       val quant = embeddings(s, dir)
         .select(col("vec_id"), ScaleFloor.scale_floor(col("embedding")).as("qv"))
-        .localCheckpoint() // reused 3x (2 rounds + final assignment)
+        .materialized // reused 3x (2 rounds + final assignment)
 
       def assign(cents: IndexedSeq[Array[Long]]): DataFrame = quant
         .select(col("vec_id"), col("qv"),
@@ -738,7 +739,7 @@ object SimilarityQueries {
   val q49 = Q(
     "q49_pq_adc_topk",
     (s, dir) => {
-      val quant = pqQuant(s, dir).localCheckpoint() // encode + query branches
+      val quant = pqQuant(s, dir).materialized // encode + query branches
       val cents = pqCents(quant)
       val encoded = {
         val withBest = (0 until PqM).foldLeft(quant) {

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.operators.Materialize.MaterializeOps
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -231,7 +232,7 @@ object SketchQueries {
       val tokens = documents(s, dir)
         .select(explode(split(col("text"), "\\s+")).as("token"))
         .filter(length(col("token")) > 0)
-        .localCheckpoint() // three consumers: sketch, total, recount
+        .materialized // three consumers: sketch, total, recount
       val cands = tokens
         .agg(graft.functions.MisraGries.misraGries(col("token"), 30).as("cand"))
         .select(explode(col("cand")).as("token"))
