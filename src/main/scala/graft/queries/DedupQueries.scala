@@ -71,14 +71,46 @@ object DedupQueries {
 
   /** Thresholded exact-Jaccard pairs (`inter * 20 >= union`, i.e. j ≥ 0.05)
     * over 5-word shingles — q21's output and q24's edge set. Columns:
-    * (doc_a, doc_b, inter_cnt, jaccard). */
+    * (doc_a, doc_b, inter_cnt, jaccard).
+    *
+    * Candidates come from a PREFIX-FILTERED self-join (q76's PPJoin
+    * discipline, lossless at any fixed threshold): under the global
+    * (df asc, digest asc) token order, two sets with j ≥ 0.05 must share
+    * a token inside their first `n − ceil(n/20) + 1` tokens, so the join
+    * indexes only those prefixes. The pairs this drops are exactly the
+    * ones whose ONLY shared shingles are each document's hottest ~5% —
+    * the high-df shingles whose posting lists make the naive
+    * all-shared-shingle join quadratic. Intersections are then recounted
+    * over the FULL shingle sets for candidates only, and the j ≥ 0.05
+    * test is exact — the DuckDB oracle still runs the naive join, so the
+    * hash check proves the filter's completeness end-to-end. Shuffles
+    * carry 32-byte digests, never shingle text. */
   private def jaccardPairs(docs: DataFrame): DataFrame = {
-    val sh = shingles(docs).materialized
+    val sh = shingles(docs)
+      .select(col("doc_id"), md5(col("sh")).as("h"))
+      .materialized // consumers: ranking, candidate recount both sides
+    // df + per-doc rank/size via window counts: one exchange on h, one on
+    // doc_id (rank and n share the doc_id partitioning)
+    val ranked = sh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("h"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+    // prefix length for j ≥ 0.05: n − ceil(n/20) + 1
+    val prefix = ranked
+      .filter(expr("rk <= n - ((n + 19) div 20) + 1"))
+      .select("doc_id", "h")
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pairs = sh.as("a")
-      .join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val pairs = cand
+      .join(sh.as("xa"), col("doc_a") === col("xa.doc_id"))
+      .join(sh.as("xb"),
+        col("doc_b") === col("xb.doc_id") && col("xa.h") === col("xb.h"))
+      .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("inter"))
     pairs
       .join(counts.as("ca"), col("doc_a") === col("ca.doc_id"))
@@ -116,8 +148,10 @@ object DedupQueries {
     * pairs above a threshold. The threshold test uses integer arithmetic
     * (`inter * 20 >= union`) so no float comparison can diverge between
     * engines; the reported jaccard is a ratio of identical ints → identical
-    * doubles. This is the exact (quadratic-in-collisions) verifier; the
-    * scalable candidate generator is q22_dedup_minhash. */
+    * doubles. Exact AND prefix-filtered (see [[jaccardPairs]]): candidate
+    * generation is no longer quadratic in hot-shingle collisions, so the
+    * exact verifier itself scales; q22_dedup_minhash remains the
+    * approximate generator for when even exact recounts are too much. */
   val q21 = Q(
     "q21_ngram_jaccard",
     (s, dir) => jaccardPairs(documents(s, dir)).orderBy("doc_a", "doc_b"),

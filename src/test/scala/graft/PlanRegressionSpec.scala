@@ -103,6 +103,16 @@ class PlanRegressionSpec extends SparkSpec {
       s"vector set shuffled by vec_id:\n${plan.take(3000)}")
   }
 
+  test("q21: exact Jaccard candidates come from the df-ranked prefix, not all shingles") {
+    val plan = planOf(graft.queries.DedupQueries.q21)
+    // prefix ranking = row_number over the (df, digest) order; the
+    // n − ceil(n/20) + 1 prefix filter must gate the candidate self-join
+    // (the md5 digesting itself sits above the materialize cut, so the
+    // executed plan scans (doc_id, h) — never shingle text)
+    assert("row_number".r.findAllIn(plan).size >= 1, plan.take(3000))
+    assert(plan.contains("div 20"), plan.take(3000))
+  }
+
   test("q27: KMV sketch aggregates partial+final (sketches shuffle, not rows)") {
     // TypedImperativeAggregate plans as ObjectHashAggregate with a partial
     // stage before the group-key exchange — the shuffle carries one <=k
