@@ -51,7 +51,7 @@ class PdfImporter(
         case Some(doc) =>
           doc.pages.flatMap { page =>
             doc.pageContent(page).toSeq
-              .flatMap(c => PdfTextExtractor.tables(PdfTextExtractor.chunks(c)))
+              .flatMap(c => PdfTextExtractor.tables(PdfTextExtractor.page(c)))
               .filter(_.nonEmpty)
           }
       }

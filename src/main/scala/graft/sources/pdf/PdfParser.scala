@@ -110,18 +110,179 @@ object PdfParser {
       }
     }
 
-    /** Apply the stream's /Filter chain (Flate or none supported). */
+    /** Apply the stream's /Filter chain. Supported (ISO 32000-1 §7.4):
+      * FlateDecode, ASCIIHexDecode, ASCII85Decode, LZWDecode (with
+      * /DecodeParms /EarlyChange), RunLengthDecode — including chains
+      * (e.g. [/ASCII85Decode /FlateDecode]). Unsupported filters (CCITT,
+      * DCT, JBIG2, JPX, Crypt) yield None for the stream. */
     def decodeStream(s: PStream): Option[Array[Byte]] = {
       val filters = entry(s.dict, "Filter") match {
         case Some(PName(f)) => Seq(f)
         case Some(PArr(fs)) => fs.collect { case PName(f) => f }
         case _              => Nil
       }
-      filters.foldLeft(Option(s.raw)) {
-        case (Some(bytes), "FlateDecode") => inflate(bytes)
-        case _                            => None // unsupported filter
+      // /DecodeParms (alias /DP): one dict, or an array aligned with the
+      // filter array (null for filters without parameters)
+      val parms: Seq[Option[PDict]] =
+        entry(s.dict, "DecodeParms").orElse(entry(s.dict, "DP")) match {
+          case Some(d: PDict) => Seq(Some(d))
+          case Some(PArr(xs)) => xs.map(x => resolve(x) match {
+            case d: PDict => Some(d); case _ => None
+          })
+          case _ => Nil
+        }
+      filters.zipWithIndex.foldLeft(Option(s.raw)) { case (acc, (f, i)) =>
+        acc.flatMap { bytes =>
+          f match {
+            case "FlateDecode" | "Fl"     => inflate(bytes)
+            case "ASCIIHexDecode" | "AHx" => asciiHexDecode(bytes)
+            case "ASCII85Decode" | "A85"  => ascii85Decode(bytes)
+            case "RunLengthDecode" | "RL" => runLengthDecode(bytes)
+            case "LZWDecode" | "LZW" =>
+              val early = parms.lift(i).flatten
+                .flatMap(d => d.entries.get("EarlyChange"))
+                .collect { case PNum(v) => v.toInt }
+                .getOrElse(1)
+              lzwDecode(bytes, early)
+            case _ => None // unsupported filter
+          }
+        }
       }
     }
+  }
+
+  /** ASCIIHexDecode (§7.4.2): hex pairs, whitespace ignored, `>` is EOD,
+    * an odd trailing digit is padded with 0. */
+  private def asciiHexDecode(bytes: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(bytes.length / 2 + 1)
+    var hi = -1
+    var i = 0
+    var done = false
+    while (i < bytes.length && !done) {
+      val c = bytes(i) & 0xff
+      val v =
+        if (c >= '0' && c <= '9') c - '0'
+        else if (c >= 'a' && c <= 'f') c - 'a' + 10
+        else if (c >= 'A' && c <= 'F') c - 'A' + 10
+        else -1
+      if (c == '>') done = true
+      else if (v >= 0) {
+        if (hi < 0) hi = v
+        else { out.write((hi << 4) | v); hi = -1 }
+      } else if (!(c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == '\f' || c == 0))
+        return None // non-hex, non-whitespace byte: corrupt
+      i += 1
+    }
+    if (hi >= 0) out.write(hi << 4)
+    Some(out.toByteArray)
+  }
+
+  /** ASCII85Decode (§7.4.3): 5 chars `!`..`u` → 4 bytes base 85; `z` (at a
+    * group boundary) → 4 zero bytes; `~>` is EOD; a final partial group of
+    * n chars is padded with `u` and yields n − 1 bytes. */
+  private def ascii85Decode(bytes: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(bytes.length * 4 / 5 + 4)
+    var tuple = 0L
+    var n = 0
+    var i = 0
+    // a leading `<~` (used by some producers) is tolerated
+    if (bytes.length >= 2 && bytes(0) == '<' && bytes(1) == '~') i = 2
+    var done = false
+    while (i < bytes.length && !done) {
+      val c = bytes(i) & 0xff
+      if (c == '~') done = true
+      else if (c == 'z' && n == 0) { out.write(0); out.write(0); out.write(0); out.write(0) }
+      else if (c >= '!' && c <= 'u') {
+        tuple = tuple * 85 + (c - '!')
+        n += 1
+        if (n == 5) {
+          out.write(((tuple >> 24) & 0xff).toInt); out.write(((tuple >> 16) & 0xff).toInt)
+          out.write(((tuple >> 8) & 0xff).toInt); out.write((tuple & 0xff).toInt)
+          tuple = 0L; n = 0
+        }
+      } else if (!(c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == '\f' || c == 0))
+        return None // invalid byte: corrupt
+      i += 1
+    }
+    if (n == 1) return None // a single leftover char encodes nothing
+    if (n > 1) {
+      var k = n
+      while (k < 5) { tuple = tuple * 85 + 84; k += 1 } // pad with 'u'
+      val full = Array(((tuple >> 24) & 0xff).toInt, ((tuple >> 16) & 0xff).toInt,
+        ((tuple >> 8) & 0xff).toInt, (tuple & 0xff).toInt)
+      var j = 0
+      while (j < n - 1) { out.write(full(j)); j += 1 }
+    }
+    Some(out.toByteArray)
+  }
+
+  /** RunLengthDecode (§7.4.5): length byte 0..127 → copy L+1 literals;
+    * 129..255 → repeat next byte 257 − L times; 128 → EOD. */
+  private def runLengthDecode(bytes: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(bytes.length * 2)
+    var i = 0
+    var done = false
+    while (i < bytes.length && !done) {
+      val l = bytes(i) & 0xff
+      if (l == 128) done = true
+      else if (l < 128) {
+        if (i + 1 + l + 1 > bytes.length) return None
+        out.write(bytes, i + 1, l + 1)
+        i += 1 + l + 1
+      } else {
+        if (i + 1 >= bytes.length) return None
+        val b = bytes(i + 1)
+        var k = 0
+        while (k < 257 - l) { out.write(b); k += 1 }
+        i += 2
+      }
+    }
+    Some(out.toByteArray)
+  }
+
+  /** LZWDecode (§7.4.4, the TIFF variant): MSB-first codes starting at 9
+    * bits; 256 clears the table, 257 is EOD, new entries from 258; the
+    * code width grows at table sizes 511/1023/2047 under the default
+    * `EarlyChange = 1` (one code early), or 512/1024/2048 with 0. */
+  private def lzwDecode(bytes: Array[Byte], earlyChange: Int): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(bytes.length * 3)
+    val dict = new mutable.ArrayBuffer[Array[Byte]](4096)
+    def resetDict(): Unit = {
+      dict.clear()
+      var b = 0
+      while (b < 256) { dict += Array(b.toByte); b += 1 }
+      dict += null // 256 clear
+      dict += null // 257 EOD
+    }
+    resetDict()
+    var codeWidth = 9
+    var prev: Array[Byte] = null
+    var bitBuf = 0L
+    var bitCnt = 0
+    var i = 0
+    while (true) {
+      // refill
+      while (bitCnt < codeWidth && i < bytes.length) {
+        bitBuf = (bitBuf << 8) | (bytes(i) & 0xffL); bitCnt += 8; i += 1
+      }
+      if (bitCnt < codeWidth) return Some(out.toByteArray) // truncated: keep prefix
+      val code = ((bitBuf >> (bitCnt - codeWidth)) & ((1L << codeWidth) - 1)).toInt
+      bitCnt -= codeWidth
+      if (code == 257) return Some(out.toByteArray)
+      if (code == 256) { resetDict(); codeWidth = 9; prev = null }
+      else {
+        val entry =
+          if (code < dict.length && dict(code) != null) dict(code)
+          else if (code == dict.length && prev != null) prev :+ prev(0) // KwKwK case
+          else return None // corrupt code
+        out.write(entry, 0, entry.length)
+        if (prev != null && dict.length < 4096) dict += (prev :+ entry(0))
+        prev = entry
+        if (dict.length + earlyChange >= (1 << codeWidth) && codeWidth < 12)
+          codeWidth += 1
+      }
+    }
+    None // unreachable
   }
 
   private def inflate(bytes: Array[Byte]): Option[Array[Byte]] = {

@@ -5,22 +5,36 @@ import scala.collection.mutable
 import PdfParser._
 
 /** Content-stream text extraction + table reconstruction — the analysis
-  * half of the tabula-equivalent (reference `main.py:381`): positioned
-  * text chunks are clustered into rows by baseline y and into columns by
-  * x, tabula's lattice-free "stream" mode in miniature.
+  * half of the tabula-equivalent (reference `main.py:381`), covering BOTH
+  * of tabula's modes: positioned text chunks are clustered into rows by
+  * baseline y and into columns by x ("stream" mode), and when the page
+  * paints a grid of ruled lines, cells are bounded by the rulings
+  * instead ("lattice" mode) — ruling-aware extraction per Tabula's
+  * published design (spreadsheet/ruling detection).
   *
   * Interpreter scope (documented subset, mirroring simple machine-written
   * table PDFs): text operators `BT ET Td TD TL T* Tm Tj TJ ' "` with full
   * text-matrix tracking; byte strings decoded as Latin-1 (PDF
   * StandardEncoding and WinAnsiEncoding agree with Latin-1 over printable
-  * ASCII — composite/CID fonts are out of scope). Graphics operators are
-  * ignored except `cm` is tracked for translation so tables drawn under a
-  * translated CTM still land on the right grid.
+  * ASCII — composite/CID fonts are out of scope). Path operators
+  * `m l re h` + painting `S s f F f* B B* b b* n` are interpreted just
+  * enough to harvest axis-aligned rulings (thin filled rectangles count —
+  * many producers draw rules that way); `cm` is tracked for translation so
+  * tables drawn under a translated CTM still land on the right grid.
   */
 object PdfTextExtractor {
 
   /** One coalesced text run: device-space baseline origin + decoded text. */
   final case class Chunk(x: Double, y: Double, text: String)
+
+  /** One axis-aligned ruled line in device space (x1 ≤ x2, y1 ≤ y2). */
+  final case class Ruling(x1: Double, y1: Double, x2: Double, y2: Double) {
+    def horizontal: Boolean = (y2 - y1) <= 1.0 && (x2 - x1) > 4.0
+    def vertical: Boolean = (x2 - x1) <= 1.0 && (y2 - y1) > 4.0
+  }
+
+  /** Everything the interpreter harvests from one content stream. */
+  final case class PageContent(chunks: Seq[Chunk], rulings: Seq[Ruling])
 
   private val RowTolerance = 2.0 // pts: chunks within this Δy share a row
   private val ColTolerance = 4.0 // pts: x-starts within this Δx share a column
@@ -34,9 +48,20 @@ object PdfTextExtractor {
   // ---------------------------------------------------------- interpreter
 
   /** Run the text operators of one decoded content stream. */
-  def chunks(content: Array[Byte]): Seq[Chunk] = {
+  def chunks(content: Array[Byte]): Seq[Chunk] = page(content).chunks
+
+  /** Run the text AND path operators of one decoded content stream. */
+  def page(content: Array[Byte]): PageContent = {
     val out = mutable.ArrayBuffer.empty[MutChunk]
     var last: MutChunk = null
+    // path state: pending segments since the last paint/no-op, the current
+    // point, and each subpath's start (for `h` closepath)
+    val rulings = mutable.ArrayBuffer.empty[Ruling]
+    val pending = mutable.ArrayBuffer.empty[(Double, Double, Double, Double)]
+    var curX = 0.0
+    var curY = 0.0
+    var startX = 0.0
+    var startY = 0.0
     val lex = new Lexer(content)
     // text state: text matrix, line matrix (each a,b,c,d,e,f), leading
     var tm = Matrix.identity
@@ -74,6 +99,21 @@ object PdfTextExtractor {
     def nextLine(tx: Double, ty: Double): Unit = {
       tlm = Matrix.translation(tx, ty).multiply(tlm)
       tm = tlm
+    }
+
+    def addSeg(x1: Double, y1: Double, x2: Double, y2: Double): Unit =
+      pending += ((x1, y1, x2, y2))
+
+    /** Commit pending path segments as rulings (paint op). Only
+      * axis-aligned segments above noise length survive; everything is
+      * already in device space (segments are transformed as added). */
+    def paintPath(): Unit = {
+      pending.foreach { case (x1, y1, x2, y2) =>
+        val r = Ruling(math.min(x1, x2), math.min(y1, y2),
+          math.max(x1, x2), math.max(y1, y2))
+        if (r.horizontal || r.vertical) rulings += r
+      }
+      pending.clear()
     }
 
     var tok = lex.next()
@@ -117,7 +157,30 @@ object PdfTextExtractor {
                 .multiply(ctm)
             case "q" => ctmStack.push(ctm)
             case "Q" => if (ctmStack.nonEmpty) ctm = ctmStack.pop()
-            case _   => () // path/color/XObject operators — ignored
+            // ---- path construction (rulings harvest; device space) ----
+            case "m" =>
+              val (x, y) = ctm.apply(num(2), num(1))
+              curX = x; curY = y; startX = x; startY = y
+            case "l" =>
+              val (x, y) = ctm.apply(num(2), num(1))
+              addSeg(curX, curY, x, y); curX = x; curY = y
+            case "h" =>
+              addSeg(curX, curY, startX, startY); curX = startX; curY = startY
+            case "re" =>
+              val (x0, y0) = ctm.apply(num(4), num(3))
+              val (x1b, y1b) = ctm.apply(num(4) + num(2), num(3) + num(1))
+              // thin filled rectangles ARE rules; fat ones contribute
+              // their borders (cell boxes drawn as four-sided rects)
+              addSeg(x0, y0, x1b, y0); addSeg(x0, y1b, x1b, y1b)
+              addSeg(x0, y0, x0, y1b); addSeg(x1b, y0, x1b, y1b)
+              curX = x0; curY = y0; startX = x0; startY = y0
+            case "c" | "v" | "y" => // curves: endpoint only (never rulings)
+              val (x, y) = ctm.apply(num(2), num(1))
+              curX = x; curY = y
+            case "S" | "s" | "f" | "F" | "f*" | "B" | "B*" | "b" | "b*" =>
+              paintPath()
+            case "n" => pending.clear() // clip-only path: not painted
+            case _   => () // color/XObject operators — ignored
           }
           operands.clear()
         case other =>
@@ -125,7 +188,7 @@ object PdfTextExtractor {
       }
       tok = lex.next()
     }
-    out.map(m => Chunk(m.x, m.y, m.text.toString)).toSeq
+    PageContent(out.map(m => Chunk(m.x, m.y, m.text.toString)).toSeq, rulings.toSeq)
   }
 
   /** a b c d e f — PDF's row-vector convention: [x y 1] × M. */
@@ -165,6 +228,65 @@ object PdfTextExtractor {
     * with a single uniform grid always yield exactly one table. */
   def tables(cs: Seq[Chunk]): Seq[Seq[IndexedSeq[String]]] = {
     if (cs.isEmpty) return Nil
+    tablesStream(cs)
+  }
+
+  /** Mode dispatch per tabula: a page whose rulings form a real grid
+    * (≥ 3 horizontal and ≥ 3 vertical distinct rule positions → a table of
+    * ≥ 2×2 cells) is extracted lattice-style — cells bounded by the ruled
+    * lines, text outside the grid ignored, exactly one table per grid.
+    * Anything else falls back to whitespace ("stream") clustering. */
+  def tables(p: PageContent): Seq[Seq[IndexedSeq[String]]] =
+    latticeTable(p) match {
+      case Some(t) => Seq(t)
+      case None    => tables(p.chunks)
+    }
+
+  /** Cluster sorted positions with a tolerance; returns cluster centers. */
+  private def clusterPositions(ps: Seq[Double], tol: Double): IndexedSeq[Double] = {
+    val sorted = ps.sorted
+    val out = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[Double]]
+    sorted.foreach { v =>
+      if (out.isEmpty || v - out.last.last > tol) out += mutable.ArrayBuffer(v)
+      else out.last += v
+    }
+    out.map(g => g.sum / g.length).toIndexedSeq
+  }
+
+  /** Lattice extraction: distinct horizontal-rule ys (row boundaries) ×
+    * distinct vertical-rule xs (column boundaries) define the cell grid;
+    * each chunk lands in the cell containing its baseline origin. */
+  private def latticeTable(p: PageContent): Option[Seq[IndexedSeq[String]]] = {
+    val yCuts = clusterPositions(
+      p.rulings.filter(_.horizontal).map(r => (r.y1 + r.y2) / 2), RowTolerance)
+    val xCuts = clusterPositions(
+      p.rulings.filter(_.vertical).map(r => (r.x1 + r.x2) / 2), ColTolerance)
+    if (yCuts.length < 3 || xCuts.length < 3) return None
+    val nRows = yCuts.length - 1
+    val nCols = xCuts.length - 1
+    // cell (r, c): yCuts is ascending; row 0 is the TOP band
+    def rowOf(y: Double): Int = {
+      var i = 0
+      while (i < yCuts.length && yCuts(i) < y) i += 1
+      if (i == 0 || i == yCuts.length) -1 else nRows - i // top row first
+    }
+    def colOf(x: Double): Int = {
+      var i = 0
+      while (i < xCuts.length && xCuts(i) < x) i += 1
+      if (i == 0 || i == xCuts.length) -1 else i - 1
+    }
+    val grid = Array.fill(nRows, nCols)(null: String)
+    p.chunks.sortBy(c => (-c.y, c.x)).foreach { ch =>
+      val r = rowOf(ch.y)
+      val c = colOf(ch.x)
+      if (r >= 0 && c >= 0)
+        grid(r)(c) = if (grid(r)(c) == null) ch.text else grid(r)(c) + " " + ch.text
+    }
+    Some(grid.map(_.toIndexedSeq).toSeq)
+  }
+
+  /** Stream-mode (whitespace) clustering — the pre-lattice behavior. */
+  private def tablesStream(cs: Seq[Chunk]): Seq[Seq[IndexedSeq[String]]] = {
     val rows = clusterRows(cs)
     if (rows.length <= 2) return Seq(tableOf(rows.map(_.toSeq)))
     val ys = rows.map(_.map(_.y).max)

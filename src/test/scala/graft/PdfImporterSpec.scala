@@ -37,19 +37,18 @@ class PdfImporterSpec extends SparkSpec {
     sb.append("ET\n").toString()
   }
 
-  /** Assemble a multi-page PDF; each page is (contentBytes, compressed?). */
-  private def pdfBytes(pages: Seq[(Array[Byte], Boolean)]): Array[Byte] = {
+  /** Assemble a multi-page PDF; each page is (encodedData, filterClause)
+    * where filterClause is the literal `/Filter …` text (empty = none). */
+  private def pdfBytesF(pages: Seq[(Array[Byte], String)]): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
     w("%PDF-1.4\n")
     val kids = pages.indices.map(i => s"${3 + 2 * i} 0 R").mkString(" ")
     w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
     w(s"2 0 obj << /Type /Pages /Kids [$kids] /Count ${pages.length} >> endobj\n")
-    pages.zipWithIndex.foreach { case ((content, compress), i) =>
+    pages.zipWithIndex.foreach { case ((data, filter), i) =>
       val pageNum = 3 + 2 * i
       val contNum = pageNum + 1
-      val data = if (compress) deflate(content) else content
-      val filter = if (compress) " /Filter /FlateDecode" else ""
       w(s"$pageNum 0 obj << /Type /Page /Parent 2 0 R " +
         s"/MediaBox [0 0 612 792] /Contents $contNum 0 R " +
         s"/Resources << /Font << /F1 100 0 R >> >> >> endobj\n")
@@ -61,6 +60,12 @@ class PdfImporterSpec extends SparkSpec {
     w("trailer << /Root 1 0 R >>\n%%EOF\n")
     out.toByteArray
   }
+
+  private def pdfBytes(pages: Seq[(Array[Byte], Boolean)]): Array[Byte] =
+    pdfBytesF(pages.map { case (content, compress) =>
+      if (compress) (deflate(content), " /Filter /FlateDecode")
+      else (content, "")
+    })
 
   private def writePdf(name: String, pages: Seq[(Array[Byte], Boolean)]): String = {
     val p = tmpDir("pdf").resolve(name)
@@ -250,6 +255,116 @@ class PdfImporterSpec extends SparkSpec {
     val rows = answers.head.data.orderBy("index").collect().map(_.toSeq)
     assert(rows(0) == Seq(0, "m1", "m2"))
     assert(rows(1) == Seq(1, "m3", "m4"))
+  }
+
+  test("ASCII85- and LZW-encoded content streams decode to the same grid") {
+    val g = Seq(Seq("name", "qty"), Seq("plum", "9"))
+    val content = gridContent(g).getBytes("ISO-8859-1")
+
+    def a85(data: Array[Byte]): Array[Byte] = {
+      val sb = new StringBuilder
+      data.grouped(4).foreach { grp =>
+        var t = 0L
+        grp.foreach(b => t = (t << 8) | (b & 0xffL))
+        val pad = 4 - grp.length
+        t = t << (8 * pad)
+        if (t == 0 && grp.length == 4) sb.append('z')
+        else {
+          val cs = new Array[Char](5)
+          var v = t
+          (4 to 0 by -1).foreach { i => cs(i) = ('!' + (v % 85).toInt).toChar; v /= 85 }
+          sb.appendAll(cs, 0, 5 - pad)
+        }
+      }
+      sb.append("~>").toString().getBytes("ISO-8859-1")
+    }
+    def lzw(data: Array[Byte]): Array[Byte] = {
+      val dict = scala.collection.mutable.HashMap.empty[Seq[Byte], Int]
+      (0 until 256).foreach(b => dict(Seq(b.toByte)) = b)
+      var nextCode = 258
+      var width = 9
+      var bits = 0L
+      var n = 0
+      val out = new ByteArrayOutputStream()
+      def emit(c: Int): Unit = {
+        bits = (bits << width) | c; n += width
+        while (n >= 8) { out.write(((bits >> (n - 8)) & 0xff).toInt); n -= 8 }
+      }
+      emit(256)
+      var w = Seq(data(0))
+      data.drop(1).foreach { b =>
+        if (dict.contains(w :+ b)) w = w :+ b
+        else {
+          emit(dict(w)); dict(w :+ b) = nextCode; nextCode += 1
+          if (nextCode >= (1 << width) && width < 12) width += 1
+          w = Seq(b)
+        }
+      }
+      emit(dict(w)); emit(257)
+      if (n > 0) out.write(((bits << (8 - n)) & 0xff).toInt)
+      out.toByteArray
+    }
+
+    val plain = writePdf("fp.pdf", Seq(grid(g, compress = false)))
+    val p85 = tmpDir("pdf").resolve("a85.pdf")
+    Files.write(p85, pdfBytesF(Seq((a85(content), " /Filter /ASCII85Decode"))))
+    val plzw = tmpDir("pdf").resolve("lzw.pdf")
+    Files.write(plzw, pdfBytesF(Seq((lzw(content), " /Filter /LZWDecode"))))
+    // and a chain: ASCII85 around Flate
+    val pchain = tmpDir("pdf").resolve("chain.pdf")
+    Files.write(pchain, pdfBytesF(Seq((a85(deflate(content)),
+      " /Filter [/ASCII85Decode /FlateDecode]"))))
+
+    val want = new PdfImporter(spark, plain).work().head.data
+      .orderBy("index").collect().toSeq
+    Seq(p85, plzw, pchain).foreach { p =>
+      val got = new PdfImporter(spark, p.toString).work().head.data
+        .orderBy("index").collect().toSeq
+      assert(got == want && got.nonEmpty, p.toString)
+    }
+  }
+
+  test("ruled table extracts lattice-style: cells bounded by rules, outside text ignored") {
+    // grid: 3 rows × 2 cols bounded by h-rules at y=710/690/670/650 and
+    // v-rules at x=72/192/312; a title ABOVE the grid must be excluded
+    // (stream mode would have made it a row), and the near-x pair below
+    // proves cells come from the rules, not whitespace clustering
+    val content =
+      ("BT /F1 10 Tf\n" +
+        "1 0 0 1 72 750 Tm (Quarterly Report Title) Tj\n" +
+        "1 0 0 1 80 695 Tm (hdr1) Tj\n1 0 0 1 200 695 Tm (hdr2) Tj\n" +
+        "1 0 0 1 80 675 Tm (a) Tj\n1 0 0 1 200 675 Tm (b) Tj\n" +
+        "1 0 0 1 80 655 Tm (c) Tj\n1 0 0 1 200 655 Tm (d) Tj\n" +
+        "ET\n" +
+        // horizontal rules (one drawn as a thin filled rect)
+        "72 710 m 312 710 l S\n" +
+        "72 690 m 312 690 l S\n" +
+        "72 670 m 312 670 l S\n" +
+        "72 649.6 240 0.8 re f\n" +
+        // vertical rules
+        "72 650 m 72 710 l S\n" +
+        "192 650 m 192 710 l S\n" +
+        "312 650 m 312 710 l S\n").getBytes("ISO-8859-1")
+    val path = writePdf("lattice.pdf", Seq((content, false)))
+    val answers = new PdfImporter(spark, path).work()
+    assert(answers.length == 1)
+    val rows = answers.head.data.orderBy("index").collect().map(_.toSeq)
+    assert(rows.toSeq == Seq(
+      Seq(0, "hdr1", "hdr2"),
+      Seq(1, "a", "b"),
+      Seq(2, "c", "d")))
+  }
+
+  test("clip-only paths (W n) do not fake a lattice grid") {
+    // same text grid as the plain test, but wrapped in a clipping
+    // rectangle path that is NOT painted — must stay stream-mode
+    val content =
+      ("0 0 612 792 re W n\n" +
+        gridContent(Seq(Seq("k1", "k2"), Seq("v1", "v2")))).getBytes("ISO-8859-1")
+    val path = writePdf("clip.pdf", Seq((content, false)))
+    val rows = new PdfImporter(spark, path).work().head.data
+      .orderBy("index").collect().map(_.toSeq)
+    assert(rows.toSeq == Seq(Seq(0, "k1", "k2"), Seq(1, "v1", "v2")))
   }
 
   test("AnyFile dispatches .pdf to the real reader") {
