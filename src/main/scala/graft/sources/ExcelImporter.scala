@@ -36,10 +36,11 @@ import scala.xml.{Elem, Node, XML}
   *    MS-XLSB spec): varint-framed records, BrtBundleSh sheet list, SST
   *    items, Rk/Real/Bool/St/Isst/formula-result cells.
   *
-  * Scale note: sheet XML decodes on the driver into a `LocalRelation`
-  * (sheets are driver-sized in the reference too). A DSv2 `TableProvider`
-  * ("excel" format) with per-sheet/row-range partitions is the documented
-  * scale path (SURVEY.md §4).
+  * Scale note: `.xlsx` is fully off-driver — sheet listing reads only zip
+  * central-directory metadata, the shape probe runs as a Spark job, and
+  * row decode happens in DSv2 partitions on executors. The bounded legacy
+  * formats (`.ods`/`.xls`/`.xlsb`, format-capped sheet sizes) decode on
+  * the driver into a `LocalRelation`, as in the reference.
   */
 class ExcelImporter(
     val spark: SparkSession,
@@ -79,24 +80,30 @@ class ExcelImporter(
 
   // ---------------------------------------------------------------- xlsx
 
-  /** Sheet enumeration + shape probing run on the driver (cheap metadata,
-    * exactly what `pd.ExcelFile` does); the shape probe is a STREAMING
-    * width/count fold ([[graft.sources.xlsx.XlsxParser.sheetShape]]) that
-    * never materializes rows, so driver memory stays O(1) in sheet size.
-    * The per-sheet DataFrames are served by the DSv2 source
+  /** Sheet enumeration reads ONLY zip-central-directory metadata on the
+    * driver (`workbook.xml` + rels, a few hundred bytes —
+    * [[graft.sources.xlsx.XlsxParser.openSheetList]]); the per-sheet shape
+    * probe (streaming width/count fold, no rows retained) runs as ONE
+    * SPARK JOB with a task per sheet, so the driver never decodes sheet
+    * XML at `parse()` time — for a multi-GB workbook the CPU burn lands on
+    * executors, where the DSv2 row decode already runs. LargeSheetSpec
+    * pins this: every sheet open during parse() is on an executor task
+    * thread. The per-sheet DataFrames are served by the DSv2 source
     * ([[graft.sources.xlsx.ExcelDataSource]], format `graft-excel`) with an
-    * explicit schema, so cell decoding happens on EXECUTORS at action time
-    * (each sheet is decoded once on the driver for the shape and once per
-    * action on an executor — the metadata pass is unavoidable because the
-    * reference's API returns schema-carrying answers eagerly). The probe
-    * also supplies `knownRowCount`, keeping `parseInfo` action-free. */
+    * explicit schema from the probe, which also supplies `knownRowCount`,
+    * keeping `parseInfo` action-free. Shared strings are NOT loaded on the
+    * driver at all (cell widths don't depend on string values). */
   private def workXlsx(): Seq[ParserAnswer] = {
     import graft.sources.xlsx.XlsxParser
-    val wb = XlsxParser.openWorkbook(filePath).getOrElse(return failedAnswer())
-    if (wb.sheets.isEmpty) return failedAnswer()
-    wb.sheets.map { sheet =>
-      val (width, rowCount) =
-        XlsxParser.sheetShape(filePath, sheet.target, wb.shared)
+    val sheets = XlsxParser.openSheetList(filePath).getOrElse(return failedAnswer())
+    if (sheets.isEmpty) return failedAnswer()
+    val path = filePath
+    val shapes: Map[String, (Int, Long)] = spark.sparkContext
+      .parallelize(sheets.map(_.target), sheets.length)
+      .map(t => t -> XlsxParser.sheetShape(path, t, IndexedSeq.empty))
+      .collect().toMap
+    sheets.map { sheet =>
+      val (width, rowCount) = shapes(sheet.target)
       if (width == 0)
         ParserAnswer(spark.emptyDataFrame, filePath, sheetName = sheet.name,
           engine = engineName, knownRowCount = Some(0L))

@@ -41,27 +41,38 @@ object XlsxParser {
   def openWorkbook(path: String): Option[Workbook] = {
     val zip = new ZipFile(path)
     try {
-      loadZipXml(zip, "xl/workbook.xml").map { workbook =>
-        val relTargets: Map[String, String] =
-          loadZipXml(zip, "xl/_rels/workbook.xml.rels") match {
-            case Some(rels) =>
-              (rels \\ "Relationship").map { r =>
-                val id = r.attribute("Id").map(_.text).getOrElse("")
-                val tgt = r.attribute("Target").map(_.text).getOrElse("")
-                id -> (if (tgt.startsWith("/")) tgt.drop(1) else "xl/" + tgt)
-              }.toMap
-            case None => Map.empty
-          }
-        val sheets = (workbook \\ "sheet").zipWithIndex.map { case (s, i) =>
-          val name = s.attribute("name").map(_.text).getOrElse("None")
-          val rid = s.attribute(RelsNs, "id").map(_.text).getOrElse("")
-          SheetRef(name,
-            relTargets.getOrElse(rid, s"xl/worksheets/sheet${i + 1}.xml"))
-        }
-        Workbook(sheets, sharedStrings(zip))
-      }
+      sheetListOf(zip).map(sheets => Workbook(sheets, sharedStrings(zip)))
     } finally zip.close()
   }
+
+  /** Sheet names + targets ONLY — reads the zip central directory plus the
+    * two few-hundred-byte metadata entries (`workbook.xml`, its rels).
+    * The cheap open for callers that probe/decode sheets elsewhere. */
+  def openSheetList(path: String): Option[Seq[SheetRef]] = {
+    val zip = new ZipFile(path)
+    try sheetListOf(zip)
+    finally zip.close()
+  }
+
+  private def sheetListOf(zip: ZipFile): Option[Seq[SheetRef]] =
+    loadZipXml(zip, "xl/workbook.xml").map { workbook =>
+      val relTargets: Map[String, String] =
+        loadZipXml(zip, "xl/_rels/workbook.xml.rels") match {
+          case Some(rels) =>
+            (rels \\ "Relationship").map { r =>
+              val id = r.attribute("Id").map(_.text).getOrElse("")
+              val tgt = r.attribute("Target").map(_.text).getOrElse("")
+              id -> (if (tgt.startsWith("/")) tgt.drop(1) else "xl/" + tgt)
+            }.toMap
+          case None => Map.empty
+        }
+      (workbook \\ "sheet").zipWithIndex.map { case (s, i) =>
+        val name = s.attribute("name").map(_.text).getOrElse("None")
+        val rid = s.attribute(RelsNs, "id").map(_.text).getOrElse("")
+        SheetRef(name,
+          relTargets.getOrElse(rid, s"xl/worksheets/sheet${i + 1}.xml"))
+      }
+    }
 
   /** Shared-string table via StAX (it has one entry per unique cell string —
     * the other potentially huge part of the container). Multi-run strings
@@ -145,6 +156,24 @@ object XlsxParser {
     }
 }
 
+/** Where sheet decodes happen: every [[SheetRowIterator]] records the
+  * opening thread's name (bounded). Spark-free by design — LargeSheetSpec
+  * asserts the importer's parse path opens sheets only from executor task
+  * threads, never the driver. */
+object SheetOpenRecorder {
+  private val names = new java.util.concurrent.ConcurrentLinkedQueue[String]
+  private val Cap = 1024
+  def record(): Unit = {
+    if (names.size < Cap) names.add(Thread.currentThread().getName)
+  }
+  def drain(): Seq[String] = {
+    val out = Vector.newBuilder[String]
+    var n = names.poll()
+    while (n != null) { out += n; n = names.poll() }
+    out.result()
+  }
+}
+
 /** One-row-at-a-time StAX decode of a sheet. Gap row numbers (no `<row>`
   * element) are emitted as empty rows, bounded by the max present row —
   * openpyxl `max_row` semantics. Assumes the spec-conformant monotonic `r`
@@ -157,6 +186,7 @@ final class SheetRowIterator(
     target: String,
     shared: IndexedSeq[String]
 ) extends Iterator[IndexedSeq[String]] with java.io.Closeable {
+  SheetOpenRecorder.record()
 
   private val zip = new ZipFile(path)
   private val inOpt = Option(zip.getEntry(target)).map(zip.getInputStream)

@@ -57,7 +57,7 @@ class LargeSheetSpec extends SparkSpec {
     val p = tmpDir("bigsheet").resolve("big.xlsx").toString
     makeBigXlsx(p)
 
-    // driver-side probe: width/count only, no rows retained
+    // shape probe: width/count only, no rows retained
     val (width, rowCount) = graft.sources.xlsx.XlsxParser.sheetShape(
       p, "xl/worksheets/sheet1.xml", IndexedSeq.empty)
     assert(width == Cols)
@@ -73,5 +73,26 @@ class LargeSheetSpec extends SparkSpec {
     assert(row.length == 1)
     assert(row.head.getString(Cols - 1) ==
       ((123456L * 31 + (Cols - 1)) % 1000003).toString)
+  }
+
+  test("ExcelImporter.parse decodes sheets ONLY on executor task threads") {
+    val p = tmpDir("bigsheet2").resolve("big2.xlsx").toString
+    makeBigXlsx(p)
+
+    graft.sources.xlsx.SheetOpenRecorder.drain() // discard earlier opens
+    val answers = new graft.sources.ExcelImporter(spark, p, ".xlsx").work()
+    val opens = graft.sources.xlsx.SheetOpenRecorder.drain()
+    // the shape probe runs as a Spark job: every sheet decode during
+    // parse() must be on an executor task thread, never the driver
+    assert(opens.nonEmpty)
+    assert(opens.forall(_.startsWith("Executor task launch worker")),
+      s"sheet decoded outside executor threads: $opens")
+    assert(answers.head.knownRowCount.contains(Rows.toLong))
+    assert(answers.head.data.columns.length == Cols)
+
+    // the action-time DSv2 decode is executor-side too
+    assert(answers.head.data.count() == Rows.toLong)
+    val actionOpens = graft.sources.xlsx.SheetOpenRecorder.drain()
+    assert(actionOpens.forall(_.startsWith("Executor task launch worker")))
   }
 }
