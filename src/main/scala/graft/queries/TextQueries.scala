@@ -280,5 +280,86 @@ object TextQueries {
       ORDER BY doc_id""")
   )
 
-  val all: Seq[Q] = Seq(q25, q30, q31, q32, q36)
+  /** Within-document repetition filters (Gopher / MassiveText quality
+    * rules, Rae et al. 2021 §A1.1, arXiv:2112.11446): the fraction of a
+    * document's characters covered by (a) its single most frequent word
+    * 2-gram and (b) all word 5-grams that occur more than once. High
+    * values flag boilerplate/spam — the standard pre-training gate the
+    * lang-ID (q31) and stopword (q30) rules don't catch.
+    *
+    * Scale shape: two wordcount-shaped aggregations keyed (doc_id, gram) —
+    * the `word_ngrams` Generator streams shingles inside codegen, partial
+    * counts combine map-side, and only (doc_id, len·cnt) longs reach the
+    * final per-doc join. Tie-break for "top" 2-gram is (count desc, gram
+    * asc) in BOTH engines, so the char masses are integer-deterministic
+    * and the fractions are one int/int division each. */
+  val q78 = Q(
+    "q78_repetition",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = documents(s, dir)
+      def gramCounts(n: Int) = docs
+        .select(col("doc_id"),
+          graft.functions.GraftFunctions.word_ngrams(col("text"), n).as("sh"))
+        .groupBy("doc_id", "sh").agg(count(lit(1)).as("cnt"))
+      val top2 = gramCounts(2)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("cnt").desc, col("sh"))))
+        .filter(col("rk") === 1)
+        .select(col("doc_id"),
+          (col("cnt") * length(col("sh")).cast("long")).as("top2_chars"))
+      val dup5 = gramCounts(5)
+        .filter(col("cnt") > 1)
+        .groupBy("doc_id")
+        .agg(sum(col("cnt") * length(col("sh")).cast("long")).as("dup5_chars"))
+      docs.select(col("doc_id"), col("n_chars"))
+        .join(top2, Seq("doc_id"), "left")
+        .join(dup5, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("top2_chars"), lit(0L)).as("top2_chars"),
+          coalesce(col("dup5_chars"), lit(0L)).as("dup5_chars"),
+          (coalesce(col("top2_chars"), lit(0L)).cast("double") /
+            col("n_chars")).as("top2_frac"),
+          (coalesce(col("dup5_chars"), lit(0L)).cast("double") /
+            col("n_chars")).as("dup5_frac"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH words AS (
+        SELECT doc_id, n_chars, string_split_regex(text, '\s+') AS w
+        FROM documents),
+      g2 AS (
+        SELECT doc_id, array_to_string(w[i:i+1], ' ') AS sh
+        FROM (SELECT doc_id, w,
+                unnest(range(1, greatest(len(w) - 1, 1) + 1)) AS i
+              FROM words)),
+      c2 AS (SELECT doc_id, sh, COUNT(*) AS cnt FROM g2 GROUP BY 1, 2),
+      top2 AS (
+        SELECT doc_id,
+               CAST(cnt * strlen(sh) AS BIGINT) AS top2_chars
+        FROM (SELECT doc_id, sh, cnt, ROW_NUMBER() OVER (
+                PARTITION BY doc_id ORDER BY cnt DESC, sh) AS rk
+              FROM c2)
+        WHERE rk = 1),
+      g5 AS (
+        SELECT doc_id, array_to_string(w[i:i+4], ' ') AS sh
+        FROM (SELECT doc_id, w,
+                unnest(range(1, greatest(len(w) - 4, 1) + 1)) AS i
+              FROM words)),
+      c5 AS (SELECT doc_id, sh, COUNT(*) AS cnt FROM g5 GROUP BY 1, 2),
+      dup5 AS (
+        SELECT doc_id, CAST(SUM(cnt * strlen(sh)) AS BIGINT) AS dup5_chars
+        FROM c5 WHERE cnt > 1 GROUP BY doc_id)
+      SELECT d.doc_id,
+             COALESCE(t.top2_chars, 0) AS top2_chars,
+             COALESCE(p.dup5_chars, 0) AS dup5_chars,
+             CAST(COALESCE(t.top2_chars, 0) AS DOUBLE) / d.n_chars AS top2_frac,
+             CAST(COALESCE(p.dup5_chars, 0) AS DOUBLE) / d.n_chars AS dup5_frac
+      FROM documents d
+      LEFT JOIN top2 t USING (doc_id)
+      LEFT JOIN dup5 p USING (doc_id)
+      ORDER BY d.doc_id""")
+  )
+
+  val all: Seq[Q] = Seq(q25, q30, q31, q32, q36, q78)
 }

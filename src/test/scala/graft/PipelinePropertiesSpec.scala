@@ -32,6 +32,30 @@ class PipelinePropertiesSpec extends SparkSpec {
     assert(rows.length == spark.read.parquet(s"$sf/documents.parquet").count())
   }
 
+  test("q78 repetition char-fractions match a from-scratch recompute for two docs") {
+    val q = TextQueries.q78.spark(spark, sf)
+    Seq(0L, 7L).foreach { id =>
+      val r = spark.read.parquet(s"$sf/documents.parquet")
+        .filter(col("doc_id") === id).select("text", "n_chars").head()
+      val text = r.getString(0)
+      val nChars = r.getLong(1)
+      val w = text.split("\\s+").filter(_.nonEmpty)
+      def grams(n: Int): Seq[String] =
+        (1 to math.max(w.length - (n - 1), 1)).map(i =>
+          w.slice(i - 1, i - 1 + n).mkString(" "))
+      val c2 = grams(2).groupBy(identity).view.mapValues(_.size)
+      // (count desc, gram asc) tie-break, char mass = cnt * strlen(gram)
+      val (topG, topC) = c2.toSeq.minBy { case (g, c) => (-c, g) }
+      val dup5 = grams(5).groupBy(identity).view.mapValues(_.size)
+        .collect { case (g, c) if c > 1 => c.toLong * g.length }.sum
+      val row = q.filter(col("doc_id") === id).head()
+      assert(row.getLong(1) == topC.toLong * topG.length, s"doc $id top2")
+      assert(row.getLong(2) == dup5, s"doc $id dup5")
+      assert(row.getDouble(3) == topC.toLong * topG.length / nChars.toDouble)
+      assert(row.getDouble(4) == dup5 / nChars.toDouble)
+    }
+  }
+
   test("q25 quality metrics match a from-scratch recompute for one doc") {
     val text = spark.read.parquet(s"$sf/documents.parquet")
       .filter(col("doc_id") === 0).select("text").head().getString(0)
