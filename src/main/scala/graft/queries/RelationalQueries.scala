@@ -562,23 +562,137 @@ object RelationalQueries {
       ORDER BY e.event_id""")
   )
 
-  /** Sketch aggregation: approx_count_distinct (HyperLogLog++) next to the
-    * exact count. No oracle — HLL estimates are implementation-specific —
-    * but OperatorSpec asserts the estimate lands within the documented
-    * error bound of the exact value. At 100 TB the sketch is the ONLY
-    * viable distinct count: fixed-size state, single shuffle of sketches,
-    * vs the exact two-phase expand-and-dedup. */
+  /** Exact rational α₂₅₆ = 0.7213/(1 + 1.079/256) = 923264/1285395 and the
+    * scaled HLL numerator α·m²·2⁵⁷ used by [[q18]]'s integer estimator. */
+  private val HllAlphaNum = 923264L
+  private val HllAlphaDen = 1285395L
+  private val HllNum: BigInt = BigInt(HllAlphaNum) * 65536 * (BigInt(1) << 57)
+
+  /** Integer-exact bit length of a non-negative long (< 2⁵⁶ here): the
+    * standard 6-step binary-search shift chain, written with columns so the
+    * DuckDB oracle can mirror it CASE for CASE. bitlen(0) = 0. */
+  private[graft] def bitlen56(df: DataFrame, w: String): DataFrame =
+    df.withColumn("s5", when(col(w) >= (1L << 32), 32).otherwise(0))
+      .withColumn("t4", expr(s"shiftright($w, s5)"))
+      .withColumn("s4", when(col("t4") >= (1L << 16), 16).otherwise(0))
+      .withColumn("t3", expr("shiftright(t4, s4)"))
+      .withColumn("s3", when(col("t3") >= (1L << 8), 8).otherwise(0))
+      .withColumn("t2", expr("shiftright(t3, s3)"))
+      .withColumn("s2", when(col("t2") >= (1L << 4), 4).otherwise(0))
+      .withColumn("t1", expr("shiftright(t2, s2)"))
+      .withColumn("s1", when(col("t1") >= (1L << 2), 2).otherwise(0))
+      .withColumn("t0", expr("shiftright(t1, s1)"))
+      .withColumn("s0", when(col("t0") >= 2L, 1).otherwise(0))
+      .withColumn("bitlen",
+        when(col(w) === 0L, 0)
+          .otherwise(col("s5") + col("s4") + col("s3") + col("s2") +
+            col("s1") + col("s0") + 1))
+
+  /** The deterministic-HLL register pipeline shared by [[q18]] and its
+    * specs: md5-derive (bucket, 56-bit w) from `key`, rank ρ per row, max
+    * per (group, bucket), then the raw estimate as ONE integral division of
+    * exact integers. Output: (group, hll_parts). */
+  private[graft] def hllEstimate(df: DataFrame, key: Column,
+      group: String): DataFrame = {
+    val hx = md5(key.cast("string"))
+    val hashed = df.select(
+      col(group),
+      conv(substring(hx, 1, 2), 16, 10).cast("int").as("bucket"),
+      conv(substring(hx, 3, 14), 16, 10).cast("bigint").as("w"))
+    bitlen56(hashed, "w")
+      .withColumn("rho", lit(57) - col("bitlen"))
+      .groupBy(col(group), col("bucket"))
+      .agg(max(col("rho")).as("r"))
+      .groupBy(group)
+      .agg(
+        sum(expr("shiftleft(cast(1 as bigint), 57 - r)")
+          .cast("decimal(38,0)")).as("s_obs"),
+        count(lit(1)).as("nb"))
+      .withColumn("s_all",
+        col("s_obs") + (lit(256L) - col("nb")).cast("decimal(38,0)") *
+          lit(1L << 57).cast("decimal(38,0)"))
+      .withColumn("hll_parts",
+        expr(s"cast('$HllNum' as decimal(38,0)) div " +
+          s"(cast($HllAlphaDen as decimal(38,0)) * s_all)"))
+      .select(group, "hll_parts")
+  }
+
+  /** Sketch aggregation: a DETERMINISTIC HyperLogLog next to the exact
+    * count. Spark's builtin approx_count_distinct (HLL++) stays covered by
+    * OperatorSpec's error-bound test, but its estimate is implementation-
+    * specific, so the declared query folds its own md5-derived registers:
+    * bucket = first 8 hash bits (m = 256), ρ = leading-zero rank of the
+    * next 56 bits via an integer shift chain, register = max(ρ) per bucket,
+    * and the raw Flajolet estimate α·m²/Σ2^(−ρ) evaluated as ONE integral
+    * division of exact integers (α = 923264/1285395 exactly; Σ scaled by
+    * 2⁵⁷ into DECIMAL/HUGEINT) — bit-identical in DuckDB, flipping the last
+    * sketch row from rows-only to a full hash oracle.
+    *
+    * Scale shape is unchanged from the builtin: fixed 256-register state,
+    * map-side partial max per (flag, bucket), a ≤ flags×256-row shuffle —
+    * at 100 TB the sketch is the ONLY viable distinct count vs the exact
+    * expand-and-dedup. Raw-estimator regime: sf0.01 has ~2000 distinct
+    * parts per flag, well above the 2.5·m linear-counting cutover, so no
+    * small-range correction (which needs non-portable ln()) is applied. */
   val q18 = Q(
     "q18_approx_distinct",
-    (s, dir) =>
-      lineitem(s, dir)
-        .groupBy(col("l_returnflag"))
-        .agg(
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          countDistinct(col("l_partkey")).as("exact_parts"),
-          count(lit(1)).as("n"))
-        .orderBy("l_returnflag"),
-    None
+    (s, dir) => {
+      val li = lineitem(s, dir)
+      val exact = li.groupBy(col("l_returnflag")).agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        count(lit(1)).as("n"))
+      exact.join(hllEstimate(li, col("l_partkey"), "l_returnflag"),
+          "l_returnflag")
+        .select("l_returnflag", "hll_parts", "exact_parts", "n")
+        .orderBy("l_returnflag")
+    },
+    Some(s"""
+      WITH hx AS (
+        SELECT l_returnflag, md5(CAST(l_partkey AS VARCHAR)) AS x
+        FROM lineitem),
+      hb AS (
+        SELECT l_returnflag,
+               CAST(CAST('0x' || substr(x, 1, 2) AS UBIGINT) AS INT) AS bucket,
+               CAST(CAST('0x' || substr(x, 3, 14) AS UBIGINT) AS BIGINT) AS w
+        FROM hx),
+      b5 AS (SELECT *, CASE WHEN w >= 4294967296 THEN 32 ELSE 0 END AS s5 FROM hb),
+      b4 AS (SELECT *, w >> s5 AS t4 FROM b5),
+      c4 AS (SELECT *, CASE WHEN t4 >= 65536 THEN 16 ELSE 0 END AS s4 FROM b4),
+      b3 AS (SELECT *, t4 >> s4 AS t3 FROM c4),
+      c3 AS (SELECT *, CASE WHEN t3 >= 256 THEN 8 ELSE 0 END AS s3 FROM b3),
+      b2 AS (SELECT *, t3 >> s3 AS t2 FROM c3),
+      c2 AS (SELECT *, CASE WHEN t2 >= 16 THEN 4 ELSE 0 END AS s2 FROM b2),
+      b1 AS (SELECT *, t2 >> s2 AS t1 FROM c2),
+      c1 AS (SELECT *, CASE WHEN t1 >= 4 THEN 2 ELSE 0 END AS s1 FROM b1),
+      b0 AS (SELECT *, t1 >> s1 AS t0 FROM c1),
+      c0 AS (SELECT *, CASE WHEN t0 >= 2 THEN 1 ELSE 0 END AS s0 FROM b0),
+      rr AS (
+        SELECT l_returnflag, bucket,
+               57 - (CASE WHEN w = 0 THEN 0
+                          ELSE s5 + s4 + s3 + s2 + s1 + s0 + 1 END) AS rho
+        FROM c0),
+      reg AS (
+        SELECT l_returnflag, bucket, MAX(rho) AS r
+        FROM rr GROUP BY l_returnflag, bucket),
+      ag AS (
+        SELECT l_returnflag,
+               SUM(CAST(CAST(1 AS BIGINT) << (57 - r) AS HUGEINT)) AS s_obs,
+               COUNT(*) AS nb
+        FROM reg GROUP BY l_returnflag),
+      est AS (
+        SELECT l_returnflag,
+               CAST(CAST('$HllNum' AS HUGEINT) //
+                    ($HllAlphaDen * (s_obs + (256 - nb) *
+                       CAST(144115188075855872 AS HUGEINT))) AS BIGINT)
+                 AS hll_parts
+        FROM ag),
+      ex AS (
+        SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT ex.l_returnflag, est.hll_parts, ex.exact_parts, ex.n
+      FROM ex JOIN est USING (l_returnflag)
+      ORDER BY l_returnflag""")
   )
 
   /** Pivot: order totals by priority × status. Spark's `pivot` with an
@@ -695,7 +809,63 @@ object RelationalQueries {
       ORDER BY gid, o_orderpriority, o_orderstatus""")
   )
 
+  /** Click→purchase attribution: each click left-joined to the purchases
+    * the same user makes within the following 30 minutes — the batch twin
+    * of [[graft.streaming.StreamingIntervalJoin]] (the stream-stream
+    * interval join; StreamingIntervalJoinSpec asserts stream ≡ THIS).
+    * Clicks with no attributable purchase survive with −1/0 sentinels
+    * (q58's coalesce discipline — engine-dependent NULL ordering never
+    * reaches the hash).
+    *
+    * Scale shape: an EQUI join on user_id with the time bound as residual
+    * predicate — Spark plans SMJ/shuffled-hash keyed by user, never a
+    * nested loop (suite-wide plan guard). Purchases replicate at most
+    * per-click-within-window, the same bound the streaming state story
+    * relies on. */
+  val q81 = Q(
+    "q81_interval_enrich",
+    (s, dir) => {
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_event_id"), col("user_id"),
+          col("ts").as("c_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_event_id"),
+          col("user_id").as("p_user_id"), col("ts").as("p_ts"),
+          col("value"))
+      clicks.join(purchases,
+          col("user_id") === col("p_user_id") &&
+            col("p_ts") >= col("c_ts") &&
+            col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"),
+          "left_outer")
+        .select(
+          col("c_event_id"), col("user_id"),
+          coalesce(col("p_event_id"), lit(-1L)).as("p_event_id"),
+          coalesce(unix_micros(col("p_ts")) - unix_micros(col("c_ts")),
+            lit(-1L)).as("gap_us"),
+          coalesce(col("value"), lit(0.0)).as("purchase_value"))
+        .orderBy("c_event_id", "p_event_id")
+    },
+    Some("""
+      WITH c AS (
+        SELECT event_id AS c_event_id, user_id, CAST(ts AS TIMESTAMP) AS c_ts
+        FROM events WHERE event_type = 'click'),
+      p AS (
+        SELECT event_id AS p_event_id, user_id AS p_user_id,
+               CAST(ts AS TIMESTAMP) AS p_ts, value
+        FROM events WHERE event_type = 'purchase')
+      SELECT c.c_event_id, c.user_id,
+             COALESCE(p.p_event_id, -1) AS p_event_id,
+             COALESCE(epoch_us(p.p_ts) - epoch_us(c.c_ts), -1) AS gap_us,
+             COALESCE(p.value, 0.0) AS purchase_value
+      FROM c LEFT OUTER JOIN p
+        ON c.user_id = p.p_user_id
+       AND p.p_ts >= c.c_ts
+       AND p.p_ts <= c.c_ts + INTERVAL 30 MINUTE
+      ORDER BY c_event_id, p_event_id""")
+  )
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08,
     q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q28, q29, q44,
-    q58, q59)
+    q58, q59, q81)
 }

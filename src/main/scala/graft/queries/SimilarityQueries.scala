@@ -890,5 +890,136 @@ object SimilarityQueries {
       ORDER BY query_id, rank""")
   )
 
-  val all: Seq[Q] = Seq(q40, q41, q42, q43, q45, q47, q48, q49, q77)
+  /** Int8 absmax quantization of the embedding column — the 4x storage
+    * compression stage of an embedding pipeline, with the quality signals
+    * you'd monitor at scale: per-vector scale (absmax), saturated-code
+    * count, and L1 reconstruction error. All integer arithmetic over the
+    * [[graft.functions.ScaleFloor]] fixed-point vector (sign split out
+    * before every division), so DuckDB reproduces each code bit for bit.
+    *
+    * Scale shape: one codegen'd projection
+    * ([[graft.functions.Int8QuantStats]]) per row — scan speed, no
+    * shuffle; the ORDER BY is presentation only. */
+  val q79 = Q(
+    "q79_int8_quant",
+    (s, dir) => {
+      val qv = graft.functions.ScaleFloor.scale_floor(col("embedding"))
+      embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          graft.functions.Int8QuantStats.int8_quant_stats(qv).as("st"))
+        .select(col("vec_id"), col("label"),
+          col("st.absmax").as("absmax"),
+          col("st.n_sat").as("n_sat"),
+          col("st.err_l1").as("err_l1"))
+        .orderBy("vec_id")
+    },
+    Some("""
+      WITH u AS (
+        SELECT vec_id,
+               CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS q
+        FROM embeddings),
+      am AS (SELECT vec_id, MAX(ABS(q)) AS absmax FROM u GROUP BY vec_id),
+      codes AS (
+        SELECT u.vec_id, absmax, ABS(q) AS aq,
+               CASE WHEN absmax = 0 THEN 0
+                    ELSE (ABS(q) * 127) // absmax END AS acode
+        FROM u JOIN am USING (vec_id)),
+      st AS (
+        SELECT vec_id, MAX(absmax) AS absmax,
+               CAST(SUM(CASE WHEN acode = 127 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_sat,
+               CAST(SUM(aq - (acode * absmax) // 127) AS BIGINT) AS err_l1
+        FROM codes GROUP BY vec_id)
+      SELECT e.vec_id, e.label, st.absmax, st.n_sat, st.err_l1
+      FROM embeddings e JOIN st USING (vec_id)
+      ORDER BY vec_id""")
+  )
+
+  /** Binary-quantization ANN: each vector compresses to a 64-bit sign
+    * signature (two non-negative 32-bit halves via
+    * [[graft.functions.SignBits]]); candidates for the 8 broadcast probes
+    * are vectors within Hamming distance 24, reranked by exact fixed-point
+    * cosine → top-5. This is the 1-bit-PQ prefilter family (sign sketch +
+    * popcount) next to q41's hyperplane LSH (random planes) and q43's IVF:
+    * the filter costs two XOR+popcounts per (probe, row) instead of a
+    * 64-dim dot, and the exact rerank touches only the ~2-3% of the corpus
+    * that survives.
+    *
+    * Scale shape: signatures are a map-side projection; the probe set is
+    * the broadcast side of a nested-loop join that STREAMS the corpus
+    * (allowlisted in PlanRegressionSpec like q40/q49 — 8 rows × cheap
+    * popcount filter, no shuffle of the big side); only survivors reach
+    * the cosine and the per-probe top-5 window. */
+  val q80 = Q(
+    "q80_sign_ann",
+    (s, dir) => {
+      val emb = embeddings(s, dir)
+      val qv = graft.functions.ScaleFloor.scale_floor(col("embedding"))
+      val base = emb.select(col("vec_id"), col("embedding"),
+        graft.functions.SignBits.sign_bits(qv, 0, 32).as("sig_lo"),
+        graft.functions.SignBits.sign_bits(qv, 32, 32).as("sig_hi"),
+        sqrt(dotDec(col("embedding"), col("embedding"))).as("nrm"))
+      val probes = base.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("sig_lo").as("qlo"), col("sig_hi").as("qhi"),
+          col("nrm").as("qn"))
+      val cands = base.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ce"), col("sig_lo").as("clo"),
+        col("sig_hi").as("chi"), col("nrm").as("cn"))
+      val filtered = cands
+        .join(broadcast(probes), col("query_id") =!= col("neighbor_id"))
+        .withColumn("hamming",
+          expr("CAST(bit_count(qlo ^ clo) + bit_count(qhi ^ chi) AS INT)"))
+        .filter(col("hamming") <= 24)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      filtered
+        .withColumn("cosine",
+          dotDec(col("qe"), col("ce")) / (col("qn") * col("cn")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("query_id", "rank", "neighbor_id", "hamming", "cosine")
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""
+      WITH u AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS q
+        FROM embeddings),
+      sig AS (
+        SELECT vec_id,
+               CAST(SUM(CASE WHEN i <= 32 AND q > 0
+                             THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END)
+                    AS BIGINT) AS sig_lo,
+               CAST(SUM(CASE WHEN i > 32 AND q > 0
+                             THEN (CAST(1 AS BIGINT) << (i - 33)) ELSE 0 END)
+                    AS BIGINT) AS sig_hi
+        FROM u GROUP BY vec_id),
+      cand AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               CAST(bit_count(xor(a.sig_lo, b.sig_lo)) +
+                    bit_count(xor(a.sig_hi, b.sig_hi)) AS INT) AS hamming
+        FROM sig a, sig b
+        WHERE a.vec_id < 8 AND a.vec_id <> b.vec_id),
+      keep AS (SELECT * FROM cand WHERE hamming <= 24),
+      qv AS (SELECT vec_id, embedding FROM embeddings),
+      scored AS (
+        SELECT k.query_id, k.neighbor_id, k.hamming,
+               ${dotDecSql("qa.embedding", "qb.embedding")} /
+               (sqrt(${dotDecSql("qa.embedding", "qa.embedding")}) *
+                sqrt(${dotDecSql("qb.embedding", "qb.embedding")})) AS cosine
+        FROM keep k
+        JOIN qv qa ON qa.vec_id = k.query_id
+        JOIN qv qb ON qb.vec_id = k.neighbor_id),
+      ranked AS (
+        SELECT query_id, neighbor_id, hamming, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored)
+      SELECT query_id, rank, neighbor_id, hamming, cosine
+      FROM ranked WHERE rank <= 5
+      ORDER BY query_id, rank""")
+  )
+
+  val all: Seq[Q] = Seq(q40, q41, q42, q43, q45, q47, q48, q49, q77, q79, q80)
 }

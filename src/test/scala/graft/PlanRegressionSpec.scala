@@ -150,14 +150,15 @@ class PlanRegressionSpec extends SparkSpec {
     // BroadcastNestedLoopJoin is legitimate ONLY for (a) one-row scalar
     // cross joins (corpus extents / rate denominators / corpus stats:
     // q46, q64, q67, q69, q72), (b) deliberately-broadcast tiny query
-    // sets scored against a streaming big side (q40, q49), and (c) the
+    // sets scored against a streaming big side (q40, q49, and q80 whose
+    // per-row filter is two popcounts, not a dot product), and (c) the
     // documented quadratic exact verifier q42 whose scalable twin is q41.
     // Any new query that trips this list must either fix its join or
     // justify itself here.
     val bnljAllowed = Set(
       "q40_cosine_topk", "q42_dedup_embedding", "q46_tfidf",
       "q49_pq_adc_topk", "q64_zorder", "q67_mixture_sample", "q69_recipe",
-      "q72_bm25", "q75_heavy_hitters")
+      "q72_bm25", "q75_heavy_hitters", "q80_sign_ann")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")
