@@ -867,5 +867,118 @@ object DedupQueries {
       ORDER BY doc_a, doc_b""")
   )
 
-  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q26, q38, q71, q74, q76)
+  /** Incremental MinHash dedup: a NEW ingest batch deduplicated against
+    * the EXISTING corpus — the
+    * production shape for a continuously-fed training set, where a daily
+    * batch probes a persisted corpus signature store instead of re-running
+    * the all-pairs q22 pipeline over corpus+batch.
+    *
+    * The band join is ASYMMETRIC: batch bands are tiny next to the corpus,
+    * so AQE broadcasts the batch side and the corpus bands are probed
+    * map-side without shuffling. The corpus side of each bucket is capped
+    * (BucketCap) so a degenerate band value bounds candidates at
+    * BucketCap × batch-bucket-size rather than corpus × batch. Signatures
+    * are pure per-doc functions, so computing them on the filtered sides
+    * equals filtering a precomputed table — at 100 TB the corpus
+    * signature/band tables are persisted artifacts (write once, probe per
+    * batch; same reuse discipline as the q60 Bloom filter) and only the
+    * batch recomputes per run. Output: best corpus match per batch doc
+    * (max signature agreement, ties → smallest corpus doc_id). */
+  val q82 = Q(
+    "q82_incremental_dedup",
+    (s, dir) => {
+      val docs = documents(s, dir)
+      // the "new batch" = a deterministic 20% slice (doc_id mod 5 = 3)
+      // standing in for the day's ingest shard
+      val isNew = col("doc_id") % 5 === 3
+      val corpusSigs = minhashSignatures(docs.filter(!isNew)).materialized
+      val batchSigs = minhashSignatures(docs.filter(isNew)).materialized
+      def bandsOf(sigs: DataFrame): DataFrame =
+        sigs.select(
+          col("doc_id"),
+          explode(array((0 until Bands).map { b =>
+            struct(lit(b).as("band"),
+              md5(concat_ws(",",
+                (0 until 4).map(r => element_at(col("sig"), b * 4 + r + 1)): _*))
+                .as("bh"))
+          }: _*)).as("bb"))
+          .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      val corpusBands = bandsOf(corpusSigs)
+      val batchBands = bandsOf(batchSigs)
+      val okBuckets = corpusBands.groupBy("band", "bh")
+        .agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") <= BucketCap)
+        .select("band", "bh")
+      val cand = corpusBands.join(okBuckets, Seq("band", "bh")).as("o")
+        .join(batchBands.as("n"), Seq("band", "bh"))
+        .select(col("o.doc_id").as("doc_old"), col("n.doc_id").as("doc_new"))
+        .distinct()
+      val agreement = (0 until MinhashK).map(i =>
+        when(element_at(col("sa.sig"), i + 1) === element_at(col("sb.sig"), i + 1), 1)
+          .otherwise(0)).reduce(_ + _)
+      val est = cand
+        .join(corpusSigs.as("sa"), col("doc_old") === col("sa.doc_id"))
+        .join(batchSigs.as("sb"), col("doc_new") === col("sb.doc_id"))
+        .select(col("doc_new"), col("doc_old"), agreement.as("agree"))
+        .filter(col("agree") * 2 >= MinhashK)
+      val w = Window.partitionBy("doc_new").orderBy(col("agree").desc, col("doc_old"))
+      est.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_new"), col("doc_old"),
+          (col("agree").cast("double") / MinhashK).as("est_jaccard"))
+        .orderBy("doc_new")
+    },
+    Some(s"""
+      WITH words AS (
+        SELECT doc_id, doc_id % 5 = 3 AS is_new,
+               string_split_regex(text, '\\s+') AS w FROM documents),
+      idx AS (
+        SELECT doc_id, is_new, w, unnest(range(1, greatest(len(w) - 4, 1) + 1)) AS i
+        FROM words),
+      sh AS (
+        SELECT DISTINCT doc_id, is_new, array_to_string(w[i:i+4], ' ') AS sh FROM idx),
+      h AS (
+        SELECT doc_id, is_new,
+               ('0x' || substr(md5(sh), 1, 8))::BIGINT AS lo,
+               ('0x' || substr(md5(sh), 9, 8))::BIGINT AS hi
+        FROM sh),
+      consts AS (
+        SELECT unnest(range(0, $MinhashK)) AS i,
+               unnest(${sqlList(PermA)}) AS pa,
+               unnest(${sqlList(PermB)}) AS pb,
+               unnest(${sqlList(PermC)}) AS pc),
+      perm AS (
+        SELECT doc_id, is_new, i, MIN((pa*lo + pb*hi + pc) % $P61) AS v
+        FROM h CROSS JOIN consts GROUP BY doc_id, is_new, i),
+      sig AS (SELECT doc_id, is_new, list(v ORDER BY i) AS sig
+              FROM perm GROUP BY doc_id, is_new),
+      bands AS (
+        SELECT doc_id, is_new, b,
+               md5(concat_ws(',', sig[b*4+1], sig[b*4+2], sig[b*4+3], sig[b*4+4])) AS bh
+        FROM sig CROSS JOIN (SELECT unnest(range(0, $Bands)) AS b)),
+      ok AS (SELECT b, bh FROM bands WHERE NOT is_new
+             GROUP BY b, bh HAVING COUNT(*) <= $BucketCap),
+      cand AS (
+        SELECT DISTINCT o.doc_id AS doc_old, n.doc_id AS doc_new
+        FROM bands o
+        JOIN ok ON ok.b = o.b AND ok.bh = o.bh
+        JOIN bands n ON n.b = o.b AND n.bh = o.bh
+        WHERE NOT o.is_new AND n.is_new),
+      est AS (
+        SELECT doc_new, doc_old,
+               len(list_filter(range(1, ${MinhashK + 1}),
+                               k -> sa.sig[k] = sb.sig[k])) AS agree
+        FROM cand
+        JOIN sig sa ON sa.doc_id = doc_old
+        JOIN sig sb ON sb.doc_id = doc_new),
+      best AS (
+        SELECT doc_new, doc_old, agree,
+               row_number() OVER (PARTITION BY doc_new
+                                  ORDER BY agree DESC, doc_old) AS rn
+        FROM est WHERE agree * 2 >= $MinhashK)
+      SELECT doc_new, doc_old, CAST(agree AS DOUBLE) / $MinhashK AS est_jaccard
+      FROM best WHERE rn = 1 ORDER BY doc_new""")
+  )
+
+  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q26, q38, q71, q74, q76, q82)
 }

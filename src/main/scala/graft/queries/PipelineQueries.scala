@@ -773,6 +773,66 @@ object PipelineQueries {
       ORDER BY bm25_int DESC, doc_id LIMIT 20""")
   )
 
+  /** Quality-threshold sweep (classifier calibration): for every candidate
+    * cutoff t ∈ [0,10), how many documents and tokens survive `score ≥ t`,
+    * and what corpus fraction that is. This is the operational companion to
+    * any quality gate (q53/q54/q55): pick the threshold from the yield
+    * curve instead of guessing. The score here is a deterministic integer
+    * proxy (word-count bucket, capped at 9) so the oracle is
+    * engine-exact — a model-based score plugs into the same sweep.
+    *
+    * Scale shape: one map-side score projection → a ≤10-row histogram
+    * (partial+final agg) → the sweep is a 10×10-row range join on the
+    * driver-side-sized frame. Nothing corpus-sized ever shuffles twice. */
+  val q83 = Q(
+    "q83_threshold_sweep",
+    (s, dir) => {
+      val docs = documents(s, dir)
+      val scored = docs.select(
+        least(lit(9), floor(size(split(col("text"), "\\s+")) / 12)).cast("long").as("score"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+      val hist = scored.groupBy("score")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+      val totals = scored.agg(
+        count(lit(1)).as("total_docs"), sum("n_tokens").as("total_tokens"))
+      val thresholds = s.range(0, 10).select(col("id").as("threshold"))
+      thresholds.join(hist, col("score") >= col("threshold"), "left")
+        .groupBy("threshold")
+        .agg(coalesce(sum("n_docs"), lit(0L)).as("docs_retained"),
+          coalesce(sum("n_tokens"), lit(0L)).as("tokens_retained"))
+        .crossJoin(totals)
+        .select(col("threshold"), col("docs_retained"), col("tokens_retained"),
+          (col("docs_retained").cast("double") / col("total_docs"))
+            .as("doc_frac"),
+          (col("tokens_retained").cast("double") / col("total_tokens"))
+            .as("token_frac"))
+        .orderBy("threshold")
+    },
+    Some("""
+      WITH scored AS (
+        SELECT LEAST(9, len(string_split_regex(text, '\s+')) // 12) AS score,
+               len(string_split_regex(text, '\s+'))::BIGINT AS n_tokens
+        FROM documents),
+      hist AS (
+        SELECT score, COUNT(*) AS n_docs, SUM(n_tokens)::BIGINT AS n_tokens
+        FROM scored GROUP BY score),
+      totals AS (
+        SELECT COUNT(*) AS total_docs, SUM(n_tokens)::BIGINT AS total_tokens
+        FROM scored),
+      sweep AS (
+        SELECT t.threshold,
+               COALESCE(SUM(h.n_docs), 0)::BIGINT AS docs_retained,
+               COALESCE(SUM(h.n_tokens), 0)::BIGINT AS tokens_retained
+        FROM (SELECT unnest(range(0, 10)) AS threshold) t
+        LEFT JOIN hist h ON h.score >= t.threshold
+        GROUP BY t.threshold)
+      SELECT threshold, docs_retained, tokens_retained,
+             CAST(docs_retained AS DOUBLE) / total_docs AS doc_frac,
+             CAST(tokens_retained AS DOUBLE) / total_tokens AS token_frac
+      FROM sweep CROSS JOIN totals
+      ORDER BY threshold""")
+  )
+
   val all: Seq[Q] = Seq(q33, q34, q35, q37, q46, q53, q54, q55, q56, q57,
-    q65, q66, q67, q69, q72)
+    q65, q66, q67, q69, q72, q83)
 }

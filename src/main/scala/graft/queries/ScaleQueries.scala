@@ -513,5 +513,124 @@ object ScaleQueries {
       ORDER BY o_custkey, rk""")
   )
 
-  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q73)
+  /** Deterministic systematic weighted sampling via a DISTRIBUTED
+    * PREFIX-SUM — draw m = 1000 sample slots at positions j·W/m
+    * (j = 0..m-1) over the doc_id-ordered cumulative weight line
+    * (weight = n_chars, total = W); a doc whose weight interval
+    * [cum−w, cum) covers k slots appears with multiplicity k. Exactly
+    * proportional-to-weight, no RNG: the whole selection is integer
+    * arithmetic, so the oracle checks it bit-for-bit, and the sample is
+    * independent of partitioning and executor count.
+    *
+    * The global running sum is the scale problem: a single
+    * `SUM OVER (ORDER BY doc_id)` window sorts the corpus into ONE
+    * partition. Instead: shard by `doc_id div 8192` → per-shard totals
+    * (tiny agg) → running offsets over the shard frame (a window over
+    * n/8192 rows — recursively shardable if even that outgrows one
+    * partition) → broadcast-join offsets back → per-shard window cumsum
+    * (each partition sorts ≤ 8192 rows). Two corpus passes, no global
+    * sort. Slot counting: slots below v = #{j : j·W < v·m} =
+    * (v·m − 1) div W + 1 for v > 0 — multiplicity is the difference at
+    * the interval's ends. */
+  val q84 = Q(
+    "q84_weighted_sample",
+    (s, dir) => {
+      val m = 1000L
+      val docs = documents(s, dir)
+        .select(col("doc_id"), col("n_chars").as("w"))
+        .withColumn("shard", expr("doc_id div 8192"))
+      val shardTotals = docs.groupBy("shard").agg(sum("w").as("shard_w"))
+      val offsets = shardTotals
+        .withColumn("off",
+          coalesce(sum("shard_w").over(
+            Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+        .select("shard", "off")
+      val total = docs.agg(sum("w").as("total_w"))
+      val within = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // integer `div` keeps the slot arithmetic exact at any corpus size
+      // (a double floor() would lose ULPs past 2^53)
+      def slotsBelow(vSql: String): Column =
+        expr(s"CASE WHEN $vSql <= 0 THEN CAST(0 AS BIGINT) " +
+          s"ELSE ($vSql * $m - 1) div total_w + 1 END")
+      docs
+        .withColumn("cum_in", sum("w").over(within))
+        .join(broadcast(offsets), Seq("shard"))
+        .crossJoin(total)
+        .withColumn("cum", col("off") + col("cum_in"))
+        .withColumn("multiplicity",
+          slotsBelow("cum") - slotsBelow("(cum - w)"))
+        .filter(col("multiplicity") > 0)
+        .select(col("doc_id"), col("w"), col("multiplicity"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH docs AS (
+        SELECT doc_id, n_chars AS w,
+               SUM(n_chars) OVER (ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+        FROM documents),
+      total AS (SELECT SUM(n_chars)::BIGINT AS total_w FROM documents),
+      mult AS (
+        SELECT doc_id, w,
+               (CASE WHEN cum <= 0 THEN 0
+                     ELSE (cum * 1000 - 1) // total_w + 1 END
+                - CASE WHEN cum - w <= 0 THEN 0
+                       ELSE ((cum - w) * 1000 - 1) // total_w + 1 END)::BIGINT
+                 AS multiplicity
+        FROM docs CROSS JOIN total)
+      SELECT doc_id, w, multiplicity FROM mult
+      WHERE multiplicity > 0 ORDER BY doc_id""")
+  )
+
+  /** Dataset snapshot diff — content-level change detection between two
+    * corpus releases (dataset versioning: what a curation re-run touched).
+    * The two snapshots are carved deterministically from `documents`:
+    * "old" = doc_id % 7 ≠ 0; "new" = doc_id % 5 ≠ 0, with docs at
+    * doc_id % 11 = 0 edited (uppercased) to simulate in-place changes.
+    * Classification: `added` (new only), `removed` (old only), `changed`
+    * (both, content hash differs); unchanged rows are dropped.
+    *
+    * Scale shape: each side is hashed MAP-SIDE before the join, so the
+    * full-outer equi-join on doc_id shuffles (id, 32-byte digest) pairs,
+    * never document bodies — the same narrow-key discipline as q20. */
+  val q85 = Q(
+    "q85_snapshot_diff",
+    (s, dir) => {
+      val docs = documents(s, dir)
+      val old = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id").as("old_id"), md5(col("text")).as("old_h"))
+      val neu = docs.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id").as("new_id"),
+          md5(when(col("doc_id") % 11 === 0, upper(col("text")))
+            .otherwise(col("text"))).as("new_h"))
+      old.join(neu, col("old_id") === col("new_id"), "full_outer")
+        .withColumn("status",
+          when(col("old_id").isNull, "added")
+            .when(col("new_id").isNull, "removed")
+            .when(col("old_h") =!= col("new_h"), "changed"))
+        .filter(col("status").isNotNull)
+        .select(coalesce(col("old_id"), col("new_id")).as("doc_id"), col("status"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH snap_old AS (
+        SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 7 <> 0),
+      snap_new AS (
+        SELECT doc_id,
+               md5(CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END) AS h
+        FROM documents WHERE doc_id % 5 <> 0)
+      SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+             CASE WHEN a.doc_id IS NULL THEN 'added'
+                  WHEN b.doc_id IS NULL THEN 'removed'
+                  WHEN a.h <> b.h THEN 'changed' END AS status
+      FROM snap_old a FULL OUTER JOIN snap_new b ON a.doc_id = b.doc_id
+      WHERE CASE WHEN a.doc_id IS NULL THEN 'added'
+                 WHEN b.doc_id IS NULL THEN 'removed'
+                 WHEN a.h <> b.h THEN 'changed' END IS NOT NULL
+      ORDER BY doc_id""")
+  )
+
+  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q73, q84, q85)
 }

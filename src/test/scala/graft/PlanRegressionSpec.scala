@@ -154,11 +154,15 @@ class PlanRegressionSpec extends SparkSpec {
     // per-row filter is two popcounts, not a dot product), and (c) the
     // documented quadratic exact verifier q42 whose scalable twin is q41.
     // Any new query that trips this list must either fix its join or
-    // justify itself here.
+    // justify itself here. q84's one-row total-weight frame is a scalar
+    // cross join (case a); q83's threshold sweep is a 10-row thresholds ×
+    // ≤10-row histogram range join — both sides FIXED-size frames at any
+    // corpus scale.
     val bnljAllowed = Set(
       "q40_cosine_topk", "q42_dedup_embedding", "q46_tfidf",
       "q49_pq_adc_topk", "q64_zorder", "q67_mixture_sample", "q69_recipe",
-      "q72_bm25", "q75_heavy_hitters", "q80_sign_ann")
+      "q72_bm25", "q75_heavy_hitters", "q80_sign_ann",
+      "q83_threshold_sweep", "q84_weighted_sample")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")
