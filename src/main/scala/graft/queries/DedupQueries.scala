@@ -792,27 +792,36 @@ object DedupQueries {
     * token order (document frequency asc, digest asc), two sets with
     * Jaccard ≥ t MUST share a token within their first
     * `n − ceil(t·n) + 1` tokens, so indexing only those prefixes loses
-    * NO qualifying pair. On this corpus the prefix index generates 169
-    * candidates where the naive any-shared-shingle join generates
-    * 11,533 — a 68× cut with zero recall loss, and the gap widens with
-    * corpus size because prefixes are the RAREST tokens (shortest
-    * posting lists). The oracle runs the NAIVE join — the hash check
-    * proves the prefix filter's completeness end-to-end, exactly like
-    * q28/q29 prove the range-join rewrite.
+    * NO qualifying pair. The full PPJoin filter stack runs as join
+    * residuals on the hash-matched rows: LENGTH filter (j ≥ 3/5 forces
+    * 10·min(n) ≥ 6·max(n)) and POSITIONAL filter (a token at df-order
+    * rank rk_a/rk_b caps the remaining overlap at
+    * 1 + min(n_a−rk_a, n_b−rk_b), which must reach the overlap floor
+    * ceil(3(n_a+n_b)/8) implied by j ≥ 3/5) — both lossless: if the
+    * pair qualifies, its FIRST shared token in global order passes both.
+    * The oracle runs the NAIVE any-shared-shingle join — the hash check
+    * proves the whole filter stack's completeness end-to-end, exactly
+    * like q28/q29 prove the range-join rewrite.
     *
-    * Scale shape: df counts, per-doc ranking (one window keyed doc_id),
-    * and the prefix self-join all carry 32-byte digests; text never
-    * moves. Verification recounts intersections ONLY for candidate
-    * pairs. Threshold compare is integer (inter·10 ≥ 6·union); the
-    * reported jaccard is one int/int division (identical doubles). */
+    * Scale shape: shingle identity is a 64-bit digest (8-byte shuffle
+    * keys; text never moves); df and the per-doc rank/size come from
+    * two window exchanges. Verification joins each surviving pair to a
+    * per-doc SORTED DIGEST ARRAY and counts `array_intersect` inside
+    * codegen — the candidate set is joined doc-wise (2 narrow joins),
+    * never multiplied by per-doc shingle count the way an exploded
+    * (pair × shingle) re-join would be. On a corpus whose token space
+    * saturates (every shingle hot — the adversarial case for prefix
+    * indexes), that exploded verify was the sf1 bottleneck: candidates
+    * × ~50 shingle rows each ≈ 10⁸-row intermediate. The array verify
+    * is |candidates| rows with an O(n_a+n_b) intersect per row.
+    * Threshold compare is integer (inter·10 ≥ 6·union); the reported
+    * jaccard is one int/int division (identical doubles). */
   val q76 = Q(
     "q76_ppjoin",
     (s, dir) => {
       val sh3 = shingles(documents(s, dir), nWords = 3)
-        .select(col("doc_id"), md5(col("sh")).as("h"))
-        .materialized // consumers: df, sizes, ranking, verify both sides
-      val sizes = sh3.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        .materialized // consumers: both verify sides
+        .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+        .materialized // consumers: ranking, per-doc array build
       // df and the per-doc rank/size via WINDOW counts: one exchange on h,
       // one on doc_id (rank + n share the doc_id partitioning) — vs the
       // groupBy-then-join-back form which pays the h shuffle twice and
@@ -824,22 +833,32 @@ object DedupQueries {
         .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
       val prefix = ranked
         .filter(expr("rk <= n - ((6 * n + 9) div 10) + 1"))
-        .select("doc_id", "h")
+        .select("doc_id", "h", "rk", "n")
       val cand = prefix.as("a").join(prefix.as("b"),
-          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-        .materialized // small by construction (prefix postings)
-      val inter = cand
-        .join(sh3.as("xa"), col("doc_a") === col("xa.doc_id"))
-        .join(sh3.as("xb"),
-          col("doc_b") === col("xb.doc_id") && col("xa.h") === col("xb.h"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-        .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
-        .select(col("doc_a"), col("doc_b"), col("inter"),
-          col("sa.n").as("n_a"), col("sb.n").as("n_b"))
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id")
+            // length filter: j >= 3/5 ⇒ sizes within [0.6x, x/0.6]
+            && col("a.n") * 10 >= col("b.n") * 6
+            && col("b.n") * 10 >= col("a.n") * 6
+            // positional filter: overlap cap from this token's ranks must
+            // reach the floor 8·inter ≥ 3·(n_a+n_b) implied by j ≥ 3/5
+            && (lit(1) + least(col("a.n") - col("a.rk"),
+                               col("b.n") - col("b.rk"))) * 8
+               >= (col("a.n") + col("b.n")) * 3)
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(max(col("a.n")).as("n_a"), max(col("b.n")).as("n_b"))
+        .materialized // small by construction (filtered prefix postings)
+      // per-doc sorted digest arrays: verification payload joins ONCE per
+      // side per pair (narrow doc_id keys), intersect counted in codegen
+      val docsArr = sh3.groupBy("doc_id")
+        .agg(sort_array(collect_list(col("h"))).as("hs"))
+        .materialized // consumers: both sides of the verify join
+      cand
+        .join(docsArr.as("da"), col("doc_a") === col("da.doc_id"))
+        .join(docsArr.as("db"), col("doc_b") === col("db.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          size(array_intersect(col("da.hs"), col("db.hs"))).cast("long")
+            .as("inter"),
+          col("n_a"), col("n_b"))
         .filter(col("inter") * 10 >= (col("n_a") + col("n_b") - col("inter")) * 6)
         .withColumn("jaccard", col("inter").cast("double") /
           (col("n_a") + col("n_b") - col("inter")))

@@ -73,6 +73,10 @@ def events(rng, n):
         'user_id': pa.array(rng.integers(0, max(1, n // 67), n).astype(np.int64)),
         'event_type': pa.array(rng.choice(
             ['view', 'click', 'purchase', 'signup', 'error'], size=n)),
+        # value ~ exponential(50) rounded to cents, props a tiny JSON blob —
+        # matches the driver sf0.1 distributions (mean 49.9, '{"k": NN}')
+        'value': pa.array(np.round(rng.exponential(50.0, n), 2)),
+        'props': pa.array([f'{{"k": {v}}}' for v in rng.integers(1, 100, n)]),
     })
 
 
