@@ -239,7 +239,19 @@ object SimilarityQueries {
   /** Embedding-cosine near-duplicate pairs: all (a, b) with cosine ≥ 0.4.
     * This is the exact threshold variant of embedding dedup (q41 is the
     * LSH-bucketed scale path). The threshold compare is safe cross-engine
-    * because the cosine itself is bit-identical (fixed-point dots). */
+    * because the cosine itself is bit-identical (fixed-point dots).
+    *
+    * The cosine threshold lives IN the join condition, not a post-join
+    * filter: a nested-loop join only materializes rows whose condition
+    * passes, so the O(n²) pair space is walked as condition evaluations
+    * over the in-place joined row (one fused fixed-point loop per pair)
+    * and only the ~0.1% surviving pairs are ever copied out as rows.
+    * With the threshold as a separate `.filter`, every non-qualifying
+    * pair is first materialized as a ~550-byte joined row (two 64-float
+    * arrays + norms) — at sf1 that is 2·10⁸ rows ≈ 100 GB of row copies
+    * for nothing, and it measured 12× slower. The projection recomputes
+    * the dot for survivors only (identical arithmetic → identical
+    * bits). */
   val q42 = Q(
     "q42_dedup_embedding",
     (s, dir) => {
@@ -248,10 +260,10 @@ object SimilarityQueries {
         sqrt(dotDec(col("embedding"), col("embedding"))).as("na"))
       val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
         sqrt(dotDec(col("embedding"), col("embedding"))).as("nb"))
-      a.join(b, col("id_a") < col("id_b"))
+      a.join(b, col("id_a") < col("id_b") &&
+          dotDec(col("ea"), col("eb")) / (col("na") * col("nb")) >= 0.4)
         .select(col("id_a"), col("id_b"),
           (dotDec(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cosine"))
-        .filter(col("cosine") >= 0.4)
         .orderBy("id_a", "id_b")
     },
     // oracle written FLAT (unnest once, equi-join on the element index,
