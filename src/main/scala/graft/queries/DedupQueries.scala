@@ -429,6 +429,37 @@ object DedupQueries {
       WHERE hamming <= 3 ORDER BY doc_a, doc_b""")
   )
 
+  /** Connected components of the q21 Jaccard-pair graph by iterative
+    * min-label propagation (the Pregel formulation) — shared by q24
+    * (cluster resolution) and q88 (canonical selection). Returns
+    * (doc_id, cluster) where cluster = the component's min doc_id.
+    * Each round is one shuffle of (node, label) pairs — label tables,
+    * never documents — plus a driver-side convergence count; the
+    * materialize cut truncates per-round lineage growth. */
+  private def jaccardComponents(docs: DataFrame): DataFrame = {
+    val edges = jaccardPairs(docs)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val sym = edges
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .materialized
+    var labels = docs.select(col("doc_id").as("node"),
+      col("doc_id").as("lbl")).materialized
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val nbrMin = sym.join(labels, col("dst") === col("node"))
+        .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
+      val next = labels.join(nbrMin, col("node") === col("src"), "left")
+        .select(col("node"), col("lbl"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("nxt"))
+        .materialized
+      changed = next.filter(col("nxt") < col("lbl")).count()
+      labels = next.select(col("node"), col("nxt").as("lbl"))
+      rounds += 1
+    }
+    labels.select(col("node").as("doc_id"), col("lbl").as("cluster"))
+  }
+
   /** Duplicate-CLUSTER resolution — the step real dedup pipelines run after
     * pair generation (q21/q22/q23 emit pairs; training-data dedup must pick
     * ONE survivor per connected component of the pair graph, not per pair —
@@ -455,28 +486,7 @@ object DedupQueries {
     "q24_dedup_clusters",
     (s, dir) => {
       val docs = documents(s, dir)
-      val edges = jaccardPairs(docs)
-        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      val sym = edges
-        .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-        .materialized
-      var labels = docs.select(col("doc_id").as("node"),
-        col("doc_id").as("lbl")).materialized
-      var changed = 1L
-      var rounds = 0
-      while (changed > 0 && rounds < 50) {
-        val nbrMin = sym.join(labels, col("dst") === col("node"))
-          .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
-        val next = labels.join(nbrMin, col("node") === col("src"), "left")
-          .select(col("node"), col("lbl"),
-            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("nxt"))
-          .materialized
-        changed = next.filter(col("nxt") < col("lbl")).count()
-        labels = next.select(col("node"), col("nxt").as("lbl"))
-        rounds += 1
-      }
-      val comp = labels.select(col("node").as("doc_id"),
-        col("lbl").as("cluster"))
+      val comp = jaccardComponents(docs)
       val sizes = comp.groupBy("cluster")
         .agg(count(lit(1)).as("cluster_size"))
       comp.join(sizes, "cluster")
@@ -502,6 +512,70 @@ object DedupQueries {
       SELECT doc_id, cluster, cluster_size,
              CASE WHEN doc_id = cluster THEN 1 ELSE 0 END AS is_survivor
       FROM comp JOIN sizes USING (cluster)
+      ORDER BY doc_id""")
+  )
+
+  /** Canonical-document selection within duplicate clusters — the KEEP
+    * policy real curation pipelines (CCNet, RefinedWeb) apply after
+    * clustering: q24 keeps the min-doc_id member, but production dedup
+    * keeps the BEST member — here the one with the most tokens (longest
+    * content), ties to the smallest doc_id. Every document is emitted
+    * with its cluster, its token count, the chosen canonical doc, and a
+    * keep/drop action; singleton clusters trivially keep themselves.
+    *
+    * Scale shape: components from the shared min-label propagation
+    * (label tables only cross the shuffle); the token count is a map-side
+    * scalar per doc; the argmax is one window per cluster over
+    * (doc, tokens) rows — cluster-sized groups, no text movement. */
+  val q88 = Q(
+    "q88_canonical_select",
+    (s, dir) => {
+      val docs = documents(s, dir)
+      val toks = docs.select(col("doc_id"),
+        size(filter(split(col("text"), "\\s+"),
+          x => length(x) > 0)).cast("long").as("n_tokens"))
+      val ranked = jaccardComponents(docs)
+        .join(toks, "doc_id")
+        .withColumn("rk", row_number().over(Window.partitionBy("cluster")
+          .orderBy(col("n_tokens").desc, col("doc_id"))))
+      val canon = ranked.filter(col("rk") === 1)
+        .select(col("cluster"), col("doc_id").as("canonical"))
+      ranked
+        .join(canon, "cluster")
+        .select(col("doc_id"), col("cluster"), col("n_tokens"),
+          col("canonical"),
+          when(col("doc_id") === col("canonical"), lit("keep"))
+            .otherwise(lit("drop")).as("action"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH RECURSIVE $JaccardPairsSql,
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM jp
+        UNION ALL
+        SELECT doc_b, doc_a FROM jp),
+      reach(src, node) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.node),
+      comp AS (
+        SELECT src AS doc_id, MIN(node) AS cluster FROM reach GROUP BY src),
+      toks AS (
+        SELECT doc_id,
+               len(list_filter(string_split_regex(text, '\\s+'),
+                               x -> length(x) > 0))::BIGINT AS n_tokens
+        FROM documents),
+      ranked AS (
+        SELECT comp.doc_id, cluster, n_tokens,
+               ROW_NUMBER() OVER (PARTITION BY cluster
+                 ORDER BY n_tokens DESC, comp.doc_id) AS rk
+        FROM comp JOIN toks ON comp.doc_id = toks.doc_id),
+      canon AS (
+        SELECT cluster, doc_id AS canonical FROM ranked WHERE rk = 1)
+      SELECT doc_id, cluster, n_tokens, canonical,
+             CASE WHEN doc_id = canonical THEN 'keep' ELSE 'drop' END
+               AS action
+      FROM ranked JOIN canon USING (cluster)
       ORDER BY doc_id""")
   )
 
@@ -999,5 +1073,6 @@ object DedupQueries {
       FROM best WHERE rn = 1 ORDER BY doc_new""")
   )
 
-  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q26, q38, q71, q74, q76, q82)
+  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q26, q38, q71, q74, q76,
+    q82, q88)
 }

@@ -833,6 +833,94 @@ object PipelineQueries {
       ORDER BY threshold""")
   )
 
+  /** DSIR-style importance weighting (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS'23 shape): score
+    * every document by how much its hashed n-gram feature distribution
+    * looks like a TARGET domain relative to the raw corpus, then keep the
+    * top-scoring docs. Features are hashed BIGRAMS (md5 → one of 64
+    * buckets); the target proxy is the `lang = 'en'` slice; each feature's
+    * weight is the Laplace-smoothed target/source frequency ratio as a
+    * SCALED INTEGER — `((tgt+1)·10⁶) div (src+1)` — instead of the paper's
+    * log-ratio, so scores are engine-exact integers (a float log diverges
+    * cross-engine in the last bit; an integer ratio cannot). A doc's score
+    * sums its occurrence-weighted feature ratios; ties rank by doc_id.
+    *
+    * Scale shape: the feature-ratio table is B = 64 rows REGARDLESS of
+    * corpus size — Spark broadcasts it to the per-(doc, feature) counts
+    * (map-side-combined wordcount shuffle, keys are (int, int)); the
+    * final top-100 is a TakeOrdered, not a global sort. Nothing driver-
+    * side, nothing corpus-sized crosses the network twice. */
+  val q86 = Q(
+    "q86_dsir_weighting",
+    (s, dir) => {
+      val docs = documents(s, dir)
+      val words = filter(split(col("text"), "\\s+"),
+        x => length(x) > 0)
+      // sequence(1, 0) would COUNT DOWN ([1, 0] — step defaults to -1 when
+      // start > stop) and element_at(w, 0) throws under ANSI, so the
+      // single-token case must short-circuit to an empty array
+      val bigrams = docs
+        .select(col("doc_id"), col("lang"), words.as("w"))
+        .select(col("doc_id"), col("lang"),
+          explode(when(size(col("w")) >= 2,
+            transform(sequence(lit(1), size(col("w")) - 1),
+              i => concat_ws(" ",
+                element_at(col("w"), i), element_at(col("w"), i + 1))))
+            .otherwise(array().cast("array<string>"))).as("bg"))
+        .select(col("doc_id"), col("lang"),
+          (conv(substring(md5(col("bg")), 1, 8), 16, 10).cast("long") % 64)
+            .as("f"))
+      // lang rides along (functionally dependent on doc_id) so the SAME
+      // materialized table feeds source counts, target counts, and the
+      // scoring join — one tokenize+hash scan total
+      val docFeat = bigrams.groupBy("doc_id", "lang", "f")
+        .agg(count(lit(1)).as("cnt"))
+        .materialized // consumers: src counts, tgt counts, scoring join
+      val src = docFeat.groupBy("f").agg(sum(col("cnt")).as("src_cnt"))
+      val tgt = docFeat.filter(col("lang") === "en")
+        .groupBy("f").agg(sum(col("cnt")).as("tgt_cnt"))
+      val ratio = src.join(tgt, Seq("f"), "left")
+        .select(col("f"), expr(
+          "((coalesce(tgt_cnt, 0) + 1) * 1000000) div (src_cnt + 1)")
+          .as("ratio"))
+      docFeat.join(broadcast(ratio), "f")
+        .groupBy("doc_id")
+        .agg(sum(col("cnt") * col("ratio")).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(100)
+        .select(col("doc_id"), col("score"))
+    },
+    Some("""
+      WITH words AS (
+        SELECT doc_id, lang,
+               list_filter(string_split_regex(text, '\s+'),
+                           x -> length(x) > 0) AS w
+        FROM documents),
+      idx AS (
+        SELECT doc_id, lang, w, unnest(range(1, len(w))) AS i FROM words),
+      bigrams AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5(w[i] || ' ' || w[i + 1]), 1, 8))::BIGINT
+                 % 64 AS f
+        FROM idx),
+      doc_feat AS (
+        SELECT doc_id, lang, f, COUNT(*) AS cnt
+        FROM bigrams GROUP BY doc_id, lang, f),
+      src AS (SELECT f, SUM(cnt) AS src_cnt FROM doc_feat GROUP BY f),
+      tgt AS (
+        SELECT f, SUM(cnt) AS tgt_cnt FROM doc_feat
+        WHERE lang = 'en' GROUP BY f),
+      ratio AS (
+        SELECT src.f,
+               ((COALESCE(tgt_cnt, 0) + 1) * 1000000) // (src_cnt + 1)
+                 AS ratio
+        FROM src LEFT JOIN tgt ON src.f = tgt.f)
+      SELECT doc_id, SUM(cnt * ratio)::BIGINT AS score
+      FROM doc_feat JOIN ratio ON doc_feat.f = ratio.f
+      GROUP BY doc_id
+      ORDER BY score DESC, doc_id LIMIT 100""")
+  )
+
   val all: Seq[Q] = Seq(q33, q34, q35, q37, q46, q53, q54, q55, q56, q57,
-    q65, q66, q67, q69, q72, q83)
+    q65, q66, q67, q69, q72, q83, q86)
 }

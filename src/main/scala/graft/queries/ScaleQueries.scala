@@ -632,5 +632,45 @@ object ScaleQueries {
       ORDER BY doc_id""")
   )
 
-  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q73, q84, q85)
+  /** Deterministic epoch shuffle + sharding — the step that turns a
+    * curated corpus into TRAINING SHARDS: every document gets a
+    * pseudo-random but fully deterministic position (shard, pos) for a
+    * given epoch salt, so any worker can recompute the permutation
+    * without a stored index, and re-runs/resumes read identical order.
+    * Key = md5(doc_id ‖ epoch); shard = key mod 8; pos = rank within the
+    * shard by (key, doc_id). Changing the salt re-deals the permutation.
+    *
+    * Scale shape — why this beats a global sort: a corpus-wide
+    * ROW_NUMBER over the hash order needs a SINGLE-partition window
+    * (every row through one task). Sharding first makes the window
+    * PARTITIONED by shard — 8 (or 10⁴ at 100 TB) independent sort
+    * groups, each shard-sized, exactly how shard files are written
+    * anyway. The only shuffle is the hash partition on shard. */
+  val q89 = Q(
+    "q89_epoch_shard",
+    (s, dir) => {
+      val key = conv(substring(
+        md5(concat(col("doc_id").cast("string"), lit(":epoch1"))), 1, 8),
+        16, 10).cast("long")
+      documents(s, dir)
+        .select(col("doc_id"), key.as("k"))
+        .withColumn("shard", col("k") % 8)
+        .withColumn("pos", row_number().over(
+          Window.partitionBy("shard").orderBy(col("k"), col("doc_id"))))
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy("shard", "pos")
+    },
+    Some("""
+      WITH keyed AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(doc_id::VARCHAR || ':epoch1'), 1, 8))::BIGINT
+                 AS k
+        FROM documents)
+      SELECT doc_id, k % 8 AS shard,
+             ROW_NUMBER() OVER (PARTITION BY k % 8 ORDER BY k, doc_id) AS pos
+      FROM keyed
+      ORDER BY shard, pos""")
+  )
+
+  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q73, q84, q85, q89)
 }

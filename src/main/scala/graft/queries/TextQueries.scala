@@ -361,5 +361,57 @@ object TextQueries {
       ORDER BY d.doc_id""")
   )
 
-  val all: Seq[Q] = Seq(q25, q30, q31, q32, q36, q78)
+  /** BPE merge-pair statistics — the inner loop of byte-pair-encoding
+    * tokenizer TRAINING (Sennrich et al., ACL'16): count adjacent symbol
+    * pairs across the corpus, weighted by word frequency; the top pair is
+    * the next merge. q36 covers pretokenization (word counts); this is the
+    * step after it. Output: the top-20 merge candidates as
+    * (left symbol, right symbol, weighted count).
+    *
+    * Scale shape — the reason BPE training is feasible on a 100 TB corpus
+    * at all: pair extraction runs over DISTINCT WORDS (vocab-sized, after
+    * the map-side-combined wordcount shuffle), never over the corpus.
+    * A trillion tokens collapse to a few million distinct words before
+    * any per-character work happens; the pair count is then a second
+    * vocab-sized wordcount, and the top-20 a TakeOrdered. Ties break by
+    * (left, right) lexicographic for determinism. */
+  val q87 = Q(
+    "q87_bpe_pairs",
+    (s, dir) => {
+      val words = documents(s, dir)
+        .select(explode(filter(split(col("text"), "\\s+"),
+          x => length(x) > 0)).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+      // sequence(1, 0) counts DOWN under ANSI (step -1) — single-char
+      // words must short-circuit to the empty array
+      words
+        .filter(length(col("word")) >= 2)
+        .select(col("freq"), explode(
+          transform(sequence(lit(1), length(col("word")) - 1),
+            i => struct(
+              col("word").substr(i, lit(1)).as("a"),
+              col("word").substr(i + 1, lit(1)).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("wcnt"))
+        .orderBy(col("wcnt").desc, col("a"), col("b"))
+        .limit(20)
+    },
+    Some("""
+      WITH tokens AS (
+        SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                                  x -> length(x) > 0)) AS word
+        FROM documents),
+      vocab AS (SELECT word, COUNT(*) AS freq FROM tokens GROUP BY word),
+      idx AS (
+        SELECT word, freq, unnest(range(1, length(word))) AS i
+        FROM vocab WHERE length(word) >= 2),
+      pairs AS (
+        SELECT substr(word, i, 1) AS a, substr(word, i + 1, 1) AS b, freq
+        FROM idx)
+      SELECT a, b, SUM(freq)::BIGINT AS wcnt
+      FROM pairs GROUP BY a, b
+      ORDER BY wcnt DESC, a, b LIMIT 20""")
+  )
+
+  val all: Seq[Q] = Seq(q25, q30, q31, q32, q36, q78, q87)
 }

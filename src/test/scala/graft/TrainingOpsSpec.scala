@@ -1,0 +1,125 @@
+package graft
+
+import graft.queries.{DedupQueries, PipelineQueries, ScaleQueries, TextQueries}
+
+/** Semantic invariants of the round-4 training-pipeline operators (q86
+  * DSIR importance weighting, q87 BPE merge-pair statistics, q88 canonical
+  * cluster selection, q89 epoch sharding) beyond the DuckDB hash oracle:
+  * each is checked against a FULL from-scratch driver-side recompute of
+  * the documented semantics at sf0.001, so a silent drift in any building
+  * block (hash bucketing, integer ratios, component resolution, shard
+  * permutation) fails here even if both engines drift together.
+  */
+class TrainingOpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def docs: Array[(Long, String, String)] =
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def words(text: String): Array[String] =
+    text.split("\\s+").filter(_.nonEmpty)
+
+  test("q86: matches a from-scratch DSIR recompute (hash buckets, integer ratios)") {
+    val d = docs
+    val feats = d.flatMap { case (id, lang, text) =>
+      val w = words(text)
+      if (w.length < 2) Array.empty[(Long, String, Long)]
+      else w.sliding(2).map { p =>
+        val f = java.lang.Long.parseLong(
+          md5hex(p(0) + " " + p(1)).take(8), 16) % 64
+        (id, lang, f)
+      }.toArray
+    }
+    val docFeat = feats.groupBy(t => (t._1, t._3))
+      .map { case ((id, f), xs) => (id, xs.head._2, f, xs.length.toLong) }
+      .toSeq
+    val src = docFeat.groupBy(_._3).map { case (f, xs) => f -> xs.map(_._4).sum }
+    val tgt = docFeat.filter(_._2 == "en").groupBy(_._3)
+      .map { case (f, xs) => f -> xs.map(_._4).sum }
+    val ratio = src.map { case (f, s) =>
+      f -> ((tgt.getOrElse(f, 0L) + 1L) * 1000000L) / (s + 1L)
+    }
+    val expect = docFeat.groupBy(_._1)
+      .map { case (id, xs) => id -> xs.map(x => x._4 * ratio(x._3)).sum }
+      .toSeq.sortBy { case (id, score) => (-score, id) }.take(100)
+    val got = PipelineQueries.q86.spark(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expect)
+  }
+
+  test("q87: matches a from-scratch BPE pair-count recompute") {
+    val vocab = docs.flatMap(d => words(d._3))
+      .groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+    val pairs = vocab.toSeq.flatMap { case (w, freq) =>
+      w.sliding(2).filter(_.length == 2)
+        .map(p => (p.substring(0, 1), p.substring(1, 2), freq))
+    }
+    val expect = pairs.groupBy(p => (p._1, p._2))
+      .map { case ((a, b), xs) => (a, b, xs.map(_._3).sum) }
+      .toSeq.sortBy { case (a, b, c) => (-c, a, b) }.take(20)
+    val got = TextQueries.q87.spark(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == expect)
+  }
+
+  test("q88: matches a from-scratch union-find + argmax-canonical recompute") {
+    val d = docs
+    val shingleSets = d.map { case (id, _, text) =>
+      val w = words(text)
+      val n = w.length
+      id -> (0 until math.max(n - 4, 1))
+        .map(i => w.slice(i, i + 5).mkString(" ")).toSet
+    }.toMap
+    val ids = d.map(_._1).sorted
+    // union-find over thresholded-Jaccard edges (inter·20 ≥ union)
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for {
+      i <- ids; j <- ids if i < j
+      inter = (shingleSets(i) & shingleSets(j)).size
+      if inter > 0 && inter * 20 >= shingleSets(i).size + shingleSets(j).size - inter
+    } {
+      val (ri, rj) = (find(i), find(j))
+      if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+    }
+    val cluster = ids.map(i => i -> find(i)).toMap
+    val nTokens = d.map { case (id, _, text) => id -> words(text).length.toLong }.toMap
+    val canonical = ids.groupBy(cluster)
+      .map { case (c, members) =>
+        c -> members.minBy(m => (-nTokens(m), m))
+      }
+    val expect = ids.toSeq.map { id =>
+      val c = cluster(id)
+      val canon = canonical(c)
+      (id, c, nTokens(id), canon, if (id == canon) "keep" else "drop")
+    }
+    val got = DedupQueries.q88.spark(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSeq
+    assert(got == expect)
+  }
+
+  test("q89: shard assignment is a permutation with the documented key") {
+    val d = docs
+    val keyed = d.map { case (id, _, _) =>
+      (id, java.lang.Long.parseLong(md5hex(s"$id:epoch1").take(8), 16))
+    }
+    val expect = keyed.groupBy(_._2 % 8).toSeq.flatMap { case (shard, xs) =>
+      xs.sortBy { case (id, k) => (k, id) }.zipWithIndex
+        .map { case ((id, _), i) => (id, shard, i + 1) }
+    }.sortBy(t => (t._2, t._3))
+    val got = ScaleQueries.q89.spark(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got == expect)
+    // every doc appears exactly once — it IS a permutation
+    assert(got.map(_._1).sorted.toSeq == d.map(_._1).sorted.toSeq)
+  }
+}
