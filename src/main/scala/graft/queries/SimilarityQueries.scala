@@ -441,13 +441,29 @@ object SimilarityQueries {
     * cluster the embedding space with the coarse quantizer, then search for
     * near-duplicate pairs ONLY within a cluster, on the premise that
     * semantic duplicates land in the same cell. q42 is the exact all-pairs
-    * twin (O(N²) by design, the verifier); this is the scale path: the
-    * equi-join on `cell` bounds pair generation to Σ|cell|², and the
-    * assignment itself is q43's shuffle-free map-side argmax.
+    * twin (O(N²) by design, the verifier); this is the scale path.
+    *
+    * Two scale decisions distinguish this from q43/q77's fixed-K front end:
+    *
+    *  - K GROWS with the corpus: K = ⌈√n⌉ cells (the SemDeDup paper runs
+    *    tens of thousands of clusters, not 16). Within-cell pair work is
+    *    Σ|cell|² ≈ n²/K; at fixed K that is O(n²) — the sf1 bench measured
+    *    exactly that (24× time on 10× data). K = √n bounds total pair work
+    *    at O(n^1.5) and assignment work at O(n·√n·d).
+    *  - assignment is a BROADCAST-JOIN against the codebook table, not
+    *    q43's K plan-literal argmax: at K = 16 literals are free, but the
+    *    generated code grows with K and dies long before K = 31623
+    *    (n = 10⁹). The broadcast side is K = √n rows (31k rows ≈ 8 MB at
+    *    a billion vectors — safely broadcastable); the argmax is a
+    *    map-side-combined max of struct(score, -cid), so the shuffle
+    *    carries n rows, not n·K.
+    *
+    * The cosine threshold rides IN the pair-join condition (q42's lesson:
+    * a post-join filter materializes every within-cell pair first).
     *
     * Output: near-dup pairs (cosine ≥ 0.4) with their cell, plus the
     * per-pair survivor (min vec_id — the SemDeDup keep-one rule). The
-    * oracle recomputes assignment + pairs from the same codebook
+    * oracle recomputes K, assignment, and pairs from the same codebook
     * arithmetic, so the full pipeline is hash-checked. Recall caveat vs
     * q42 is inherent to SemDeDup (pairs straddling a cell boundary are
     * missed) — that trade IS the operator. */
@@ -455,19 +471,31 @@ object SimilarityQueries {
     "q45_semantic_dedup",
     (s, dir) => {
       val emb = embeddings(s, dir)
-      val cents = codebook(emb)
-      val assigned = ivfAssigned(emb, cents).materialized // 2 branches
+      val k = math.ceil(math.sqrt(emb.count().toDouble)).toLong
+      val cb = emb.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+          sqrt(dotDec(col("embedding"), col("embedding"))).as("cn"))
+      val assigned = emb
+        .crossJoin(broadcast(cb))
+        .groupBy("vec_id")
+        .agg(
+          (-max(struct(
+            (dotDec(col("embedding"), col("ce")) / col("cn")).as("s"),
+            (-col("cid")).as("negc"))).getField("negc")).as("cell"),
+          first(col("embedding")).as("embedding"))
+        .withColumn("nrm", sqrt(dotDec(col("embedding"), col("embedding"))))
+        .materialized // 2 branches of the pair self-join
       val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
         col("embedding").as("ea"), col("nrm").as("na"))
       val b = assigned.select(col("cell"), col("vec_id").as("id_b"),
         col("embedding").as("eb"), col("nrm").as("nb"))
-      a.join(b, Seq("cell"))
-        .filter(col("id_a") < col("id_b"))
-        .select(col("cell"), col("id_a"), col("id_b"),
+      a.as("a").join(b.as("b"),
+          col("a.cell") === col("b.cell") &&
+            col("id_a") < col("id_b") &&
+            dotDec(col("ea"), col("eb")) / (col("na") * col("nb")) >= 0.4)
+        .select(col("a.cell").as("cell"), col("id_a"), col("id_b"),
           (dotDec(col("ea"), col("eb")) / (col("na") * col("nb")))
-            .as("cosine"))
-        .filter(col("cosine") >= 0.4)
-        .select(col("cell"), col("id_a"), col("id_b"), col("cosine"),
+            .as("cosine"),
           col("id_a").as("survivor"))
         .orderBy("id_a", "id_b")
     },
@@ -483,7 +511,10 @@ object SimilarityQueries {
       cd AS (
         SELECT a.vec_id, b.vec_id AS cid,
                CAST(SUM(CAST(FLOOR(CAST(a.x AS DOUBLE) * b.x * 1e15) AS BIGINT)) AS BIGINT) AS dt
-        FROM u a JOIN u b ON a.i = b.i AND b.vec_id < $IvfK
+        FROM u a JOIN u b
+          ON a.i = b.i
+         AND b.vec_id < (SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)
+                         FROM embeddings)
         GROUP BY a.vec_id, b.vec_id),
       score AS (
         SELECT cd.vec_id, cd.cid,

@@ -158,10 +158,13 @@ class PlanRegressionSpec extends SparkSpec {
     // cross join (case a); q83's threshold sweep is a 10-row thresholds ×
     // ≤10-row histogram range join — both sides FIXED-size frames at any
     // corpus scale.
+    // q45's BNLJ is its broadcast-codebook assignment: the build side is
+    // K = ceil(sqrt(n)) rows (~8 MB at a BILLION vectors) scored against
+    // the streaming corpus — case (b), with a sublinearly-growing side.
     val bnljAllowed = Set(
-      "q40_cosine_topk", "q42_dedup_embedding", "q46_tfidf",
-      "q49_pq_adc_topk", "q64_zorder", "q67_mixture_sample", "q69_recipe",
-      "q72_bm25", "q75_heavy_hitters", "q80_sign_ann",
+      "q40_cosine_topk", "q42_dedup_embedding", "q45_semantic_dedup",
+      "q46_tfidf", "q49_pq_adc_topk", "q64_zorder", "q67_mixture_sample",
+      "q69_recipe", "q72_bm25", "q75_heavy_hitters", "q80_sign_ann",
       "q83_threshold_sweep", "q84_weighted_sample")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
