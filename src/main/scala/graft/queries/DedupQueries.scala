@@ -482,20 +482,11 @@ object DedupQueries {
     * Output: every doc with its cluster id, cluster size, and survivor
     * flag. The DuckDB oracle computes the same fixpoint with a recursive
     * reachability CTE — iteration counts differ, fixpoints cannot. */
-  val q24 = Q(
-    "q24_dedup_clusters",
-    (s, dir) => {
-      val docs = documents(s, dir)
-      val comp = jaccardComponents(docs)
-      val sizes = comp.groupBy("cluster")
-        .agg(count(lit(1)).as("cluster_size"))
-      comp.join(sizes, "cluster")
-        .select(col("doc_id"), col("cluster"), col("cluster_size"),
-          when(col("doc_id") === col("cluster"), 1).otherwise(0)
-            .as("is_survivor"))
-        .orderBy("doc_id")
-    },
-    Some(s"""
+  /** q24's oracle — the recursive-reachability ground truth for connected
+    * components of the Jaccard-pair graph. Shared VERBATIM by q90: two
+    * different distributed CC algorithms, one fixpoint, both hash-proven
+    * against the same CTE. */
+  private val ComponentsOracleSql = s"""
       WITH RECURSIVE $JaccardPairsSql,
       edges AS (
         SELECT doc_a AS src, doc_b AS dst FROM jp
@@ -512,7 +503,98 @@ object DedupQueries {
       SELECT doc_id, cluster, cluster_size,
              CASE WHEN doc_id = cluster THEN 1 ELSE 0 END AS is_survivor
       FROM comp JOIN sizes USING (cluster)
-      ORDER BY doc_id""")
+      ORDER BY doc_id"""
+
+  val q24 = Q(
+    "q24_dedup_clusters",
+    (s, dir) => {
+      val docs = documents(s, dir)
+      val comp = jaccardComponents(docs)
+      val sizes = comp.groupBy("cluster")
+        .agg(count(lit(1)).as("cluster_size"))
+      comp.join(sizes, "cluster")
+        .select(col("doc_id"), col("cluster"), col("cluster_size"),
+          when(col("doc_id") === col("cluster"), 1).otherwise(0)
+            .as("is_survivor"))
+        .orderBy("doc_id")
+    },
+    Some(ComponentsOracleSql)
+  )
+
+  /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+    * the O(log d)-round alternative to q24's min-label propagation, whose
+    * round count is the component DIAMETER. Near-dup clusters are usually
+    * clique-ish (diameter ≤ 3, q24 wins on constant factors), but one
+    * adversarial chain of pairwise-similar documents — boilerplate that
+    * drifts one clause per page — gives q24 a thousand rounds where this
+    * converges in ~10. Both run here; both hash-match the SAME recursive-
+    * reachability oracle, so algorithmic equivalence is machine-checked,
+    * not argued.
+    *
+    *  - large-star(u): every neighbor v > u re-attaches to
+    *    m = min(N(u) ∪ {u});
+    *  - small-star(u), edges oriented hi→lo: hi and every lo re-attach
+    *    to the minimum neighbor.
+    *
+    * Each half-round is ONE groupBy over the edge table (8-byte node
+    * ids, never documents) + a distinct; convergence = symmetric
+    * difference empty. At the fixpoint every node points straight at its
+    * component minimum — no propagation chain, which is also why the
+    * final label read-off is a single groupBy. */
+  /** The alternating star loop over an (hi, lo)-oriented edge table.
+    * Returns ((node, cluster) labels for every node in `nodes`, rounds
+    * taken). Exposed for the adversarial path-graph spec. */
+  private[graft] def twoStarComponents(
+      nodes: DataFrame, edges0: DataFrame): (DataFrame, Int) = {
+    var edges = edges0.distinct().materialized
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val sym = edges.select(col("hi").as("u"), col("lo").as("v"))
+        .union(edges.select(col("lo").as("u"), col("hi").as("v")))
+      val mins = sym.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      val large = sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .distinct()
+      val sMins = large.groupBy("hi").agg(min(col("lo")).as("m"))
+      val withM = large.join(sMins, "hi")
+      val next = withM.select(col("hi"), col("m").as("lo"))
+        .union(withM.filter(col("lo") =!= col("m"))
+          .select(col("lo").as("hi"), col("m").as("lo")))
+        .filter(col("hi") > col("lo"))
+        .distinct()
+        .materialized
+      changed = next.except(edges).union(edges.except(next)).count()
+      edges = next
+      rounds += 1
+    }
+    val lbl = edges.groupBy(col("hi").as("node")).agg(min(col("lo")).as("lbl"))
+    val labels = nodes
+      .join(lbl, nodes("doc_id") === lbl("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("cluster"))
+    (labels, rounds)
+  }
+
+  val q90 = Q(
+    "q90_cc_twostar",
+    (s, dir) => {
+      val docs = documents(s, dir)
+      val edges = jaccardPairs(docs)
+        .select(col("doc_b").as("hi"), col("doc_a").as("lo"))
+      val (comp, _) = twoStarComponents(docs.select(col("doc_id")), edges)
+      val sizes = comp.groupBy("cluster")
+        .agg(count(lit(1)).as("cluster_size"))
+      comp.join(sizes, "cluster")
+        .select(col("doc_id"), col("cluster"), col("cluster_size"),
+          when(col("doc_id") === col("cluster"), 1).otherwise(0)
+            .as("is_survivor"))
+        .orderBy("doc_id")
+    },
+    Some(ComponentsOracleSql)
   )
 
   /** Canonical-document selection within duplicate clusters — the KEEP
@@ -1074,5 +1156,5 @@ object DedupQueries {
   )
 
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q26, q38, q71, q74, q76,
-    q82, q88)
+    q82, q88, q90)
 }

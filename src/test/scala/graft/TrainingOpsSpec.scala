@@ -107,6 +107,28 @@ class TrainingOpsSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("q90: two-star components equal q24's min-label fixpoint") {
+    val a = DedupQueries.q24.spark(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    val b = DedupQueries.q90.spark(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    assert(a == b)
+  }
+
+  test("two-star converges logarithmically on an adversarial path graph") {
+    // a 256-node PATH — the worst case for min-label propagation (q24
+    // would need ~256 rounds); alternating stars must finish in O(log n)
+    import spark.implicits._
+    val n = 256
+    val nodes = (0L until n.toLong).toDF("doc_id")
+    val edges = (1L until n.toLong).map(i => (i, i - 1)).toDF("hi", "lo")
+    val (labels, rounds) = DedupQueries.twoStarComponents(nodes, edges)
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.forall(_._2 == 0L), s"all labels must be 0: $got")
+    assert(got.map(_._1).sorted == (0L until n.toLong))
+    assert(rounds <= 12, s"path-256 took $rounds rounds — not logarithmic")
+  }
+
   test("q89: shard assignment is a permutation with the documented key") {
     val d = docs
     val keyed = d.map { case (id, _, _) =>
