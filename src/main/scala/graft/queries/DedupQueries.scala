@@ -597,6 +597,101 @@ object DedupQueries {
     Some(ComponentsOracleSql)
   )
 
+  /** Maximal duplicated-span LENGTH per document, by binary lifting over
+    * token digests — the power-of-two resolution of the Lee et al. 2021
+    * suffix-array signal ("remove substrings ≥ 50 tokens that appear
+    * elsewhere"). q26 reports the FRACTION of duplicated fixed-8-gram
+    * positions; this reports HOW LONG the longest verbatim cross-doc run
+    * is (to the nearest power of two, spans 1..64): level-0 digests hash
+    * single tokens, and level k at position i combines level k−1 at i and
+    * i+2^(k−1) — so one digest covers a 2^k-token span, and SEVEN map-side
+    * array transforms cover every span length a 104-token doc can hold.
+    * A doc's answer is the largest 2^k any of whose spans appears in ≥ 2
+    * distinct documents (within-doc repeats don't count — DISTINCT
+    * (doc, digest) before the count, matching Lee et al.'s "elsewhere").
+    *
+    * Why not suffix arrays: they need a global sort of every suffix and
+    * don't shard; this is ONE per-row codegen'd expression
+    * ([[graft.functions.SpanDigests]] — all seven levels in a linear
+    * loop; the chained-`transform` formulation exploded exponentially
+    * under projection collapse, see its scaladoc) + ONE wordcount-shaped
+    * groupBy on 32-byte digests + a narrow join back. Doubling redundancy
+    * vs a suffix array is len × 7 digests — the price of embarrassing
+    * parallelism, and the factor-2 length resolution is exactly what a
+    * log-bucketed filter needs. */
+  val q91 = Q(
+    "q91_max_dup_span",
+    (s, dir) => {
+      val docs = documents(s, dir)
+      val spans = docs.select(col("doc_id"),
+        explode(graft.functions.SpanDigests.span_digests(
+          filter(split(col("text"), "\\s+"), x => length(x) > 0))).as("sd"))
+        .select(col("doc_id"), col("sd.span").as("span"), col("sd.d").as("d"))
+        .distinct()
+        .materialized // consumers: dup set + per-doc join
+      val dup = spans.groupBy("span", "d")
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2)
+        .select("span", "d")
+      val perDoc = spans.join(dup, Seq("span", "d"))
+        .groupBy("doc_id").agg(max(col("span")).as("max_dup_span"))
+      docs.select(col("doc_id"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("max_dup_span"), lit(0L)).as("max_dup_span"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH h0 AS (
+        SELECT doc_id,
+               list_transform(
+                 list_filter(string_split_regex(text, '\s+'),
+                             x -> length(x) > 0),
+                 x -> md5(x)) AS h
+        FROM documents),
+      h1 AS (SELECT doc_id, CASE WHEN len(h) > 1 THEN
+               list_transform(range(1, len(h) - 0), i -> md5(h[i] || h[i+1]))
+             ELSE [] END AS h FROM h0),
+      h2 AS (SELECT doc_id, CASE WHEN len(h) > 2 THEN
+               list_transform(range(1, len(h) - 1), i -> md5(h[i] || h[i+2]))
+             ELSE [] END AS h FROM h1),
+      h3 AS (SELECT doc_id, CASE WHEN len(h) > 4 THEN
+               list_transform(range(1, len(h) - 3), i -> md5(h[i] || h[i+4]))
+             ELSE [] END AS h FROM h2),
+      h4 AS (SELECT doc_id, CASE WHEN len(h) > 8 THEN
+               list_transform(range(1, len(h) - 7), i -> md5(h[i] || h[i+8]))
+             ELSE [] END AS h FROM h3),
+      h5 AS (SELECT doc_id, CASE WHEN len(h) > 16 THEN
+               list_transform(range(1, len(h) - 15), i -> md5(h[i] || h[i+16]))
+             ELSE [] END AS h FROM h4),
+      h6 AS (SELECT doc_id, CASE WHEN len(h) > 32 THEN
+               list_transform(range(1, len(h) - 31), i -> md5(h[i] || h[i+32]))
+             ELSE [] END AS h FROM h5),
+      spans AS (
+        SELECT DISTINCT doc_id, span, d FROM (
+          SELECT doc_id, 1::BIGINT AS span, unnest(h) AS d FROM h0
+          UNION ALL
+          SELECT doc_id, 2::BIGINT, unnest(h) FROM h1
+          UNION ALL
+          SELECT doc_id, 4::BIGINT, unnest(h) FROM h2
+          UNION ALL
+          SELECT doc_id, 8::BIGINT, unnest(h) FROM h3
+          UNION ALL
+          SELECT doc_id, 16::BIGINT, unnest(h) FROM h4
+          UNION ALL
+          SELECT doc_id, 32::BIGINT, unnest(h) FROM h5
+          UNION ALL
+          SELECT doc_id, 64::BIGINT, unnest(h) FROM h6)),
+      dup AS (
+        SELECT span, d FROM spans GROUP BY span, d HAVING COUNT(*) >= 2),
+      per_doc AS (
+        SELECT doc_id, MAX(span) AS max_dup_span
+        FROM spans JOIN dup USING (span, d) GROUP BY doc_id)
+      SELECT d.doc_id, COALESCE(p.max_dup_span, 0) AS max_dup_span
+      FROM documents d LEFT JOIN per_doc p USING (doc_id)
+      ORDER BY d.doc_id""")
+  )
+
   /** Canonical-document selection within duplicate clusters — the KEEP
     * policy real curation pipelines (CCNet, RefinedWeb) apply after
     * clustering: q24 keeps the min-doc_id member, but production dedup
@@ -1156,5 +1251,5 @@ object DedupQueries {
   )
 
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q26, q38, q71, q74, q76,
-    q82, q88, q90)
+    q82, q88, q90, q91)
 }

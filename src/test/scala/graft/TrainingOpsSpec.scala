@@ -129,6 +129,35 @@ class TrainingOpsSpec extends SparkSpec {
     assert(rounds <= 12, s"path-256 took $rounds rounds — not logarithmic")
   }
 
+  test("q91: matches a from-scratch binary-lifting recompute") {
+    val d = docs
+    val levels = d.map { case (id, _, text) =>
+      val builder = Seq.newBuilder[(Long, String)]
+      var prev = words(text).map(md5hex)
+      builder ++= prev.map(h => (1L, h))
+      var k = 1
+      while (k <= 6 && prev.length > (1 << (k - 1))) {
+        val off = 1 << (k - 1)
+        prev = Array.tabulate(prev.length - off)(i => md5hex(prev(i) + prev(i + off)))
+        builder ++= prev.map(h => (1L << k, h))
+        k += 1
+      }
+      id -> builder.result().distinct
+    }
+    val counts = levels.flatMap { case (id, sd) => sd.map(x => (x, id)) }
+      .groupBy(_._1).map { case (sd, xs) => sd -> xs.length }
+    val expect = d.map(_._1).sorted.toSeq.map { id =>
+      val dupSpans = levels.toMap.apply(id).filter(counts(_) >= 2).map(_._1)
+      (id, if (dupSpans.isEmpty) 0L else dupSpans.max)
+    }
+    val got = DedupQueries.q91.spark(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expect)
+    // sanity: exact duplicate docs exist in the corpus, so SOME doc must
+    // report a full-length power-of-two duplicated span
+    assert(got.exists(_._2 >= 32L))
+  }
+
   test("q89: shard assignment is a permutation with the documented key") {
     val d = docs
     val keyed = d.map { case (id, _, _) =>
