@@ -236,6 +236,126 @@ object SimilarityQueries {
       ORDER BY query_id, rank""")
   )
 
+  /** Multi-probe LSH ANN (Lv et al., VLDB'07): q41's hyperplane tables,
+    * but each QUERY probes its exact bucket AND every Hamming-1 neighbor
+    * bucket (one sign bit flipped) — 9 probes per table. Near neighbors
+    * that landed one hyperplane away (the dominant miss mode of sign LSH)
+    * are recovered WITHOUT adding tables, i.e. without growing the
+    * corpus-side index at all: recall is bought with 9× more PROBE rows
+    * (queries are few) while the indexed corpus — the side that is 10⁹
+    * rows at scale — is bucketed exactly once, the same rows as q41.
+    * The candidate set is a strict superset of q41's; the exact
+    * fixed-point rerank then makes top-5 precision a pure recall game.
+    *
+    * Scale shape: identical to q41 (bucket equi-join, broadcast probe
+    * set, exact rerank on candidates only) — the probe fan-out
+    * multiplies the BROADCAST side (8 queries × 4 tables × 9 probes =
+    * 288 rows), never the corpus side. */
+  val q92 = Q(
+    "q92_ann_multiprobe",
+    (s, dir) => {
+      val emb = embeddings(s, dir)
+      def planeBit(vec: Column, g: Int, bit: Int): Column = {
+        val weighted = graft.functions.FixedPointDot
+          .fixed_point_dot(vec, typedLit(planeWeights(g)))
+        when(weighted >= 0, lit(1L << bit)).otherwise(lit(0L))
+      }
+      def tableSig(vec: Column, t: Int): Column =
+        (0 until LshPlanes).map(p => planeBit(vec, t * LshPlanes + p, p))
+          .reduce(_ bitwiseOR _)
+      val signed = emb.select(
+        col("vec_id"), col("embedding"),
+        explode(array((0 until LshTables).map { t =>
+          struct(lit(t).as("t"), tableSig(col("embedding"), t).as("sig"))
+        }: _*)).as("b"))
+        .select(col("vec_id"), col("embedding"),
+          col("b.t").as("t"), col("b.sig").as("sig"))
+      // probe fan-out: the exact signature plus all 8 one-bit flips
+      val queries = signed.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          sqrt(dotDec(col("embedding"), col("embedding"))).as("qn"),
+          col("t"),
+          explode(array(
+            col("sig") +: (0 until LshPlanes).map(p =>
+              col("sig").bitwiseXOR(lit(1L << p))): _*)).as("sig"))
+      val cands = signed.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ce"),
+        sqrt(dotDec(col("embedding"), col("embedding"))).as("cn"),
+        col("t"), col("sig"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      cands.join(broadcast(queries), Seq("t", "sig"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          col("qe"), col("ce"), col("qn"), col("cn"))
+        .dropDuplicates("query_id", "neighbor_id")
+        .select(col("query_id"), col("neighbor_id"),
+          (dotDec(col("qe"), col("ce")) / (col("qn") * col("cn")))
+            .as("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""
+      WITH u AS (
+        SELECT vec_id, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings),
+      wt AS (
+        SELECT unnest(range(0, ${LshTables * LshPlanes * LshDim})) AS gi,
+               unnest(${PlaneThousandths.mkString("[", ",", "]")}) AS th),
+      w AS (
+        SELECT gi // $LshDim AS g, (gi % $LshDim) + 1 AS i,
+               CAST(th / 1000.0 AS FLOAT) AS w
+        FROM wt),
+      pd AS (
+        SELECT u.vec_id, w.g,
+               CAST(SUM(CAST(FLOOR(CAST(u.x AS DOUBLE) * CAST(w.w AS DOUBLE) * 1e15) AS BIGINT)) AS BIGINT) AS d
+        FROM u JOIN w ON u.i = w.i
+        GROUP BY u.vec_id, w.g),
+      sigs AS (
+        SELECT vec_id, g // $LshPlanes AS t,
+               CAST(SUM(CASE WHEN d >= 0 THEN (1::BIGINT << (g % $LshPlanes))
+                             ELSE 0 END) AS BIGINT) AS sig
+        FROM pd GROUP BY vec_id, g // $LshPlanes),
+      probes AS (
+        SELECT vec_id, t,
+               CASE WHEN b = 0 THEN sig
+                    ELSE xor(sig, 1::BIGINT << (b - 1)) END AS sig
+        FROM sigs, (SELECT unnest(range(0, ${LshPlanes + 1})) AS b)
+        WHERE vec_id < 8),
+      coll AS (
+        SELECT DISTINCT p.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM probes p JOIN sigs c ON p.t = c.t AND p.sig = c.sig
+        WHERE p.vec_id <> c.vec_id),
+      nrm AS (
+        SELECT vec_id,
+               sqrt(CAST(CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * x * 1e15) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e15) AS nrm
+        FROM u GROUP BY vec_id),
+      dots AS (
+        SELECT coll.query_id, coll.neighbor_id,
+               CAST(SUM(CAST(FLOOR(CAST(a.x AS DOUBLE) * b.x * 1e15) AS BIGINT)) AS BIGINT) AS dt
+        FROM coll
+        JOIN u a ON a.vec_id = coll.query_id
+        JOIN u b ON b.vec_id = coll.neighbor_id AND a.i = b.i
+        GROUP BY coll.query_id, coll.neighbor_id),
+      scored AS (
+        SELECT d.query_id, d.neighbor_id,
+               (CAST(d.dt AS DOUBLE) / 1e15) / (qn.nrm * cn.nrm) AS cosine
+        FROM dots d
+        JOIN nrm qn ON qn.vec_id = d.query_id
+        JOIN nrm cn ON cn.vec_id = d.neighbor_id),
+      ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored)
+      SELECT query_id, rank, neighbor_id, cosine
+      FROM ranked WHERE rank <= 5
+      ORDER BY query_id, rank""")
+  )
+
   /** Embedding-cosine near-duplicate pairs: all (a, b) with cosine ≥ 0.4.
     * This is the exact threshold variant of embedding dedup (q41 is the
     * LSH-bucketed scale path). The threshold compare is safe cross-engine
@@ -1064,5 +1184,6 @@ object SimilarityQueries {
       ORDER BY query_id, rank""")
   )
 
-  val all: Seq[Q] = Seq(q40, q41, q42, q43, q45, q47, q48, q49, q77, q79, q80)
+  val all: Seq[Q] = Seq(q40, q41, q42, q43, q45, q47, q48, q49, q77, q79,
+    q80, q92)
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{DedupQueries, PipelineQueries, ScaleQueries, TextQueries}
+import graft.queries.{DedupQueries, PipelineQueries, ScaleQueries, SimilarityQueries, TextQueries}
 
 /** Semantic invariants of the round-4 training-pipeline operators (q86
   * DSIR importance weighting, q87 BPE merge-pair statistics, q88 canonical
@@ -156,6 +156,23 @@ class TrainingOpsSpec extends SparkSpec {
     // sanity: exact duplicate docs exist in the corpus, so SOME doc must
     // report a full-length power-of-two duplicated span
     assert(got.exists(_._2 >= 32L))
+  }
+
+  test("q92: multi-probe top-5 pointwise dominates q41's single-probe top-5") {
+    // q92's candidate set is a strict superset (exact bucket + all
+    // Hamming-1 buckets), so at every (query, rank) its cosine must be
+    // >= q41's — recall can only improve, precision is the exact rerank
+    def ranked(q: graft.queries.Q) =
+      q.spark(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    val single = ranked(SimilarityQueries.q41)
+    val multi = ranked(SimilarityQueries.q92)
+    assert(multi.size >= single.size)
+    single.foreach { case (key, cosSingle) =>
+      val cosMulti = multi.getOrElse(key,
+        fail(s"q92 lost a ranked slot q41 filled: $key"))
+      assert(cosMulti >= cosSingle, s"$key: $cosMulti < $cosSingle")
+    }
   }
 
   test("q89: shard assignment is a permutation with the documented key") {
