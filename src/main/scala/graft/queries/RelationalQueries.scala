@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.operators.Materialize.MaterializeOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -865,7 +866,78 @@ object RelationalQueries {
       ORDER BY c_event_id, p_event_id""")
   )
 
+  /** Ordered funnel analysis — the classic event-analytics workload:
+    * how many users progress view → click → purchase, where each step's
+    * event must be STRICTLY AFTER the user's first qualifying event of
+    * the previous step (first-touch semantics; an early purchase before
+    * any view does not count). Output: one row per step with the user
+    * count and conversion vs step 1.
+    *
+    * Scale shape: each step is a user-keyed equi-join carrying only
+    * (user_id, step timestamp) pairs into a map-side-combined MIN — the
+    * event stream is scanned once per step with the step's type filter
+    * pushed to the parquet scan, and nothing wider than 16-byte pairs
+    * shuffles. The final conversion window runs over THREE rows. The
+    * alternative single-pass formulation (collect every user's full
+    * event list, walk it) shuffles whole per-user event arrays —
+    * strictly worse unless steps ≫ 3. */
+  val q93 = Q(
+    "q93_funnel",
+    (s, dir) => {
+      val ev = events(s, dir)
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("t1"))
+        .materialized // consumers: step-2 join + step-1 count
+      val s2 = ev.filter(col("event_type") === "click")
+        .join(s1, "user_id").filter(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min(col("ts")).as("t2"))
+        .materialized // consumers: step-3 join + step-2 count
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(s2, "user_id").filter(col("ts") > col("t2"))
+        .groupBy("user_id").agg(min(col("ts")).as("t3"))
+      val counts = s1.agg(count(lit(1)).as("users"))
+        .select(lit(1).as("step"), lit("view").as("label"), col("users"))
+        .union(s2.agg(count(lit(1)).as("users"))
+          .select(lit(2).as("step"), lit("view>click").as("label"), col("users")))
+        .union(s3.agg(count(lit(1)).as("users"))
+          .select(lit(3).as("step"),
+            lit("view>click>purchase").as("label"), col("users")))
+      val w = Window.orderBy("step")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      counts
+        .withColumn("conversion", col("users").cast("double") /
+          max(when(col("step") === 1, col("users"))).over(w))
+        .orderBy("step")
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      s1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM e
+        WHERE event_type = 'view' GROUP BY user_id),
+      s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2 FROM e
+        JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND e.ts > s1.t1
+        GROUP BY e.user_id),
+      s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3 FROM e
+        JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        GROUP BY e.user_id),
+      counts AS (
+        SELECT 1 AS step, 'view' AS label, COUNT(*) AS users FROM s1
+        UNION ALL
+        SELECT 2, 'view>click', COUNT(*) FROM s2
+        UNION ALL
+        SELECT 3, 'view>click>purchase', COUNT(*) FROM s3)
+      SELECT step, label, users,
+             CAST(users AS DOUBLE) /
+               MAX(CASE WHEN step = 1 THEN users END) OVER () AS conversion
+      FROM counts ORDER BY step""")
+  )
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08,
     q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q28, q29, q44,
-    q58, q59, q81)
+    q58, q59, q81, q93)
 }
