@@ -22,20 +22,9 @@ class StreamingSpec extends SparkSpec {
     d.toString
   }
 
-  private def eventsStream = {
-    // static twin defines the schema; nanos → µs conversion as in Tables
-    val static = graft.queries.Tables.events(spark, sf)
-    spark.readStream
-      .schema(org.apache.spark.sql.types.StructType(
-        static.schema.fields.map(f =>
-          if (f.name == "ts")
-            org.apache.spark.sql.types.StructField("ts",
-              org.apache.spark.sql.types.LongType, f.nullable)
-          else f)))
-      .option("maxFilesPerTrigger", "1")
-      .parquet(streamDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  private def eventsStream =
+    // schema-adaptive decode shared with the batch reader (Tables.events)
+    graft.queries.Tables.eventsStream(spark, sf, streamDir)
 
   test("streaming tumbling window matches batch hourly counts") {
     val agg = eventsStream

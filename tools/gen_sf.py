@@ -3,7 +3,7 @@
 
 Mirrors the observed sf0.1 schemas and distributions (word-salad
 documents with exact/near duplicates, unit-norm 64-dim embeddings with
-random labels, 30-day nanosecond event stream, TPC-H-ish relational
+random labels, 30-day microsecond event stream, TPC-H-ish relational
 tables) so bench runs at sf1+ exercise the same plan shapes. Values are
 NOT oracle-checked at generated SFs — this exists to expose shuffle-size
 cliffs the 17 MB sf0.1 cannot.
@@ -63,13 +63,15 @@ def embeddings(rng, n):
 
 
 def events(rng, n):
-    t0 = np.datetime64('2024-01-01T00:00:00', 'ns').astype(np.int64)
-    span = np.int64(30 * 24 * 3600) * 1_000_000_000
+    # driver testdata now stores ts as TIMESTAMP_MICROS (pyarrow default);
+    # mirror that (Tables.events adapts to either encoding regardless)
+    t0 = np.datetime64('2024-01-01T00:00:00', 'us').astype(np.int64)
+    span = np.int64(30 * 24 * 3600) * 1_000_000
     ts = t0 + (rng.random(n) * span).astype(np.int64)
     ts.sort()
     return pa.table({
         'event_id': pa.array(np.arange(n, dtype=np.int64)),
-        'ts': pa.array(ts, type=pa.timestamp('ns')),
+        'ts': pa.array(ts, type=pa.timestamp('us')),
         'user_id': pa.array(rng.integers(0, max(1, n // 67), n).astype(np.int64)),
         'event_type': pa.array(rng.choice(
             ['view', 'click', 'purchase', 'signup', 'error'], size=n)),
