@@ -447,17 +447,25 @@ object DedupQueries {
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 50) {
-      val nbrMin = sym.join(labels, col("dst") === col("node"))
-        .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
-      val next = labels.join(nbrMin, col("node") === col("src"), "left")
-        .select(col("node"), col("lbl"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("nxt"))
-        .materialized
+      val next = labelPropRound(sym, labels).materialized
       changed = next.filter(col("nxt") < col("lbl")).count()
       labels = next.select(col("node"), col("nxt").as("lbl"))
       rounds += 1
     }
     labels.select(col("node").as("doc_id"), col("lbl").as("cluster"))
+  }
+
+  /** One min-label-propagation round, factored out so its plan shape is
+    * pinnable by PlanRegressionSpec: per round the only exchanges are on
+    * the 8-byte node-id keys (dst/node, src) — a regression that adds an
+    * exchange or flips a join to a nested loop multiplies the whole
+    * loop's cost by the round count. */
+  private[graft] def labelPropRound(sym: DataFrame, labels: DataFrame): DataFrame = {
+    val nbrMin = sym.join(labels, col("dst") === col("node"))
+      .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
+    labels.join(nbrMin, col("node") === col("src"), "left")
+      .select(col("node"), col("lbl"),
+        least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("nxt"))
   }
 
   /** Duplicate-CLUSTER resolution — the step real dedup pipelines run after

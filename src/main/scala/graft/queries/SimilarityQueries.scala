@@ -667,6 +667,100 @@ object SimilarityQueries {
       ORDER BY id_a, id_b""")
   )
 
+  /** q42's EXACT answer in a 100×-runnable shape — SemDeDup (q45) made
+    * exact via the ball-cover bound. q42 proves the all-pairs answer with
+    * an O(n²) BNLJ; q45 is the scale shape but misses pairs that straddle
+    * a cell boundary. This query closes that gap while keeping the
+    * bucketed join shape:
+    *
+    *   1. assign each vector to its nearest of K = ⌈√n⌉ centroids (q45's
+    *      broadcast-codebook front end — map-side, one n-row shuffle);
+    *   2. per cell, the covering radius in NORMALIZED space:
+    *      r = max d(x̂, ĉ) = sqrt(2 − 2·min cos(x, c));
+    *   3. candidate cell PAIRS by the triangle inequality: for x in cell
+    *      i, y in cell j, d(x̂, ŷ) ≥ d(ĉᵢ, ĉⱼ) − rᵢ − rⱼ; and
+    *      cos(x,y) ≥ t ⟹ d(x̂, ŷ) ≤ w = sqrt(2 − 2t). So a pair with
+    *      cosine ≥ t can ONLY live in a cell pair with
+    *      d(ĉᵢ, ĉⱼ) ≤ rᵢ + rⱼ + w — every other cell pair is provably
+    *      empty and never joined. The bound is computed in-engine as a
+    *      K×K self-join of the (tiny) centroid+radius table, with a 1e-9
+    *      slack so float error can only ADD candidates, never drop one;
+    *   4. within candidate cell pairs only: equi-join on the cell-pair
+    *      key with the exact fixed-point cosine ≥ t fused into the join
+    *      condition (q42's lesson — survivors only, no pair
+    *      materialization). Same-cell pairs dedup via id_a < id_b;
+    *      cross-cell pairs appear under exactly one (ca ≤ cb) key.
+    *
+    * Exactness does not depend on the data: steps 3–4 are conservative
+    * bounds + an exact re-verify, so the output is bit-identical to q42's
+    * all-pairs oracle for ANY corpus. What IS data-dependent is the
+    * pruning power: on clustered real-world embeddings the radii are
+    * small and the candidate pair list hugs the diagonal (near-linear
+    * total work); on isotropic random vectors at a low threshold the
+    * radii approach √2 and it degenerates toward q45's within-cell-plus-
+    * neighbors work — but always as AQE-splittable equi-joins on
+    * ~K = √n keys, never a big-side BNLJ. That is the difference between
+    * "slow day on adversarial data" and q42's "non-starter at 100×". */
+  val q94 = Q(
+    "q94_dedup_embedding_ball",
+    (s, dir) => {
+      val t = 0.4
+      val w = math.sqrt(2.0 - 2.0 * t) // normalized-distance budget at t
+      val emb = embeddings(s, dir)
+      val k = math.ceil(math.sqrt(emb.count().toDouble)).toLong
+      val cb = emb.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+          sqrt(dotDec(col("embedding"), col("embedding"))).as("cn"))
+        .materialized // assignment + the K×K cell-pair bound
+      val assigned = emb
+        .crossJoin(broadcast(cb))
+        .groupBy("vec_id")
+        .agg(
+          max(struct(
+            (dotDec(col("embedding"), col("ce")) / col("cn")).as("s"),
+            (-col("cid")).as("negc"))).as("best"),
+          first(col("embedding")).as("embedding"))
+        .withColumn("nrm", sqrt(dotDec(col("embedding"), col("embedding"))))
+        .select(col("vec_id"), (-col("best.negc")).as("cell"),
+          (col("best.s") / col("nrm")).as("ccos"), // cos(x̂, nearest ĉ)
+          col("embedding"), col("nrm"))
+        .materialized // radii + both pair-join sides
+      val radii = assigned.groupBy("cell")
+        .agg(sqrt(greatest(lit(0.0),
+          lit(2.0) - lit(2.0) * min(col("ccos")))).as("radius"))
+      val cents = cb.join(radii, col("cid") === col("cell"), "inner")
+        .select(col("cid"), col("ce"), col("cn"), col("radius"))
+      val cx = cents.select(col("cid").as("ca"), col("ce").as("cea"),
+        col("cn").as("cna"), col("radius").as("ra"))
+      val cy = cents.select(col("cid").as("cb"), col("ce").as("ceb"),
+        col("cn").as("cnb"), col("radius").as("rb"))
+      val cellPairs = cx.join(broadcast(cy),
+          col("ca") <= col("cb") &&
+            sqrt(greatest(lit(0.0), lit(2.0) -
+              lit(2.0) * dotDec(col("cea"), col("ceb")) /
+                (col("cna") * col("cnb")))) <=
+              col("ra") + col("rb") + lit(w) + lit(1e-9))
+        .select("ca", "cb")
+      val a = assigned.select(col("cell").as("cell_a"),
+        col("vec_id").as("ida"), col("embedding").as("ea"),
+        col("nrm").as("na"))
+      val b = assigned.select(col("cell").as("cell_b"),
+        col("vec_id").as("idb"), col("embedding").as("eb"),
+        col("nrm").as("nb"))
+      a.join(broadcast(cellPairs), col("cell_a") === col("ca"))
+        .join(b, col("cell_b") === col("cb") &&
+          (col("ca") =!= col("cb") || col("ida") < col("idb")) &&
+          dotDec(col("ea"), col("eb")) / (col("na") * col("nb")) >= t)
+        .select(
+          least(col("ida"), col("idb")).as("id_a"),
+          greatest(col("ida"), col("idb")).as("id_b"),
+          (dotDec(col("ea"), col("eb")) / (col("na") * col("nb")))
+            .as("cosine"))
+        .orderBy("id_a", "id_b")
+    },
+    q42.oracle // bit-identical to the all-pairs answer, by construction
+  )
+
   private val KmK = 8      // clusters
   private val KmRounds = 2 // Lloyd iterations (fixed → both engines agree)
 
@@ -1185,5 +1279,5 @@ object SimilarityQueries {
   )
 
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q45, q47, q48, q49, q77, q79,
-    q80, q92)
+    q80, q92, q94)
 }

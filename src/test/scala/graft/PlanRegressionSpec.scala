@@ -145,6 +145,32 @@ class PlanRegressionSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(3000))
   }
 
+  test("q24: one label-propagation round is a bounded-exchange, node-id-keyed plan") {
+    // q24/q88's cost = rounds × per-round plan; this pins the per-round
+    // shape so a refactor of the shared jaccardPairs path can't silently
+    // flip it (round-5 follow-up to the r4 1.8× drift observation).
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    import graft.operators.Materialize.MaterializeOps
+    val sym = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+      .toDF("src", "dst").materialized
+    val labels = Seq((1L, 1L), (2L, 2L), (3L, 3L))
+      .toDF("node", "lbl").materialized
+    val round = graft.queries.DedupQueries.labelPropRound(sym, labels)
+    round.collect() // AQE finalizes the executed plan
+    val plan = round.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // every exchange keys on an 8-byte node id, never anything wider,
+    // and a round never needs more than: 2 (equi-join) + 1 (re-key the
+    // neighbor-min agg) + 2 (left join) = 5 exchanges
+    val exchanges = "Exchange hashpartitioning\\((src|dst|node)#".r
+      .findAllIn(plan).size
+    val allExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(allExchanges == exchanges, s"non-node-id exchange key:\n${plan.take(3000)}")
+    assert(allExchanges <= 5, s"round grew to $allExchanges exchanges:\n${plan.take(3000)}")
+  }
+
   test("suite-wide: no cartesian products; nested-loop joins only where intended") {
     // The 100 TB kill-switch: a CartesianProduct anywhere is a bug, and a
     // BroadcastNestedLoopJoin is legitimate ONLY for (a) one-row scalar
@@ -161,8 +187,12 @@ class PlanRegressionSpec extends SparkSpec {
     // q45's BNLJ is its broadcast-codebook assignment: the build side is
     // K = ceil(sqrt(n)) rows (~8 MB at a BILLION vectors) scored against
     // the streaming corpus — case (b), with a sublinearly-growing side.
+    // q94 inherits q45's assignment BNLJ plus a K×K centroid-pair bound
+    // join (both sides √n rows — sublinear); its BIG pair join is the
+    // equi-join on the cell-pair key, which this guard still checks.
     val bnljAllowed = Set(
       "q40_cosine_topk", "q42_dedup_embedding", "q45_semantic_dedup",
+      "q94_dedup_embedding_ball",
       "q46_tfidf", "q49_pq_adc_topk", "q64_zorder", "q67_mixture_sample",
       "q69_recipe", "q72_bm25", "q75_heavy_hitters", "q80_sign_ann",
       "q83_threshold_sweep", "q84_weighted_sample")
