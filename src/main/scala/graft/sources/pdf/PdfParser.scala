@@ -18,9 +18,11 @@ import scala.collection.mutable
   * number win, which also approximates incremental-update semantics
   * without parsing /Prev chains.
   *
-  * Scope (documented subset): FlateDecode only (`java.util.zip.Inflater`;
-  * no predictors — content streams in practice never use them), no
-  * encryption, no object streams (/Type /ObjStm), no CMap/Type0 composite
+  * Scope (documented subset): Flate/ASCIIHex/ASCII85/LZW/RunLength
+  * filters (incl. chains; no predictors — content streams in practice
+  * never use them), PDF 1.5+ object streams (/Type /ObjStm — see
+  * [[expandObjectStreams]]) and xref-stream trailers. Still out of scope:
+  * encryption, CCITT/JBIG2/DCT (image) filters, CMap/Type0 composite
   * fonts. Out-of-scope constructs surface as missing pages/text, never
   * exceptions — the importer's contract is the reference's never-throw
   * error answer.
