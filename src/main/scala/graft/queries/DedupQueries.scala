@@ -1258,6 +1258,66 @@ object DedupQueries {
       FROM best WHERE rn = 1 ORDER BY doc_new""")
   )
 
+  /** Normalization-based exact dedup — the CCNet/RefinedWeb middle ground
+    * between q20 (raw-byte exact: misses case/punctuation variants) and
+    * MinHash (q22: pays a signature pipeline for what is often just
+    * reformatting). Each document is canonicalized — lowercase, every
+    * digit folded to `0`, punctuation to spaces, whitespace collapsed —
+    * and dedup groups on the md5 of the CANONICAL text. This is the
+    * published CCNet preprocessing (Wenzek et al., LREC'20 §3.1: lowercase
+    * + digit-fold + unicode-punct strip before paragraph hashing), the
+    * cheapest dedup tier that still catches boilerplate re-rendered with
+    * different casing or markup debris.
+    *
+    * Scale shape: normalization is a map-side codegen'd regexp chain; the
+    * only exchange carries (doc_id, 32-byte digest). Identical discipline
+    * to q20 — corpus text never shuffles — so the cost at 100 TB is one
+    * scan plus a hash-keyed aggregate, ~free next to any MinHash pass.
+    * Output marks each doc with its group's canonical survivor (min
+    * doc_id) and whether normalization (vs raw equality) was what joined
+    * it to its group — the audit column a curation run reports. */
+  val q95 = Q(
+    "q95_normalized_dedup",
+    (s, dir) => {
+      val docs = documents(s, dir)
+      val norm = trim(regexp_replace(regexp_replace(regexp_replace(
+        lower(col("text")),
+        "[0-9]", "0"),
+        "[^a-z0 ]", " "),
+        " +", " "))
+      val hashed = docs.select(
+        col("doc_id"), md5(col("text")).as("raw_h"), md5(norm).as("norm_h"))
+      val groups = hashed.groupBy("norm_h").agg(
+        min(col("doc_id")).as("canonical_id"),
+        count(lit(1)).as("group_size"),
+        countDistinct(col("raw_h")).as("n_raw_variants"))
+      hashed.join(groups, "norm_h")
+        .select(col("doc_id"), col("canonical_id"), col("group_size"),
+          (col("doc_id") === col("canonical_id")).cast("int").as("is_kept"),
+          // 1 iff this group needed normalization to form (raw hashes differ)
+          (col("n_raw_variants") > 1).cast("int").as("norm_merged"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH h AS (
+        SELECT doc_id, md5(text) AS raw_h,
+               md5(trim(regexp_replace(regexp_replace(regexp_replace(
+                 lower(text),
+                 '[0-9]', '0', 'g'),
+                 '[^a-z0 ]', ' ', 'g'),
+                 ' +', ' ', 'g'))) AS norm_h
+        FROM documents),
+      g AS (
+        SELECT norm_h, MIN(doc_id) AS canonical_id, COUNT(*) AS group_size,
+               COUNT(DISTINCT raw_h) AS n_raw_variants
+        FROM h GROUP BY norm_h)
+      SELECT h.doc_id, g.canonical_id, g.group_size,
+             CAST(h.doc_id = g.canonical_id AS INT) AS is_kept,
+             CAST(g.n_raw_variants > 1 AS INT) AS norm_merged
+      FROM h JOIN g USING (norm_h)
+      ORDER BY h.doc_id""")
+  )
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q26, q38, q71, q74, q76,
-    q82, q88, q90, q91)
+    q82, q88, q90, q91, q95)
 }

@@ -921,6 +921,67 @@ object PipelineQueries {
       ORDER BY score DESC, doc_id LIMIT 100""")
   )
 
+  /** Benchmark-contamination SCORING — the measurement companion to q60's
+    * Bloom decontamination gate. q60 answers "does this doc share ANY
+    * shingle with the eval set" (a boolean, prefiltered by a broadcast
+    * Bloom); audits of training corpora (GPT-3 App. C, PaLM §7, the Lee
+    * et al. dedup paper's eval-overlap tables) need the GRADED version:
+    * per document, what fraction of its 5-word shingles appears verbatim
+    * in the benchmark. Benchmark stand-in: docs with doc_id < 50 (an eval
+    * set is externally supplied in production); corpus = the rest.
+    *
+    * Scale shape: the benchmark shingle set is distinct-hashed and
+    * BROADCAST — eval benchmarks are a few thousand documents against a
+    * 100 TB corpus, the canonical small-side join. Corpus shingles are
+    * md5 digests (32 bytes) and the per-doc aggregate is a map-side-
+    * combined count pair; document text never shuffles. The contamination
+    * flag uses integer arithmetic (overlap·10 ≥ n) so no float compare
+    * can diverge; the reported fraction is a ratio of identical ints. */
+  val q96 = Q(
+    "q96_contamination_score",
+    (s, dir) => {
+      val docs = documents(s, dir)
+      val sh = DedupQueries.shingles(docs)
+        .select(col("doc_id"), md5(col("sh")).as("h"))
+      val benchSh = sh.filter(col("doc_id") < 50).select("h").distinct()
+      val corpusSh = sh.filter(col("doc_id") >= 50)
+      val perDoc = corpusSh
+        .join(broadcast(benchSh.withColumn("hit", lit(1))), Seq("h"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(coalesce(col("hit"), lit(0))).as("n_overlap"))
+      perDoc
+        .filter(col("n_overlap") > 0)
+        .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+          (col("n_overlap").cast("double") / col("n_shingles"))
+            .as("contamination"),
+          (col("n_overlap") * 10 >= col("n_shingles")).cast("int")
+            .as("flagged"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH words AS (
+        SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+      idx AS (
+        SELECT doc_id, w, unnest(range(1, greatest(len(w) - 4, 1) + 1)) AS i
+        FROM words),
+      sh AS (
+        SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS sh FROM idx),
+      bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 50),
+      scored AS (
+        SELECT s.doc_id, COUNT(*) AS n_shingles,
+               CAST(SUM(CASE WHEN b.sh IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+                 AS n_overlap
+        FROM sh s LEFT JOIN bench b USING (sh)
+        WHERE s.doc_id >= 50
+        GROUP BY s.doc_id)
+      SELECT doc_id, n_shingles, n_overlap,
+             CAST(n_overlap AS DOUBLE) / n_shingles AS contamination,
+             CAST(n_overlap * 10 >= n_shingles AS INT) AS flagged
+      FROM scored WHERE n_overlap > 0
+      ORDER BY doc_id""")
+  )
+
   val all: Seq[Q] = Seq(q33, q34, q35, q37, q46, q53, q54, q55, q56, q57,
-    q65, q66, q67, q69, q72, q83, q86)
+    q65, q66, q67, q69, q72, q83, q86, q96)
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.operators.Materialize.MaterializeOps
 import org.apache.spark.sql.functions._
 
 import Tables._
@@ -413,5 +414,87 @@ object TextQueries {
       ORDER BY wcnt DESC, a, b LIMIT 20""")
   )
 
-  val all: Seq[Q] = Seq(q25, q30, q31, q32, q36, q78, q87)
+  /** BPE tokenizer APPLICATION — the other half of q87 (which computes
+    * merge-pair statistics, i.e. training's inner loop): take the top-20
+    * merge candidates by initial pair stats and tokenize the vocabulary
+    * with them. Each word becomes its char-spaced form (`"spark"` →
+    * `"s p a r k"`); merge i rewrites every occurrence of `"a b"` to
+    * `"ab"`, applied in rank order, one global pass each — the standard
+    * merge-table application step (Sennrich et al., ACL'16 §3; real
+    * tokenizers iterate train→apply per merge, this applies a one-shot
+    * top-20 list, documented simplification with identical plan shape).
+    *
+    * Scale shape, same reason q87 scales: ALL per-character work runs
+    * over DISTINCT WORDS — a trillion-token corpus collapses to a
+    * vocab-sized table before the merge chain (20 codegen'd literal
+    * replaces in one projection) touches anything. The merge table
+    * itself is 20 rows collected driver-side (corpus-size-independent,
+    * like the IVF codebooks) and baked into the plan as literals; per-doc
+    * token counts then come from one broadcast-vocab join if needed.
+    * Output: the 50 most frequent words with their tokenization. */
+  val q97 = Q(
+    "q97_bpe_tokenize",
+    (s, dir) => {
+      val vocab = documents(s, dir)
+        .select(explode(filter(split(col("text"), "\\s+"),
+          x => length(x) > 0)).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .materialized // merge-stat collect + tokenization pass
+      val merges: Seq[(String, String)] = vocab
+        .filter(length(col("word")) >= 2)
+        .select(col("freq"), explode(
+          transform(sequence(lit(1), length(col("word")) - 1),
+            i => struct(
+              col("word").substr(i, lit(1)).as("a"),
+              col("word").substr(i + 1, lit(1)).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("wcnt"))
+        .orderBy(col("wcnt").desc, col("a"), col("b"))
+        .limit(20)
+        .collect().toSeq
+        .map(r => (r.getString(0), r.getString(1)))
+      val spaced = concat_ws(" ", split(col("word"), ""))
+      val tokenized = merges.foldLeft(spaced) { case (c, (a, b)) =>
+        regexp_replace(c,
+          lit(java.util.regex.Pattern.quote(s"$a $b")),
+          lit(java.util.regex.Matcher.quoteReplacement(s"$a$b")))
+      }
+      vocab
+        .select(col("word"), col("freq"), tokenized.as("tokens"))
+        .withColumn("n_tokens", size(split(col("tokens"), " ")))
+        .orderBy(col("freq").desc, col("word"))
+        .limit(50)
+    },
+    Some("""
+      WITH RECURSIVE tokens AS (
+        SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                                  x -> length(x) > 0)) AS word
+        FROM documents),
+      vocab AS (SELECT word, COUNT(*) AS freq FROM tokens GROUP BY word),
+      idx AS (
+        SELECT word, freq, unnest(range(1, length(word))) AS i
+        FROM vocab WHERE length(word) >= 2),
+      prs AS (
+        SELECT substr(word, i, 1) AS a, substr(word, i + 1, 1) AS b, freq
+        FROM idx),
+      merges AS (
+        SELECT a, b,
+               ROW_NUMBER() OVER (ORDER BY SUM(freq) DESC, a, b) AS rn
+        FROM prs GROUP BY a, b
+        QUALIFY rn <= 20),
+      apply(word, freq, s, step) AS (
+        SELECT word, freq, array_to_string(string_split(word, ''), ' '), 0
+        FROM vocab
+        UNION ALL
+        SELECT ap.word, ap.freq,
+               replace(ap.s, m.a || ' ' || m.b, m.a || m.b), ap.step + 1
+        FROM apply ap JOIN merges m ON m.rn = ap.step + 1)
+      SELECT word, freq, s AS tokens,
+             CAST(len(string_split(s, ' ')) AS INT) AS n_tokens
+      FROM apply
+      WHERE step = (SELECT COUNT(*) FROM merges)
+      ORDER BY freq DESC, word LIMIT 50""")
+  )
+
+  val all: Seq[Q] = Seq(q25, q30, q31, q32, q36, q78, q87, q97)
 }
