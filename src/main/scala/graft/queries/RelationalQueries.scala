@@ -565,9 +565,10 @@ object RelationalQueries {
 
   /** Exact rational α₂₅₆ = 0.7213/(1 + 1.079/256) = 923264/1285395 and the
     * scaled HLL numerator α·m²·2⁵⁷ used by [[q18]]'s integer estimator. */
-  private val HllAlphaNum = 923264L
-  private val HllAlphaDen = 1285395L
-  private val HllNum: BigInt = BigInt(HllAlphaNum) * 65536 * (BigInt(1) << 57)
+  private[queries] val HllAlphaNum = 923264L
+  private[queries] val HllAlphaDen = 1285395L
+  private[queries] val HllNum: BigInt =
+    BigInt(HllAlphaNum) * 65536 * (BigInt(1) << 57)
 
   /** Integer-exact bit length of a non-negative long (< 2⁵⁶ here): the
     * standard 6-step binary-search shift chain, written with columns so the
@@ -589,11 +590,12 @@ object RelationalQueries {
           .otherwise(col("s5") + col("s4") + col("s3") + col("s2") +
             col("s1") + col("s0") + 1))
 
-  /** The deterministic-HLL register pipeline shared by [[q18]] and its
-    * specs: md5-derive (bucket, 56-bit w) from `key`, rank ρ per row, max
-    * per (group, bucket), then the raw estimate as ONE integral division of
-    * exact integers. Output: (group, hll_parts). */
-  private[graft] def hllEstimate(df: DataFrame, key: Column,
+  /** Registers of the deterministic HLL: md5-derive (bucket, 56-bit w)
+    * from `key`, rank ρ per row, max per (group, bucket). The register
+    * table IS the sketch's mergeable state — max-combining registers from
+    * any sharding of the data yields the registers of the whole (q98
+    * machine-checks that). Output: (group, bucket, r). */
+  private[graft] def hllRegisters(df: DataFrame, key: Column,
       group: String): DataFrame = {
     val hx = md5(key.cast("string"))
     val hashed = df.select(
@@ -604,6 +606,13 @@ object RelationalQueries {
       .withColumn("rho", lit(57) - col("bitlen"))
       .groupBy(col(group), col("bucket"))
       .agg(max(col("rho")).as("r"))
+  }
+
+  /** Estimate from a (group, bucket, r) register table: the raw Flajolet
+    * α·m²/Σ2^(−ρ) as ONE integral division of exact integers. */
+  private[graft] def hllFromRegisters(regs: DataFrame,
+      group: String): DataFrame =
+    regs
       .groupBy(group)
       .agg(
         sum(expr("shiftleft(cast(1 as bigint), 57 - r)")
@@ -616,7 +625,11 @@ object RelationalQueries {
         expr(s"cast('$HllNum' as decimal(38,0)) div " +
           s"(cast($HllAlphaDen as decimal(38,0)) * s_all)"))
       .select(group, "hll_parts")
-  }
+
+  /** The full pipeline [[q18]] and its specs use: registers → estimate. */
+  private[graft] def hllEstimate(df: DataFrame, key: Column,
+      group: String): DataFrame =
+    hllFromRegisters(hllRegisters(df, key, group), group)
 
   /** Sketch aggregation: a DETERMINISTIC HyperLogLog next to the exact
     * count. Spark's builtin approx_count_distinct (HLL++) stays covered by

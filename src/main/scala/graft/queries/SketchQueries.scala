@@ -256,5 +256,99 @@ object SketchQueries {
       ORDER BY n_exact DESC, token""")
   )
 
-  val all: Seq[Q] = Seq(q27, q39, q52, q68, q75)
+  /** Sketch MERGEABILITY, machine-checked — the property that makes HLL
+    * the distributed distinct count. A 100 TB corpus is never sketched in
+    * one pass over one node: every executor (or every daily batch) folds
+    * its own registers, and the global answer is the register-wise MAX of
+    * the shard sketches. This query runs BOTH pipelines over lineitem —
+    * direct (one register fold over everything) and sharded (8 ingest
+    * shards by l_orderkey, registers per shard, max-merged) — and emits
+    * both estimates plus the proof bit that they are identical. Register
+    * max-merge is lossless by construction (max is associative/
+    * commutative); here that argument is hash-checked end-to-end instead
+    * of argued, the same discipline as q24≡q90.
+    *
+    * Scale shape: shard registers are ≤ shards×256 rows regardless of
+    * corpus size; the merge shuffle is 256 rows. The three one-row frames
+    * at the end join by scalar cross joins (fixed-size at any scale). */
+  val q98 = Q(
+    "q98_hll_merge",
+    (s, dir) => {
+      import RelationalQueries.{hllFromRegisters, hllRegisters}
+      val li = lineitem(s, dir)
+      val direct = hllFromRegisters(
+        hllRegisters(li.withColumn("scope", lit("ALL")),
+          col("l_partkey"), "scope"), "scope")
+        .select(col("hll_parts").as("direct_est"))
+      val sharded = li.withColumn("shard", pmod(col("l_orderkey"), lit(8)))
+      val merged = hllRegisters(sharded, col("l_partkey"), "shard")
+        .groupBy("bucket").agg(max(col("r")).as("r"))
+        .withColumn("scope", lit("ALL"))
+      val mergedEst = hllFromRegisters(merged, "scope")
+        .select(col("hll_parts").as("merged_est"))
+      val nShards = sharded
+        .select(countDistinct(col("shard")).as("n_shards"))
+      direct.crossJoin(mergedEst).crossJoin(nShards)
+        .select(col("direct_est"), col("merged_est"),
+          (col("direct_est") === col("merged_est")).cast("int")
+            .as("merge_lossless"),
+          col("n_shards"))
+    },
+    Some(s"""
+      WITH hx AS (
+        SELECT l_orderkey % 8 AS shard,
+               md5(CAST(l_partkey AS VARCHAR)) AS x
+        FROM lineitem),
+      hb AS (
+        SELECT shard,
+               CAST(CAST('0x' || substr(x, 1, 2) AS UBIGINT) AS INT) AS bucket,
+               CAST(CAST('0x' || substr(x, 3, 14) AS UBIGINT) AS BIGINT) AS w
+        FROM hx),
+      b5 AS (SELECT *, CASE WHEN w >= 4294967296 THEN 32 ELSE 0 END AS s5 FROM hb),
+      b4 AS (SELECT *, w >> s5 AS t4 FROM b5),
+      c4 AS (SELECT *, CASE WHEN t4 >= 65536 THEN 16 ELSE 0 END AS s4 FROM b4),
+      b3 AS (SELECT *, t4 >> s4 AS t3 FROM c4),
+      c3 AS (SELECT *, CASE WHEN t3 >= 256 THEN 8 ELSE 0 END AS s3 FROM b3),
+      b2 AS (SELECT *, t3 >> s3 AS t2 FROM c3),
+      c2 AS (SELECT *, CASE WHEN t2 >= 16 THEN 4 ELSE 0 END AS s2 FROM b2),
+      b1 AS (SELECT *, t2 >> s2 AS t1 FROM c2),
+      c1 AS (SELECT *, CASE WHEN t1 >= 4 THEN 2 ELSE 0 END AS s1 FROM b1),
+      b0 AS (SELECT *, t1 >> s1 AS t0 FROM c1),
+      c0 AS (SELECT *, CASE WHEN t0 >= 2 THEN 1 ELSE 0 END AS s0 FROM b0),
+      rr AS (
+        SELECT shard, bucket,
+               57 - (CASE WHEN w = 0 THEN 0
+                          ELSE s5 + s4 + s3 + s2 + s1 + s0 + 1 END) AS rho
+        FROM c0),
+      dreg AS (SELECT bucket, MAX(rho) AS r FROM rr GROUP BY bucket),
+      sreg AS (SELECT shard, bucket, MAX(rho) AS r
+               FROM rr GROUP BY shard, bucket),
+      mreg AS (SELECT bucket, MAX(r) AS r FROM sreg GROUP BY bucket),
+      dag AS (
+        SELECT SUM(CAST(CAST(1 AS BIGINT) << (57 - r) AS HUGEINT)) AS s_obs,
+               COUNT(*) AS nb
+        FROM dreg),
+      mag AS (
+        SELECT SUM(CAST(CAST(1 AS BIGINT) << (57 - r) AS HUGEINT)) AS s_obs,
+               COUNT(*) AS nb
+        FROM mreg),
+      dest AS (
+        SELECT CAST(CAST('${RelationalQueries.HllNum}' AS HUGEINT) //
+                    (${RelationalQueries.HllAlphaDen} * (s_obs + (256 - nb) *
+                       CAST(144115188075855872 AS HUGEINT))) AS BIGINT)
+                 AS direct_est
+        FROM dag),
+      mest AS (
+        SELECT CAST(CAST('${RelationalQueries.HllNum}' AS HUGEINT) //
+                    (${RelationalQueries.HllAlphaDen} * (s_obs + (256 - nb) *
+                       CAST(144115188075855872 AS HUGEINT))) AS BIGINT)
+                 AS merged_est
+        FROM mag)
+      SELECT d.direct_est, m.merged_est,
+             CAST(d.direct_est = m.merged_est AS INT) AS merge_lossless,
+             (SELECT COUNT(DISTINCT l_orderkey % 8) FROM lineitem) AS n_shards
+      FROM dest d, mest m""")
+  )
+
+  val all: Seq[Q] = Seq(q27, q39, q52, q68, q75, q98)
 }

@@ -171,6 +171,21 @@ class PlanRegressionSpec extends SparkSpec {
     assert(allExchanges <= 5, s"round grew to $allExchanges exchanges:\n${plan.take(3000)}")
   }
 
+  test("q96: benchmark shingle digests join via broadcast, corpus side streams") {
+    val plan = planOf(graft.queries.PipelineQueries.q96)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    // the contamination LEFT join must build on the (tiny) benchmark side
+    assert(plan.contains("BuildRight"), plan.take(3000))
+  }
+
+  test("q97: tokenization is one projection over the vocab, topped by TakeOrdered") {
+    val plan = planOf(graft.queries.TextQueries.q97)
+    // the 20-merge replace chain must not introduce per-merge exchanges:
+    // after the materialize cut the only plan steps are project + top-k
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    assert(!plan.contains("Exchange hashpartitioning"), plan.take(3000))
+  }
+
   test("suite-wide: no cartesian products; nested-loop joins only where intended") {
     // The 100 TB kill-switch: a CartesianProduct anywhere is a bug, and a
     // BroadcastNestedLoopJoin is legitimate ONLY for (a) one-row scalar
@@ -195,7 +210,10 @@ class PlanRegressionSpec extends SparkSpec {
       "q94_dedup_embedding_ball",
       "q46_tfidf", "q49_pq_adc_topk", "q64_zorder", "q67_mixture_sample",
       "q69_recipe", "q72_bm25", "q75_heavy_hitters", "q80_sign_ann",
-      "q83_threshold_sweep", "q84_weighted_sample")
+      "q83_threshold_sweep", "q84_weighted_sample",
+      // q98's final assembly: three ONE-ROW frames (two estimates + the
+      // shard count) — scalar cross joins, fixed-size at any corpus scale
+      "q98_hll_merge")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")
