@@ -672,5 +672,84 @@ object ScaleQueries {
       ORDER BY shard, pos""")
   )
 
-  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q73, q84, q85, q89)
+  /** EXACT global percentiles WITHOUT a global sort — distributed
+    * selection by histogram refinement, the missing tier between q35
+    * (per-group exact percentile: fine when groups are small) and q68
+    * (log-histogram: mergeable but approximate). A global exact
+    * percentile at 100 TB cannot sort (corpus-wide exchange) or run one
+    * percentile aggregate (every value through one reducer). Selection by
+    * counting needs neither:
+    *
+    *   pass 1 — min/max/count (scalar agg, no shuffle);
+    *   pass 2 — 4096-bucket equi-width histogram (map-side combine, a
+    *            4096-row exchange), collected to locate the bucket
+    *            holding order statistic k and the count below it;
+    *   pass 3 — per-value counts INSIDE that one bucket only (the
+    *            filter prunes at the scan), cumulative-summed to the
+    *            k-th value. The bucket's value spread is ≤ range/4096 —
+    *            bounded by the DOMAIN, not the corpus, so the final
+    *            window runs over a provably small frame.
+    *
+    * Three scans, kilobyte-scale shuffles, zero corpus-wide sorts. The
+    * driver sees only the 4096-row histogram (corpus-size-independent,
+    * same discipline as the k-means/IVF codebook syncs). Both the median
+    * and p90 resolve from ONE shared histogram. Order statistics are
+    * integer-defined (k = ⌈n/2⌉, ⌈9n/10⌉ on cent-quantized prices) so
+    * both engines select the identical element — no interpolation. */
+  val q99 = Q(
+    "q99_exact_select",
+    (s, dir) => {
+      val cents = lineitem(s, dir)
+        .select(round(col("l_extendedprice") * 100).cast("bigint").as("v"))
+        .materialized // three passes share the quantized scan
+      val Row3 = cents.agg(min("v"), max("v"), count(lit(1))).collect()(0)
+      val (lo, hi, n) = (Row3.getLong(0), Row3.getLong(1), Row3.getLong(2))
+      val width = math.max(1L, (hi - lo) / 4096L + 1L)
+      val hist = cents
+        .groupBy(((col("v") - lo) / width).cast("bigint").as("b"))
+        .agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      def bucketFor(k: Long): (Long, Long) = { // (bucket, count below it)
+        var below = 0L
+        hist.foreach { case (b, c) =>
+          if (below + c >= k) return (b, below)
+          below += c
+        }
+        (hist.last._1, below - hist.last._2)
+      }
+      def kth(k: Long): DataFrame = {
+        val (b, below) = bucketFor(k)
+        val bLo = lo + b * width
+        val inBucket = cents.filter(col("v") >= bLo && col("v") < bLo + width)
+          .groupBy("v").agg(count(lit(1)).as("c"))
+        val w = Window.orderBy("v")
+        inBucket
+          .withColumn("cum", sum(col("c")).over(w))
+          .filter(col("cum") >= (k - below))
+          .orderBy("v").limit(1)
+          .select(col("v"))
+      }
+      val kMed = (n + 1) / 2
+      val kP90 = (9 * n + 9) / 10
+      kth(kMed).select(col("v").as("median_cents"))
+        .crossJoin(kth(kP90).select(col("v").as("p90_cents")))
+        .crossJoin(cents.agg(count(lit(1)).as("n")))
+        .select("n", "median_cents", "p90_cents")
+    },
+    Some("""
+      WITH c AS (
+        SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v
+        FROM lineitem),
+      nn AS (SELECT COUNT(*) AS n FROM c),
+      med AS (
+        SELECT v FROM c ORDER BY v
+        LIMIT 1 OFFSET (SELECT (n + 1) // 2 - 1 FROM nn)),
+      p90 AS (
+        SELECT v FROM c ORDER BY v
+        LIMIT 1 OFFSET (SELECT (9 * n + 9) // 10 - 1 FROM nn))
+      SELECT nn.n, med.v AS median_cents, p90.v AS p90_cents
+      FROM nn, med, p90""")
+  )
+
+  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q73, q84, q85, q89, q99)
 }

@@ -496,5 +496,82 @@ object TextQueries {
       ORDER BY freq DESC, word LIMIT 50""")
   )
 
-  val all: Seq[Q] = Seq(q25, q30, q31, q32, q36, q78, q87, q97)
+  /** PMI collocation mining — phrase discovery for tokenizer/vocab
+    * construction (the word2phrase step of word2vec, Mikolov et al.
+    * NeurIPS'13 §4; phrase-merged vocabularies are standard tokenizer
+    * preprocessing). For adjacent token pairs: a SCALED pointwise mutual
+    * information, kept entirely in integers so both engines rank the same
+    * values:
+    *
+    *   score = (c_ab · N_uni² · 10⁶) div (N_bi · c_a · c_b)
+    *
+    * — the integer floor of 10⁶·p(ab)/(p(a)p(b)), whose log is PMI; log
+    * is monotone, so the ranking (and any threshold) is the PMI ranking
+    * without either engine evaluating a float log. Arithmetic runs in
+    * DECIMAL(38,0)/HUGEINT: c_ab·N_uni²·10⁶ overflows BIGINT long before
+    * 100 TB. Pairs need c_ab ≥ 5 (the word2phrase min-count gate).
+    *
+    * Scale shape: two wordcount-shaped aggregates (unigrams, adjacent
+    * bigrams — both map-side-combined, vocab-sized after combine), two
+    * vocab-sized joins to attach c_a/c_b, scalar one-row totals cross
+    * joins, and a TakeOrdered(30). Nothing corpus-sized shuffles twice. */
+  val q100 = Q(
+    "q100_pmi_collocations",
+    (s, dir) => {
+      val toks = documents(s, dir)
+        .select(col("doc_id"), filter(split(col("text"), "\\s+"),
+          x => length(x) > 0).as("ws"))
+        .materialized // unigram + bigram extraction share it
+      val uni = toks
+        .select(explode(col("ws")).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("c"))
+      val bi = toks
+        .filter(size(col("ws")) >= 2)
+        .select(explode(
+          zip_with(slice(col("ws"), lit(1), size(col("ws")) - 1),
+            slice(col("ws"), lit(2), size(col("ws")) - 1),
+            (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 5)
+      val nUni = uni.agg(sum(col("c")).cast("bigint").as("n_uni"))
+      val nBi = bi.agg(sum(col("c_ab")).cast("bigint").as("n_bi"))
+      bi
+        .join(uni.select(col("t").as("a"), col("c").as("c_a")), "a")
+        .join(uni.select(col("t").as("b"), col("c").as("c_b")), "b")
+        .crossJoin(nUni).crossJoin(nBi)
+        .select(col("a"), col("b"), col("c_ab"),
+          expr("""cast(c_ab as decimal(38,0)) * n_uni * n_uni * 1000000
+                  div (cast(n_bi as decimal(38,0)) * c_a * c_b)""")
+            .cast("bigint").as("pmi_scaled"))
+        .orderBy(col("pmi_scaled").desc, col("a"), col("b"))
+        .limit(30)
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+                                   x -> length(x) > 0) AS ws
+        FROM documents),
+      uni AS (
+        SELECT t, COUNT(*) AS c
+        FROM (SELECT unnest(ws) AS t FROM toks) GROUP BY t),
+      bi AS (
+        SELECT ws[i] AS a, ws[i + 1] AS b, COUNT(*) AS c_ab
+        FROM (SELECT ws, unnest(range(1, len(ws))) AS i
+              FROM toks WHERE len(ws) >= 2)
+        GROUP BY ws[i], ws[i + 1]
+        HAVING COUNT(*) >= 5),
+      nu AS (SELECT CAST(SUM(c) AS BIGINT) AS n_uni FROM uni),
+      nb AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n_bi FROM bi)
+      SELECT bi.a, bi.b, bi.c_ab,
+             CAST(CAST(bi.c_ab AS HUGEINT) * nu.n_uni * nu.n_uni * 1000000 //
+                  (CAST(nb.n_bi AS HUGEINT) * ua.c * ub.c) AS BIGINT)
+               AS pmi_scaled
+      FROM bi
+      JOIN uni ua ON ua.t = bi.a
+      JOIN uni ub ON ub.t = bi.b, nu, nb
+      ORDER BY pmi_scaled DESC, bi.a, bi.b LIMIT 30""")
+  )
+
+  val all: Seq[Q] = Seq(q25, q30, q31, q32, q36, q78, q87, q97, q100)
 }

@@ -211,9 +211,10 @@ class PlanRegressionSpec extends SparkSpec {
       "q46_tfidf", "q49_pq_adc_topk", "q64_zorder", "q67_mixture_sample",
       "q69_recipe", "q72_bm25", "q75_heavy_hitters", "q80_sign_ann",
       "q83_threshold_sweep", "q84_weighted_sample",
-      // q98's final assembly: three ONE-ROW frames (two estimates + the
-      // shard count) — scalar cross joins, fixed-size at any corpus scale
-      "q98_hll_merge")
+      // q98/q99/q100 final assemblies: ONE-ROW frames (estimates, order
+      // statistics, corpus totals) — scalar cross joins, fixed-size at
+      // any corpus scale
+      "q98_hll_merge", "q99_exact_select", "q100_pmi_collocations")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")
