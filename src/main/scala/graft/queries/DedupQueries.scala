@@ -1318,6 +1318,185 @@ object DedupQueries {
       ORDER BY h.doc_id""")
   )
 
+  /** Chunk-level exact-substring dedup WITH corpus reconstruction — the
+    * operational form of Lee et al. 2022's dedup-and-keep-the-rest: q20
+    * drops whole duplicate documents and q91 only measures span overlap;
+    * this query REMOVES repeated passages and emits the surviving text.
+    * Each document is cut into non-overlapping 8-token chunks; a chunk
+    * occurrence survives iff it is the globally FIRST occurrence of that
+    * chunk content (order = (doc_id, chunk_idx) — deterministic and
+    * partition-independent); each document is then re-assembled from its
+    * surviving chunks in order.
+    *
+    * Scale shape: the first-occurrence decision is a window over
+    * md5(chunk) — the shuffle carries (32-byte digest, id, idx), chunk
+    * TEXT rides only to the final doc_id-keyed reassembly aggregate,
+    * which is the same exchange that would write the deduped corpus out
+    * anyway. Both shuffles are linear in corpus size; nothing is
+    * quadratic and no driver state exists. */
+  val q101 = Q(
+    "q101_chunk_dedup",
+    (s, dir) => {
+      val chunkLen = 8
+      val toks = documents(s, dir)
+        .select(col("doc_id"),
+          filter(split(col("text"), "\\s+"), x => length(x) > 0).as("ws"))
+        .filter(size(col("ws")) > 0)
+      val chunks = toks
+        .select(col("doc_id"),
+          explode(transform(
+            sequence(lit(0),
+              ((size(col("ws")) + lit(chunkLen - 1)) / lit(chunkLen))
+                .cast("int") - 1),
+            k => struct(k.as("chunk_idx"),
+              concat_ws(" ", slice(col("ws"), k * chunkLen + 1, lit(chunkLen)))
+                .as("ctext")))).as("c"))
+        .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+          col("c.ctext").as("ctext"))
+      val ranked = chunks
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(md5(col("ctext")))
+            .orderBy("doc_id", "chunk_idx")))
+      ranked
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_chunks"),
+          sum(when(col("rk") === 1, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("rk") === 1, size(split(col("ctext"), " ")))
+            .otherwise(0)).cast("long").as("tokens_kept"),
+          concat_ws(" ", transform(
+            array_sort(collect_list(
+              when(col("rk") === 1,
+                struct(col("chunk_idx"), col("ctext"))))),
+            x => x.getField("ctext"))).as("dedup_text"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+                                   x -> length(x) > 0) AS ws
+        FROM documents),
+      chunks AS (
+        SELECT doc_id, k AS chunk_idx,
+               array_to_string(ws[k * 8 + 1 : k * 8 + 8], ' ') AS ctext
+        FROM (SELECT doc_id, ws,
+                     unnest(range(0, CAST((len(ws) + 7) // 8 AS INT))) AS k
+              FROM toks WHERE len(ws) > 0)),
+      ranked AS (
+        SELECT doc_id, chunk_idx, ctext,
+               ROW_NUMBER() OVER (PARTITION BY md5(ctext)
+                                  ORDER BY doc_id, chunk_idx) AS rk
+        FROM chunks)
+      SELECT doc_id,
+             COUNT(*) AS n_chunks,
+             CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             CAST(SUM(CASE WHEN rk = 1 THEN len(string_split(ctext, ' '))
+                           ELSE 0 END) AS BIGINT) AS tokens_kept,
+             COALESCE(string_agg(CASE WHEN rk = 1 THEN ctext END, ' '
+                                 ORDER BY chunk_idx), '') AS dedup_text
+      FROM ranked GROUP BY doc_id ORDER BY doc_id""")
+  )
+
+  /** Sorted-neighborhood dedup (Hernández & Stolfo, SIGMOD'95) — the
+    * classic entity-resolution family the suite lacked: sort the corpus by
+    * a semantic blocking key (here the first 24 chars of the text, so
+    * near-identical documents become neighbors), then compare each record
+    * only against the next W records in sort order and verify candidates
+    * with exact token-set Jaccard. Complements the hash-bucketed families
+    * (q22 MinHash, q23 SimHash): SNM catches prefix-preserving edits with
+    * a single sort and W·n comparisons instead of banding.
+    *
+    * Scale shape: the global sort RANK is composed scalably (q84's
+    * pattern) — rank = per-shard row_number + broadcast shard-offset,
+    * where the shard is the key's first byte, a PREFIX of the sort key, so
+    * shard order composes with in-shard order; no single-partition global
+    * window exists (the offsets window runs over ≤256 shard-count rows).
+    * Neighbor pairs come from W=2 equi-joins on rank (narrow (rank, id)
+    * rows); token arrays join in by doc_id only for the verify step. */
+  val q103 = Q(
+    "q103_sorted_neighborhood",
+    (s, dir) => {
+      val W = 2
+      val keyed = documents(s, dir)
+        .select(col("doc_id"), col("text"),
+          substring(col("text"), 1, 24).as("sk"))
+        .withColumn("shard", substring(col("sk"), 1, 1))
+        .materialized // rank + both verify sides read it
+      val within = keyed
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("shard").orderBy("sk", "doc_id")))
+      val offsets = keyed.groupBy("shard")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("off", coalesce(
+          sum("cnt").over(Window.orderBy("shard")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("shard", "off")
+      val ranked = within.join(broadcast(offsets), Seq("shard"))
+        .select(col("doc_id"), (col("off") + col("rn")).as("rank"))
+      val probes = ranked.select(col("doc_id"),
+          explode(sequence(lit(1), lit(W))).as("j"),
+          col("rank"))
+        .select(col("doc_id").as("doc_a"), (col("rank") + col("j")).as("rank"))
+      val cand = probes
+        .join(ranked.select(col("doc_id").as("doc_b"), col("rank")), "rank")
+        .select("doc_a", "doc_b")
+      // exact token-set Jaccard verify (set semantics: distinct tokens)
+      val tok = keyed.select(col("doc_id"),
+          explode(array_distinct(
+            filter(split(col("text"), "\\s+"), x => length(x) > 0))).as("t"))
+        .materialized
+      val counts = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = cand
+        .join(tok.as("ta"), col("doc_a") === col("ta.doc_id"))
+        .join(tok.as("tb"),
+          col("doc_b") === col("tb.doc_id") && col("ta.t") === col("tb.t"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      cand
+        .join(inter, Seq("doc_a", "doc_b"), "left")
+        .na.fill(0L, Seq("inter"))
+        .join(counts.as("ca"), col("doc_a") === col("ca.doc_id"))
+        .join(counts.as("cb"), col("doc_b") === col("cb.doc_id"))
+        .filter(col("inter") * 5 >= (col("ca.n") + col("cb.n") - col("inter")) * 4)
+        .select(col("doc_a"), col("doc_b"), col("inter").as("inter_cnt"),
+          (col("inter").cast("double") /
+            (col("ca.n") + col("cb.n") - col("inter"))).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+    Some("""
+      WITH keyed AS (
+        SELECT doc_id, text, substr(text, 1, 24) AS sk FROM documents),
+      ranked AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY sk, doc_id) AS rank
+        FROM keyed),
+      cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM ranked a
+        JOIN ranked b ON b.rank - a.rank BETWEEN 1 AND 2),
+      tok AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_filter(string_split_regex(text, '\s+'),
+                                  x -> length(x) > 0)) AS t
+        FROM keyed),
+      counts AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+      inter AS (
+        SELECT doc_a, doc_b, COUNT(*) AS i_cnt
+        FROM cand
+        JOIN tok ta ON ta.doc_id = doc_a
+        JOIN tok tb ON tb.doc_id = doc_b AND tb.t = ta.t
+        GROUP BY doc_a, doc_b)
+      SELECT doc_a, doc_b,
+             COALESCE(i_cnt, 0) AS inter_cnt,
+             CAST(COALESCE(i_cnt, 0) AS DOUBLE) /
+               (ca.n + cb.n - COALESCE(i_cnt, 0)) AS jaccard
+      FROM cand
+      LEFT JOIN inter USING (doc_a, doc_b)
+      JOIN counts ca ON ca.doc_id = doc_a
+      JOIN counts cb ON cb.doc_id = doc_b
+      WHERE COALESCE(i_cnt, 0) * 5 >= (ca.n + cb.n - COALESCE(i_cnt, 0)) * 4
+      ORDER BY doc_a, doc_b""")
+  )
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q26, q38, q71, q74, q76,
-    q82, q88, q90, q91, q95)
+    q82, q88, q90, q91, q95, q101, q103)
 }

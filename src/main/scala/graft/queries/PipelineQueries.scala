@@ -982,6 +982,55 @@ object PipelineQueries {
       ORDER BY doc_id""")
   )
 
+  /** Domain-level quality gating — the C4/RefinedWeb "drop bad SOURCES,
+    * not just bad documents" curation step: per-document quality is a
+    * scaled type-token ratio (1000·|distinct tokens| div |tokens| —
+    * integer, so both engines agree exactly), sources are gated on their
+    * MEAN document quality (integer mean: sum div count) and a minimum
+    * volume, and the verdict row reports what each gate keeps. Per-doc
+    * filters (q55 etc.) cannot express this: the keep/drop decision here
+    * depends on the source aggregate, not the document.
+    *
+    * Scale shape: one map-side projection (tokenize + distinct-count per
+    * doc — no shuffle), one source-keyed aggregate (map-side combined,
+    * output = #sources rows). At 100 TB the only exchange carries
+    * (source, partial sums). */
+  val q104 = Q(
+    "q104_domain_gate",
+    (s, dir) => {
+      val scored = documents(s, dir)
+        .select(col("source"),
+          filter(split(col("text"), "\\s+"), x => length(x) > 0).as("ws"))
+        .select(col("source"),
+          expr("(1000 * size(array_distinct(ws))) div size(ws)").as("q"))
+      scored.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("sum(q) div count(1)").as("mean_q"))
+        .withColumn("kept",
+          (col("mean_q") >= 520 && col("n_docs") >= 20).cast("int"))
+        .withColumn("docs_kept",
+          when(col("kept") === 1, col("n_docs")).otherwise(0L))
+        .orderBy("source")
+    },
+    Some("""
+      WITH scored AS (
+        SELECT source,
+               (1000 * len(list_distinct(ws)) // len(ws)) AS q
+        FROM (SELECT source,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 x -> length(x) > 0) AS ws
+              FROM documents)),
+      gated AS (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(q) // COUNT(*) AS BIGINT) AS mean_q
+        FROM scored GROUP BY source)
+      SELECT source, CAST(n_docs AS BIGINT) AS n_docs, mean_q,
+             CAST(mean_q >= 520 AND n_docs >= 20 AS INT) AS kept,
+             CAST(CASE WHEN mean_q >= 520 AND n_docs >= 20
+                       THEN n_docs ELSE 0 END AS BIGINT) AS docs_kept
+      FROM gated ORDER BY source""")
+  )
+
   val all: Seq[Q] = Seq(q33, q34, q35, q37, q46, q53, q54, q55, q56, q57,
-    q65, q66, q67, q69, q72, q83, q86, q96)
+    q65, q66, q67, q69, q72, q83, q86, q96, q104)
 }

@@ -950,7 +950,118 @@ object RelationalQueries {
       FROM counts ORDER BY step""")
   )
 
+  /** Cohort retention — the standard product-analytics matrix the suite
+    * lacked: users are cohorted by the DAY of their first `signup` event,
+    * and cell (cohort, k) reports how many of them produced any activity
+    * k days later (day_k = exact integer date difference — no float time
+    * arithmetic anywhere). Users who never signed up are excluded, per
+    * the usual funnel definition.
+    *
+    * Scale shape: two user-keyed aggregates (first signup, distinct
+    * active days — both map-side combined; (user, day) pairs are narrow),
+    * one user-keyed equi-join, then a cohort-keyed aggregate whose output
+    * is days² rows. Nothing is ever wider than (user_id, timestamp);
+    * event payloads never shuffle. */
+  val q102 = Q(
+    "q102_cohort_retention",
+    (s, dir) => {
+      val ev = events(s, dir).select(col("user_id"), col("event_type"),
+        date_trunc("day", col("ts")).as("d"))
+      val cohorts = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("d").as("cohort_d"))
+      val active = ev.select("user_id", "d").distinct()
+      val ret = active.join(cohorts, "user_id")
+        .filter(col("d") >= col("cohort_d"))
+        .select(col("cohort_d"), datediff(col("d"), col("cohort_d")).as("day_k"))
+        .groupBy("cohort_d", "day_k")
+        .agg(count(lit(1)).as("n_active"))
+      val sizes = cohorts.groupBy("cohort_d")
+        .agg(count(lit(1)).as("cohort_size"))
+      ret.join(sizes, "cohort_d")
+        .select(
+          date_format(col("cohort_d"), "yyyy-MM-dd").as("cohort_day"),
+          col("day_k"), col("n_active"), col("cohort_size"),
+          (col("n_active").cast("double") / col("cohort_size"))
+            .as("retention"))
+        .orderBy("cohort_day", "day_k")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, event_type,
+               date_trunc('day', CAST(ts AS TIMESTAMP)) AS d
+        FROM events),
+      cohorts AS (
+        SELECT user_id, MIN(d) AS cohort_d FROM ev
+        WHERE event_type = 'signup' GROUP BY user_id),
+      active AS (SELECT DISTINCT user_id, d FROM ev),
+      ret AS (
+        SELECT c.cohort_d,
+               CAST(date_diff('day', c.cohort_d, a.d) AS INT) AS day_k,
+               COUNT(*) AS n_active
+        FROM active a JOIN cohorts c USING (user_id)
+        WHERE a.d >= c.cohort_d
+        GROUP BY 1, 2),
+      sizes AS (
+        SELECT cohort_d, COUNT(*) AS cohort_size
+        FROM cohorts GROUP BY cohort_d)
+      SELECT strftime(r.cohort_d, '%Y-%m-%d') AS cohort_day, r.day_k,
+             CAST(r.n_active AS BIGINT) AS n_active,
+             CAST(s.cohort_size AS BIGINT) AS cohort_size,
+             CAST(r.n_active AS DOUBLE) / s.cohort_size AS retention
+      FROM ret r JOIN sizes s USING (cohort_d)
+      ORDER BY cohort_day, day_k""")
+  )
+
+  /** EWMA smoothing of the event value stream, per user — the time-series
+    * smoothing operator (α = 1/2, 16-tap truncated kernel). Both engines
+    * hash-match BIT-EXACTLY without decimals because every weight is a
+    * power of two: `value · 2⁻ᵏ` only shifts the IEEE-754 exponent (no
+    * rounding), and the 16-term numerator/denominator sums are written as
+    * the SAME left-associated addition chain in the Spark plan and the
+    * oracle SQL, so both engines execute the identical float op sequence.
+    * Partial windows normalize by the sum of the weights actually present
+    * (the standard `adjust=true` EWM semantics).
+    *
+    * Scale shape: one user-keyed window (16 lags in a single codegen'd
+    * frame pass, no self-join), shuffle = one exchange on user_id. */
+  val q105 = Q(
+    "q105_ewma",
+    (s, dir) => {
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val terms = (0 until 16).map { k =>
+        (lag(col("value"), k).over(byUser), math.pow(0.5, k))
+      }
+      val num = terms.map { case (c, w) => coalesce(c * lit(w), lit(0.0)) }
+        .reduce(_ + _)
+      val den = terms.map { case (c, w) =>
+        when(c.isNotNull, lit(w)).otherwise(lit(0.0))
+      }.reduce(_ + _)
+      events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+          col("value"), (num / den).as("ewma"))
+        .orderBy("user_id", "event_id")
+    },
+    Some {
+      val num = (0 until 16)
+        .map(k => s"COALESCE(lag(value, $k) OVER w * ${math.pow(0.5, k)}, 0.0)")
+        .mkString(" + ")
+      val den = (0 until 16)
+        .map(k =>
+          s"CASE WHEN lag(value, $k) OVER w IS NOT NULL THEN ${math.pow(0.5, k)} ELSE 0.0 END")
+        .mkString(" + ")
+      s"""
+      SELECT user_id, event_id,
+             strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s,
+             value, ($num) / ($den) AS ewma
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+      ORDER BY user_id, event_id"""
+    }
+  )
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08,
     q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q28, q29, q44,
-    q58, q59, q81, q93)
+    q58, q59, q81, q93, q102, q105)
 }
