@@ -50,8 +50,10 @@ class PdfImporter(
         case None => Nil
         case Some(doc) =>
           doc.pages.flatMap { page =>
+            val fonts = doc.pageFonts(page)
             doc.pageContent(page).toSeq
-              .flatMap(c => PdfTextExtractor.tables(PdfTextExtractor.page(c)))
+              .flatMap(c =>
+                PdfTextExtractor.tables(PdfTextExtractor.page(c, fonts)))
               .filter(_.nonEmpty)
           }
       }

@@ -21,11 +21,14 @@ import scala.collection.mutable
   * Scope (documented subset): Flate/ASCIIHex/ASCII85/LZW/RunLength
   * filters (incl. chains; no predictors — content streams in practice
   * never use them), PDF 1.5+ object streams (/Type /ObjStm — see
-  * [[expandObjectStreams]]) and xref-stream trailers. Still out of scope:
-  * encryption, CCITT/JBIG2/DCT (image) filters, CMap/Type0 composite
-  * fonts. Out-of-scope constructs surface as missing pages/text, never
-  * exceptions — the importer's contract is the reference's never-throw
-  * error answer.
+  * [[expandObjectStreams]]) and xref-stream trailers, standard-handler
+  * encryption with an empty user password (RC4 + AES-128/256, see
+  * [[PdfCrypto]]), and Type0/composite fonts via their embedded
+  * /ToUnicode CMaps ([[parseToUnicodeCMap]]). Still out of scope:
+  * password-locked/public-key encryption, CCITT/JBIG2/DCT (image)
+  * filters, predefined (non-embedded) CMap names. Out-of-scope
+  * constructs surface as missing pages/text, never exceptions — the
+  * importer's contract is the reference's never-throw error answer.
   */
 object PdfParser {
 
@@ -43,6 +46,77 @@ object PdfParser {
 
   /** Indirect object payload: dictionary plus (still-encoded) stream bytes. */
   final case class PStream(dict: PDict, raw: Array[Byte]) extends PObj
+
+  /** Per-font decode info for the content interpreter: composite fonts
+    * (Type0, §9.7) show 2-byte codes; `toUnicode` maps a code to its
+    * Unicode string per the font's embedded /ToUnicode CMap (§9.10.3). */
+  final case class PdfFont(twoByte: Boolean, toUnicode: Map[Int, String])
+
+  /** Parse a /ToUnicode CMap stream (§9.10.3 + Adobe CMap spec): only the
+    * `bfchar` (code → UTF-16BE string) and `bfrange` (code interval →
+    * incremented base or explicit array) sections carry the mapping; all
+    * other CMap operators are skipped. Lenient: malformed sections end at
+    * the next `end…` keyword with whatever parsed. */
+  def parseToUnicodeCMap(bytes: Array[Byte]): Map[Int, String] = {
+    val out = Map.newBuilder[Int, String]
+    def codeOf(b: Array[Byte]): Int =
+      b.foldLeft(0)((acc, x) => (acc << 8) | (x & 0xff))
+    def strOf(b: Array[Byte]): String = new String(b, "UTF-16BE")
+    // dst base + offset: increment the LAST UTF-16 code unit (Adobe CMap
+    // spec: only the last byte/unit varies within one bfrange)
+    def bump(base: Array[Byte], off: Int): String = {
+      val s = strOf(base)
+      if (s.isEmpty) s
+      else s.dropRight(1) + (s.last + off).toChar
+    }
+    val lex = new Lexer(bytes)
+    var tok = lex.next()
+    while (tok.isDefined) {
+      tok.get match {
+        case TKeyword("beginbfchar") =>
+          var done = false
+          while (!done) {
+            (lex.next(), lex.next()) match {
+              case (Some(TString(src)), Some(TString(dst))) =>
+                out += codeOf(src) -> strOf(dst)
+              case _ => done = true // endbfchar or malformed
+            }
+          }
+        case TKeyword("beginbfrange") =>
+          var done = false
+          while (!done) {
+            (lex.next(), lex.next()) match {
+              case (Some(TString(lo)), Some(TString(hi))) =>
+                val loC = codeOf(lo)
+                val hiC = codeOf(hi)
+                lex.next() match {
+                  case Some(TString(base)) =>
+                    var c = loC
+                    while (c <= hiC && c - loC <= 65535) {
+                      out += c -> bump(base, c - loC); c += 1
+                    }
+                  case Some(TArrayOpen) =>
+                    var c = loC
+                    var inArr = true
+                    while (inArr) {
+                      lex.next() match {
+                        case Some(TString(dst)) =>
+                          if (c <= hiC) out += c -> strOf(dst)
+                          c += 1
+                        case _ => inArr = false // TArrayClose or EOF
+                      }
+                    }
+                  case _ => done = true
+                }
+              case _ => done = true // endbfrange or malformed
+            }
+          }
+        case _ => () // codespace ranges, cid mappings, usecmap — skipped
+      }
+      tok = lex.next()
+    }
+    out.result()
+  }
 
   final class Document(objects: Map[Int, PObj]) {
 
@@ -65,13 +139,15 @@ object PdfParser {
 
     /** Pages in /Root → /Pages tree order; falls back to file order of
       * `/Type /Page` dictionaries when the tree is broken or absent.
-      * The trailer dictionary is stored under object number -1. */
+      * Inheritable attributes (/Resources — §7.7.3.4) are pushed down
+      * from /Pages ancestors into pages that lack their own. The trailer
+      * dictionary is stored under object number -1. */
     def pages: Seq[PDict] = {
       val fromTree = for {
         trailer <- objects.get(-1).flatMap(dict)
         root <- entry(trailer, "Root").flatMap(dict)
         pagesRoot <- entry(root, "Pages").flatMap(dict)
-      } yield collectKids(pagesRoot, depth = 0)
+      } yield collectKids(pagesRoot, depth = 0, inheritedRes = None)
       fromTree.filter(_.nonEmpty).getOrElse {
         objects.toSeq.filter(_._1 >= 0).sortBy(_._1).map(o => resolve(o._2))
           .collect {
@@ -80,17 +156,48 @@ object PdfParser {
       }
     }
 
-    private def collectKids(node: PDict, depth: Int): Seq[PDict] = {
+    private def collectKids(node: PDict, depth: Int,
+        inheritedRes: Option[PObj]): Seq[PDict] = {
       if (depth > 64) return Nil // cycle guard
+      val res = node.entries.get("Resources").orElse(inheritedRes)
       name(node, "Type") match {
-        case Some("Page") => Seq(node)
+        case Some("Page") =>
+          val page =
+            if (node.entries.contains("Resources")) node
+            else res.map(r => PDict(node.entries + ("Resources" -> r)))
+              .getOrElse(node)
+          Seq(page)
         case _ =>
           entry(node, "Kids") match {
             case Some(PArr(kids)) =>
-              kids.flatMap(k => dict(k).toSeq.flatMap(collectKids(_, depth + 1)))
+              kids.flatMap(k =>
+                dict(k).toSeq.flatMap(collectKids(_, depth + 1, res)))
             case _ => Nil
           }
       }
+    }
+
+    /** Fonts visible to a page's content stream, keyed by resource name
+      * (the `/F1` of `Tf`): composite-ness (Type0 ⇒ 2-byte codes, the
+      * Identity-H/V convention) and the /ToUnicode CMap when embedded.
+      * Fonts without /ToUnicode fall back to code-value decoding in the
+      * extractor. */
+    def pageFonts(page: PDict): Map[String, PdfFont] = {
+      val fontDicts = for {
+        res <- entry(page, "Resources").flatMap(dict).toSeq
+        fonts <- entry(res, "Font").flatMap(dict).toSeq
+        key <- fonts.entries.keys
+        fd <- entry(fonts, key).flatMap(dict)
+      } yield {
+        val twoByte = name(fd, "Subtype").contains("Type0")
+        val toUni = entry(fd, "ToUnicode") match {
+          case Some(s: PStream) =>
+            decodeStream(s).map(parseToUnicodeCMap).getOrElse(Map.empty)
+          case _ => Map.empty[Int, String]
+        }
+        key -> PdfFont(twoByte, toUni)
+      }
+      fontDicts.toMap
     }
 
     /** Decoded content-stream bytes of a page: /Contents may be one stream
@@ -522,10 +629,12 @@ object PdfParser {
       val text = new String(fileBytes, "ISO-8859-1") // 1:1 byte↔char
       if (!text.startsWith("%PDF")) return None
       val objects = mutable.Map.empty[Int, PObj]
+      val gens = mutable.Map.empty[Int, Int]
       val matcher = ObjHeader.matcher(text)
       var from = 0
       while (from < text.length && matcher.find(from)) {
         val num = matcher.group(1).toInt
+        gens(num) = matcher.group(2).toInt
         val bodyStart = matcher.end()
         val lex = new Lexer(fileBytes, bodyStart)
         val value = lex.next() match {
@@ -577,9 +686,66 @@ object PdfParser {
                 d.entries.contains("Root") => d
         }.foreach(objects(-1) = _)
       }
-      if (objects.isEmpty) None
-      else Some(new Document(expandObjectStreams(objects.toMap)))
+      if (objects.isEmpty) return None
+      decryptObjects(objects, gens) match {
+        case false => None // encrypted with an unsupported scheme/password
+        case true  => Some(new Document(expandObjectStreams(objects.toMap)))
+      }
     } catch { case _: Exception => None }
+  }
+
+  /** If the trailer carries /Encrypt, decrypt every string and stream
+    * in place with the empty-user-password key (see [[PdfCrypto]]).
+    * Returns false when the document is encrypted but undecryptable —
+    * parsing it further would only yield ciphertext "text". Exempt from
+    * decryption (§7.6.2): the /Encrypt dictionary itself, the trailer
+    * (/ID), and cross-reference streams. */
+  private def decryptObjects(
+      objects: mutable.Map[Int, PObj],
+      gens: mutable.Map[Int, Int]): Boolean = {
+    val trailer = objects.get(-1) match {
+      case Some(d: PDict) => d
+      case _              => return true
+    }
+    def resolve(o: PObj): PObj = o match {
+      case PRef(n) => objects.get(n).map(resolve).getOrElse(PNull)
+      case other   => other
+    }
+    val encryptObjNum = trailer.entries.get("Encrypt") match {
+      case Some(PRef(n)) => n
+      case Some(_: PDict) => Int.MinValue // direct dict: nothing to skip
+      case _ => return true // not encrypted
+    }
+    val encDict = resolve(trailer.entries("Encrypt")) match {
+      case d: PDict => d
+      case _        => return true
+    }
+    val fileId = resolve(trailer.entries.getOrElse("ID", PNull)) match {
+      case PArr(items) => resolve(items.headOption.getOrElse(PNull)) match {
+        case PString(b) => b
+        case _          => Array.emptyByteArray
+      }
+      case _ => Array.emptyByteArray
+    }
+    val dec = PdfCrypto.fromEncrypt(resolve, encDict, fileId) match {
+      case Some(d) => d
+      case None    => return false
+    }
+    def walk(num: Int, gen: Int, o: PObj): PObj = o match {
+      case PString(b)  => PString(dec.decrypt(num, gen, b))
+      case PArr(items) => PArr(items.map(walk(num, gen, _)))
+      case PDict(m)    => PDict(m.map { case (k, v) => k -> walk(num, gen, v) })
+      case PStream(d, raw) =>
+        val isXref = d.entries.get("Type").contains(PName("XRef"))
+        val nd = PDict(d.entries.map { case (k, v) => k -> walk(num, gen, v) })
+        PStream(nd, if (isXref) raw else dec.decrypt(num, gen, raw))
+      case other => other
+    }
+    objects.keysIterator.toSeq.foreach { num =>
+      if (num >= 0 && num != encryptObjNum)
+        objects(num) = walk(num, gens.getOrElse(num, 0), objects(num))
+    }
+    true
   }
 
   /** PDF 1.5+ object streams (`/Type /ObjStm`): most non-stream objects of

@@ -50,8 +50,17 @@ object PdfTextExtractor {
   /** Run the text operators of one decoded content stream. */
   def chunks(content: Array[Byte]): Seq[Chunk] = page(content).chunks
 
-  /** Run the text AND path operators of one decoded content stream. */
-  def page(content: Array[Byte]): PageContent = {
+  /** Run the text AND path operators of one decoded content stream
+    * (simple-font-only view — no resource dictionary). */
+  def page(content: Array[Byte]): PageContent =
+    page(content, Map.empty[String, PdfFont])
+
+  /** Run the text AND path operators of one decoded content stream,
+    * decoding shown strings through the page's font resources: Type0
+    * fonts consume 2-byte codes, and /ToUnicode CMaps map codes to real
+    * Unicode (§9.10.2's preferred extraction method). Fonts without a
+    * CMap keep the Latin-1 fallback. */
+  def page(content: Array[Byte], fonts: Map[String, PdfFont]): PageContent = {
     val out = mutable.ArrayBuffer.empty[MutChunk]
     var last: MutChunk = null
     // path state: pending segments since the last paint/no-op, the current
@@ -68,6 +77,7 @@ object PdfTextExtractor {
     var tlm = Matrix.identity
     var leading = 0.0
     var fontSize = 1.0
+    var curFont: Option[PdfFont] = None
     // CTM translation (cm): enough for translated tables; rotation/scale
     // of whole pages is out of scope
     var ctm = Matrix.identity
@@ -82,7 +92,7 @@ object PdfTextExtractor {
 
     def emit(bytes: Array[Byte]): Unit = {
       val (dx, dy) = ctm.apply(tm.e, tm.f)
-      val text = decodeText(bytes)
+      val text = decodeText(bytes, curFont)
       // advance x by a rough width so consecutive shows don't stack;
       // 0.5 em/char approximates Helvetica's average advance
       tm = Matrix.translation(text.length * 0.5 * fontSize, 0).multiply(tm)
@@ -130,7 +140,10 @@ object PdfTextExtractor {
             case "Tm" =>
               tm = Matrix(num(6), num(5), num(4), num(3), num(2), num(1))
               tlm = tm
-            case "Tf" => fontSize = num(1)
+            case "Tf" =>
+              fontSize = num(1)
+              curFont = operands.lift(operands.length - 2)
+                .collect { case PName(n) => n }.flatMap(fonts.get)
             case "Tj" =>
               operands.lastOption.collect { case PString(b) => emit(b) }
             case "'" =>
@@ -209,10 +222,32 @@ object PdfTextExtractor {
     def translation(tx: Double, ty: Double): Matrix = Matrix(1, 0, 0, 1, tx, ty)
   }
 
-  /** Latin-1 byte decode with the PDF escapes already resolved by the
-    * lexer; control bytes (other than tab) are dropped. */
-  private def decodeText(bytes: Array[Byte]): String = {
-    val s = new String(bytes, "ISO-8859-1")
+  /** Byte decode of one shown string, through the current font when one
+    * is known: Type0 ⇒ 2-byte big-endian codes (Identity-H convention);
+    * codes map via the font's /ToUnicode CMap, falling back to the code
+    * value as a code point (exact for Identity-mapped fonts) or Latin-1
+    * for simple fonts. Control chars (other than tab) are dropped. */
+  private def decodeText(bytes: Array[Byte], font: Option[PdfFont]): String = {
+    val s = font match {
+      case Some(f) if f.twoByte =>
+        val sb = new StringBuilder(bytes.length / 2)
+        var i = 0
+        while (i + 1 < bytes.length) {
+          val code = ((bytes(i) & 0xff) << 8) | (bytes(i + 1) & 0xff)
+          sb.append(f.toUnicode.getOrElse(code,
+            new String(Character.toChars(code))))
+          i += 2
+        }
+        sb.toString()
+      case Some(f) if f.toUnicode.nonEmpty =>
+        val sb = new StringBuilder(bytes.length)
+        bytes.foreach { b =>
+          val code = b & 0xff
+          sb.append(f.toUnicode.getOrElse(code, code.toChar.toString))
+        }
+        sb.toString()
+      case _ => new String(bytes, "ISO-8859-1")
+    }
     s.filter(ch => ch == '\t' || ch >= ' ').trim
   }
 

@@ -367,6 +367,118 @@ class PdfImporterSpec extends SparkSpec {
     assert(rows.toSeq == Seq(Seq(0, "k1", "k2"), Seq(1, "v1", "v2")))
   }
 
+  test("Type0 font with /ToUnicode CMap: 2-byte codes map to Unicode text") {
+    // F1 is a composite (Identity-H) font: codes are 2-byte; the CMap
+    // maps 0x0041→"a", 0x0042→"bc" (multi-unit bfchar) and the bfrange
+    // 0x0100..0x0102 → "A".."C"; unmapped 0x0058 falls back to the code
+    // point itself ('X').
+    val cmap =
+      """/CIDInit /ProcSet findresource begin
+        |12 dict begin
+        |begincmap
+        |1 begincodespacerange <0000> <FFFF> endcodespacerange
+        |2 beginbfchar
+        |<0041> <0061>
+        |<0042> <00620063>
+        |endbfchar
+        |1 beginbfrange
+        |<0100> <0102> <0041>
+        |endbfrange
+        |endcmap
+        |CMapName currentdict /CMap defineresource pop
+        |end end
+        |""".stripMargin.getBytes("ISO-8859-1")
+    val content =
+      ("BT /F1 12 Tf\n" +
+        "1 0 0 1 72 700 Tm <00410042> Tj\n" +
+        "1 0 0 1 192 700 Tm <010001010102> Tj\n" +
+        "1 0 0 1 72 680 Tm <0058> Tj\n" +
+        "1 0 0 1 192 680 Tm (done) Tj\n" + // (…) strings decode the same way
+        "ET\n").getBytes("ISO-8859-1")
+    val out = new ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.6\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >> endobj\n")
+    w(s"4 0 obj << /Length ${content.length} >> stream\n")
+    out.write(content)
+    w("\nendstream endobj\n")
+    w("5 0 obj << /Type /Font /Subtype /Type0 /BaseFont /TestCID " +
+      "/Encoding /Identity-H /ToUnicode 6 0 R >> endobj\n")
+    w(s"6 0 obj << /Length ${cmap.length} >> stream\n")
+    out.write(cmap)
+    w("\nendstream endobj\n")
+    w("trailer << /Root 1 0 R >>\n%%EOF\n")
+    val p = tmpDir("pdffont").resolve("type0.pdf")
+    Files.write(p, out.toByteArray)
+
+    val answers = new PdfImporter(spark, p.toString).work()
+    assert(answers.head.parseInfo == "OK")
+    val rows = answers.head.data.orderBy("index").collect().map(_.toSeq)
+    // "(done)" in a Type0 font also decodes as 2-byte codes — 'do' =
+    // 0x646f, 'ne' = 0x6e65 → fallback code points (CJK glyphs); the
+    // observable contract here is the HEX cells, so assert those
+    assert(rows(0)(1) == "abc")
+    assert(rows(0)(2) == "ABC")
+    assert(rows(1)(1) == "X")
+  }
+
+  test("simple font /ToUnicode remaps bytes; /Resources inherits from /Pages") {
+    // the page has NO /Resources — it inherits the /Pages node's (§7.7.3.4);
+    // F2's CMap maps 'q'(0x71) → 'z' for single-byte codes
+    val cmap =
+      """begincmap
+        |1 begincodespacerange <00> <FF> endcodespacerange
+        |1 beginbfchar
+        |<71> <007A>
+        |endbfchar
+        |endcmap
+        |""".stripMargin.getBytes("ISO-8859-1")
+    val content =
+      ("BT /F2 12 Tf\n" +
+        "1 0 0 1 72 700 Tm (quick) Tj\n" +
+        "1 0 0 1 192 700 Tm (aqua) Tj\n" +
+        "ET\n").getBytes("ISO-8859-1")
+    val out = new ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.6\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 " +
+      "/Resources << /Font << /F2 5 0 R >> >> >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Contents 4 0 R >> endobj\n")
+    w(s"4 0 obj << /Length ${content.length} >> stream\n")
+    out.write(content)
+    w("\nendstream endobj\n")
+    w("5 0 obj << /Type /Font /Subtype /TrueType /BaseFont /TestSimple " +
+      "/ToUnicode 6 0 R >> endobj\n")
+    w(s"6 0 obj << /Length ${cmap.length} >> stream\n")
+    out.write(cmap)
+    w("\nendstream endobj\n")
+    w("trailer << /Root 1 0 R >>\n%%EOF\n")
+    val p = tmpDir("pdffont").resolve("simple.pdf")
+    Files.write(p, out.toByteArray)
+
+    val rows = new PdfImporter(spark, p.toString).work().head
+      .data.orderBy("index").collect().map(_.toSeq)
+    assert(rows(0)(1) == "zuick")
+    assert(rows(0)(2) == "azua")
+  }
+
+  test("bfrange with an explicit destination array parses") {
+    val cmap =
+      """begincmap
+        |1 beginbfrange
+        |<0010> <0012> [<0058> <0059> <005A>]
+        |endbfrange
+        |endcmap
+        |""".stripMargin.getBytes("ISO-8859-1")
+    val m = graft.sources.pdf.PdfParser.parseToUnicodeCMap(cmap)
+    assert(m == Map(0x10 -> "X", 0x11 -> "Y", 0x12 -> "Z"))
+  }
+
   test("AnyFile dispatches .pdf to the real reader") {
     val path = writePdf("route.pdf", Seq(grid(Seq(Seq("k", "v")), compress = true)))
     val answers = AnyFile.parse(spark, path)
