@@ -1031,6 +1031,56 @@ object PipelineQueries {
       FROM gated ORDER BY source""")
   )
 
+  /** Chi-square independence audit of two metadata columns (lang ×
+    * source) — the dataset-composition check behind "is language mix
+    * uniform across crawl sources?", run before q67-style mixture
+    * sampling trusts the marginals. Per contingency cell: observed count
+    * O, expected-under-independence E = R·C/N, and the cell's χ²
+    * contribution (O−E)²/E — all carried as exact scaled integers
+    * ((O·N − R·C)² div (R·C·N), the rational identity of (O−E)²/E scaled
+    * by N... with DECIMAL(38,0) intermediates so the squares cannot
+    * overflow BIGINT at corpus scale).
+    *
+    * Scale shape: one (lang, source)-keyed count (map-side combined to
+    * #cells rows), two marginal re-aggregations of THAT tiny table, one
+    * scalar total — everything after the first aggregate is
+    * broadcast-sized. */
+  val q108 = Q(
+    "q108_chisq",
+    (s, dir) => {
+      val cells = documents(s, dir)
+        .groupBy("lang", "source").agg(count(lit(1)).as("o"))
+        .materialized // marginals + total re-read it
+      val rowM = cells.groupBy("lang").agg(sum("o").as("r"))
+      val colM = cells.groupBy("source").agg(sum("o").as("c"))
+      val total = cells.agg(sum("o").as("n"))
+      cells.join(rowM, "lang").join(colM, "source").crossJoin(total)
+        .select(col("lang"), col("source"), col("o"),
+          expr("cast(cast(r as decimal(38,0)) * c * 1000000 div n as bigint)")
+            .as("e_x1e6"),
+          expr("""(cast(o as decimal(38,0)) * n - cast(r as decimal(38,0)) * c)
+                  * (cast(o as decimal(38,0)) * n - cast(r as decimal(38,0)) * c)
+                  * 1000000 div (cast(r as decimal(38,0)) * c * n)""")
+            .cast("long").as("chi2_x1e6"))
+        .orderBy("lang", "source")
+    },
+    Some("""
+      WITH cells AS (
+        SELECT lang, source, COUNT(*) AS o
+        FROM documents GROUP BY 1, 2),
+      rm AS (SELECT lang, SUM(o) AS r FROM cells GROUP BY lang),
+      cm AS (SELECT source, SUM(o) AS c FROM cells GROUP BY source),
+      n AS (SELECT SUM(o) AS n FROM cells)
+      SELECT lang, source, CAST(o AS BIGINT) AS o,
+             CAST(CAST(r AS HUGEINT) * c * 1000000 // n AS BIGINT) AS e_x1e6,
+             CAST((CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+                  * (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+                  * 1000000 // (CAST(r AS HUGEINT) * c * n) AS BIGINT)
+               AS chi2_x1e6
+      FROM cells JOIN rm USING (lang) JOIN cm USING (source) CROSS JOIN n
+      ORDER BY lang, source""")
+  )
+
   val all: Seq[Q] = Seq(q33, q34, q35, q37, q46, q53, q54, q55, q56, q57,
-    q65, q66, q67, q69, q72, q83, q86, q96, q104)
+    q65, q66, q67, q69, q72, q83, q86, q96, q104, q108)
 }

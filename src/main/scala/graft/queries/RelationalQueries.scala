@@ -1061,7 +1061,101 @@ object RelationalQueries {
     }
   )
 
+  /** 3σ anomaly detection over the event stream, per event type — the
+    * data-quality screen run before a metrics table is trusted. Mean and
+    * variance come from EXACT decimal sums (Σx, Σx² in DECIMAL(18,6) /
+    * its exact product type — no rounding, order-independent), cast to
+    * double only at the end; the flag compares SQUARES
+    * ((x−μ)²·(n−1) > 9·(Σx² − (Σx)²/n)) so no sqrt exists anywhere and
+    * both engines evaluate the same literal formula on identical doubles.
+    *
+    * Scale shape: one event_type-keyed aggregate (5 types — map-side
+    * combined to nothing), broadcast back over the stream; the flagged
+    * subset is the output. Two scans, zero wide shuffles. */
+  val q107 = Q(
+    "q107_anomaly",
+    (s, dir) => {
+      val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+      val stats = events(s, dir).groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(dec6)).cast("double").as("sx"),
+        sum(col("value").cast(dec6) * col("value").cast(dec6))
+          .cast("double").as("sxx"))
+      events(s, dir)
+        .join(broadcast(stats), "event_type")
+        .withColumn("mean", col("sx") / col("n"))
+        .withColumn("varn", // (n-1)·σ²·(n)  — kept unnormalized, see flag
+          col("sxx") - col("sx") * col("sx") / col("n"))
+        .filter(
+          (col("value") - col("mean")) * (col("value") - col("mean")) *
+            (col("n") - 1) > lit(9.0) * col("varn") * lit(1.0))
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("n"), col("mean"))
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH stats AS (
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(value AS DECIMAL(18,6)) *
+                        CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sxx
+        FROM events GROUP BY event_type)
+      SELECT event_id, event_type, value, n, sx / n AS mean
+      FROM events JOIN stats USING (event_type)
+      WHERE (value - sx / n) * (value - sx / n) * (n - 1)
+            > 9.0 * (sxx - sx * sx / n) * 1.0
+      ORDER BY event_id""")
+  )
+
+  /** Markov transition matrix over per-user event sequences — the
+    * behavioral-analytics "what happens next" operator (and the
+    * sequence-statistics shape used for session-level curation): order
+    * each user's events by time, pair each with its successor via lag-1
+    * window, count (from → to) transitions, and report the conditional
+    * probability P(to | from) as an exact scaled integer
+    * (c_trans·10⁶ div c_from) so both engines rank identically.
+    *
+    * Scale shape: one user-keyed window (the only corpus-sized exchange),
+    * then a 25-row (from, to) aggregate and a 5-row from-total join —
+    * both broadcast-sized. Event payloads never shuffle. */
+  val q109 = Q(
+    "q109_transitions",
+    (s, dir) => {
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = events(s, dir)
+        .select(col("user_id"), col("event_type").as("to_t"),
+          lag(col("event_type"), 1).over(byUser).as("from_t"))
+        .filter(col("from_t").isNotNull)
+      val trans = pairs.groupBy("from_t", "to_t")
+        .agg(count(lit(1)).as("c_trans"))
+      val fromTotals = pairs.groupBy("from_t")
+        .agg(count(lit(1)).as("c_from"))
+      trans.join(fromTotals, "from_t")
+        .select(col("from_t"), col("to_t"), col("c_trans"), col("c_from"),
+          expr("c_trans * 1000000 div c_from").as("p_x1e6"))
+        .orderBy("from_t", "to_t")
+    },
+    Some("""
+      WITH pairs AS (
+        SELECT user_id, event_type AS to_t,
+               lag(event_type, 1) OVER (PARTITION BY user_id
+                 ORDER BY CAST(ts AS TIMESTAMP), event_id) AS from_t
+        FROM events),
+      t AS (
+        SELECT from_t, to_t, COUNT(*) AS c_trans
+        FROM pairs WHERE from_t IS NOT NULL GROUP BY 1, 2),
+      f AS (
+        SELECT from_t, COUNT(*) AS c_from
+        FROM pairs WHERE from_t IS NOT NULL GROUP BY 1)
+      SELECT from_t, to_t, CAST(c_trans AS BIGINT) AS c_trans,
+             CAST(c_from AS BIGINT) AS c_from,
+             c_trans * 1000000 // c_from AS p_x1e6
+      FROM t JOIN f USING (from_t)
+      ORDER BY from_t, to_t""")
+  )
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08,
     q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q28, q29, q44,
-    q58, q59, q81, q93, q102, q105)
+    q58, q59, q81, q93, q102, q105, q107, q109)
 }

@@ -751,5 +751,54 @@ object ScaleQueries {
       FROM nn, med, p90""")
   )
 
-  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q73, q84, q85, q89, q99)
+  /** Pre-join skew audit — the diagnostic a planner (or an engineer) runs
+    * BEFORE committing to a join strategy at 100 TB: for an equi-join key,
+    * compute each side's key-degree profile and from it the EXACT join
+    * output cardinality (Σ dA(k)·dB(k)) without materializing a single
+    * joined row, plus the heavy-hitter keys and a scaled skew factor
+    * (max-degree-product over mean) that says whether q61's salting is
+    * needed. Audited join: lineitem ⋈ lineitem on l_partkey (the
+    * part-copurchase self-join — real degree variance).
+    *
+    * Scale shape: one partkey-keyed count aggregate (map-side combined,
+    * output = #keys), one #keys-row aggregate for the totals, and a
+    * top-10 TakeOrdered. The audited join itself — potentially 100×
+    * larger than its inputs — never runs. */
+  val q106 = Q(
+    "q106_skew_audit",
+    (s, dir) => {
+      val deg = lineitem(s, dir).groupBy(col("l_partkey").as("k"))
+        .agg(count(lit(1)).as("d"))
+        .materialized // totals + top-10 both read it
+      val totals = deg.agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("d") * col("d")).cast("long").as("join_rows"),
+        max(col("d") * col("d")).cast("long").as("max_pair"))
+      deg
+        .crossJoin(totals)
+        .withColumn("skew_x1000",
+          expr("max_pair * n_keys * 1000 div join_rows"))
+        .orderBy(col("d").desc, col("k"))
+        .limit(10)
+        .select(col("k"), col("d"),
+          (col("d") * col("d")).cast("long").as("pair_rows"),
+          col("n_keys"), col("join_rows"), col("skew_x1000"))
+    },
+    Some("""
+      WITH deg AS (
+        SELECT l_partkey AS k, COUNT(*) AS d FROM lineitem GROUP BY 1),
+      totals AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(d * d) AS BIGINT) AS join_rows,
+               CAST(MAX(d * d) AS BIGINT) AS max_pair
+        FROM deg)
+      SELECT k, d, CAST(d * d AS BIGINT) AS pair_rows,
+             n_keys, join_rows,
+             max_pair * n_keys * 1000 // join_rows AS skew_x1000
+      FROM deg CROSS JOIN totals
+      ORDER BY d DESC, k LIMIT 10""")
+  )
+
+  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q73, q84, q85, q89, q99,
+    q106)
 }

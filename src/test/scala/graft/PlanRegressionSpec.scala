@@ -214,7 +214,10 @@ class PlanRegressionSpec extends SparkSpec {
       // q98/q99/q100 final assemblies: ONE-ROW frames (estimates, order
       // statistics, corpus totals) — scalar cross joins, fixed-size at
       // any corpus scale
-      "q98_hll_merge", "q99_exact_select", "q100_pmi_collocations")
+      "q98_hll_merge", "q99_exact_select", "q100_pmi_collocations",
+      // q106/q108: one-row audit totals (join cardinality / χ² N) cross
+      // joined back over key-count-sized frames — case (a)
+      "q106_skew_audit", "q108_chisq")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")
