@@ -1155,7 +1155,169 @@ object RelationalQueries {
       ORDER BY from_t, to_t""")
   )
 
+  /** CDC MERGE (upsert) — apply a changeset of inserts/updates/deletes to
+    * a base snapshot in one pass: the warehouse `MERGE INTO` the engine
+    * needs for incremental corpus maintenance (q85 only DIAGNOSES drift
+    * between snapshots; this one APPLIES it). Base and changes are carved
+    * deterministically from `documents` (base: doc_id % 7 ≠ 0; changes:
+    * updates at % 3 = 0 with rewritten text, deletes at % 5 = 0, inserts
+    * as fresh ids + 100000 at % 11 = 0), merged via ONE full-outer
+    * equi-join on doc_id with last-writer-wins semantics.
+    *
+    * Scale shape: both sides are hashed MAP-SIDE before the join (q85's
+    * narrow-key discipline — the join shuffles ids + 32-byte digests +
+    * the op tag, never two copies of the text), and the merged corpus is
+    * emitted directly. One shuffle, no iteration. */
+  val q111 = Q(
+    "q111_cdc_merge",
+    (s, dir) => {
+      val docs = documents(s, dir).select("doc_id", "text")
+      val base = docs.filter(col("doc_id") % 7 =!= 0)
+      val changes = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), lit("U").as("op"),
+          upper(col("text")).as("new_text"))
+        .union(docs.filter(col("doc_id") % 5 === 0 && col("doc_id") % 3 =!= 0)
+          .select(col("doc_id"), lit("D").as("op"),
+            lit(null).cast("string").as("new_text")))
+        .union(docs.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), lit("I").as("op"),
+            reverse(col("text")).as("new_text")))
+      base.select(col("doc_id"), col("text"))
+        .join(changes, Seq("doc_id"), "full_outer")
+        .filter(coalesce(col("op"), lit("")) =!= "D")
+        .filter(col("text").isNotNull || col("op") === "I")
+        .select(col("doc_id"),
+          coalesce(col("op"), lit("keep")).as("action"),
+          md5(coalesce(col("new_text"), col("text"))).as("content_md5"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH docs AS (SELECT doc_id, text FROM documents),
+      base AS (SELECT * FROM docs WHERE doc_id % 7 <> 0),
+      changes AS (
+        SELECT doc_id, 'U' AS op, upper(text) AS new_text
+        FROM docs WHERE doc_id % 3 = 0
+        UNION ALL
+        SELECT doc_id, 'D', NULL FROM docs
+        WHERE doc_id % 5 = 0 AND doc_id % 3 <> 0
+        UNION ALL
+        SELECT doc_id + 100000, 'I', reverse(text) FROM docs
+        WHERE doc_id % 11 = 0)
+      SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+             COALESCE(c.op, 'keep') AS action,
+             md5(COALESCE(c.new_text, b.text)) AS content_md5
+      FROM base b FULL OUTER JOIN changes c USING (doc_id)
+      WHERE COALESCE(c.op, '') <> 'D'
+        AND (b.text IS NOT NULL OR c.op = 'I')
+      ORDER BY doc_id""")
+  )
+
+  /** SCD2 interval derivation — turn a change stream into a
+    * slowly-changing-dimension type-2 history table: per user, collapse
+    * consecutive repeats of event_type, then give each surviving state a
+    * [valid_from, valid_to) interval via lead(), open-ended on the
+    * current state. The standard warehousing transform between an event
+    * log and a point-in-time-joinable dimension (the table q17/q44's
+    * as-of join would consume).
+    *
+    * Scale shape: two user-keyed window passes over the same exchange
+    * (change detection via lag, interval close via lead — Catalyst
+    * shares the single sort/partitioning), then a projection. One
+    * shuffle total; event payloads never move twice. */
+  val q112 = Q(
+    "q112_scd2",
+    (s, dir) => {
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val changed = events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("prev_t", lag(col("event_type"), 1).over(byUser))
+        .filter(col("prev_t").isNull || col("prev_t") =!= col("event_type"))
+      changed
+        .withColumn("valid_to_ts", lead(col("ts"), 1).over(byUser))
+        .select(col("user_id"), col("event_type").as("state"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+          coalesce(date_format(col("valid_to_ts"), "yyyy-MM-dd HH:mm:ss"),
+            lit("current")).as("valid_to"),
+          col("valid_to_ts").isNull.cast("int").as("is_current"))
+        .orderBy("user_id", "valid_from", "state")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+               lag(event_type, 1) OVER w AS prev_t
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+      changed AS (
+        SELECT user_id, event_id, ts, event_type
+        FROM ev WHERE prev_t IS NULL OR prev_t <> event_type)
+      SELECT user_id, event_type AS state,
+             strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+             COALESCE(strftime(lead(ts, 1) OVER w2, '%Y-%m-%d %H:%M:%S'),
+                      'current') AS valid_to,
+             CAST(lead(ts, 1) OVER w2 IS NULL AS INT) AS is_current
+      FROM changed
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, valid_from, state""")
+  )
+
+  /** Per-group OLS trend line — exact-sum linear regression of event
+    * value over time: slope/intercept from the closed form
+    * (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), with x re-based to HOURS since
+    * 2024-01-01 (integer µs division — x ≤ ~10³ over a month-scale
+    * window) so Σx and Σx² are small exact integers, the cross sums Σy /
+    * Σxy are exact decimals whose double casts are lossless (< 2⁵³
+    * quanta), and n·Σx² stays far from BIGINT overflow at any tested
+    * scale; doubles appear only in the final division, evaluated by the
+    * same formula text in both engines. The drift detector behind "is
+    * this metric trending?"
+    *
+    * Scale shape: one event_type-keyed aggregate with map-side partial
+    * sums — 5 output rows; nothing else shuffles. */
+  val q113 = Q(
+    "q113_trend",
+    (s, dir) => {
+      val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+      // 473352 = hours from epoch to 2024-01-01T00:00Z
+      val x = expr("unix_micros(ts) div 3600000000 - 473352")
+      events(s, dir)
+        .select(col("event_type"), x.as("x"), col("value").cast(dec6).as("y"))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).cast("long").as("sx"),
+          sum(col("x") * col("x")).cast("long").as("sxx"),
+          sum(col("y")).cast("double").as("sy"),
+          sum(col("x") * col("y")).cast("double").as("sxy"))
+        .withColumn("slope",
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+        .withColumn("intercept",
+          (col("sy") - col("slope") * col("sx")) / col("n"))
+        .select("event_type", "n", "sx", "sxx", "slope", "intercept")
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH pts AS (
+        SELECT event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 - 473352 AS x,
+               CAST(value AS DECIMAL(18,6)) AS y
+        FROM events),
+      sums AS (
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(x * y) AS DOUBLE) AS sxy
+        FROM pts GROUP BY event_type)
+      SELECT event_type, n, sx, sxx,
+             (n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+             (sy - ((n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE)) * sx)
+               / n AS intercept
+      FROM sums ORDER BY event_type""")
+  )
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08,
     q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q28, q29, q44,
-    q58, q59, q81, q93, q102, q105, q107, q109)
+    q58, q59, q81, q93, q102, q105, q107, q109, q111, q112, q113)
 }

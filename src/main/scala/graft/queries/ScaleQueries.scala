@@ -799,6 +799,89 @@ object ScaleQueries {
       ORDER BY d DESC, k LIMIT 10""")
   )
 
+  /** PageRank over the bipartite part ↔ supplier graph (undirected random
+    * walk, damping 0.85, 5 rounds) — graph authority beyond q24/q90's
+    * connected components: which parts/suppliers sit at the center of the
+    * procurement network. ALL arithmetic is integer: total mass 10¹²,
+    * per-round rank = (15·r0) div 100 + (85·Σ incoming r div deg) div 100
+    * with floor division at the SAME points in both engines, so five
+    * rounds stay bit-identical (no float mass drift).
+    *
+    * Scale shape: edges are distinct 8-byte id pairs; each round is one
+    * edge-keyed join + one node-keyed aggregate (the classic Pregel
+    * superstep as two exchanges), materialized between rounds like q24's
+    * label propagation. No driver state except the scalar node count.
+    * Output: top-20 nodes by final rank. */
+  val q110 = Q(
+    "q110_pagerank",
+    (s, dir) => {
+      val li = lineitem(s, dir)
+      // undirected bipartite edges, namespaced ids (parts even, supps odd)
+      val fwd = li.select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst")).distinct().materialized
+      val edges = fwd.union(fwd.select(col("dst").as("src"),
+        col("src").as("dst"))).materialized
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        .materialized
+      val nNodes: Long = deg.count()
+      val mass = 1000000000000L
+      val r0 = mass / nNodes
+      val teleport = 15L * r0 / 100L
+      var ranks = deg.select(col("src").as("node"), lit(r0).as("r"))
+        .materialized
+      for (_ <- 1 to 5) {
+        ranks = edges
+          .join(ranks, edges("src") === ranks("node"))
+          .join(deg, "src")
+          .select(col("dst"), expr("r div deg").as("contrib"))
+          .groupBy(col("dst").as("node"))
+          .agg(expr(s"$teleport + 85 * sum(contrib) div 100").as("r"))
+          .select(col("node"), col("r"))
+          .materialized
+      }
+      ranks
+        .select(col("node"),
+          when(col("node") % 2 === 0, lit("part")).otherwise(lit("supplier"))
+            .as("kind"),
+          expr("node div 2").as("orig_id"), col("r"))
+        .orderBy(col("r").desc, col("node"))
+        .limit(20)
+    },
+    Some {
+      // five unrolled supersteps (recursive CTEs cannot GROUP BY)
+      val rounds = (1 to 5).map { i =>
+        val prev = if (i == 1) "it0" else s"it${i - 1}"
+        s"""it$i AS (
+           |  SELECT e.dst AS node,
+           |         (SELECT t FROM consts) +
+           |           85 * SUM(p.r // d.deg) // 100 AS r
+           |  FROM edges e
+           |  JOIN $prev p ON p.node = e.src
+           |  JOIN deg d ON d.src = e.src
+           |  GROUP BY e.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""
+      WITH fwd AS (
+        SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        FROM lineitem),
+      edges AS (
+        SELECT src, dst FROM fwd
+        UNION ALL SELECT dst, src FROM fwd),
+      deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+      n AS (SELECT COUNT(*) AS n FROM deg),
+      consts AS (
+        SELECT 1000000000000 // n AS r0, 15 * (1000000000000 // n) // 100 AS t
+        FROM n),
+      it0 AS (SELECT src AS node, (SELECT r0 FROM consts) AS r FROM deg),
+      $rounds
+      SELECT node,
+             CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END AS kind,
+             node // 2 AS orig_id, CAST(r AS BIGINT) AS r
+      FROM it5
+      ORDER BY r DESC, node LIMIT 20"""
+    }
+  )
+
   val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q73, q84, q85, q89, q99,
-    q106)
+    q106, q110)
 }
