@@ -1497,6 +1497,170 @@ object DedupQueries {
       ORDER BY doc_a, doc_b""")
   )
 
+  /** End-to-end entity-resolution capstone — the full ER recipe (Christen,
+    * "Data Matching", Springer 2012) as ONE declared query, composing the
+    * suite's building blocks over a different candidate generator than
+    * q21-q24's shingle prefixes:
+    *
+    *   1. multi-strategy BLOCKING: 16-char text prefix blocks ∪
+    *      (first-token, length-bucket) blocks, with BLOCK PURGING (blocks
+    *      larger than 64 are dropped — the meta-blocking guard that keeps
+    *      pair generation from going quadratic on a stop-prefix);
+    *   2. pairwise MATCHING: exact token-set Jaccard ≥ 0.8 (integer
+    *      compare) plus a length-ratio sanity gate (2·min ≥ max);
+    *   3. CLUSTERING: connected components by min-label propagation
+    *      (the q24 loop, shared plan shape);
+    *   4. SURVIVORSHIP: best record per cluster = longest text, ties by
+    *      lowest id (a realistic "keep the richest record" rule, unlike
+    *      q24's min-id convention).
+    *
+    * Scale shape: block keys and token digests shuffle, text never does;
+    * purging bounds pairs at 64²/2 per block; the CC loop moves (node,
+    * label) pairs only. The oracle replays every stage incl. the
+    * reachability fixpoint — the whole pipeline is hash-proven, not just
+    * its pieces. */
+  val q114 = Q(
+    "q114_er_pipeline",
+    (s, dir) => {
+      val docs = documents(s, dir)
+        .select(col("doc_id"), col("text"), col("n_chars")).materialized
+      def blockPairs(keyed: DataFrame): DataFrame = {
+        val sized = keyed
+          .withColumn("cnt", count(lit(1)).over(Window.partitionBy("key")))
+          .filter(col("cnt") <= 64)
+          .select("key", "doc_id")
+        sized.as("a").join(sized.as("b"),
+            col("a.key") === col("b.key") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      }
+      val b1 = docs.select(substring(col("text"), 1, 16).as("key"), col("doc_id"))
+      val b2 = docs
+        .select(col("doc_id"), col("n_chars"),
+          filter(split(col("text"), "\\s+"), x => length(x) > 0).as("ws"))
+        .filter(size(col("ws")) > 0)
+        .select(concat_ws("|", try_element_at(col("ws"), lit(1)),
+          expr("cast(n_chars div 32 as string)")).as("key"), col("doc_id"))
+      val cand = blockPairs(b1).union(blockPairs(b2)).distinct().materialized
+      val tok = docs.select(col("doc_id"),
+          explode(array_distinct(
+            filter(split(col("text"), "\\s+"), x => length(x) > 0))).as("t"))
+        .materialized
+      val counts = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = cand
+        .join(tok.as("ta"), col("doc_a") === col("ta.doc_id"))
+        .join(tok.as("tb"),
+          col("doc_b") === col("tb.doc_id") && col("ta.t") === col("tb.t"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+      val lens = docs.select(col("doc_id"), col("n_chars"))
+      val edges = inter
+        .join(counts.as("ca"), col("doc_a") === col("ca.doc_id"))
+        .join(counts.as("cb"), col("doc_b") === col("cb.doc_id"))
+        .join(lens.as("la"), col("doc_a") === col("la.doc_id"))
+        .join(lens.as("lb"), col("doc_b") === col("lb.doc_id"))
+        .filter(col("i") * 5 >= (col("ca.n") + col("cb.n") - col("i")) * 4)
+        .filter(least(col("la.n_chars"), col("lb.n_chars")) * 2 >=
+          greatest(col("la.n_chars"), col("lb.n_chars")))
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val sym = edges
+        .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .materialized
+      var labels = docs.select(col("doc_id").as("node"),
+        col("doc_id").as("lbl")).materialized
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 50) {
+        val next = labelPropRound(sym, labels).materialized
+        changed = next.filter(col("nxt") < col("lbl")).count()
+        labels = next.select(col("node"), col("nxt").as("lbl"))
+        rounds += 1
+      }
+      val comp = labels.select(col("node").as("doc_id"), col("lbl").as("cluster"))
+      val sizes = comp.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+      val best = comp.join(lens, "doc_id")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("cluster")
+            .orderBy(col("n_chars").desc, col("doc_id"))))
+        .filter(col("rn") === 1)
+        .select(col("cluster"), col("doc_id").as("best_id"))
+      comp.join(sizes, "cluster").join(best, "cluster")
+        .select(col("doc_id"), col("cluster"), col("cluster_size"),
+          col("best_id"),
+          (col("doc_id") === col("best_id")).cast("int").as("is_canonical"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH RECURSIVE
+      docs AS (SELECT doc_id, text, n_chars FROM documents),
+      b1 AS (SELECT substr(text, 1, 16) AS key, doc_id FROM docs),
+      b2 AS (
+        SELECT concat(ws[1], '|', CAST(n_chars // 32 AS VARCHAR)) AS key,
+               doc_id
+        FROM (SELECT doc_id, n_chars,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 x -> length(x) > 0) AS ws
+              FROM docs)
+        WHERE len(ws) > 0),
+      p1 AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM b1 a JOIN b1 b USING (key)
+        WHERE a.doc_id < b.doc_id
+          AND key IN (SELECT key FROM b1 GROUP BY key HAVING COUNT(*) <= 64)),
+      p2 AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM b2 a JOIN b2 b USING (key)
+        WHERE a.doc_id < b.doc_id
+          AND key IN (SELECT key FROM b2 GROUP BY key HAVING COUNT(*) <= 64)),
+      -- DISTINCT spelled out: inside a WITH RECURSIVE list DuckDB gives
+      -- plain UNION recursive-union semantics (no global dedup)
+      cand AS (
+        SELECT DISTINCT doc_a, doc_b FROM (
+          SELECT doc_a, doc_b FROM p1
+          UNION ALL SELECT doc_a, doc_b FROM p2)),
+      tok AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_filter(string_split_regex(text, '\s+'),
+                                  x -> length(x) > 0)) AS t
+        FROM docs),
+      counts AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+      inter AS (
+        SELECT doc_a, doc_b, COUNT(*) AS i
+        FROM cand
+        JOIN tok ta ON ta.doc_id = doc_a
+        JOIN tok tb ON tb.doc_id = doc_b AND tb.t = ta.t
+        GROUP BY doc_a, doc_b),
+      e0 AS (
+        SELECT doc_a AS src, doc_b AS dst
+        FROM inter
+        JOIN counts ca ON ca.doc_id = doc_a
+        JOIN counts cb ON cb.doc_id = doc_b
+        JOIN docs da ON da.doc_id = doc_a
+        JOIN docs db ON db.doc_id = doc_b
+        WHERE i * 5 >= (ca.n + cb.n - i) * 4
+          AND least(da.n_chars, db.n_chars) * 2
+              >= greatest(da.n_chars, db.n_chars)),
+      edges AS (
+        SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+      reach(src, node) AS (
+        SELECT doc_id, doc_id FROM docs
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.node),
+      comp AS (
+        SELECT src AS doc_id, MIN(node) AS cluster FROM reach GROUP BY src),
+      sizes AS (
+        SELECT cluster, COUNT(*) AS cluster_size FROM comp GROUP BY cluster),
+      best AS (
+        SELECT cluster, doc_id AS best_id
+        FROM (SELECT c.cluster, c.doc_id,
+                     ROW_NUMBER() OVER (PARTITION BY c.cluster
+                       ORDER BY d.n_chars DESC, c.doc_id) AS rn
+              FROM comp c JOIN docs d USING (doc_id))
+        WHERE rn = 1)
+      SELECT c.doc_id, c.cluster, s.cluster_size, b.best_id,
+             CAST(c.doc_id = b.best_id AS INT) AS is_canonical
+      FROM comp c JOIN sizes s USING (cluster) JOIN best b USING (cluster)
+      ORDER BY c.doc_id""")
+  )
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q26, q38, q71, q74, q76,
-    q82, q88, q90, q91, q95, q101, q103)
+    q82, q88, q90, q91, q95, q101, q103, q114)
 }
