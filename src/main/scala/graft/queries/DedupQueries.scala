@@ -1661,6 +1661,74 @@ object DedupQueries {
       ORDER BY c.doc_id""")
   )
 
+  /** Cluster-aware, leakage-safe train/val/test split — the assignment step
+    * every training corpus needs after dedup: if two near-duplicate
+    * documents land in different splits, the eval set is contaminated by
+    * construction (Lee et al.'s "deduplicate BEFORE you split"). So the
+    * split key is the CLUSTER id, not the document id: all members of a
+    * connected component of the near-dup graph (q24's fixpoint, shared
+    * code path) inherit one deterministic hash bucket —
+    * md5(cluster) mod 10 → 0-7 train / 8 val / 9 test. The audit column
+    * `leak_prevented` marks exactly the documents a naive per-doc hash
+    * split would have separated from their duplicates (cluster_size > 1
+    * AND doc-hash split ≠ cluster-hash split) — the contamination this
+    * operator exists to stop, made visible and countable.
+    *
+    * Scale shape: the component loop is q24's (label tables shuffle, never
+    * documents); after that everything is one cluster-keyed size count and
+    * map-side hash arithmetic. RNG-free, so the split is reproducible
+    * across runs, engines, and cluster sizes — the property that makes it
+    * auditable at 100 TB. */
+  val q115 = Q(
+    "q115_split_leakage",
+    (s, dir) => {
+      def bucket(c: Column): Column =
+        conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long") % 10
+      def splitOf(b: Column): Column =
+        when(b <= 7, "train").when(b === 8, "val").otherwise("test")
+      val comp = jaccardComponents(documents(s, dir))
+      val sizes = comp.groupBy("cluster")
+        .agg(count(lit(1)).as("cluster_size"))
+      comp.join(sizes, "cluster")
+        .withColumn("split", splitOf(bucket(col("cluster"))))
+        .withColumn("leak_prevented",
+          (col("cluster_size") > 1 &&
+            splitOf(bucket(col("doc_id"))) =!= col("split")).cast("int"))
+        .select(col("doc_id"), col("cluster"), col("cluster_size"),
+          col("split"), col("leak_prevented"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH RECURSIVE $JaccardPairsSql,
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM jp
+        UNION ALL
+        SELECT doc_b, doc_a FROM jp),
+      reach(src, node) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.node),
+      comp AS (
+        SELECT src AS doc_id, MIN(node) AS cluster FROM reach GROUP BY src),
+      sizes AS (
+        SELECT cluster, COUNT(*) AS cluster_size FROM comp GROUP BY cluster),
+      labeled AS (
+        SELECT doc_id, cluster, cluster_size,
+               ('0x' || substr(md5(CAST(cluster AS VARCHAR)), 1, 8))::BIGINT % 10 AS cb,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 AS db
+        FROM comp JOIN sizes USING (cluster))
+      SELECT doc_id, cluster, cluster_size,
+             CASE WHEN cb <= 7 THEN 'train'
+                  WHEN cb = 8 THEN 'val' ELSE 'test' END AS split,
+             CAST(cluster_size > 1 AND
+                  (CASE WHEN cb <= 7 THEN 'train'
+                        WHEN cb = 8 THEN 'val' ELSE 'test' END) <>
+                  (CASE WHEN db <= 7 THEN 'train'
+                        WHEN db = 8 THEN 'val' ELSE 'test' END) AS INT)
+               AS leak_prevented
+      FROM labeled ORDER BY doc_id""")
+  )
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q26, q38, q71, q74, q76,
-    q82, q88, q90, q91, q95, q101, q103, q114)
+    q82, q88, q90, q91, q95, q101, q103, q114, q115)
 }

@@ -1081,6 +1081,110 @@ object PipelineQueries {
       ORDER BY lang, source""")
   )
 
+  /** Per-source token-budget cap — the data-recipe enforcement step
+    * ("Wikipedia at most N tokens, keep the best first"): within each
+    * source, documents are ranked by integer TTR quality (q104's metric)
+    * descending, and the running token total is cut at the budget. A doc
+    * is kept iff its cumulative token count (inclusive) still fits.
+    * Deterministic tiebreak (quality, then doc_id) makes the retained set
+    * reproducible — a recipe, not a sample.
+    *
+    * Scale shape: one map-side projection (tokens + quality), then ONE
+    * source-keyed window doing both the rank and the running sum in the
+    * same sort — a single exchange + sort per stratum. Sources are the
+    * partition key, so a pathologically large stratum serializes; the
+    * distributed prefix-sum of q84 (per-shard sums + broadcast offsets) is
+    * the drop-in replacement when one source outweighs an executor. */
+  val q116 = Q(
+    "q116_token_cap",
+    (s, dir) => {
+      val cap = 3000L
+      val toks = documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          filter(split(col("text"), "\\s+"), x => length(x) > 0).as("ws"))
+        .select(col("doc_id"), col("source"),
+          size(col("ws")).cast("long").as("toks"),
+          expr("(1000 * size(array_distinct(ws))) div size(ws)").as("q"))
+      val bySrc = Window.partitionBy("source")
+        .orderBy(col("q").desc, col("doc_id"))
+      toks
+        .withColumn("cum_toks",
+          sum(col("toks")).over(bySrc.rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("kept", (col("cum_toks") <= cap).cast("int"))
+        .select("doc_id", "source", "toks", "q", "cum_toks", "kept")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH scored AS (
+        SELECT doc_id, source, CAST(len(ws) AS BIGINT) AS toks,
+               (1000 * len(list_distinct(ws)) // len(ws)) AS q
+        FROM (SELECT doc_id, source,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 x -> length(x) > 0) AS ws
+              FROM documents))
+      SELECT doc_id, source, toks, q,
+             CAST(SUM(toks) OVER (PARTITION BY source
+                                  ORDER BY q DESC, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_toks,
+             CAST(SUM(toks) OVER (PARTITION BY source
+                                  ORDER BY q DESC, doc_id
+                                  ROWS UNBOUNDED PRECEDING) <= 3000 AS INT)
+               AS kept
+      FROM scored ORDER BY doc_id""")
+  )
+
+  /** Cross-source quality calibration by within-source percentile rank —
+    * the fix for "a raw quality score of 600 means different things on
+    * different crawls": each document's integer quality (q104's TTR
+    * metric) is converted to its percent_rank WITHIN its source, making
+    * scores comparable across sources with different score distributions
+    * (the classifier-calibration move quality-filter pipelines apply
+    * before a single global cutoff). The gate keeps each source's top
+    * half — by construction the retention rate is uniform per source,
+    * which a raw-score cutoff cannot guarantee.
+    *
+    * Cross-engine exactness: percent_rank = (rank−1)/(n−1) with a
+    * total order (quality, doc_id), so both engines divide the same
+    * small exact integers — bit-identical doubles.
+    *
+    * Scale shape: one source-keyed window (single exchange + sort); the
+    * gate is map-side on the window output. Same stratum-skew caveat and
+    * q84 prefix-sum escape hatch as q116. */
+  val q117 = Q(
+    "q117_quantile_norm",
+    (s, dir) => {
+      val scored = documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          filter(split(col("text"), "\\s+"), x => length(x) > 0).as("ws"))
+        .select(col("doc_id"), col("source"),
+          expr("(1000 * size(array_distinct(ws))) div size(ws)").as("q"))
+      val bySrc = Window.partitionBy("source")
+        .orderBy(col("q"), col("doc_id"))
+      scored
+        .withColumn("pr", percent_rank().over(bySrc))
+        .withColumn("kept", (col("pr") >= 0.5).cast("int"))
+        .select("doc_id", "source", "q", "pr", "kept")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH scored AS (
+        SELECT doc_id, source,
+               (1000 * len(list_distinct(ws)) // len(ws)) AS q
+        FROM (SELECT doc_id, source,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 x -> length(x) > 0) AS ws
+              FROM documents))
+      SELECT doc_id, source, q,
+             percent_rank() OVER (PARTITION BY source ORDER BY q, doc_id)
+               AS pr,
+             CAST(percent_rank() OVER (PARTITION BY source
+                                       ORDER BY q, doc_id) >= 0.5 AS INT)
+               AS kept
+      FROM scored ORDER BY doc_id""")
+  )
+
   val all: Seq[Q] = Seq(q33, q34, q35, q37, q46, q53, q54, q55, q56, q57,
-    q65, q66, q67, q69, q72, q83, q86, q96, q104, q108)
+    q65, q66, q67, q69, q72, q83, q86, q96, q104, q108, q116, q117)
 }

@@ -1317,7 +1317,45 @@ object RelationalQueries {
       FROM sums ORDER BY event_type""")
   )
 
+  /** Stream-static enrichment join (batch twin) — the standard streaming
+    * topology "enrich each event with its dimension row, aggregate by a
+    * dimension attribute": events ⋈ customer (user key) ⋈ nation, revenue
+    * and volume per (nation, event_type). In the streaming form
+    * (StreamingSpec's twin, built on [[Tables.eventsStream]]) the
+    * dimension side is static and Spark broadcasts it into every
+    * micro-batch — no state store, no watermark needed for the join
+    * itself. The batch twin here carries the same plan shape: both dims
+    * are explicitly broadcast (customer is bounded per-tenant; nation is
+    * 25 rows), so the corpus-sized events scan never shuffles — the only
+    * exchange is the ~125-group aggregate, map-side combined. At 100 TB
+    * of events this is the shape you want: dimension churn, not event
+    * volume, is what would force a state-store join. */
+  val q119 = Q(
+    "q119_stream_enrich",
+    (s, dir) => {
+      val ev = events(s, dir)
+      val cust = customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"))
+      val nat = nation(s, dir)
+        .select(col("n_nationkey"), col("n_name"))
+      ev.join(broadcast(cust), col("user_id") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .orderBy("nation", "event_type")
+    },
+    Some(s"""
+      SELECT n_name AS nation, event_type,
+             COUNT(*) AS n_events,
+             ${dsumSql("value")} AS sum_value
+      FROM events
+      JOIN customer ON user_id = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name, event_type
+      ORDER BY nation, event_type""")
+  )
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08,
     q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q28, q29, q44,
-    q58, q59, q81, q93, q102, q105, q107, q109, q111, q112, q113)
+    q58, q59, q81, q93, q102, q105, q107, q109, q111, q112, q113, q119)
 }

@@ -882,6 +882,80 @@ object ScaleQueries {
     }
   )
 
+  /** Range-partitioned layout audit — the 1-D companion to q64's Z-order:
+    * compute EXACT range boundaries (percentiles at the seven dyadic
+    * eighths — binary fractions over integer keys, so the interpolated
+    * doubles are bit-identical across engines, q35's trick), assign every
+    * row its range bucket map-side, and emit per-bucket extents proving
+    * the layout property parquet min/max data skipping needs: bucket key
+    * ranges are DISJOINT, so a point/range predicate prunes to one bucket.
+    *
+    * This is `repartitionByRange` made auditable: Spark's version samples
+    * boundaries non-deterministically (RangePartitioner reservoir), which
+    * is fine for layout but unprovable to an oracle; computing boundaries
+    * from an exact one-row aggregate gives the same physical layout
+    * decision deterministically. The boundary row is broadcast
+    * (1-row crossJoin, the allowlisted scalar pattern), assignment is
+    * seven comparisons per row inside codegen, and the extents aggregate
+    * is map-side partial to 8 groups — nothing but the scan is
+    * corpus-sized. The exact-percentile pass is one per-key sort at scale;
+    * a sampled-boundary variant trades that for approximation exactly the
+    * way Spark's RangePartitioner does. */
+  val q118 = Q(
+    "q118_range_layout",
+    (s, dir) => {
+      val ps = (1 to 7).map(_ / 8.0)
+      val li = lineitem(s, dir).select(col("l_partkey").as("k"))
+      val bounds = li.agg(
+        percentile(col("k"), lit(ps(0))).as("b1"),
+        percentile(col("k"), lit(ps(1))).as("b2"),
+        percentile(col("k"), lit(ps(2))).as("b3"),
+        percentile(col("k"), lit(ps(3))).as("b4"),
+        percentile(col("k"), lit(ps(4))).as("b5"),
+        percentile(col("k"), lit(ps(5))).as("b6"),
+        percentile(col("k"), lit(ps(6))).as("b7"))
+      val bucket = (1 to 7)
+        .map(i => (col("k") > col(s"b$i")).cast("int"))
+        .reduce(_ + _)
+      val extents = li.crossJoin(broadcast(bounds))
+        .select(col("k"), bucket.as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("cnt"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      extents
+        .withColumn("disjoint",
+          coalesce(col("min_k") >
+            lag(col("max_k"), 1).over(Window.orderBy("bucket")), lit(true))
+            .cast("int"))
+        .orderBy("bucket")
+    },
+    Some("""
+      WITH b AS (
+        SELECT quantile_cont(l_partkey, 0.125) AS b1,
+               quantile_cont(l_partkey, 0.25)  AS b2,
+               quantile_cont(l_partkey, 0.375) AS b3,
+               quantile_cont(l_partkey, 0.5)   AS b4,
+               quantile_cont(l_partkey, 0.625) AS b5,
+               quantile_cont(l_partkey, 0.75)  AS b6,
+               quantile_cont(l_partkey, 0.875) AS b7
+        FROM lineitem),
+      assigned AS (
+        SELECT l_partkey AS k,
+               CAST(l_partkey > b1 AS INT) + CAST(l_partkey > b2 AS INT) +
+               CAST(l_partkey > b3 AS INT) + CAST(l_partkey > b4 AS INT) +
+               CAST(l_partkey > b5 AS INT) + CAST(l_partkey > b6 AS INT) +
+               CAST(l_partkey > b7 AS INT) AS bucket
+        FROM lineitem CROSS JOIN b),
+      ext AS (
+        SELECT bucket, COUNT(*) AS cnt,
+               MIN(k) AS min_k, MAX(k) AS max_k
+        FROM assigned GROUP BY bucket)
+      SELECT bucket, cnt, min_k, max_k,
+             CAST(COALESCE(min_k > lag(max_k, 1) OVER (ORDER BY bucket),
+                           TRUE) AS INT) AS disjoint
+      FROM ext ORDER BY bucket""")
+  )
+
   val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q73, q84, q85, q89, q99,
-    q106, q110)
+    q106, q110, q118)
 }

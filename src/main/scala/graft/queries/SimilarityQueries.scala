@@ -1278,6 +1278,74 @@ object SimilarityQueries {
       ORDER BY query_id, rank""")
   )
 
+  /** Per-label centroid drift audit — the embedding-space composition
+    * check behind "did this source/label shift distribution between
+    * snapshots?": mean embedding per label, then the exact squared
+    * Euclidean distance between every centroid pair. Means are never
+    * materialized as floats: the per-dimension SUM of scale_floor'd
+    * integers and the member count n are carried separately, and the
+    * pair distance uses the cross-multiplied identity
+    * ‖sa/na − sb/nb‖² = Σ(sa·nb − sb·na)² / (na·nb)² in DECIMAL(38,0) —
+    * one exact integer division at the end (×1e6), so the audit is
+    * bit-identical across engines and cluster sizes.
+    *
+    * Scale shape: one posexplode + (label, dim)-keyed aggregate with
+    * map-side partials — the shuffle carries K×64 longs, not vectors; the
+    * centroid pair join is K²×64 rows of integers (broadcast-sized for
+    * any real label count). Corpus size only touches the scan. */
+  val q120 = Q(
+    "q120_centroid_drift",
+    (s, dir) => {
+      val el = embeddings(s, dir)
+        .select(col("label"),
+          posexplode(graft.functions.ScaleFloor.scale_floor(col("embedding"))))
+        .toDF("label", "pos", "v")
+      val cents = el.groupBy("label", "pos")
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+        .materialized // both sides of the pair join read it
+      val a = cents.select(col("label").as("label_a"), col("pos"),
+        col("sv").as("sa"), col("n").as("na"))
+      val b = cents.select(col("label").as("label_b"), col("pos").as("pos_b"),
+        col("sv").as("sb"), col("n").as("nb"))
+      a.join(b, col("pos") === col("pos_b") && col("label_a") < col("label_b"))
+        .groupBy("label_a", "label_b", "na", "nb")
+        .agg(expr("""cast(sum(
+            (cast(sa as decimal(38,0)) * nb - cast(sb as decimal(38,0)) * na) *
+            (cast(sa as decimal(38,0)) * nb - cast(sb as decimal(38,0)) * na))
+          * 1000000 div ((cast(na as decimal(38,0)) * nb * 1000000)
+                       * (cast(na as decimal(38,0)) * nb * 1000000))
+          as bigint)""").as("dist2_x1e6"))
+        .select("label_a", "label_b", "na", "nb", "dist2_x1e6")
+        .orderBy("label_a", "label_b")
+    },
+    Some("""
+      WITH el AS (
+        SELECT label, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings),
+      sc AS (
+        SELECT label, pos,
+               CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS v
+        FROM el),
+      cents AS (
+        SELECT label, pos, SUM(v) AS sv, COUNT(*) AS n
+        FROM sc GROUP BY label, pos),
+      pairs AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               a.n AS na, b.n AS nb,
+               SUM((CAST(a.sv AS HUGEINT) * b.n - CAST(b.sv AS HUGEINT) * a.n)
+                 * (CAST(a.sv AS HUGEINT) * b.n - CAST(b.sv AS HUGEINT) * a.n))
+                 AS s2
+        FROM cents a JOIN cents b ON a.pos = b.pos AND a.label < b.label
+        GROUP BY 1, 2, 3, 4)
+      SELECT label_a, label_b,
+             CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+             CAST(s2 * 1000000 // ((CAST(na AS HUGEINT) * nb * 1000000)
+                                 * (CAST(na AS HUGEINT) * nb * 1000000))
+                  AS BIGINT) AS dist2_x1e6
+      FROM pairs ORDER BY label_a, label_b""")
+  )
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q45, q47, q48, q49, q77, q79,
-    q80, q92, q94)
+    q80, q92, q94, q120)
 }

@@ -186,6 +186,32 @@ class PlanRegressionSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"), plan.take(3000))
   }
 
+  test("q116/q117: rank and running sum share ONE source-keyed exchange") {
+    // the cap and the calibration are each one window pass; a refactor
+    // that splits rank and cumsum into differently-ordered windows would
+    // double the exchange count
+    for (q <- Seq(graft.queries.PipelineQueries.q116,
+                  graft.queries.PipelineQueries.q117)) {
+      val plan = planOf(q)
+      assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+        s"${q.name}: ${plan.take(3000)}")
+    }
+  }
+
+  test("q119: both dimension joins broadcast; only the aggregate shuffles") {
+    val plan = planOf(RelationalQueries.q119)
+    assert("BroadcastHashJoin".r.findAllIn(plan).size == 2, plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
+  test("q120: vectors never shuffle — exchanges are keyed on (label, dim) sums") {
+    val plan = planOf(graft.queries.SimilarityQueries.q120)
+    // every hash exchange must be on label/pos keys, none on the embedding
+    assert(!plan.contains("Exchange hashpartitioning(embedding"),
+      plan.take(3000))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(3000))
+  }
+
   test("suite-wide: no cartesian products; nested-loop joins only where intended") {
     // The 100 TB kill-switch: a CartesianProduct anywhere is a bug, and a
     // BroadcastNestedLoopJoin is legitimate ONLY for (a) one-row scalar
@@ -217,7 +243,10 @@ class PlanRegressionSpec extends SparkSpec {
       "q98_hll_merge", "q99_exact_select", "q100_pmi_collocations",
       // q106/q108: one-row audit totals (join cardinality / χ² N) cross
       // joined back over key-count-sized frames — case (a)
-      "q106_skew_audit", "q108_chisq")
+      "q106_skew_audit", "q108_chisq",
+      // q118: the seven range boundaries are ONE aggregated row broadcast
+      // over the scan — case (a); bucket assignment itself is map-side
+      "q118_range_layout")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")

@@ -1,0 +1,185 @@
+package graft
+
+import graft.queries.{DedupQueries, PipelineQueries, RelationalQueries, ScaleQueries, SimilarityQueries}
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants of the round-6 operators (q115 leakage-safe split,
+  * q116 token-budget cap, q117 quantile calibration, q118 range layout,
+  * q119 stream-static enrichment, q120 centroid drift) beyond the DuckDB
+  * hash oracle: from-scratch driver-side recomputes and cross-query
+  * consistency laws at sf0.001, so a silent drift in a building block
+  * fails even if both engines drift together.
+  */
+class Round6OpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def md5Bucket(x: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(x.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16) % 10
+  }
+  private def splitOf(b: Long): String =
+    if (b <= 7) "train" else if (b == 8) "val" else "test"
+
+  test("q115: no cluster ever spans two splits, and the split is the cluster hash") {
+    val rows = DedupQueries.q115.spark(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getInt(4)))
+    assert(rows.nonEmpty)
+    // leakage-safety BY CONSTRUCTION: one split per cluster
+    rows.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.map(_._4).distinct.length == 1, s"cluster $c leaks")
+    }
+    // the split is exactly md5(cluster) mod 10, and the audit flag is
+    // exactly "a per-doc hash would have disagreed, in a real cluster"
+    rows.foreach { case (doc, cluster, size, split, leak) =>
+      assert(split == splitOf(md5Bucket(cluster)), s"doc $doc split")
+      val expectLeak =
+        size > 1 && splitOf(md5Bucket(doc)) != splitOf(md5Bucket(cluster))
+      assert(leak == (if (expectLeak) 1 else 0), s"doc $doc leak flag")
+    }
+  }
+
+  test("q115: cluster assignment is q24's components") {
+    val split = DedupQueries.q115.spark(spark, sf)
+      .select("doc_id", "cluster")
+    val comps = DedupQueries.q24.spark(spark, sf)
+      .select("doc_id", "cluster")
+    assert(split.exceptAll(comps).isEmpty && comps.exceptAll(split).isEmpty)
+  }
+
+  private def docWords: Array[(Long, String, Array[String])] =
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split("\\s+").filter(_.nonEmpty)))
+
+  test("q116: matches a from-scratch per-source budget recompute") {
+    val got = PipelineQueries.q116.spark(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getInt(5)))).toMap
+
+    val expect = docWords
+      .map { case (id, src, ws) =>
+        (id, src, ws.length.toLong, 1000L * ws.distinct.length / ws.length)
+      }
+      .groupBy(_._2).values.flatMap { docs =>
+        var cum = 0L
+        docs.sortBy(d => (-d._4, d._1)).map { case (id, _, toks, q) =>
+          cum += toks
+          id -> ((toks, q, cum, if (cum <= 3000L) 1 else 0))
+        }
+      }.toMap
+    assert(got == expect)
+  }
+
+  test("q116: kept set is a prefix of the quality order and respects the cap") {
+    val rows = PipelineQueries.q116.spark(spark, sf).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(0),
+        r.getInt(5)))
+    rows.groupBy(_._1).foreach { case (src, docs) =>
+      val inOrder = docs.sortBy(d => (-d._3, d._4))
+      val keptToks = inOrder.takeWhile(_._5 == 1).map(_._2).sum
+      assert(keptToks <= 3000L, s"source $src busts the budget")
+      // prefix property: once dropped, never kept again
+      assert(!inOrder.dropWhile(_._5 == 1).exists(_._5 == 1), s"source $src")
+    }
+  }
+
+  test("q117: percent_rank matches (rank-1)/(n-1) from scratch, gate keeps top half") {
+    val got = PipelineQueries.q117.spark(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(3), r.getInt(4)))).toMap
+
+    val expect = docWords
+      .map { case (id, src, ws) =>
+        (id, src, 1000L * ws.distinct.length / ws.length)
+      }
+      .groupBy(_._2).values.flatMap { docs =>
+        val inOrder = docs.sortBy(d => (d._3, d._1))
+        val n = inOrder.length
+        inOrder.zipWithIndex.map { case ((id, _, _), i) =>
+          val pr = if (n == 1) 0.0 else i.toDouble / (n - 1)
+          id -> ((pr, if (pr >= 0.5) 1 else 0))
+        }
+      }.toMap
+    assert(got == expect)
+  }
+
+  test("q118: buckets are disjoint, exhaustive, and ordered") {
+    val rows = ScaleQueriesAccess.q118(spark, sf)
+    val total = spark.read.parquet(s"$sf/lineitem.parquet").count()
+    assert(rows.map(_._2).sum == total) // every row landed in a bucket
+    assert(rows.map(_._1).toSeq == (0L until 8L)) // all 8 buckets non-empty
+    rows.foreach { case (b, _, mn, mx, disjoint) =>
+      assert(mn <= mx && disjoint == 1, s"bucket $b")
+    }
+    // extents strictly increase bucket to bucket (the data-skipping law)
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo._4 < hi._3, s"buckets ${lo._1}/${hi._1} overlap")
+    }
+  }
+
+  test("q119: matches a from-scratch enrichment recompute") {
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_custkey", "c_nationkey").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val nat = spark.read.parquet(s"$sf/nation.parquet")
+      .select("n_nationkey", "n_name").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val counts = graft.queries.Tables.events(spark, sf)
+      .select("user_id", "event_type").collect()
+      .flatMap { r =>
+        cust.get(r.getLong(0)).flatMap(nat.get)
+          .map(n => (n, r.getString(1)))
+      }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+
+    val got = RelationalQueries.q119.spark(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == counts && got.nonEmpty)
+  }
+
+  test("q120: matches an exact BigInt centroid-distance recompute") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("label", "embedding").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    val byLabel = vecs.groupBy(_._1).view.mapValues { vs =>
+      val dim = vs.head._2.length
+      val sums = Array.fill(dim)(BigInt(0))
+      vs.foreach { case (_, v) =>
+        var i = 0
+        while (i < dim) {
+          sums(i) += BigInt(math.floor(v(i).toDouble * 1e6).toLong); i += 1
+        }
+      }
+      (sums, BigInt(vs.length))
+    }.toMap
+
+    val expect = (for {
+      a <- byLabel.keys; b <- byLabel.keys if a < b
+    } yield {
+      val (sa, na) = byLabel(a); val (sb, nb) = byLabel(b)
+      val s2 = sa.indices.map { i =>
+        val d = sa(i) * nb - sb(i) * na; d * d
+      }.sum
+      val den = (na * nb * BigInt(1000000)).pow(2)
+      (a, b) -> (s2 * 1000000 / den).toLong
+    }).toMap
+
+    val got = SimilarityQueries.q120.spark(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(4)).toMap
+    assert(got == expect && got.nonEmpty)
+  }
+}
+
+/** q118 row accessor shared by the invariants test (keeps the tuple
+  * unpacking in one place). */
+private object ScaleQueriesAccess {
+  def q118(spark: org.apache.spark.sql.SparkSession, sf: String)
+      : Array[(Long, Long, Long, Long, Int)] =
+    ScaleQueries.q118.spark(spark, sf).collect()
+      .map(r => (r.getInt(0).toLong, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getInt(4)))
+}

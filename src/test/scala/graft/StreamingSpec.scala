@@ -115,4 +115,32 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() > 0)
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
+
+  test("stream-static enrichment join matches the batch twin (q119)") {
+    // The q119 topology with a real stream: each micro-batch of events is
+    // joined to STATIC dimension tables (broadcast into the batch — no
+    // state store, no watermark needed for the join), then aggregated.
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val nat = spark.read.parquet(s"$sf/nation.parquet")
+      .select(col("n_nationkey"), col("n_name"))
+    val agg = eventsStream
+      .join(broadcast(cust), col("user_id") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("enriched")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("enriched")
+    val batch = graft.queries.RelationalQueries.q119.spark(spark, sf)
+      .select("nation", "event_type", "n_events")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
 }
