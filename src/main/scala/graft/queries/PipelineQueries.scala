@@ -1185,6 +1185,74 @@ object PipelineQueries {
       FROM scored ORDER BY doc_id""")
   )
 
+  /** Sequence-length bucketing + padding-waste audit — the dynamic-batching
+    * decision input: group documents into power-of-two token-length
+    * buckets (floor(log2(toks)) via the binary-string length, identical
+    * integer arithmetic in both engines) and, per bucket, the padding
+    * waste a batcher padding to the bucket max would incur
+    * (n·max − Σtoks, and its ppm share). The one-row global frame
+    * computes the UNBUCKETED waste (pad everything to the corpus max) so
+    * the output quantifies exactly what bucketing buys — the argument for
+    * length-aware batch assembly made measurable.
+    *
+    * Scale shape: tokenize is map-side; the bucket aggregate map-side
+    * combines to ~log(max_len) groups; the global max/sum is a one-row
+    * scalar frame joined back over the BUCKET table (≤ 64 rows), not the
+    * corpus. Scan-bound at any size. */
+  val q121 = Q(
+    "q121_length_buckets",
+    (s, dir) => {
+      val toks = documents(s, dir)
+        .select(col("doc_id"),
+          size(filter(split(col("text"), "\\s+"), x => length(x) > 0))
+            .cast("long").as("toks"))
+      val bucketed = toks
+        .withColumn("bucket_lo",
+          expr("shiftleft(cast(1 as bigint), length(bin(toks)) - 1)"))
+        .groupBy("bucket_lo")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks")).as("sum_toks"),
+          max(col("toks")).as("max_toks"))
+        .withColumn("pad_waste",
+          col("n_docs") * col("max_toks") - col("sum_toks"))
+        .withColumn("waste_ppm",
+          expr("1000000 * pad_waste div (n_docs * max_toks)"))
+      val global = toks.agg(
+        count(lit(1)).as("gn"), sum(col("toks")).as("gsum"),
+        max(col("toks")).as("gmax"))
+      bucketed.crossJoin(broadcast(global))
+        .withColumn("unbucketed_waste_ppm",
+          expr("1000000 * (gn * gmax - gsum) div (gn * gmax)"))
+        .select("bucket_lo", "n_docs", "sum_toks", "max_toks", "pad_waste",
+          "waste_ppm", "unbucketed_waste_ppm")
+        .orderBy("bucket_lo")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                    x -> length(x) > 0)) AS BIGINT) AS toks
+        FROM documents),
+      bucketed AS (
+        SELECT CAST(1 AS BIGINT) << (length(bin(toks)) - 1) AS bucket_lo,
+               COUNT(*) AS n_docs,
+               CAST(SUM(toks) AS BIGINT) AS sum_toks,
+               MAX(toks) AS max_toks
+        FROM toks GROUP BY 1),
+      g AS (
+        SELECT COUNT(*) AS gn, CAST(SUM(toks) AS BIGINT) AS gsum,
+               MAX(toks) AS gmax
+        FROM toks)
+      SELECT bucket_lo, n_docs, sum_toks, max_toks,
+             n_docs * max_toks - sum_toks AS pad_waste,
+             1000000 * (n_docs * max_toks - sum_toks)
+               // (n_docs * max_toks) AS waste_ppm,
+             1000000 * (gn * gmax - gsum) // (gn * gmax)
+               AS unbucketed_waste_ppm
+      FROM bucketed CROSS JOIN g
+      ORDER BY bucket_lo""")
+  )
+
   val all: Seq[Q] = Seq(q33, q34, q35, q37, q46, q53, q54, q55, q56, q57,
-    q65, q66, q67, q69, q72, q83, q86, q96, q104, q108, q116, q117)
+    q65, q66, q67, q69, q72, q83, q86, q96, q104, q108, q116, q117, q121)
 }

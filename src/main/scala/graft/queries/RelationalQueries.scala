@@ -1355,7 +1355,67 @@ object RelationalQueries {
       ORDER BY nation, event_type""")
   )
 
+  /** Robust (median/MAD) anomaly screen — q107's 3σ twin with outlier-proof
+    * statistics: mean and σ are themselves dragged by the outliers they're
+    * meant to catch; median and MAD (median absolute deviation) have a 50%
+    * breakdown point, which is what monitoring skewed `value` streams
+    * actually needs. All arithmetic is exact: values are floored to 1e-6
+    * integers, medians at the dyadic p=0.5 over integers are exact doubles
+    * (q35's argument), and both median and MAD are carried ×2/×4 scaled so
+    * every comparison (2·|2v−2med| > 3·(4·MAD)/… folded to 2d > 3·m4) is
+    * pure BIGINT — no float tolerance anywhere in the flag.
+    *
+    * Scale shape: two event_type-keyed aggregates (the exact-median sort
+    * is per-group inside the percentile buffer) with 5-row outputs, each
+    * broadcast back over the stream — same broadcast-stats discipline as
+    * q107. The histogram-refine selection of q99 is the documented
+    * replacement when per-group exact medians outgrow a buffer. */
+  val q122 = Q(
+    "q122_robust_anomaly",
+    (s, dir) => {
+      val ev = events(s, dir)
+        .select(col("event_type"),
+          expr("cast(floor(value * 1000000) as bigint)").as("v"))
+      val med = ev.groupBy("event_type")
+        .agg((percentile(col("v"), lit(0.5)) * 2).cast("long").as("m2"),
+          count(lit(1)).as("n"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .withColumn("d", abs(col("v") * 2 - col("m2")))
+      val mad = dev.groupBy("event_type")
+        .agg((percentile(col("d"), lit(0.5)) * 2).cast("long").as("m4"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(max(col("n")).as("n"),
+          (max(col("m2")) / 2.0).as("med_x1e6"),
+          (max(col("m4")) / 4.0).as("mad_x1e6"),
+          sum((col("d") * 2 > col("m4") * 3).cast("long")).as("n_anom"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_type, CAST(FLOOR(value * 1000000) AS BIGINT) AS v
+        FROM events),
+      med AS (
+        SELECT event_type, CAST(quantile_cont(v, 0.5) * 2 AS BIGINT) AS m2,
+               COUNT(*) AS n
+        FROM ev GROUP BY 1),
+      dev AS (
+        SELECT ev.event_type, v, abs(2 * v - m2) AS d, m2, n
+        FROM ev JOIN med USING (event_type)),
+      mad AS (
+        SELECT event_type, CAST(quantile_cont(d, 0.5) * 2 AS BIGINT) AS m4
+        FROM dev GROUP BY 1)
+      SELECT dev.event_type, MAX(n) AS n,
+             MAX(m2) / 2.0 AS med_x1e6,
+             MAX(m4) / 4.0 AS mad_x1e6,
+             CAST(SUM(CASE WHEN 2 * d > 3 * m4 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_anom
+      FROM dev JOIN mad USING (event_type)
+      GROUP BY dev.event_type ORDER BY event_type""")
+  )
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08,
     q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q28, q29, q44,
-    q58, q59, q81, q93, q102, q105, q107, q109, q111, q112, q113, q119)
+    q58, q59, q81, q93, q102, q105, q107, q109, q111, q112, q113, q119,
+    q122)
 }

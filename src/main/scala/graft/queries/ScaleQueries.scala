@@ -956,6 +956,65 @@ object ScaleQueries {
       FROM ext ORDER BY bucket""")
   )
 
+  /** Referential-integrity audit — the ingest-time data-quality gate
+    * ("how many fact rows point at a missing dimension row?") for three
+    * FK edges: events→customer, lineitem→orders, customer→nation. Each
+    * edge is ONE left-outer broadcast join + one aggregate counting null
+    * dimension keys — no anti-join second pass, no distinct, so the audit
+    * costs a single scan per fact table and emits (total, orphans, ppm)
+    * rows. Orphan rate is the signal that decides whether a downstream
+    * inner join silently drops data.
+    *
+    * Scale shape: dimension sides broadcast (or shuffle-hash when a dim
+    * outgrows broadcast — the plan stays one join + 1-row aggregate);
+    * the three audits are independent branches unioned at 1 row each.
+    * At 100 TB this is strictly cheaper than the join it de-risks. */
+  val q123 = Q(
+    "q123_fk_integrity",
+    (s, dir) => {
+      def audit(name: String, fact: DataFrame, key: String,
+          dim: DataFrame, dkey: String): DataFrame =
+        fact.join(broadcast(dim), col(key) === col(dkey), "left")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col(dkey).isNull.cast("long")).as("n_orphans"))
+          .select(lit(name).as("relation"), col("n_rows"), col("n_orphans"),
+            expr("1000000 * n_orphans div n_rows").as("orphan_ppm"))
+      val a = audit("customer_nation", customer(s, dir), "c_nationkey",
+        nation(s, dir).select("n_nationkey"), "n_nationkey")
+      val b = audit("events_user", events(s, dir), "user_id",
+        customer(s, dir).select("c_custkey"), "c_custkey")
+      val c = audit("lineitem_order", lineitem(s, dir), "l_orderkey",
+        orders(s, dir).select("o_orderkey"), "o_orderkey")
+      a.union(b).union(c).orderBy("relation")
+    },
+    Some("""
+      SELECT * FROM (
+        SELECT 'customer_nation' AS relation, COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_orphans,
+               1000000 * CAST(SUM(CASE WHEN n_nationkey IS NULL
+                                       THEN 1 ELSE 0 END) AS BIGINT)
+                 // COUNT(*) AS orphan_ppm
+        FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+        UNION ALL
+        SELECT 'events_user', COUNT(*),
+               CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               1000000 * CAST(SUM(CASE WHEN c_custkey IS NULL
+                                       THEN 1 ELSE 0 END) AS BIGINT)
+                 // COUNT(*)
+        FROM events LEFT JOIN customer ON user_id = c_custkey
+        UNION ALL
+        SELECT 'lineitem_order', COUNT(*),
+               CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               1000000 * CAST(SUM(CASE WHEN o_orderkey IS NULL
+                                       THEN 1 ELSE 0 END) AS BIGINT)
+                 // COUNT(*)
+        FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey)
+      ORDER BY relation""")
+  )
+
   val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q73, q84, q85, q89, q99,
-    q106, q110, q118)
+    q106, q110, q118, q123)
 }

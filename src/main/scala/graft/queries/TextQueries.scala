@@ -573,5 +573,65 @@ object TextQueries {
       ORDER BY pmi_scaled DESC, bi.a, bi.b LIMIT 30""")
   )
 
-  val all: Seq[Q] = Seq(q25, q30, q31, q32, q36, q78, q87, q97, q100)
+  /** Distinct-n diversity audit per source — the corpus-health metric
+    * behind "is this crawl template spam?": unique-unigram and
+    * unique-trigram rates (distinct/total, in exact ppm). Low trigram
+    * diversity with normal unigram diversity is the signature of
+    * boilerplate — same words, same phrasings — and is the corpus-level
+    * complement of q78's within-document repetition flags (distinct-n is
+    * the standard generation-diversity metric applied to training data).
+    *
+    * Scale shape: two wordcount-shaped aggregates (gram streams from the
+    * codegen'd `word_ngrams` generator, map-side partial counts), each
+    * collapsing to (source, gram) then #sources rows; the final join is
+    * sources × sources. The shuffle carries gram strings once — the
+    * md5-digest narrowing of q21 applies verbatim if grams outgrow
+    * comfort at extreme scale. */
+  val q124 = Q(
+    "q124_ngram_diversity",
+    (s, dir) => {
+      val docs = documents(s, dir)
+      def stats(n: Int, pre: String) = docs
+        .select(col("source"),
+          graft.functions.GraftFunctions.word_ngrams(col("text"), n).as("g"))
+        .groupBy("source", "g").agg(count(lit(1)).as("cnt"))
+        .groupBy("source")
+        .agg(count(lit(1)).as(s"${pre}_distinct"),
+          sum(col("cnt")).as(s"${pre}_total"))
+      stats(1, "uni").join(stats(3, "tri"), "source")
+        .select(col("source"),
+          col("uni_distinct"), col("uni_total"),
+          expr("1000000 * uni_distinct div uni_total").as("uni_ppm"),
+          col("tri_distinct"), col("tri_total"),
+          expr("1000000 * tri_distinct div tri_total").as("tri_ppm"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH words AS (
+        SELECT source, string_split_regex(text, '\s+') AS w FROM documents),
+      uc AS (
+        SELECT source, g, COUNT(*) AS cnt
+        FROM (SELECT source, unnest(w) AS g FROM words) GROUP BY 1, 2),
+      us AS (
+        SELECT source, COUNT(*) AS uni_distinct,
+               CAST(SUM(cnt) AS BIGINT) AS uni_total
+        FROM uc GROUP BY source),
+      g3 AS (
+        SELECT source, array_to_string(w[i:i+2], ' ') AS g
+        FROM (SELECT source, w,
+                unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS i
+              FROM words)),
+      tc AS (SELECT source, g, COUNT(*) AS cnt FROM g3 GROUP BY 1, 2),
+      ts AS (
+        SELECT source, COUNT(*) AS tri_distinct,
+               CAST(SUM(cnt) AS BIGINT) AS tri_total
+        FROM tc GROUP BY source)
+      SELECT source, uni_distinct, uni_total,
+             1000000 * uni_distinct // uni_total AS uni_ppm,
+             tri_distinct, tri_total,
+             1000000 * tri_distinct // tri_total AS tri_ppm
+      FROM us JOIN ts USING (source) ORDER BY source""")
+  )
+
+  val all: Seq[Q] = Seq(q25, q30, q31, q32, q36, q78, q87, q97, q100, q124)
 }

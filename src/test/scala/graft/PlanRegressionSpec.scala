@@ -246,7 +246,10 @@ class PlanRegressionSpec extends SparkSpec {
       "q106_skew_audit", "q108_chisq",
       // q118: the seven range boundaries are ONE aggregated row broadcast
       // over the scan — case (a); bucket assignment itself is map-side
-      "q118_range_layout")
+      "q118_range_layout",
+      // q121: the global max/sum frame is ONE row joined over the ≤64-row
+      // bucket table — case (a)
+      "q121_length_buckets")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")

@@ -141,6 +141,92 @@ class Round6OpsSpec extends SparkSpec {
     assert(got == counts && got.nonEmpty)
   }
 
+  test("q121: matches a from-scratch bucket/padding-waste recompute") {
+    val toks = docWords.map { case (id, _, ws) => id -> ws.length.toLong }
+    def lg2(x: Long): Int = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    val gn = toks.length.toLong
+    val gsum = toks.map(_._2).sum
+    val gmax = toks.map(_._2).max
+    val expect = toks.groupBy { case (_, t) => 1L << lg2(t) }.map {
+      case (lo, ds) =>
+        val n = ds.length.toLong
+        val sum = ds.map(_._2).sum
+        val mx = ds.map(_._2).max
+        lo -> ((n, sum, mx, n * mx - sum, 1000000L * (n * mx - sum) / (n * mx),
+          1000000L * (gn * gmax - gsum) / (gn * gmax)))
+    }
+    val got = PipelineQueries.q121.spark(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got == expect && got.nonEmpty)
+  }
+
+  test("q122: matches a from-scratch median/MAD recompute") {
+    def medianX2(xs: Seq[Long]): Long = {
+      val s = xs.sorted
+      val n = s.length
+      if (n % 2 == 1) 2 * s(n / 2) else s(n / 2 - 1) + s(n / 2)
+    }
+    val ev = graft.queries.Tables.events(spark, sf)
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), math.floor(r.getDouble(1) * 1e6).toLong))
+    val expect = ev.groupBy(_._1).map { case (t, rows) =>
+      val vs = rows.map(_._2).toSeq
+      val m2 = medianX2(vs)
+      val ds = vs.map(v => math.abs(2 * v - m2))
+      val m4 = medianX2(ds)
+      t -> ((vs.length.toLong, m2 / 2.0, m4 / 4.0,
+        ds.count(d => 2 * d > 3 * m4).toLong))
+    }
+    val got = RelationalQueries.q122.spark(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4)))).toMap
+    assert(got == expect && got.nonEmpty)
+  }
+
+  test("q123: totals match the fact tables; fixture FKs are orphan-free") {
+    val rows = ScaleQueries.q123.spark(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    def cnt(t: String): Long = spark.read.parquet(s"$sf/$t.parquet").count()
+    assert(rows("customer_nation")._1 == cnt("customer"))
+    assert(rows("events_user")._1 == cnt("events"))
+    assert(rows("lineitem_order")._1 == cnt("lineitem"))
+    // the generated fixtures are referentially intact — all orphan counts 0
+    rows.foreach { case (rel, (_, orphans, ppm)) =>
+      assert(orphans == 0L && ppm == 0L, rel)
+    }
+  }
+
+  test("q123: the left-join orphan count is the anti-join count") {
+    // detection logic cross-check on frames WITH orphans: user_ids shifted
+    // out of customer range must be flagged at the exact anti-join rate
+    import spark.implicits._
+    val fact = Seq(1L, 2L, 3L, 100L, 200L).toDF("k")
+    val dim = Seq(1L, 2L, 3L).toDF("dk")
+    val viaLeft = fact.join(dim, $"k" === $"dk", "left")
+      .agg(org.apache.spark.sql.functions.sum(
+        $"dk".isNull.cast("long"))).head.getLong(0)
+    val viaAnti = fact.join(dim, $"k" === $"dk", "left_anti").count()
+    assert(viaLeft == 2L && viaAnti == 2L)
+  }
+
+  test("q124: matches a from-scratch diversity recompute") {
+    val expect = docWords.groupBy(_._2).map { case (src, ds) =>
+      val unis = ds.flatMap(_._3)
+      val tris = ds.flatMap { case (_, _, ws) =>
+        if (ws.length < 3) Seq(ws.mkString(" "))
+        else ws.sliding(3).map(_.mkString(" ")).toSeq
+      }
+      src -> ((unis.distinct.length.toLong, unis.length.toLong,
+        1000000L * unis.distinct.length / unis.length,
+        tris.distinct.length.toLong, tris.length.toLong,
+        1000000L * tris.distinct.length / tris.length))
+    }
+    val got = TextQueriesAccess.q124(spark, sf)
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("q120: matches an exact BigInt centroid-distance recompute") {
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
       .select("label", "embedding").collect()
@@ -182,4 +268,12 @@ private object ScaleQueriesAccess {
     ScaleQueries.q118.spark(spark, sf).collect()
       .map(r => (r.getInt(0).toLong, r.getLong(1), r.getLong(2),
         r.getLong(3), r.getInt(4)))
+}
+
+private object TextQueriesAccess {
+  def q124(spark: org.apache.spark.sql.SparkSession, sf: String)
+      : Map[String, (Long, Long, Long, Long, Long, Long)] =
+    graft.queries.TextQueries.q124.spark(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
 }
