@@ -133,5 +133,71 @@ object MultimodalQueries {
       ORDER BY f.doc_id, frame_id""")
   )
 
-  val all: Seq[Q] = Seq(q50, q51, q70)
+  /** Cross-modal fused curation gate — the keep/drop decision a multimodal
+    * corpus needs to make ONCE, over both modalities: text quality
+    * (integer TTR) gates every document, and documents that carry an
+    * embedding must additionally pass an embedding-sanity gate (squared
+    * L2 norm within ±20% of 1.0 — the cheap detector for truncated /
+    * zeroed / double-scaled vectors, in exact ×1e12 fixed-point).
+    * Documents without an embedding pass on text alone: coverage is
+    * partial by design (the embedding table is a subset at sf≥0.1), and a
+    * curation gate that silently drops unembedded docs would bias the
+    * corpus toward whatever the embedding pipeline got to first.
+    *
+    * Scale shape: one id-equi LEFT join (both sides shuffle on the 8-byte
+    * id — or co-partition/bucket by id at rest and it vanishes), norm and
+    * quality are map-side codegen; output is one row per document. */
+  val q126 = Q(
+    "q126_fused_gate",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          expr("""aggregate(
+              transform(embedding,
+                x -> cast(floor(cast(x as double) * 1000000) as bigint)),
+              cast(0 as bigint), (a, x) -> a + x * x)""").as("norm2"))
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          expr("""(1000 * size(array_distinct(
+               filter(split(text, '\\s+'), x -> length(x) > 0)))) div
+               size(filter(split(text, '\\s+'), x -> length(x) > 0))""")
+            .as("q"))
+      docs.join(emb, col("doc_id") === col("vec_id"), "left")
+        .select(col("doc_id"),
+          col("vec_id").isNotNull.cast("int").as("has_emb"),
+          coalesce(col("norm2"), lit(-1L)).as("norm2_x1e12"),
+          col("q"),
+          (col("q") >= 450 &&
+            (col("vec_id").isNull ||
+              (col("norm2") >= 800000000000L &&
+                col("norm2") <= 1200000000000L))).cast("int").as("keep"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH norms AS (
+        SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS norm2
+        FROM (SELECT vec_id,
+                     CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                          AS BIGINT) AS v
+              FROM embeddings)
+        GROUP BY vec_id),
+      docs AS (
+        SELECT doc_id,
+               (1000 * len(list_distinct(ws)) // len(ws)) AS q
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 x -> length(x) > 0) AS ws
+              FROM documents))
+      SELECT doc_id,
+             CAST(vec_id IS NOT NULL AS INT) AS has_emb,
+             COALESCE(norm2, -1) AS norm2_x1e12,
+             q,
+             CAST(q >= 450 AND (vec_id IS NULL OR
+                  (norm2 BETWEEN 800000000000 AND 1200000000000)) AS INT)
+               AS keep
+      FROM docs LEFT JOIN norms ON doc_id = vec_id
+      ORDER BY doc_id""")
+  )
+
+  val all: Seq[Q] = Seq(q50, q51, q70, q126)
 }

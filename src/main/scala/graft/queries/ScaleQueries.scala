@@ -1015,6 +1015,78 @@ object ScaleQueries {
       ORDER BY relation""")
   )
 
+  /** Incremental aggregate maintenance (IVM) — the materialized-view move
+    * that makes dashboards affordable at 100 TB: a stored per-source
+    * aggregate (count, char total) is brought up to date by applying a
+    * CDC changeset's DELTA aggregate, never rescanning the base. Counts
+    * and sums are self-maintainable (abelian-group aggregates: insert
+    * adds, delete subtracts, update adds the difference), so the
+    * maintenance plan is base_agg ⋈ delta_agg — maintenance cost scales
+    * with the changeset, not the corpus. The changeset here is derived
+    * deterministically from a content-hash bucket (b<10 delete, 10-19
+    * update +7 chars, 20-24 insert a +3-char clone) so the oracle can
+    * recompute the POST state from scratch and hash-prove
+    * IVM ≡ full recompute — the equivalence that makes the shortcut safe.
+    *
+    * Scale shape: one full aggregate (the stored view, amortized across
+    * refreshes), one CHANGESET-sized aggregate, one #source-row join.
+    * q111 maintains the rows; this maintains the aggregates above them.
+    * Non-self-maintainable aggregates (min/max under deletes) need q85's
+    * snapshot diff instead — documented boundary. */
+  val q125 = Q(
+    "q125_ivm_agg",
+    (s, dir) => {
+      val b = conv(substring(md5(col("text")), 1, 8), 16, 10)
+        .cast("long") % 100
+      val tagged = documents(s, dir)
+        .select(col("source"), col("n_chars"), b.as("b"))
+      val baseAgg = tagged.groupBy("source")
+        .agg(count(lit(1)).as("bn"), sum(col("n_chars")).as("bchars"))
+      val delta = tagged.filter(col("b") < 25).groupBy("source")
+        .agg(
+          sum(when(col("b") < 10, -1L).when(col("b") >= 20, 1L)
+            .otherwise(0L)).as("dn"),
+          sum(when(col("b") < 10, -col("n_chars"))
+            .when(col("b") < 20, lit(7L))
+            .otherwise(col("n_chars") + 3L)).as("dchars"))
+      baseAgg.join(delta, Seq("source"), "left")
+        .select(col("source"),
+          (col("bn") + coalesce(col("dn"), lit(0L))).as("n_docs"),
+          (col("bchars") + coalesce(col("dchars"), lit(0L))).as("sum_chars"),
+          coalesce(col("dn"), lit(0L)).as("dn"),
+          coalesce(col("dchars"), lit(0L)).as("dchars"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH tagged AS (
+        SELECT source, n_chars,
+               ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 AS b
+        FROM documents),
+      post AS (
+        SELECT source,
+               CASE WHEN b >= 10 AND b < 20 THEN n_chars + 7
+                    ELSE n_chars END AS n_chars
+        FROM tagged WHERE b >= 10
+        UNION ALL
+        SELECT source, n_chars + 3 FROM tagged WHERE b >= 20 AND b < 25),
+      final AS (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM post GROUP BY source),
+      delta AS (
+        SELECT source,
+               CAST(SUM(CASE WHEN b < 10 THEN -1
+                             WHEN b >= 20 THEN 1 ELSE 0 END) AS BIGINT) AS dn,
+               CAST(SUM(CASE WHEN b < 10 THEN -n_chars
+                             WHEN b < 20 THEN 7
+                             ELSE n_chars + 3 END) AS BIGINT) AS dchars
+        FROM tagged WHERE b < 25 GROUP BY source)
+      SELECT f.source, f.n_docs, f.sum_chars,
+             COALESCE(dn, 0) AS dn, COALESCE(dchars, 0) AS dchars
+      FROM final f LEFT JOIN delta USING (source)
+      ORDER BY source""")
+  )
+
   val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q73, q84, q85, q89, q99,
-    q106, q110, q118, q123)
+    q106, q110, q118, q123, q125)
 }

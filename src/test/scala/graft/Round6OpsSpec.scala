@@ -14,12 +14,12 @@ class Round6OpsSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
-  private def md5Bucket(x: Long): Long = {
+  private def md5Mod(s: String, m: Long): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(x.toString.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex.substring(0, 8), 16) % 10
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16) % m
   }
+  private def md5Bucket(x: Long): Long = md5Mod(x.toString, 10)
   private def splitOf(b: Long): String =
     if (b <= 7) "train" else if (b == 8) "val" else "test"
 
@@ -227,6 +227,53 @@ class Round6OpsSpec extends SparkSpec {
     assert(got == expect && got.nonEmpty)
   }
 
+  test("q125: IVM result equals a from-scratch post-state recompute") {
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source", "n_chars", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), md5Mod(r.getString(2), 100)))
+    // apply the changeset row-wise, then aggregate — the ground truth the
+    // delta-merge must reproduce without rescanning
+    val post = base.flatMap { case (src, ch, b) =>
+      val kept = if (b < 10) Seq.empty
+        else if (b < 20) Seq(src -> (ch + 7)) else Seq(src -> ch)
+      val ins = if (b >= 20 && b < 25) Seq(src -> (ch + 3)) else Seq.empty
+      kept ++ ins
+    }
+    val expect = post.groupBy(_._1).view
+      .mapValues(vs => (vs.length.toLong, vs.map(_._2).sum)).toMap
+    val got = ScaleQueries.q125.spark(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expect && got.nonEmpty)
+    // and the audit deltas reconcile base to post exactly
+    val baseAgg = base.groupBy(_._1).view
+      .mapValues(vs => (vs.length.toLong, vs.map(_._2).sum)).toMap
+    ScaleQueries.q125.spark(spark, sf).collect().foreach { r =>
+      val (bn, bch) = baseAgg(r.getString(0))
+      assert(bn + r.getLong(3) == r.getLong(1))
+      assert(bch + r.getLong(4) == r.getLong(2))
+    }
+  }
+
+  test("q126: matches a from-scratch cross-modal gate recompute") {
+    val norms = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map { r =>
+        val n2 = r.getSeq[Float](1)
+          .map(x => math.floor(x.toDouble * 1e6).toLong)
+          .map(v => v * v).sum
+        r.getLong(0) -> n2
+      }.toMap
+    val expect = docWords.map { case (id, _, ws) =>
+      val q = 1000L * ws.distinct.length / ws.length
+      val n2 = norms.get(id)
+      val keep = q >= 450 &&
+        n2.forall(v => v >= 800000000000L && v <= 1200000000000L)
+      id -> ((n2.isDefined, n2.getOrElse(-1L), q, keep))
+    }.toMap
+    val got = MultimodalQueriesAccess.q126(spark, sf)
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("q120: matches an exact BigInt centroid-distance recompute") {
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
       .select("label", "embedding").collect()
@@ -268,6 +315,14 @@ private object ScaleQueriesAccess {
     ScaleQueries.q118.spark(spark, sf).collect()
       .map(r => (r.getInt(0).toLong, r.getLong(1), r.getLong(2),
         r.getLong(3), r.getInt(4)))
+}
+
+private object MultimodalQueriesAccess {
+  def q126(spark: org.apache.spark.sql.SparkSession, sf: String)
+      : Map[Long, (Boolean, Long, Long, Boolean)] =
+    graft.queries.MultimodalQueries.q126.spark(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1) == 1, r.getLong(2),
+        r.getLong(3), r.getInt(4) == 1))).toMap
 }
 
 private object TextQueriesAccess {
