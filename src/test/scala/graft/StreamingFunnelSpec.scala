@@ -1,0 +1,152 @@
+package graft
+
+import java.nio.file.{Files, StandardCopyOption}
+import java.nio.file.attribute.FileTime
+import java.sql.Timestamp
+
+import graft.streaming.StreamingFunnel
+import graft.streaming.StreamingFunnel.{FEvent, Fixed, Pend, StepHit}
+
+/** Stateful streaming funnel: steps finalize only when the watermark
+  * passes their minimum candidate; out-of-order events may lower a
+  * pending minimum but never a fixed one; state compacts against the
+  * watermark lower bounds. */
+class StreamingFunnelSpec extends SparkSpec {
+
+  private val T0 = 1700000000000L
+  private def ts(offsetMin: Long) = new Timestamp(T0 + offsetMin * 60000L)
+  private def ms(offsetMin: Long) = T0 + offsetMin * 60000L
+
+  // ---- pure advance ----
+
+  test("advance fixes a full funnel once the watermark passes it") {
+    val pend = Seq(Pend(ms(0), 0), Pend(ms(10), 1), Pend(ms(20), 2))
+    val (fixed, kept, hits) =
+      StreamingFunnel.advance(Fixed(-1, -1, -1), pend, ms(21))
+    assert(fixed == Fixed(ms(0), ms(10), ms(20)))
+    assert(hits.map(h => (h.step, h.ts_ms)) ==
+      Seq((1, ms(0)), (2, ms(10)), (3, ms(20))))
+    assert(kept.isEmpty) // all stages resolved: nothing pending
+  }
+
+  test("advance holds a step whose candidate the watermark has not passed") {
+    val pend = Seq(Pend(ms(0), 0), Pend(ms(10), 1))
+    val (fixed, kept, hits) =
+      StreamingFunnel.advance(Fixed(-1, -1, -1), pend, ms(5))
+    assert(fixed == Fixed(ms(0), -1, -1)) // t1 final, click still pending
+    assert(hits.map(_.step) == Seq(1))
+    assert(kept == Seq(Pend(ms(10), 1)))
+  }
+
+  test("advance: a pending minimum can drop before fixing, never after") {
+    // view@8 pending, wm=5 -> t1 unfixed; late view@6 (>= wm, legal) lowers it
+    val (f1, kept1, h1) = StreamingFunnel.advance(
+      Fixed(-1, -1, -1), Seq(Pend(ms(8), 0)), ms(5))
+    assert(f1.t1 == -1 && h1.isEmpty)
+    val (f2, _, h2) = StreamingFunnel.advance(
+      f1, kept1 :+ Pend(ms(6), 0), ms(7))
+    assert(f2.t1 == ms(6) && h2.map(_.ts_ms) == Seq(ms(6)))
+  }
+
+  test("advance compaction: useless clicks and purchases are dropped") {
+    // t1 fixed at 10: clicks <= 10 can never be step 2
+    val pend = Seq(Pend(ms(5), 1), Pend(ms(10), 1), Pend(ms(15), 1),
+      Pend(ms(3), 2))
+    val (_, kept, _) =
+      StreamingFunnel.advance(Fixed(ms(10), -1, -1), pend, ms(12))
+    assert(kept.filter(_.kind == 1) == Seq(Pend(ms(15), 1)))
+    // purchase@3 <= lb(t2) (t2 will be > t1 = 10): dropped
+    assert(!kept.exists(_.kind == 2))
+  }
+
+  test("advance compaction: views compact to their minimum") {
+    val pend = Seq(Pend(ms(9), 0), Pend(ms(4), 0), Pend(ms(7), 0))
+    val (_, kept, _) =
+      StreamingFunnel.advance(Fixed(-1, -1, -1), pend, ms(2))
+    assert(kept == Seq(Pend(ms(4), 0)))
+  }
+
+  test("advance: no-view clicks below the watermark can never qualify") {
+    // any future view arrives with ts >= wm, so t1 >= wm: click@5 < wm=30 dies
+    val (_, kept, _) = StreamingFunnel.advance(
+      Fixed(-1, -1, -1), Seq(Pend(ms(5), 1)), ms(30))
+    assert(kept.isEmpty)
+  }
+
+  // ---- end-to-end against the batch recompute ----
+
+  test("streamed funnel steps equal the batch funnel on finalized users") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s.implicits._
+
+    // u1: full in-order funnel; u2: click precedes its only view (click
+    // can never follow the view -> step 1 only); u3: late watermark pump
+    val batches = Seq(
+      Seq(FEvent(1L, ts(0), "view"), FEvent(1L, ts(10), "click"),
+        FEvent(1L, ts(20), "purchase"), FEvent(2L, ts(5), "click")),
+      Seq(FEvent(2L, ts(30), "view"), FEvent(1L, ts(15), "click")),
+      Seq(FEvent(3L, ts(600), "view"))
+    )
+
+    val dir = tmpDir("funnel_stream")
+    val now = System.currentTimeMillis()
+    batches.zipWithIndex.foreach { case (evs, i) =>
+      val tmp = tmpDir("funnel_stage")
+      evs.toDF().coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val listing = Files.list(tmp)
+      val part =
+        try listing.filter(_.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        finally listing.close()
+      val dst = dir.resolve(s"batch$i.parquet")
+      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(now - 60000 + i * 1000))
+    }
+
+    val stream = s.readStream
+      .schema(batches.head.toDF().schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+      .withWatermark("ts", "1 second")
+      .as[FEvent]
+    val q = StreamingFunnel.steps(stream)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("funnel_steps")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val got = s.table("funnel_steps").as[StepHit].collect()
+      .map(h => (h.user_id, h.step, h.ts_ms)).toSet
+
+    // from-scratch batch funnel over the same events (q93 semantics)
+    val all = batches.flatten
+    def funnel(u: Long): Seq[(Long, Int, Long)] = {
+      val mine = all.filter(_.user_id == u)
+      def minAfter(tpe: String, after: Long): Option[Long] = {
+        val c = mine.filter(e => e.event_type == tpe && e.ts.getTime > after)
+          .map(_.ts.getTime)
+        if (c.isEmpty) None else Some(c.min)
+      }
+      val t1 = minAfter("view", Long.MinValue)
+      val t2 = t1.flatMap(minAfter("click", _))
+      val t3 = t2.flatMap(minAfter("purchase", _))
+      Seq(t1.map((u, 1, _)), t2.map((u, 2, _)), t3.map((u, 3, _))).flatten
+    }
+    // final watermark passed every step candidate except u3's own view
+    val expect = Seq(1L, 2L, 3L).flatMap(funnel)
+      .filter { case (_, _, t) => t < ms(600) - 1000 }.toSet
+    assert(got == expect)
+    assert(got == Set((1L, 1, ms(0)), (1L, 2, ms(10)), (1L, 3, ms(20)),
+      (2L, 1, ms(30))))
+    // exactly-once: no (user, step) appears twice
+    val keys = s.table("funnel_steps").as[StepHit].collect()
+      .map(h => (h.user_id, h.step))
+    assert(keys.length == keys.distinct.length)
+  }
+}
