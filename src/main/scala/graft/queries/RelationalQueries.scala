@@ -1368,8 +1368,10 @@ object RelationalQueries {
     * Scale shape: two event_type-keyed aggregates (the exact-median sort
     * is per-group inside the percentile buffer) with 5-row outputs, each
     * broadcast back over the stream — same broadcast-stats discipline as
-    * q107. The histogram-refine selection of q99 is the documented
-    * replacement when per-group exact medians outgrow a buffer. */
+    * q107. When a group outgrows one percentile buffer, q127 IS the
+    * replacement: the same medians by grouped histogram-refine selection
+    * (no per-group sort buffer), cross-checked against this query in
+    * Round6OpsSpec. */
   val q122 = Q(
     "q122_robust_anomaly",
     (s, dir) => {

@@ -1087,6 +1087,95 @@ object ScaleQueries {
       ORDER BY source""")
   )
 
+  /** PER-GROUP exact percentiles WITHOUT per-group sort buffers — q99's
+    * histogram-refine selection, grouped: the scale path that q122's
+    * scaladoc promises when a group outgrows one percentile buffer.
+    * Three passes: (1) per-group min/max/count, (2) a (group, bucket)
+    * histogram (≤ 4096 buckets per group, collected driver-side —
+    * G×4096 longs, group-count-bounded not corpus-bounded), (3) one
+    * range-filtered pass that only reads each target's bucket, with a
+    * per-(group, statistic) window over in-bucket rows (≈ n/4096 rows
+    * each). Median and p90 come from the same shared histogram; values
+    * are ×1e6-floored integers so every step is exact and the DuckDB
+    * oracle can select the same order statistics by ROW_NUMBER.
+    *
+    * Scale shape: two corpus scans + one range-pruned partial scan; the
+    * shuffles carry (group, bucket) and in-bucket (group, v) counts.
+    * Nothing sorts more than one bucket's worth of rows per group. */
+  val q127 = Q(
+    "q127_group_select",
+    (s, dir) => {
+      val ev = events(s, dir)
+        .select(col("event_type").as("g"),
+          expr("cast(floor(value * 1000000) as bigint)").as("v"))
+        .materialized // three passes share the quantized scan
+      val stats = ev.groupBy("g")
+        .agg(min("v").as("lo"), max("v").as("hi"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val widths = stats.map { case (g, lo, hi, n) =>
+        (g, lo, math.max(1L, (hi - lo) / 4096L + 1L), n)
+      }
+      val widthDf = s.createDataFrame(widths.toSeq)
+        .toDF("g", "glo", "width", "n")
+      val hist = ev.join(broadcast(widthDf), "g")
+        .groupBy(col("g"),
+          ((col("v") - col("glo")) / col("width")).cast("bigint").as("b"))
+        .agg(count(lit(1)).as("c"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).view
+        .mapValues(_.map(t => (t._2, t._3)).sortBy(_._1)).toMap
+      // driver-side bucket location per (group, statistic): G×2 rows
+      val bounds = widths.flatMap { case (g, lo, width, n) =>
+        def locate(k: Long): (Long, Long) = {
+          var below = 0L
+          hist(g).foreach { case (b, c) =>
+            if (below + c >= k) return (b, below)
+            below += c
+          }
+          (hist(g).last._1, below - hist(g).last._2)
+        }
+        Seq(("median", (n + 1) / 2), ("p90", (9 * n + 9) / 10)).map {
+          case (which, k) =>
+            val (b, below) = locate(k)
+            (g, which, lo + b * width, lo + (b + 1) * width, k - below, n)
+        }
+      }
+      val boundsDf = broadcast(s.createDataFrame(bounds.toSeq)
+        .toDF("g", "which", "blo", "bhi", "kin", "n"))
+      val inBucket = ev.join(boundsDf,
+        ev("g") === boundsDf("g") &&
+          col("v") >= col("blo") && col("v") < col("bhi"))
+        .select(boundsDf("g").as("gg"), col("which"), col("v"),
+          col("kin"), col("n"))
+        .groupBy("gg", "which", "kin", "n", "v")
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("gg", "which").orderBy("v")
+      val kth = inBucket
+        .withColumn("cum", sum(col("c")).over(w))
+        .filter(col("cum") >= col("kin"))
+        .groupBy("gg", "which", "n").agg(min(col("v")).as("kv"))
+      kth.groupBy(col("gg").as("event_type"), col("n"))
+        .pivot("which", Seq("median", "p90")).agg(first(col("kv")))
+        .select(col("event_type"), col("n"),
+          col("median").as("median_x1e6"), col("p90").as("p90_x1e6"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH c AS (
+        SELECT event_type AS g, CAST(FLOOR(value * 1000000) AS BIGINT) AS v
+        FROM events),
+      r AS (
+        SELECT g, v, ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rn,
+               COUNT(*) OVER (PARTITION BY g) AS n
+        FROM c)
+      SELECT g AS event_type, CAST(MAX(n) AS BIGINT) AS n,
+             MAX(CASE WHEN rn = (n + 1) // 2 THEN v END) AS median_x1e6,
+             MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN v END) AS p90_x1e6
+      FROM r GROUP BY g ORDER BY g""")
+  )
+
   val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q73, q84, q85, q89, q99,
-    q106, q110, q118, q123, q125)
+    q106, q110, q118, q123, q125, q127)
 }

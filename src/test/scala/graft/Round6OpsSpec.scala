@@ -274,6 +274,36 @@ class Round6OpsSpec extends SparkSpec {
     assert(got == expect && got.nonEmpty)
   }
 
+  test("q127: grouped histogram-refine selection equals sorted order statistics") {
+    val ev = graft.queries.Tables.events(spark, sf)
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), math.floor(r.getDouble(1) * 1e6).toLong))
+    val expect = ev.groupBy(_._1).map { case (g, rows) =>
+      val s = rows.map(_._2).sorted
+      val n = s.length.toLong
+      g -> ((n, s(((n + 1) / 2 - 1).toInt), s(((9 * n + 9) / 10 - 1).toInt)))
+    }
+    val got = ScaleQueries.q127.spark(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == expect && got.nonEmpty)
+  }
+
+  test("q127/q122 medians agree (selection vs percentile buffer, odd groups)") {
+    // q122's interpolated median equals q127's lower order statistic
+    // exactly when the group size is odd; for even groups it is the
+    // midpoint of q127's k-th and (k+1)-th — either way q127's value
+    // bounds it from below
+    val sel = ScaleQueries.q127.spark(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    RelationalQueries.q122.spark(spark, sf).collect().foreach { r =>
+      val (n, lowerMed) = sel(r.getString(0))
+      val med = r.getDouble(2)
+      if (n % 2 == 1) assert(med == lowerMed.toDouble, r.getString(0))
+      else assert(med >= lowerMed.toDouble, r.getString(0))
+    }
+  }
+
   test("q120: matches an exact BigInt centroid-distance recompute") {
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
       .select("label", "embedding").collect()
