@@ -1176,6 +1176,86 @@ object ScaleQueries {
       FROM r GROUP BY g ORDER BY g""")
   )
 
+  /** Order-independent table checksums — the anti-entropy primitive behind
+    * "are these two replicas / snapshots / engine migrations byte-equal?":
+    * per table, a row digest (md5 of a canonical '|'-joined column
+    * rendering; document text enters via its md5, so the checksum covers
+    * content without shuffling it) folded with ORDER-INDEPENDENT,
+    * mergeable combiners — bit_xor of both 32-bit digest halves plus a
+    * mod-2³² sum (xor alone is blind to any row duplicated twice; the sum
+    * catches multiplicity). Two engines, two partitionings, any row
+    * order: same five numbers, which is the whole point — the DuckDB
+    * oracle IS the cross-engine replica check.
+    *
+    * Scale shape: pure map-side digest + partial-aggregated fold; one row
+    * per table crosses the wire. Doubles are deliberately excluded from
+    * the canonical rendering (float formatting is not portable);
+    * timestamps would enter via explicit date_format. */
+  val q128 = Q(
+    "q128_table_checksum",
+    (s, dir) => {
+      def chk(name: String, df: DataFrame, digest: Column): DataFrame = {
+        val (lo, hi) = graft.functions.GraftFunctions.md5_halves(digest)
+        df.select(lo.as("lo"), hi.as("hi"))
+          .agg(count(lit(1)).as("n_rows"),
+            expr("bit_xor(lo)").as("xor_lo"),
+            expr("bit_xor(hi)").as("xor_hi"),
+            expr("cast(sum(cast(lo as decimal(38,0))) % 4294967296 as bigint)")
+              .as("sum_lo_mod"))
+          .select(lit(name).as("tbl"), col("n_rows"),
+            col("xor_lo"), col("xor_hi"), col("sum_lo_mod"))
+      }
+      chk("customer", customer(s, dir),
+        concat_ws("|", col("c_custkey").cast("string"), col("c_name"),
+          col("c_nationkey").cast("string"), col("c_mktsegment")))
+        .union(chk("documents", documents(s, dir),
+          concat_ws("|", col("doc_id").cast("string"), col("lang"),
+            col("source"), col("n_chars").cast("string"), md5(col("text")))))
+        .union(chk("nation", nation(s, dir),
+          concat_ws("|", col("n_nationkey").cast("string"), col("n_name"),
+            col("n_regionkey").cast("string"))))
+        .union(chk("region", region(s, dir),
+          concat_ws("|", col("r_regionkey").cast("string"), col("r_name"))))
+        .orderBy("tbl")
+    },
+    Some("""
+      SELECT * FROM (
+        SELECT 'customer' AS tbl, COUNT(*) AS n_rows,
+               bit_xor(lo) AS xor_lo, bit_xor(hi) AS xor_hi,
+               CAST(SUM(lo) % 4294967296 AS BIGINT) AS sum_lo_mod
+        FROM (SELECT ('0x' || substr(md5(d), 1, 8))::BIGINT AS lo,
+                     ('0x' || substr(md5(d), 9, 8))::BIGINT AS hi
+              FROM (SELECT concat_ws('|', CAST(c_custkey AS VARCHAR), c_name,
+                             CAST(c_nationkey AS VARCHAR), c_mktsegment) AS d
+                    FROM customer))
+        UNION ALL
+        SELECT 'documents', COUNT(*), bit_xor(lo), bit_xor(hi),
+               CAST(SUM(lo) % 4294967296 AS BIGINT)
+        FROM (SELECT ('0x' || substr(md5(d), 1, 8))::BIGINT AS lo,
+                     ('0x' || substr(md5(d), 9, 8))::BIGINT AS hi
+              FROM (SELECT concat_ws('|', CAST(doc_id AS VARCHAR), lang,
+                             source, CAST(n_chars AS VARCHAR),
+                             md5(text)) AS d
+                    FROM documents))
+        UNION ALL
+        SELECT 'nation', COUNT(*), bit_xor(lo), bit_xor(hi),
+               CAST(SUM(lo) % 4294967296 AS BIGINT)
+        FROM (SELECT ('0x' || substr(md5(d), 1, 8))::BIGINT AS lo,
+                     ('0x' || substr(md5(d), 9, 8))::BIGINT AS hi
+              FROM (SELECT concat_ws('|', CAST(n_nationkey AS VARCHAR),
+                             n_name, CAST(n_regionkey AS VARCHAR)) AS d
+                    FROM nation))
+        UNION ALL
+        SELECT 'region', COUNT(*), bit_xor(lo), bit_xor(hi),
+               CAST(SUM(lo) % 4294967296 AS BIGINT)
+        FROM (SELECT ('0x' || substr(md5(d), 1, 8))::BIGINT AS lo,
+                     ('0x' || substr(md5(d), 9, 8))::BIGINT AS hi
+              FROM (SELECT concat_ws('|', CAST(r_regionkey AS VARCHAR),
+                             r_name) AS d
+                    FROM region)))
+      ORDER BY tbl""")
+  )
+
   val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q73, q84, q85, q89, q99,
-    q106, q110, q118, q123, q125, q127)
+    q106, q110, q118, q123, q125, q127, q128)
 }

@@ -304,6 +304,35 @@ class Round6OpsSpec extends SparkSpec {
     }
   }
 
+  test("q128: checksums are partitioning- and order-invariant, content-sensitive") {
+    import org.apache.spark.sql.functions._
+    def sum128(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] = {
+      val (lo, hi) = graft.functions.GraftFunctions.md5_halves(
+        concat_ws("|", col("doc_id").cast("string"), md5(col("text"))))
+      df.select(lo.as("lo"), hi.as("hi"))
+        .agg(expr("bit_xor(lo)"), expr("bit_xor(hi)"),
+          expr("cast(sum(cast(lo as decimal(38,0))) % 4294967296 as bigint)"))
+        .collect().map(_.toSeq).toSeq
+    }
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val base = sum128(docs)
+    // same rows, different physical layout -> identical checksum
+    assert(sum128(docs.repartition(13)) == base)
+    assert(sum128(docs.orderBy(col("n_chars").desc)) == base)
+    // one flipped byte -> different checksum
+    val tweaked = docs.withColumn("text",
+      when(col("doc_id") === 0L, concat(col("text"), lit("x")))
+        .otherwise(col("text")))
+    assert(sum128(tweaked) != base)
+    // xor is blind to a row duplicated TWICE (even multiplicity); the
+    // mod-2^32 sum is the component that catches it
+    val one = docs.filter(col("doc_id") === 0L)
+    val dup2 = docs.union(one).union(one)
+    val d = sum128(dup2)
+    assert(d.head.take(2) == base.head.take(2)) // xor halves unchanged
+    assert(d.head(2) != base.head(2)) // sum component differs
+  }
+
   test("q120: matches an exact BigInt centroid-distance recompute") {
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
       .select("label", "embedding").collect()
