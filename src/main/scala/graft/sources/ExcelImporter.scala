@@ -131,71 +131,12 @@ class ExcelImporter(
 
   // ----------------------------------------------------------------- ods
 
-  private def workOds(): Seq[ParserAnswer] = {
-    val zip = new ZipFile(filePath)
-    try {
-      val content = loadZipXml(zip, "content.xml").getOrElse(
-        return failedAnswer())
-      val tableNs = "urn:oasis:names:tc:opendocument:xmlns:table:1.0"
-      val officeNs = "urn:oasis:names:tc:opendocument:xmlns:office:1.0"
-      val tables = (content \\ "table").filter(_.namespace == tableNs)
-      if (tables.isEmpty) return failedAnswer()
-      tables.map { t =>
-        val name = t.attribute(tableNs, "name").map(_.text).getOrElse("None")
-        val rows = parseOdsTable(t, tableNs, officeNs)
-        answerFromCells(rows, name)
-      }
-    } finally zip.close()
-  }
-
-  private def parseOdsTable(
-      table: Node,
-      tableNs: String,
-      officeNs: String
-  ): Seq[IndexedSeq[String]] = {
-    // Repeat cap applies ONLY to empty filler (ODS pads sheets with
-    // number-columns/rows-repeated ~16k/1M trailers); non-empty repeats are
-    // real data and expand fully — capping them would silently drop values.
-    val MaxFill = 4096
-    val out = scala.collection.mutable.ArrayBuffer.empty[IndexedSeq[String]]
-    (table \ "table-row").filter(_.namespace == tableNs).foreach { row =>
-      val cells = scala.collection.mutable.ArrayBuffer.empty[String]
-      (row \ "table-cell").filter(_.namespace == tableNs).foreach { cell =>
-        val rawRepeat = cell.attribute(tableNs, "number-columns-repeated")
-          .map(_.text.toInt).getOrElse(1)
-        val v = odsCellValue(cell, officeNs)
-        val repeat = if (v == null) rawRepeat.min(MaxFill) else rawRepeat
-        (0 until repeat).foreach(_ => cells += v)
-      }
-      // trim the trailing-empty filler produced by repeated empty cells
-      while (cells.nonEmpty && cells.last == null) cells.remove(cells.length - 1)
-      val rawRowRepeat = row.attribute(tableNs, "number-rows-repeated")
-        .map(_.text.toInt).getOrElse(1)
-      val rowRepeat =
-        if (cells.forall(_ == null)) rawRowRepeat.min(MaxFill) else rawRowRepeat
-      (0 until rowRepeat).foreach(_ => out += cells.toIndexedSeq)
+  private def workOds(): Seq[ParserAnswer] =
+    graft.sources.ods.OdsParser.sheets(filePath) match {
+      case None => failedAnswer()
+      case Some(sheets) =>
+        sheets.map { case (name, rows) => answerFromCells(rows, name) }
     }
-    // drop trailing all-empty rows (ODS files end with huge repeated fillers)
-    while (out.nonEmpty && out.last.forall(_ == null)) out.remove(out.length - 1)
-    out.toSeq
-  }
-
-  private def odsCellValue(cell: Node, officeNs: String): String = {
-    val vt = cell.attribute(officeNs, "value-type").map(_.text)
-    vt match {
-      case Some("string") | None =>
-        val text = (cell \\ "p").map(_.text).mkString("\n")
-        if (text.isEmpty) null else text
-      case Some("date") =>
-        cell.attribute(officeNs, "date-value").map(_.text).orNull
-      case Some("time") =>
-        cell.attribute(officeNs, "time-value").map(_.text).orNull
-      case Some("boolean") =>
-        cell.attribute(officeNs, "boolean-value")
-          .map(v => if (v.text == "true") "True" else "False").orNull
-      case _ => cell.attribute(officeNs, "value").map(_.text).orNull
-    }
-  }
 
   // -------------------------------------------------------------- shared
 
@@ -226,11 +167,4 @@ class ExcelImporter(
     )
   }
 
-  private def loadZipXml(zip: ZipFile, entry: String): Option[Elem] = {
-    Option(zip.getEntry(entry)).map { e =>
-      val in = zip.getInputStream(e)
-      try XML.load(in)
-      finally in.close()
-    }
-  }
 }
