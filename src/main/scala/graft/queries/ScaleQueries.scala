@@ -1256,6 +1256,69 @@ object ScaleQueries {
       ORDER BY tbl""")
   )
 
+  /** Deterministic-resume audit — the property that makes a training run
+    * RESUMABLE: given q89's hash-permuted epoch layout consumed
+    * round-robin across 8 shards (global step = (pos−1)·8 + shard), cut
+    * the epoch at 40% and emit each shard's resume manifest: remaining
+    * count, the position to resume from, and an ORDER-SENSITIVE digest
+    * (md5 of the comma-joined doc-id sequence in consumption order). A
+    * resumed job recomputes this manifest and compares digests — equality
+    * proves the remaining data order is bit-identical to what the
+    * interrupted run would have consumed, across engines, cluster sizes
+    * and retries. RNG-free by construction (q89's md5 permutation).
+    *
+    * Scale shape: q89's layout (one shard-keyed window), a one-row cut
+    * scalar broadcast over it, then one 8-group aggregate whose
+    * order-sensitive digest is built from a per-shard sorted collect —
+    * the collect is per SHARD; with thousands of shards (the real
+    * layout), each holds corpus/shards ids, and the digest generalizes to
+    * a chunked rolling digest per q71. */
+  val q129 = Q(
+    "q129_resume_audit",
+    (s, dir) => {
+      val key = conv(substring(
+        md5(concat(col("doc_id").cast("string"), lit(":epoch1"))), 1, 8),
+        16, 10).cast("long")
+      val laid = documents(s, dir)
+        .select(col("doc_id"), key.as("k"))
+        .withColumn("shard", col("k") % 8)
+        .withColumn("pos", row_number().over(
+          Window.partitionBy("shard").orderBy(col("k"), col("doc_id"))))
+        .withColumn("gstep", (col("pos") - 1) * 8 + col("shard"))
+      val cut = laid.agg(expr("count(1) * 4 div 10").as("s"))
+      laid.crossJoin(broadcast(cut))
+        .filter(col("gstep") >= col("s"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_remaining"),
+          min("pos").cast("long").as("resume_pos"),
+          expr("""md5(array_join(
+              transform(sort_array(collect_list(struct(pos, doc_id))),
+                        x -> cast(x.doc_id as string)), ','))""")
+            .as("order_digest"))
+        .orderBy("shard")
+    },
+    Some("""
+      WITH keyed AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(doc_id::VARCHAR || ':epoch1'), 1, 8))::BIGINT
+                 AS k
+        FROM documents),
+      laid AS (
+        SELECT doc_id, k % 8 AS shard,
+               ROW_NUMBER() OVER (PARTITION BY k % 8 ORDER BY k, doc_id) AS pos
+        FROM keyed),
+      g AS (
+        SELECT doc_id, shard, pos, (pos - 1) * 8 + shard AS gstep FROM laid),
+      cut AS (SELECT COUNT(*) * 4 // 10 AS s FROM g)
+      SELECT shard, COUNT(*) AS n_remaining,
+             CAST(MIN(pos) AS BIGINT) AS resume_pos,
+             md5(string_agg(doc_id::VARCHAR, ',' ORDER BY pos))
+               AS order_digest
+      FROM g CROSS JOIN cut
+      WHERE gstep >= s
+      GROUP BY shard ORDER BY shard""")
+  )
+
   val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q73, q84, q85, q89, q99,
-    q106, q110, q118, q123, q125, q127, q128)
+    q106, q110, q118, q123, q125, q127, q128, q129)
 }

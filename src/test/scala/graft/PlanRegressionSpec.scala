@@ -249,7 +249,10 @@ class PlanRegressionSpec extends SparkSpec {
       "q118_range_layout",
       // q121: the global max/sum frame is ONE row joined over the ≤64-row
       // bucket table — case (a)
-      "q121_length_buckets")
+      "q121_length_buckets",
+      // q129: the 40% cut step is ONE scalar row broadcast over the
+      // layout — case (a)
+      "q129_resume_audit")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")

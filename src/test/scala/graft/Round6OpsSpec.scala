@@ -333,6 +333,37 @@ class Round6OpsSpec extends SparkSpec {
     assert(d.head(2) != base.head(2)) // sum component differs
   }
 
+  test("q129: the resume manifest is the exact suffix of the full epoch order") {
+    val ids = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    def keyOf(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$id:epoch1".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    val laid = ids.map(id => (id, keyOf(id)))
+      .groupBy { case (_, k) => k % 8 }.view.mapValues { vs =>
+        vs.sortBy { case (id, k) => (k, id) }.map(_._1).toSeq
+      }.toMap
+    val n = ids.length.toLong
+    val s40 = n * 4 / 10
+    val expect = laid.map { case (shard, order) =>
+      val remaining = order.zipWithIndex.filter { case (_, i) =>
+        i.toLong * 8 + shard >= s40 // gstep = (pos-1)*8 + shard, pos = i+1
+      }.map(_._1)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val digest = md.digest(remaining.mkString(",").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      shard -> ((remaining.length.toLong,
+        (order.length - remaining.length + 1).toLong, digest))
+    }
+    val got = ScaleQueries.q129.spark(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3)))).toMap
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("q120: matches an exact BigInt centroid-distance recompute") {
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
       .select("label", "embedding").collect()
