@@ -1729,6 +1729,89 @@ object DedupQueries {
       FROM labeled ORDER BY doc_id""")
   )
 
+  /** Semi-supervised label spreading over the near-dup graph — how a
+    * handful of human quality judgments becomes corpus-scale labels: seed
+    * documents (content-hash bucket < 20%) carry an observed good/bad
+    * verdict; two clamped majority-vote rounds spread it along q21's
+    * Jaccard edges (a near-duplicate of a bad document is bad). The
+    * update is l' = sign(2·l + Σ neighbor labels) with seeds CLAMPED
+    * (standard label-propagation discipline — ground truth never gets
+    * outvoted); everything is small-integer arithmetic, so the fixpoint
+    * prefix is bit-stable and the oracle unrolls both rounds verbatim.
+    *
+    * Scale shape: per round ONE edge-keyed join + node-keyed sum over
+    * (node, ±1) labels — 9-byte rows, the q24/q110 Pregel discipline;
+    * document text never shuffles. Rounds are unrolled (2) because label
+    * influence beyond 2 hops through a similarity graph is noise, not
+    * signal — and unrolling keeps the oracle total. */
+  val q130 = Q(
+    "q130_label_spread",
+    (s, dir) => {
+      val docs = documents(s, dir)
+      val b = conv(substring(md5(col("text")), 1, 8), 16, 10)
+        .cast("long") % 100
+      val seeded = docs.select(col("doc_id"),
+        when(b < 10, 1).when(b < 20, -1).otherwise(0).as("seed"))
+        .materialized // both rounds + output read it
+      val e0 = jaccardPairs(docs)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .materialized // two vote rounds
+      def round(labels: DataFrame): DataFrame = {
+        val votes = sym.join(labels, col("dst") === col("doc_id"))
+          .groupBy(col("src")).agg(sum(col("lbl")).as("vote"))
+        labels.join(votes, col("doc_id") === col("src"), "left")
+          .join(seeded, "doc_id")
+          .select(col("doc_id"),
+            when(col("seed") =!= 0, col("seed"))
+              .otherwise(signum(col("lbl") * 2 +
+                coalesce(col("vote"), lit(0))).cast("int")).as("lbl"))
+      }
+      val l0 = seeded.select(col("doc_id"), col("seed").as("lbl"))
+      val l2 = round(round(l0))
+      seeded.join(l2, "doc_id")
+        .select(col("doc_id"), col("seed"), col("lbl").as("label"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH $JaccardPairsSql,
+      seeded AS (
+        SELECT doc_id,
+               CASE WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 < 10
+                    THEN 1
+                    WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 < 20
+                    THEN -1 ELSE 0 END AS seed
+        FROM documents),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM jp
+        UNION ALL
+        SELECT doc_b, doc_a FROM jp),
+      l0 AS (SELECT doc_id, seed AS lbl FROM seeded),
+      v1 AS (
+        SELECT src, SUM(lbl) AS vote FROM edges
+        JOIN l0 ON dst = doc_id GROUP BY src),
+      l1 AS (
+        SELECT l0.doc_id,
+               CASE WHEN seed <> 0 THEN seed
+                    ELSE CAST(sign(lbl * 2 + COALESCE(vote, 0)) AS INT) END
+                 AS lbl
+        FROM l0 LEFT JOIN v1 ON l0.doc_id = v1.src
+        JOIN seeded USING (doc_id)),
+      v2 AS (
+        SELECT src, SUM(lbl) AS vote FROM edges
+        JOIN l1 ON dst = doc_id GROUP BY src),
+      l2 AS (
+        SELECT l1.doc_id,
+               CASE WHEN seed <> 0 THEN seed
+                    ELSE CAST(sign(lbl * 2 + COALESCE(vote, 0)) AS INT) END
+                 AS lbl
+        FROM l1 LEFT JOIN v2 ON l1.doc_id = v2.src
+        JOIN seeded USING (doc_id))
+      SELECT doc_id, seed, lbl AS label
+      FROM seeded JOIN l2 USING (doc_id)
+      ORDER BY doc_id""")
+  )
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q26, q38, q71, q74, q76,
-    q82, q88, q90, q91, q95, q101, q103, q114, q115)
+    q82, q88, q90, q91, q95, q101, q103, q114, q115, q130)
 }

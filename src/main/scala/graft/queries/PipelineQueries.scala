@@ -1253,6 +1253,50 @@ object PipelineQueries {
       ORDER BY bucket_lo""")
   )
 
+  /** k-anonymity generalization over quasi-identifiers — the release gate
+    * for metadata columns: any (lang, source) combination carried by
+    * fewer than k = 5 documents is a re-identification handle, so those
+    * cells are generalized to '*' before the metadata ships. Output is
+    * the released histogram: every surviving non-generalized cell has
+    * n ≥ k BY CONSTRUCTION (the property the release gate certifies),
+    * and the '*' bucket aggregates the suppressed mass so totals still
+    * reconcile.
+    *
+    * Scale shape: one cell-count aggregate (map-side combined,
+    * #cells rows) broadcast back over the corpus, then the release
+    * re-aggregate — the q107/q122 broadcast-stats discipline applied to
+    * governance. */
+  val q131 = Q(
+    "q131_k_anonymity",
+    (s, dir) => {
+      val k = 5L
+      val docs = documents(s, dir).select("doc_id", "lang", "source")
+      val cells = docs.groupBy("lang", "source")
+        .agg(count(lit(1)).as("cn"))
+      docs.join(broadcast(cells), Seq("lang", "source"))
+        .select(
+          when(col("cn") < k, "*").otherwise(col("lang")).as("lang_out"),
+          when(col("cn") < k, "*").otherwise(col("source")).as("source_out"))
+        .groupBy("lang_out", "source_out")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("generalized", (col("lang_out") === "*").cast("int"))
+        .orderBy("lang_out", "source_out")
+    },
+    Some("""
+      WITH cells AS (
+        SELECT lang, source, COUNT(*) AS cn
+        FROM documents GROUP BY 1, 2),
+      recoded AS (
+        SELECT CASE WHEN cn < 5 THEN '*' ELSE lang END AS lang_out,
+               CASE WHEN cn < 5 THEN '*' ELSE source END AS source_out
+        FROM documents JOIN cells USING (lang, source))
+      SELECT lang_out, source_out, COUNT(*) AS n_docs,
+             CAST(lang_out = '*' AS INT) AS generalized
+      FROM recoded GROUP BY 1, 2
+      ORDER BY lang_out, source_out""")
+  )
+
   val all: Seq[Q] = Seq(q33, q34, q35, q37, q46, q53, q54, q55, q56, q57,
-    q65, q66, q67, q69, q72, q83, q86, q96, q104, q108, q116, q117, q121)
+    q65, q66, q67, q69, q72, q83, q86, q96, q104, q108, q116, q117, q121,
+    q131)
 }

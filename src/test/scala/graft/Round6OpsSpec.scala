@@ -364,6 +364,67 @@ class Round6OpsSpec extends SparkSpec {
     assert(got == expect && got.nonEmpty)
   }
 
+  test("q130: matches a from-scratch two-round clamped label spread") {
+    def md5hex(s: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val docs = docWords.map { case (id, _, ws) =>
+      (id, ws, {
+        val b = java.lang.Long.parseLong(
+          md5hex(ws.mkString(" ")).substring(0, 8), 16) % 100
+        if (b < 10) 1 else if (b < 20) -1 else 0
+      })
+    }
+    // NOTE: text reconstructed from words equals the original (single-space
+    // word salad) — guarded below against the real text column
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    docs.foreach { case (id, ws, _) => assert(ws.mkString(" ") == texts(id)) }
+
+    val shingles = docs.map { case (id, ws, _) =>
+      val sh =
+        if (ws.length < 5) Set(ws.mkString(" "))
+        else ws.sliding(5).map(_.mkString(" ")).toSet
+      (id, sh)
+    }.toMap
+    val ids = docs.map(_._1)
+    val edges = (for {
+      a <- ids; b <- ids if a < b
+      inter = (shingles(a) & shingles(b)).size
+      if inter > 0 && inter * 20 >= (shingles(a).size + shingles(b).size - inter)
+    } yield (a, b)).flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val seeds = docs.map { case (id, _, s) => id -> s }.toMap
+    def spread(l: Map[Long, Int]): Map[Long, Int] = l.map { case (id, lbl) =>
+      id -> (if (seeds(id) != 0) seeds(id)
+      else {
+        val vote = edges.getOrElse(id, Seq.empty[Long]).map(l).sum
+        math.signum(lbl * 2 + vote)
+      })
+    }
+    val expect = spread(spread(seeds))
+    val got = DedupQueries.q130.spark(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(got == expect && got.nonEmpty)
+    // clamp law: seeds always keep their verdict
+    DedupQueries.q130.spark(spark, sf).collect().foreach { r =>
+      if (r.getInt(1) != 0) assert(r.getInt(2) == r.getInt(1))
+    }
+  }
+
+  test("q131: every released non-generalized cell satisfies k >= 5; totals reconcile") {
+    val rows = PipelineQueries.q131.spark(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    rows.foreach { case (l, src, n, gen) =>
+      if (gen == 0) assert(n >= 5L, s"($l, $src)")
+      assert((l == "*") == (gen == 1) && (l == "*") == (src == "*"))
+    }
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_._3).sum == total)
+  }
+
   test("q120: matches an exact BigInt centroid-distance recompute") {
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
       .select("label", "embedding").collect()
