@@ -1812,6 +1812,76 @@ object DedupQueries {
       ORDER BY doc_id""")
   )
 
+  /** Corpus-level MinHash similarity between SOURCES — sketch algebra
+    * above the document tier: MinHash's union property (the signature of
+    * A∪B is the elementwise min of the signatures of A and B) means one
+    * 64-long signature per source estimates the shingle-set Jaccard
+    * between entire crawl sources. This is dataset-dedup TRIAGE: before
+    * running q22 across two crawls, one K²-pair comparison of
+    * kilobyte-sized sketches says which source pairs overlap enough to
+    * bother. Same permutation family and base hash as q22, so the
+    * sketches are interchangeable with the per-doc pipeline.
+    *
+    * Scale shape: the signature build is ONE map-side-folded aggregate to
+    * #sources rows (the shingle stream never shuffles — MinHashFold's
+    * partial aggregation IS the sketch merge); the pair comparison is a
+    * #sources² loop over broadcast-sized rows (allowlisted — both sides
+    * are source-catalog-sized, corpus-independent). */
+  val q133 = Q(
+    "q133_source_minhash",
+    (s, dir) => {
+      val (lo, hi) = md5Halves(col("sh"))
+      val sigs = documents(s, dir)
+        .select(col("source"),
+          graft.functions.GraftFunctions.word_ngrams(col("text"), 5).as("sh"))
+        .select(col("source"), lo.as("lo"), hi.as("hi"))
+        .groupBy("source")
+        .agg(graft.functions.MinHashFold
+          .minhashFold(col("lo"), col("hi"), PermA, PermB, PermC, P61)
+          .as("sig"))
+        .materialized // both sides of the pair loop
+      val a = sigs.select(col("source").as("src_a"), col("sig").as("sa"))
+      val b = sigs.select(col("source").as("src_b"), col("sig").as("sb"))
+      a.join(b, col("src_a") < col("src_b"))
+        .select(col("src_a"), col("src_b"),
+          expr("""cast(aggregate(zip_with(sa, sb, (x, y) -> if(x = y, 1, 0)),
+                  0, (acc, z) -> acc + z) as bigint)""").as("agree"))
+        .withColumn("jaccard_x10000",
+          expr(s"agree * 10000 div $MinhashK"))
+        .orderBy("src_a", "src_b")
+    },
+    Some(s"""
+      WITH words AS (
+        SELECT source, string_split_regex(text, '\\s+') AS w FROM documents),
+      idx AS (
+        SELECT source, w, unnest(range(1, greatest(len(w) - 4, 1) + 1)) AS i
+        FROM words),
+      sh AS (
+        SELECT source, array_to_string(w[i:i+4], ' ') AS sh FROM idx),
+      h AS (
+        SELECT source,
+               ('0x' || substr(md5(sh), 1, 8))::BIGINT AS lo,
+               ('0x' || substr(md5(sh), 9, 8))::BIGINT AS hi
+        FROM sh),
+      consts AS (
+        SELECT unnest(range(0, $MinhashK)) AS i,
+               unnest(${sqlList(PermA)}) AS pa,
+               unnest(${sqlList(PermB)}) AS pb,
+               unnest(${sqlList(PermC)}) AS pc),
+      perm AS (
+        SELECT source, i, MIN((pa*lo + pb*hi + pc) % $P61) AS v
+        FROM h CROSS JOIN consts GROUP BY source, i),
+      sig AS (SELECT source, list(v ORDER BY i) AS sig FROM perm GROUP BY source),
+      pairs AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(len(list_filter(range(1, ${MinhashK + 1}),
+                        k -> a.sig[k] = b.sig[k])) AS BIGINT) AS agree
+        FROM sig a JOIN sig b ON a.source < b.source)
+      SELECT src_a, src_b, agree,
+             agree * 10000 // $MinhashK AS jaccard_x10000
+      FROM pairs ORDER BY src_a, src_b""")
+  )
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q26, q38, q71, q74, q76,
-    q82, q88, q90, q91, q95, q101, q103, q114, q115, q130)
+    q82, q88, q90, q91, q95, q101, q103, q114, q115, q130, q133)
 }

@@ -350,5 +350,93 @@ object SketchQueries {
       FROM dest d, mest m""")
   )
 
-  val all: Seq[Q] = Seq(q27, q39, q52, q68, q75, q98)
+  /** Log-histogram shard-merge proof — q98's mergeability law applied to
+    * q68's quantile sketch: the per-(lang, bucket) counters from 8
+    * independent shards, merged by SUM, must yield the same histogram AND
+    * the same quantile read-offs as the direct single-pass build. That is
+    * the property that lets 1000 executors each sketch their partition
+    * and a coordinator merge kilobytes — machine-checked here (both
+    * pipelines computed, equality emitted as a column the oracle
+    * hash-verifies), not assumed. Counters are exact integers, so merge
+    * losslessness is equality, not approximation.
+    *
+    * Scale shape: two histogram aggregates (the sharded one keyed by
+    * (shard, lang, bucket) — map-side combined either way) + bucket-keyed
+    * re-merge; everything after the scans is buckets×langs rows. */
+  val q132 = Q(
+    "q132_histogram_merge",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val src = documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          length(conv(col("n_chars"), 10, 2)).cast("long").as("bucket"))
+      val direct = src.groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("cnt"))
+      val merged = src
+        .withColumn("shard", pmod(col("doc_id"), lit(8)))
+        .groupBy("shard", "lang", "bucket").agg(count(lit(1)).as("c"))
+        .groupBy("lang", "bucket").agg(sum(col("c")).as("mcnt"))
+      val w = Window.partitionBy("lang").orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wl = Window.partitionBy("lang")
+      val joined = direct.join(merged, Seq("lang", "bucket"))
+        .withColumn("cell_equal", (col("cnt") === col("mcnt")).cast("int"))
+        .withColumn("cum_d", sum(col("cnt")).over(w))
+        .withColumn("n_d", sum(col("cnt")).over(wl))
+        .withColumn("cum_m", sum(col("mcnt")).over(w))
+        .withColumn("n_m", sum(col("mcnt")).over(wl))
+      val pow2 = expr("CAST(POW(2, bucket - 1) AS BIGINT)")
+      joined
+        .groupBy("lang")
+        .agg(sum(col("cnt")).as("n_docs"),
+          min(col("cell_equal")).as("all_cells_equal"),
+          min(when(col("cum_d") * 2 >= col("n_d"), pow2)).as("p50_direct"),
+          min(when(col("cum_m") * 2 >= col("n_m"), pow2)).as("p50_merged"))
+        .withColumn("merge_lossless",
+          (col("all_cells_equal") === 1 &&
+            col("p50_direct") === col("p50_merged")).cast("int"))
+        .orderBy("lang")
+    },
+    Some("""
+      WITH src AS (
+        SELECT doc_id, lang, CAST(LENGTH(bin(n_chars)) AS BIGINT) AS bucket
+        FROM documents),
+      direct AS (
+        SELECT lang, bucket, COUNT(*) AS cnt
+        FROM src GROUP BY 1, 2),
+      sharded AS (
+        SELECT doc_id % 8 AS shard, lang, bucket, COUNT(*) AS c
+        FROM src GROUP BY 1, 2, 3),
+      merged AS (
+        SELECT lang, bucket, CAST(SUM(c) AS BIGINT) AS mcnt
+        FROM sharded GROUP BY 1, 2),
+      joined AS (
+        SELECT lang, bucket, cnt, mcnt,
+               CAST(cnt = mcnt AS INT) AS cell_equal
+        FROM direct JOIN merged USING (lang, bucket)),
+      agg AS (
+        SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n_docs,
+               MIN(cell_equal) AS all_cells_equal,
+               MIN(CASE WHEN cum_d * 2 >= n_d
+                   THEN CAST(POW(2, bucket - 1) AS BIGINT) END) AS p50_direct,
+               MIN(CASE WHEN cum_m * 2 >= n_m
+                   THEN CAST(POW(2, bucket - 1) AS BIGINT) END) AS p50_merged
+        FROM (SELECT *,
+                CAST(SUM(cnt) OVER (PARTITION BY lang ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                  AS cum_d,
+                CAST(SUM(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n_d,
+                CAST(SUM(mcnt) OVER (PARTITION BY lang ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                  AS cum_m,
+                CAST(SUM(mcnt) OVER (PARTITION BY lang) AS BIGINT) AS n_m
+              FROM joined)
+        GROUP BY lang)
+      SELECT lang, n_docs, all_cells_equal, p50_direct, p50_merged,
+             CAST(all_cells_equal = 1 AND p50_direct = p50_merged AS INT)
+               AS merge_lossless
+      FROM agg ORDER BY lang""")
+  )
+
+  val all: Seq[Q] = Seq(q27, q39, q52, q68, q75, q98, q132)
 }

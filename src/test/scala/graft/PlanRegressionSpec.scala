@@ -252,7 +252,10 @@ class PlanRegressionSpec extends SparkSpec {
       "q121_length_buckets",
       // q129: the 40% cut step is ONE scalar row broadcast over the
       // layout — case (a)
-      "q129_resume_audit")
+      "q129_resume_audit",
+      // q133: the pair loop runs over source-catalog-sized signature
+      // tables (K rows of 64 longs each side) — corpus-independent
+      "q133_source_minhash")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")

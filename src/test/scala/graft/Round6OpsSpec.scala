@@ -425,6 +425,30 @@ class Round6OpsSpec extends SparkSpec {
     assert(rows.map(_._3).sum == total)
   }
 
+  test("q132: shard-merged histograms are lossless for every group") {
+    val rows = graft.queries.SketchQueries.q132.spark(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, _, cellsEq, lossless) =>
+      assert(cellsEq == 1 && lossless == 1, lang)
+    }
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_._2).sum == total)
+  }
+
+  test("q133: source-pair sketch comparisons are complete and bounded") {
+    val k = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source").distinct().count()
+    val rows = DedupQueries.q133.spark(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length.toLong == k * (k - 1) / 2) // every unordered pair once
+    rows.foreach { case (a, b, agree, jac) =>
+      assert(a < b)
+      assert(agree >= 0 && agree <= 64)
+      assert(jac == agree * 10000 / 64)
+    }
+  }
+
   test("q120: matches an exact BigInt centroid-distance recompute") {
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
       .select("label", "embedding").collect()
