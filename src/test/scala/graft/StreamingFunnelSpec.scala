@@ -149,4 +149,63 @@ class StreamingFunnelSpec extends SparkSpec {
       .map(h => (h.user_id, h.step))
     assert(keys.length == keys.distinct.length)
   }
+
+  test("checkpoint restart: pending state survives, steps emit exactly once across runs") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s.implicits._
+
+    val in = tmpDir("funnel_restart_in")
+    val out = tmpDir("funnel_restart_out").toString
+    val ckpt = tmpDir("funnel_restart_ckpt").toString
+
+    def stage(name: String, evs: Seq[FEvent]): Unit = {
+      val tmp = tmpDir("funnel_restart_stage")
+      evs.toDF().coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val listing = Files.list(tmp)
+      val part =
+        try listing.filter(_.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        finally listing.close()
+      Files.move(part, in.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+    }
+    def run(): Unit = {
+      val stream = s.readStream
+        .schema(Seq(FEvent(0L, ts(0), "view")).toDF().schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in.toString)
+        .withWatermark("ts", "1 second")
+        .as[FEvent]
+      val q = StreamingFunnel.steps(stream)
+        .writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+
+    // run 1: the funnel's events arrive, but the watermark cannot pass
+    // them within this run — everything parks in RocksDB state
+    stage("b0.parquet", Seq(FEvent(1L, ts(0), "view"),
+      FEvent(1L, ts(10), "click"), FEvent(1L, ts(20), "purchase")))
+    run()
+
+    // run 2 is a RESTART from the checkpoint: a later event pumps the
+    // watermark; the parked state must still be there and emit
+    stage("b1.parquet", Seq(FEvent(9L, ts(600), "view")))
+    run()
+    val after2 = s.read.parquet(out).as[StepHit].collect()
+      .map(h => (h.user_id, h.step, h.ts_ms)).toSet
+    assert(after2 == Set((1L, 1, ms(0)), (1L, 2, ms(10)), (1L, 3, ms(20))))
+
+    // run 3: restart with NO new input — nothing may re-emit
+    run()
+    val after3 = s.read.parquet(out).as[StepHit].collect()
+    assert(after3.length == 3, s"replay duplicated steps: ${after3.length}")
+  }
 }
