@@ -49,4 +49,29 @@ class TextPropertySpec extends SparkSpec {
       SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("∀ ragged matrix: executor-side BulkIngest cells ≡ driver-side TextImporter") {
+    // the distributed ingest path re-implements the reference's text
+    // semantics inside a task; this property pins the two code paths to
+    // each other on arbitrary ragged quote-wrapped input
+    val prop = Prop.forAll(matrixGen) { case (rows, delim) =>
+      val dir = tmpDir("bulkprop")
+      val content = rows.map(_.mkString(delim)).mkString("\n") + "\n"
+      // .ant lets both paths take a FIXED delimiter (sniffing is voting
+      // -based and not under test); rewrite the content to the ant form
+      val antContent = rows.map(_.mkString(
+        graft.sources.TextImporter.AntDelimiter)).mkString("\n") + "\n"
+      val p = writeFile(dir, "m.ant", antContent)
+      val driver = new graft.sources.TextImporter(
+        spark, p, Some(graft.sources.TextImporter.AntDelimiter))
+        .work().head.data.collect()
+        .map(_.toSeq.map(v => if (v == null) null else v.toString))
+      val bulk = graft.operators.BulkIngest.parseOne(p)
+        .sortBy(_.row_idx).map(_.cells.toSeq)
+      driver.toSeq == bulk.toSeq
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
