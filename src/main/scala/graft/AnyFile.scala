@@ -30,9 +30,8 @@ import org.apache.spark.sql.SparkSession
 object AnyFile {
 
   def parse(spark: SparkSession, path: String): Seq[ParserAnswer] = {
-    val p = Paths.get(path)
     val extension = {
-      val name = p.getFileName.toString
+      val name = graft.sources.FsIO.fileName(path)
       val dot = name.lastIndexOf('.')
       if (dot <= 0) "" else name.substring(dot).toLowerCase
     }
@@ -41,7 +40,16 @@ object AnyFile {
     // reference (whose open('rb') probe would crash on a directory),
     // directories are allowed through: Spark sources read partitioned
     // directory datasets natively (e.g. `x.parquet/` with part files).
-    if (!Files.exists(p) || !Files.isReadable(p))
+    // Readability probe goes through the Hadoop FS layer so hdfs:/s3a:
+    // URIs answer exactly like local paths; for scheme-less local paths
+    // the extra isReadable check preserves reference parity on
+    // permission-denied files.
+    val localUnreadable =
+      graft.sources.FsIO.hpath(path).toUri.getScheme == null && {
+        val p = Paths.get(path)
+        Files.exists(p) && !Files.isReadable(p)
+      }
+    if (!graft.sources.FsIO.exists(path) || localUnreadable)
       return Seq(ParserAnswer.failed(spark, path))
 
     val importer: Importer = extension match {

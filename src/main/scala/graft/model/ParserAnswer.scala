@@ -34,9 +34,13 @@ final case class ParserAnswer(
     knownRowCount: Option[Long] = None
 ) {
 
-  /** Absolute path string — `RulePath` parity (`main.py:51-57`). */
+  /** Absolute path string — `RulePath` parity (`main.py:51-57`). A path
+    * carrying a URI scheme (`hdfs://…`, `file://…`) is already absolute
+    * and is kept verbatim; only scheme-less local paths get resolved. */
   val filePath: String =
-    java.nio.file.Paths.get(filePathRaw).toAbsolutePath.toString
+    if (new org.apache.hadoop.fs.Path(filePathRaw).toUri.getScheme != null)
+      filePathRaw
+    else java.nio.file.Paths.get(filePathRaw).toAbsolutePath.toString
 
   /** `"Failed"` iff zero rows, else `"OK"` (`main.py:103`). Lazy: only
     * triggers a Spark job when no driver-side count is known. */

@@ -1,9 +1,11 @@
 package graft.operators
 
-import java.nio.file.{Files, Paths}
+import java.nio.charset.StandardCharsets
 import java.util.regex.Pattern
 
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+
+import graft.sources.FsIO
 
 /** Distributed bulk ingestion — the reference's single-file `parse()`
   * semantics (`/root/reference/main.py:118-168`) scaled to a CORPUS of
@@ -40,25 +42,59 @@ object BulkIngest {
       cells: Seq[String])
 
   /** Every regular file under `root` (sorted for determinism), parsed
-    * executor-side. */
+    * executor-side. Listing uses the Hadoop recursive `RemoteIterator`
+    * (`FileSystem.listFiles(recursive=true)`) — streamed batch-by-batch
+    * from the namenode/object store, so the driver holds only the path
+    * strings, never a `Files.walk` snapshot; works on any supported
+    * scheme (`file:`, `hdfs:`, `s3a:`). Driver memory is the remaining
+    * bound (one String per file): beyond ~10⁷ files use
+    * [[parseTreeDistributed]], which never materializes the list on the
+    * driver at all. */
   def parseTree(spark: SparkSession, root: String, partitions: Int = 0): DataFrame = {
-    val files = {
-      val s = Files.walk(Paths.get(root))
-      try s.filter(Files.isRegularFile(_)).map[String](_.toString)
-        .sorted().toArray.toSeq.map(_.toString)
-      finally s.close()
-    }
+    val files = FsIO.listFilesRecursive(root).toArray.sorted.toSeq
     parseFiles(spark, files, partitions)
+  }
+
+  /** Subtree-fan-out listing + parse for 10⁸-file corpora: the driver
+    * lists only the ROOT's immediate children; each directory child
+    * becomes a seed whose whole subtree is listed INSIDE an executor task
+    * (same `RemoteIterator` streaming), and listing output flows straight
+    * into the file-grain parse without ever being collected. Two narrow
+    * stages + one exchange on the (tiny) path strings; deterministic
+    * because [[CellRow]] carries (path, sheet, row_idx) — output order is
+    * not part of the contract. */
+  def parseTreeDistributed(spark: SparkSession, root: String, partitions: Int = 0): DataFrame = {
+    val children = FsIO.listChildren(root)
+    val seedDirs = children.collect { case (p, true) => p }
+    val rootFiles = children.collect { case (p, false) => p }
+    val parts =
+      if (partitions > 0) partitions
+      else math.max(1, spark.sparkContext.defaultParallelism)
+    val props = FsIO.captureProps(spark)
+    implicit val enc = Encoders.product[CellRow]
+    val listed = spark.createDataset(seedDirs)(Encoders.STRING)
+      .repartition(math.max(1, math.min(seedDirs.length, parts)))
+      .mapPartitions { dirs =>
+        FsIO.install(props)
+        dirs.flatMap(FsIO.listFilesRecursive)
+      }(Encoders.STRING)
+    listed.union(spark.createDataset(rootFiles)(Encoders.STRING))
+      .repartition(parts)
+      .mapPartitions { it => FsIO.install(props); it.flatMap(parseOne) }
+      .toDF()
   }
 
   def parseFiles(spark: SparkSession, paths: Seq[String], partitions: Int = 0): DataFrame = {
     val parts =
       if (partitions > 0) partitions
       else math.max(1, math.min(paths.length, spark.sparkContext.defaultParallelism))
+    // executor tasks have no SparkSession: ship the driver's Hadoop conf
+    // (captured as a plain map) so hdfs:/s3a: byte access works in-task
+    val props = FsIO.captureProps(spark)
     implicit val enc = Encoders.product[CellRow]
     spark.createDataset(paths)(Encoders.STRING)
       .repartition(parts)
-      .mapPartitions(_.flatMap(parseOne))
+      .mapPartitions { it => FsIO.install(props); it.flatMap(parseOne) }
       .toDF()
   }
 
@@ -66,14 +102,14 @@ object BulkIngest {
     * the per-format parity tests against `AnyFile.parse`. */
   private[graft] def parseOne(path: String): Seq[CellRow] = {
     val suffix = {
-      val name = Paths.get(path).getFileName.toString
+      val name = FsIO.fileName(path)
       val dot = name.lastIndexOf('.')
       if (dot < 0) "" else name.substring(dot).toLowerCase
     }
     def failed(engine: String) =
       Seq(CellRow(path, engine, "None", "Failed", -1L, Seq.empty))
     try {
-      if (!Files.isRegularFile(Paths.get(path))) return failed("")
+      if (!FsIO.isFile(path)) return failed("")
       suffix match {
         case ".xlsx" => xlsx(path)
         case ".ods" | ".odf" | ".odt" => ods(path)
@@ -138,7 +174,7 @@ object BulkIngest {
     }
 
   private def xls(path: String): Seq[CellRow] =
-    graft.sources.xls.XlsParser.parse(Files.readAllBytes(Paths.get(path))) match {
+    graft.sources.xls.XlsParser.parse(FsIO.readAllBytes(path)) match {
       case None => Seq(CellRow(path, "ImportExcel", "None", "Failed", -1L, Seq.empty))
       case Some(sheets) if sheets.isEmpty =>
         Seq(CellRow(path, "ImportExcel", "None", "Failed", -1L, Seq.empty))
@@ -177,7 +213,10 @@ object BulkIngest {
   private def text(path: String, fixedDelim: Option[String]): Seq[CellRow] = {
     import graft.sources.Sniffers
     val delim = fixedDelim.getOrElse(Sniffers.detectDelimiter(path))
-    val raw = new String(Files.readAllBytes(Paths.get(path)))
+    // UTF-8 explicitly: the driver-side TextImporter twin reads through
+    // spark.read.text (always UTF-8); decoding with the executor JVM's
+    // default charset would silently diverge on non-UTF-8 locales
+    val raw = new String(FsIO.readAllBytes(path), StandardCharsets.UTF_8)
     val lines = raw.split("\n", -1).toSeq match {
       case init :+ "" => init // trailing newline: no phantom last row
       case ls => ls
@@ -199,7 +238,7 @@ object BulkIngest {
 
   private def pdf(path: String): Seq[CellRow] = {
     import graft.sources.pdf.{PdfParser, PdfTextExtractor}
-    val bytes = Files.readAllBytes(Paths.get(path))
+    val bytes = FsIO.readAllBytes(path)
     val tables: Seq[Seq[IndexedSeq[String]]] = PdfParser.parse(bytes) match {
       case None => Nil
       case Some(doc) =>

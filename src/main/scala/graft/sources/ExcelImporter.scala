@@ -68,8 +68,7 @@ class ExcelImporter(
     * Driver-side decode: the format caps sheets at 65536×256 rows/cols, so
     * unlike xlsx there is no unbounded-sheet scale path to protect. */
   private def workXls(): Seq[ParserAnswer] = {
-    val bytes = java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(filePath))
+    val bytes = graft.sources.FsIO.readAllBytes(filePath)
     graft.sources.xls.XlsParser.parse(bytes) match {
       case None => failedAnswer()
       case Some(sheets) if sheets.isEmpty => failedAnswer()

@@ -66,8 +66,8 @@ class JsonImporter(val spark: SparkSession, val filePath: String)
   }
 
   private def firstStructuralChar(path: String): Option[Char] = {
-    val in = java.nio.file.Files.newBufferedReader(
-      java.nio.file.Paths.get(path))
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+      graft.sources.FsIO.open(path), java.nio.charset.StandardCharsets.UTF_8))
     try {
       var c = in.read()
       while (c != -1 && Character.isWhitespace(c)) c = in.read()
@@ -82,8 +82,7 @@ class JsonImporter(val spark: SparkSession, val filePath: String)
     import com.fasterxml.jackson.databind.ObjectMapper
     import scala.jdk.CollectionConverters._
     val mapper = new ObjectMapper()
-    val root = mapper.readTree(java.nio.file.Files.newInputStream(
-      java.nio.file.Paths.get(filePath)))
+    val root = mapper.readTree(graft.sources.FsIO.open(filePath))
     require(root.isObject, "columns-orient JSON must be an object")
     val cols = root.fieldNames().asScala.toSeq
     // row index keys in first-appearance order across columns

@@ -42,8 +42,7 @@ class PdfImporter(
 
   def work(): Seq[ParserAnswer] = {
     try {
-      val bytes = java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(filePath))
+      val bytes = graft.sources.FsIO.readAllBytes(filePath)
       // one entry per extracted TABLE (pages can hold several, split at
       // large vertical gaps — tabula's list-of-tables granularity)
       val tables: Seq[Seq[IndexedSeq[String]]] = PdfParser.parse(bytes) match {

@@ -219,15 +219,8 @@ object Sniffers {
     }
   }
 
-  /** Read at most `limit` bytes from the head of the file. */
-  private def readPrefix(path: String, limit: Int): Array[Byte] = {
-    val p = Paths.get(path)
-    val size = Files.size(p)
-    if (size <= limit) Files.readAllBytes(p)
-    else {
-      val in = Files.newInputStream(p)
-      try in.readNBytes(limit)
-      finally in.close()
-    }
-  }
+  /** Read at most `limit` bytes from the head of the file (Hadoop-FS:
+    * local paths and hdfs:/s3a: URIs alike). */
+  private def readPrefix(path: String, limit: Int): Array[Byte] =
+    FsIO.readHead(path, limit)
 }

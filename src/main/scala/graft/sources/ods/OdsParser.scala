@@ -17,18 +17,19 @@ object OdsParser {
 
   /** All sheets as (name, ragged rows); None when the file has no content
     * document or no tables (→ Failed answer upstream). */
-  def sheets(path: String): Option[Seq[(String, Seq[IndexedSeq[String]])]] = {
-    val zip = new ZipFile(path)
-    try {
-      val content = loadZipXml(zip, "content.xml").getOrElse(return None)
-      val tables = (content \\ "table").filter(_.namespace == TableNs)
-      if (tables.isEmpty) return None
-      Some(tables.map { t =>
-        val name = t.attribute(TableNs, "name").map(_.text).getOrElse("None")
-        (name, parseTable(t))
-      })
-    } finally zip.close()
-  }
+  def sheets(path: String): Option[Seq[(String, Seq[IndexedSeq[String]])]] =
+    graft.sources.FsIO.withLocal(path) { f =>
+      val zip = new ZipFile(f)
+      try {
+        val content = loadZipXml(zip, "content.xml").getOrElse(return None)
+        val tables = (content \\ "table").filter(_.namespace == TableNs)
+        if (tables.isEmpty) return None
+        Some(tables.map { t =>
+          val name = t.attribute(TableNs, "name").map(_.text).getOrElse("None")
+          (name, parseTable(t))
+        })
+      } finally zip.close()
+    }
 
   /** Repeat cap applies ONLY to empty filler (ODS pads sheets with
     * number-columns/rows-repeated ~16k/1M trailers); non-empty repeats are

@@ -95,10 +95,12 @@ object XlsbParser {
     else (new String(b, o + 4, cch * 2, "UTF-16LE"), 4 + cch * 2)
   }
 
-  def parse(path: String): Option[Seq[XlsbSheet]] = {
-    val zip =
-      try new ZipFile(path)
-      catch { case _: Exception => return None }
+  def parse(path: String): Option[Seq[XlsbSheet]] =
+    try graft.sources.FsIO.withLocal(path)(f => parseLocal(new ZipFile(f)))
+    catch { case _: Exception => None }
+
+  private def parseLocal(zipIn: ZipFile): Option[Seq[XlsbSheet]] = {
+    val zip = zipIn
     try {
       val wbBytes = readEntry(zip, "xl/workbook.bin").getOrElse(return None)
       // sheet list: BrtBundleSh = hsState u32, iTabID u32, relId, name

@@ -105,8 +105,13 @@ class ExcelScanBuilder(
       val sheet = ExcelDataSource.resolveSheet(wb, options)
       Array(SheetPartition(path, sheet.target))
     }
-    override def createReaderFactory(): PartitionReaderFactory =
-      new SheetReaderFactory(required)
+    override def createReaderFactory(): PartitionReaderFactory = {
+      // ship the driver's Hadoop conf so executor-side byte access works
+      // on hdfs:/s3a: URIs (factories serialize driver → executor)
+      val props = org.apache.spark.sql.SparkSession.getActiveSession
+        .map(graft.sources.FsIO.captureProps).getOrElse(Map.empty[String, String])
+      new SheetReaderFactory(required, props)
+    }
   }
 }
 
@@ -115,9 +120,10 @@ class ExcelScanBuilder(
   */
 case class SheetPartition(path: String, target: String) extends InputPartition
 
-class SheetReaderFactory(required: StructType)
+class SheetReaderFactory(required: StructType, fsProps: Map[String, String])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    if (fsProps.nonEmpty) graft.sources.FsIO.install(fsProps)
     val sp = p.asInstanceOf[SheetPartition]
     new SheetReader(sp, required)
   }
@@ -127,10 +133,15 @@ class SheetReader(p: SheetPartition, required: StructType)
     extends PartitionReader[InternalRow] {
   // executor-side: open the container locally, STREAM this sheet's rows
   // (one row in memory at a time — a 1M-row sheet never builds a DOM or a
-  // row list; shared strings are the only retained table)
-  private val wb = XlsxParser.openWorkbook(p.path)
+  // row list; shared strings are the only retained table). Localize ONCE
+  // per task: local paths pass through, a remote (hdfs:/s3a:) workbook
+  // spills to a single task-local temp serving both the shared-string
+  // load and the row stream.
+  private val localized = graft.sources.FsIO.localize(p.path)
+  private val localPath = localized.file.getPath
+  private val wb = XlsxParser.openWorkbook(localPath)
     .getOrElse(throw new IllegalStateException(s"not an xlsx: ${p.path}"))
-  private val rows = new SheetRowIterator(p.path, p.target, wb.shared)
+  private val rows = new SheetRowIterator(localPath, p.target, wb.shared)
   private val colIdx: Array[Int] = required.fields.map(_.name.toInt)
   private var current: IndexedSeq[String] = _
 
@@ -145,5 +156,5 @@ class SheetReader(p: SheetPartition, required: StructType)
     }.toIndexedSeq)
   }
 
-  override def close(): Unit = rows.close()
+  override def close(): Unit = { rows.close(); localized.close() }
 }

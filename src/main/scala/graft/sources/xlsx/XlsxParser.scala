@@ -38,21 +38,23 @@ object XlsxParser {
   )
   final case class SheetRef(name: String, target: String)
 
-  def openWorkbook(path: String): Option[Workbook] = {
-    val zip = new ZipFile(path)
-    try {
-      sheetListOf(zip).map(sheets => Workbook(sheets, sharedStrings(zip)))
-    } finally zip.close()
-  }
+  def openWorkbook(path: String): Option[Workbook] =
+    graft.sources.FsIO.withLocal(path) { f =>
+      val zip = new ZipFile(f)
+      try {
+        sheetListOf(zip).map(sheets => Workbook(sheets, sharedStrings(zip)))
+      } finally zip.close()
+    }
 
   /** Sheet names + targets ONLY — reads the zip central directory plus the
     * two few-hundred-byte metadata entries (`workbook.xml`, its rels).
     * The cheap open for callers that probe/decode sheets elsewhere. */
-  def openSheetList(path: String): Option[Seq[SheetRef]] = {
-    val zip = new ZipFile(path)
-    try sheetListOf(zip)
-    finally zip.close()
-  }
+  def openSheetList(path: String): Option[Seq[SheetRef]] =
+    graft.sources.FsIO.withLocal(path) { f =>
+      val zip = new ZipFile(f)
+      try sheetListOf(zip)
+      finally zip.close()
+    }
 
   private def sheetListOf(zip: ZipFile): Option[Seq[SheetRef]] =
     loadZipXml(zip, "xl/workbook.xml").map { workbook =>
@@ -188,7 +190,10 @@ final class SheetRowIterator(
 ) extends Iterator[IndexedSeq[String]] with java.io.Closeable {
   SheetOpenRecorder.record()
 
-  private val zip = new ZipFile(path)
+  // Hadoop-FS localized view (pass-through for local paths, task-local
+  // spill for hdfs:/s3a:) — ZipFile needs random access by entry name.
+  private val localized = graft.sources.FsIO.localize(path)
+  private val zip = new ZipFile(localized.file)
   private val inOpt = Option(zip.getEntry(target)).map(zip.getInputStream)
   private val readerOpt = inOpt.map(StaxUtil.reader)
   private var closed = false
@@ -277,5 +282,6 @@ final class SheetRowIterator(
     readerOpt.foreach(r => try r.close() catch { case _: Exception => () })
     inOpt.foreach(i => try i.close() catch { case _: Exception => () })
     zip.close()
+    localized.close()
   }
 }

@@ -60,7 +60,7 @@ object XmlSpreadsheetParser {
   private def withRecovery[A](path: String)(body: XMLStreamReader => A): A = {
     val strict =
       try {
-        val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path))
+        val in = graft.sources.FsIO.open(path)
         try Right(body(StaxUtil.reader(in)))
         finally in.close()
       } catch { case e: Exception => Left(e) }
@@ -71,8 +71,7 @@ object XmlSpreadsheetParser {
   }
 
   private[xmlss] def cleanedContent(path: String): String = {
-    val raw = new String(
-      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
+    val raw = new String(graft.sources.FsIO.readAllBytes(path), "UTF-8")
     raw
       .replaceAll("&(?!(?:amp|lt|gt|quot|apos|#\\d+|#x[0-9a-fA-F]+);)", "&amp;")
       .replaceAll("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]", "")
@@ -169,7 +168,7 @@ final class XmlssRowIterator(path: String, worksheetMode: Boolean, targetIdx: In
   private var toSkip = 0L
 
   private def openStrict(): XMLStreamReader = {
-    val s = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path))
+    val s = graft.sources.FsIO.open(path)
     in = s
     StaxUtil.reader(s)
   }
