@@ -33,7 +33,14 @@ object StreamingFunnel {
   final case class FEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String)
   /** A finalized funnel step: 1 = view, 2 = view>click, 3 = view>click>purchase. */
   final case class StepHit(user_id: Long, step: Int, ts_ms: Long)
-  /** Fixed (finalized) step times; -1 = not yet final. */
+
+  /** "Not yet final" sentinel. `Long.MinValue`, NOT -1: event-time millis
+    * are legitimately negative for pre-1970 timestamps, and a step fixed
+    * at a negative ts must still read as fixed (a -1 sentinel would
+    * re-emit it on every later timer firing, breaking exactly-once). */
+  val Unset: Long = Long.MinValue
+
+  /** Fixed (finalized) step times; [[Unset]] = not yet final. */
   final case class Fixed(t1: Long, t2: Long, t3: Long)
   /** A pending event: kind 0 = view, 1 = click, 2 = purchase. */
   final case class Pend(tsMs: Long, kind: Int)
@@ -46,6 +53,18 @@ object StreamingFunnel {
     * Returns (new fixed, compacted pending, emissions). Property-tested
     * in StreamingFunnelSpec against a from-scratch batch recompute. */
   def advance(fixed: Fixed, pending: Seq[Pend], wmMs: Long)
+      : (Fixed, Seq[Pend], Seq[StepHit]) =
+    advance(fixed, pending, wmMs, wmMs)
+
+  /** Split-threshold variant: `fixWmMs` gates step FINALIZATION (only the
+    * timer path passes a real watermark — `handleInputRows` passes -inf so
+    * nothing is emitted there), while `compactWmMs` is the watermark the
+    * can-never-qualify lower bounds use. Splitting them lets every input
+    * batch compact state against the REAL watermark even before any step
+    * is fixable — without it, a user with clicks/purchases but no view
+    * would accumulate pending events unboundedly (no view candidate ⇒ no
+    * fix ⇒ with a -inf compaction watermark, nothing ever dropped). */
+  def advance(fixed: Fixed, pending: Seq[Pend], fixWmMs: Long, compactWmMs: Long)
       : (Fixed, Seq[Pend], Seq[StepHit]) = {
     var Fixed(t1, t2, t3) = fixed
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
@@ -57,16 +76,16 @@ object StreamingFunnel {
     var changed = true
     while (changed) {
       changed = false
-      if (t1 < 0) minOf(0, Long.MinValue) match {
-        case Some(v) if v < wmMs => t1 = v; out += ((1, v)); changed = true
+      if (t1 == Unset) minOf(0, Long.MinValue) match {
+        case Some(v) if v < fixWmMs => t1 = v; out += ((1, v)); changed = true
         case _ =>
       }
-      if (t1 >= 0 && t2 < 0) minOf(1, t1) match {
-        case Some(v) if v < wmMs => t2 = v; out += ((2, v)); changed = true
+      if (t1 != Unset && t2 == Unset) minOf(1, t1) match {
+        case Some(v) if v < fixWmMs => t2 = v; out += ((2, v)); changed = true
         case _ =>
       }
-      if (t2 >= 0 && t3 < 0) minOf(2, t2) match {
-        case Some(v) if v < wmMs => t3 = v; out += ((3, v)); changed = true
+      if (t2 != Unset && t3 == Unset) minOf(2, t2) match {
+        case Some(v) if v < fixWmMs => t3 = v; out += ((3, v)); changed = true
         case _ =>
       }
     }
@@ -74,17 +93,18 @@ object StreamingFunnel {
     // an unfixed one can end no earlier than min(best pending candidate,
     // watermark) because every future row has ts ≥ watermark
     val lb1 =
-      if (t1 >= 0) t1
-      else math.min(minOf(0, Long.MinValue).getOrElse(Long.MaxValue), wmMs)
+      if (t1 != Unset) t1
+      else math.min(minOf(0, Long.MinValue).getOrElse(Long.MaxValue), compactWmMs)
     val lb2 =
-      if (t2 >= 0) t2
-      else math.max(lb1, math.min(minOf(1, lb1).getOrElse(Long.MaxValue), wmMs))
+      if (t2 != Unset) t2
+      else math.max(lb1,
+        math.min(minOf(1, lb1).getOrElse(Long.MaxValue), compactWmMs))
     val minView = minOf(0, Long.MinValue)
     val kept = pending.filter { p =>
       p.kind match {
-        case 0 => t1 < 0 && minView.contains(p.tsMs) // only the min view can win
-        case 1 => t2 < 0 && p.tsMs > lb1
-        case _ => t3 < 0 && p.tsMs > lb2
+        case 0 => t1 == Unset && minView.contains(p.tsMs) // only the min view can win
+        case 1 => t2 == Unset && p.tsMs > lb1
+        case _ => t3 == Unset && p.tsMs > lb2
       }
     }.distinct
     (Fixed(t1, t2, t3), kept, out.map { case (s, v) => StepHit(-1L, s, v) }.toSeq)
@@ -98,9 +118,9 @@ object StreamingFunnel {
         .map(_.tsMs)
       if (c.isEmpty) None else Some(c.min)
     }
-    if (fixed.t1 < 0) minOf(0, Long.MinValue)
-    else if (fixed.t2 < 0) minOf(1, fixed.t1)
-    else if (fixed.t3 < 0) minOf(2, fixed.t2)
+    if (fixed.t1 == Unset) minOf(0, Long.MinValue)
+    else if (fixed.t2 == Unset) minOf(1, fixed.t1)
+    else if (fixed.t3 == Unset) minOf(2, fixed.t2)
     else None
   }
 
@@ -118,7 +138,7 @@ object StreamingFunnel {
     }
 
     private def loadFixed(): Fixed =
-      if (fixedState.exists()) fixedState.get() else Fixed(-1L, -1L, -1L)
+      if (fixedState.exists()) fixedState.get() else Fixed(Unset, Unset, Unset)
 
     private def clearTimers(): Unit = {
       val timers = {
@@ -130,11 +150,20 @@ object StreamingFunnel {
       timers.foreach(getHandle.deleteTimer)
     }
 
-    private def park(fixed: Fixed, pend: Seq[Pend]): Unit = {
+    private def park(fixed: Fixed, pend: Seq[Pend], wmMs: Long): Unit = {
       fixedState.update(fixed)
       if (pend.isEmpty) pending.clear() else pending.put(pend.toArray)
       clearTimers()
-      nextCandidate(fixed, pend).foreach(getHandle.registerTimer)
+      nextCandidate(fixed, pend) match {
+        case Some(t) => getHandle.registerTimer(t)
+        case None =>
+          // no fixable candidate but state remains (e.g. clicks with no
+          // view yet): a cleanup timer just past the current watermark
+          // guarantees compaction keeps running for keys that never see
+          // another input row — without it their pending buffer would
+          // outlive the disorder bound
+          if (pend.nonEmpty) getHandle.registerTimer(wmMs + 1)
+      }
     }
 
     override def handleInputRows(
@@ -148,10 +177,12 @@ object StreamingFunnel {
       // emission is the watermark's job (finality), exactly as in
       // StreamingSessions; steps that became fixable are re-detected by
       // the (possibly past) timer on the next watermark advance
+      val wm = timerValues.getCurrentWatermarkInMs
       val fixed = loadFixed()
       val (_, kept0, _) = advance(fixed, existing ++ fresh,
-        Long.MinValue) // compaction only: nothing fixes below -inf wm
-      park(fixed, kept0)
+        Long.MinValue, // fix threshold -inf: nothing emits here
+        wm)            // but compaction sees the REAL watermark
+      park(fixed, kept0, wm)
       Iterator.empty
     }
 
@@ -162,7 +193,7 @@ object StreamingFunnel {
       val wm = timerValues.getCurrentWatermarkInMs
       val existing = if (pending.exists()) pending.get().toSeq else Seq.empty
       val (fixed, kept, hits) = advance(loadFixed(), existing, wm)
-      park(fixed, kept)
+      park(fixed, kept, wm)
       hits.iterator.map(h => StepHit(user, h.step, h.ts_ms))
     }
   }

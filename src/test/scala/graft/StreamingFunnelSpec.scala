@@ -13,6 +13,7 @@ import graft.streaming.StreamingFunnel.{FEvent, Fixed, Pend, StepHit}
   * watermark lower bounds. */
 class StreamingFunnelSpec extends SparkSpec {
 
+  private val U = StreamingFunnel.Unset
   private val T0 = 1700000000000L
   private def ts(offsetMin: Long) = new Timestamp(T0 + offsetMin * 60000L)
   private def ms(offsetMin: Long) = T0 + offsetMin * 60000L
@@ -22,7 +23,7 @@ class StreamingFunnelSpec extends SparkSpec {
   test("advance fixes a full funnel once the watermark passes it") {
     val pend = Seq(Pend(ms(0), 0), Pend(ms(10), 1), Pend(ms(20), 2))
     val (fixed, kept, hits) =
-      StreamingFunnel.advance(Fixed(-1, -1, -1), pend, ms(21))
+      StreamingFunnel.advance(Fixed(U, U, U), pend, ms(21))
     assert(fixed == Fixed(ms(0), ms(10), ms(20)))
     assert(hits.map(h => (h.step, h.ts_ms)) ==
       Seq((1, ms(0)), (2, ms(10)), (3, ms(20))))
@@ -32,8 +33,8 @@ class StreamingFunnelSpec extends SparkSpec {
   test("advance holds a step whose candidate the watermark has not passed") {
     val pend = Seq(Pend(ms(0), 0), Pend(ms(10), 1))
     val (fixed, kept, hits) =
-      StreamingFunnel.advance(Fixed(-1, -1, -1), pend, ms(5))
-    assert(fixed == Fixed(ms(0), -1, -1)) // t1 final, click still pending
+      StreamingFunnel.advance(Fixed(U, U, U), pend, ms(5))
+    assert(fixed == Fixed(ms(0), U, U)) // t1 final, click still pending
     assert(hits.map(_.step) == Seq(1))
     assert(kept == Seq(Pend(ms(10), 1)))
   }
@@ -41,8 +42,8 @@ class StreamingFunnelSpec extends SparkSpec {
   test("advance: a pending minimum can drop before fixing, never after") {
     // view@8 pending, wm=5 -> t1 unfixed; late view@6 (>= wm, legal) lowers it
     val (f1, kept1, h1) = StreamingFunnel.advance(
-      Fixed(-1, -1, -1), Seq(Pend(ms(8), 0)), ms(5))
-    assert(f1.t1 == -1 && h1.isEmpty)
+      Fixed(U, U, U), Seq(Pend(ms(8), 0)), ms(5))
+    assert(f1.t1 == U && h1.isEmpty)
     val (f2, _, h2) = StreamingFunnel.advance(
       f1, kept1 :+ Pend(ms(6), 0), ms(7))
     assert(f2.t1 == ms(6) && h2.map(_.ts_ms) == Seq(ms(6)))
@@ -53,7 +54,7 @@ class StreamingFunnelSpec extends SparkSpec {
     val pend = Seq(Pend(ms(5), 1), Pend(ms(10), 1), Pend(ms(15), 1),
       Pend(ms(3), 2))
     val (_, kept, _) =
-      StreamingFunnel.advance(Fixed(ms(10), -1, -1), pend, ms(12))
+      StreamingFunnel.advance(Fixed(ms(10), U, U), pend, ms(12))
     assert(kept.filter(_.kind == 1) == Seq(Pend(ms(15), 1)))
     // purchase@3 <= lb(t2) (t2 will be > t1 = 10): dropped
     assert(!kept.exists(_.kind == 2))
@@ -62,15 +63,39 @@ class StreamingFunnelSpec extends SparkSpec {
   test("advance compaction: views compact to their minimum") {
     val pend = Seq(Pend(ms(9), 0), Pend(ms(4), 0), Pend(ms(7), 0))
     val (_, kept, _) =
-      StreamingFunnel.advance(Fixed(-1, -1, -1), pend, ms(2))
+      StreamingFunnel.advance(Fixed(U, U, U), pend, ms(2))
     assert(kept == Seq(Pend(ms(4), 0)))
   }
 
   test("advance: no-view clicks below the watermark can never qualify") {
     // any future view arrives with ts >= wm, so t1 >= wm: click@5 < wm=30 dies
     val (_, kept, _) = StreamingFunnel.advance(
-      Fixed(-1, -1, -1), Seq(Pend(ms(5), 1)), ms(30))
+      Fixed(U, U, U), Seq(Pend(ms(5), 1)), ms(30))
     assert(kept.isEmpty)
+  }
+
+  test("input-batch compaction (fix threshold -inf) still drops dead no-view clicks") {
+    // the state-leak fix: a key with clicks but NO view never has a
+    // fixable candidate, so only the compaction watermark can bound its
+    // buffer — the split-threshold advance drops clicks ≤ wm while the
+    // -inf fix threshold still emits nothing
+    val (fixed, kept, hits) = StreamingFunnel.advance(
+      Fixed(U, U, U), Seq(Pend(ms(5), 1), Pend(ms(40), 1), Pend(ms(2), 2)),
+      Long.MinValue, ms(30))
+    assert(hits.isEmpty && fixed == Fixed(U, U, U))
+    // click@40 > wm stays (still inside the disorder window); the rest die
+    assert(kept == Seq(Pend(ms(40), 1)))
+  }
+
+  test("pre-1970 (negative-millis) steps fix once and never re-emit") {
+    val neg = -365L * 86400000L // deep in 1969
+    val (f1, kept1, h1) = StreamingFunnel.advance(
+      Fixed(U, U, U), Seq(Pend(neg, 0)), neg + 10)
+    assert(f1.t1 == neg && h1.map(_.step) == Seq(1) && kept1.isEmpty)
+    // with a -1 sentinel this step would read "unfixed" (negative ts) and
+    // re-emit on every later firing; with Unset it must stay silent
+    val (f2, _, h2) = StreamingFunnel.advance(f1, Seq.empty, neg + 1000000)
+    assert(f2 == f1 && h2.isEmpty)
   }
 
   // ---- end-to-end against the batch recompute ----
@@ -85,7 +110,11 @@ class StreamingFunnelSpec extends SparkSpec {
     // can never follow the view -> step 1 only); u3: late watermark pump
     val batches = Seq(
       Seq(FEvent(1L, ts(0), "view"), FEvent(1L, ts(10), "click"),
-        FEvent(1L, ts(20), "purchase"), FEvent(2L, ts(5), "click")),
+        FEvent(1L, ts(20), "purchase"), FEvent(2L, ts(5), "click"),
+        // u5 has clicks and never a view: exercises the cleanup-timer
+        // path (no fixable candidate, non-empty pending) — must emit
+        // nothing and must not wedge the query
+        FEvent(5L, ts(1), "click"), FEvent(5L, ts(2), "click")),
       Seq(FEvent(2L, ts(30), "view"), FEvent(1L, ts(15), "click")),
       Seq(FEvent(3L, ts(600), "view"))
     )
@@ -139,7 +168,7 @@ class StreamingFunnelSpec extends SparkSpec {
       Seq(t1.map((u, 1, _)), t2.map((u, 2, _)), t3.map((u, 3, _))).flatten
     }
     // final watermark passed every step candidate except u3's own view
-    val expect = Seq(1L, 2L, 3L).flatMap(funnel)
+    val expect = Seq(1L, 2L, 3L, 5L).flatMap(funnel)
       .filter { case (_, _, t) => t < ms(600) - 1000 }.toSet
     assert(got == expect)
     assert(got == Set((1L, 1, ms(0)), (1L, 2, ms(10)), (1L, 3, ms(20)),

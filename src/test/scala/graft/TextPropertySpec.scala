@@ -54,9 +54,8 @@ class TextPropertySpec extends SparkSpec {
     // the distributed ingest path re-implements the reference's text
     // semantics inside a task; this property pins the two code paths to
     // each other on arbitrary ragged quote-wrapped input
-    val prop = Prop.forAll(matrixGen) { case (rows, delim) =>
+    val prop = Prop.forAll(matrixGen) { case (rows, _) =>
       val dir = tmpDir("bulkprop")
-      val content = rows.map(_.mkString(delim)).mkString("\n") + "\n"
       // .ant lets both paths take a FIXED delimiter (sniffing is voting
       // -based and not under test); rewrite the content to the ant form
       val antContent = rows.map(_.mkString(
