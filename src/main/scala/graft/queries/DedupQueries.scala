@@ -1090,21 +1090,43 @@ object DedupQueries {
         .withColumn("rk", row_number().over(
           Window.partitionBy("doc_id").orderBy(col("df"), col("h"))))
         .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
-      val prefix = ranked
+      // ASYMMETRIC prefixes (PPJoin's self-join refinement): orient every
+      // pair by (n, doc_id); the smaller side needs only its
+      // 2t/(1+t)-prefix (t=3/5 ⇒ 3/4 ⇒ ~0.25·n tokens) because with
+      // |x| ≤ |y| the overlap floor α = ⌈(3/8)(n_x+n_y)⌉ ≥ ⌈(3/4)·n_x⌉,
+      // while the larger side keeps the t-prefix (α ≥ ⌈(3/5)·n_y⌉ given
+      // the length filter). The simultaneous-prefix lemma then still
+      // guarantees a shared token — lossless, with ~1.6× fewer postings
+      // on the indexed side. On the saturated-vocab corpus (every token
+      // hot) candidate volume is posting-product-bound, so the prefix
+      // shrink cuts it directly.
+      val probe = ranked // t-prefix: rk ≤ n − ⌈(3/5)n⌉ + 1
         .filter(expr("rk <= n - ((6 * n + 9) div 10) + 1"))
         .select("doc_id", "h", "rk", "n")
-      val cand = prefix.as("a").join(prefix.as("b"),
-          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id")
+      val tight = ranked // 2t/(1+t)-prefix: rk ≤ n − ⌈(3/4)n⌉ + 1
+        .filter(expr("rk <= n - ((3 * n + 3) div 4) + 1"))
+        .select("doc_id", "h", "rk", "n")
+      val cand = tight.as("a").join(probe.as("b"),
+          col("a.h") === col("b.h")
+            // orientation: a strictly precedes b in (n, doc_id) order
+            && (col("a.n") < col("b.n") ||
+                (col("a.n") === col("b.n") &&
+                 col("a.doc_id") < col("b.doc_id")))
             // length filter: j >= 3/5 ⇒ sizes within [0.6x, x/0.6]
             && col("a.n") * 10 >= col("b.n") * 6
-            && col("b.n") * 10 >= col("a.n") * 6
             // positional filter: overlap cap from this token's ranks must
             // reach the floor 8·inter ≥ 3·(n_a+n_b) implied by j ≥ 3/5
             && (lit(1) + least(col("a.n") - col("a.rk"),
                                col("b.n") - col("b.rk"))) * 8
                >= (col("a.n") + col("b.n")) * 3)
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(max(col("a.n")).as("n_a"), max(col("b.n")).as("n_b"))
+        .groupBy(
+          least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+        .agg(
+          max(when(col("a.doc_id") < col("b.doc_id"), col("a.n"))
+            .otherwise(col("b.n"))).as("n_a"),
+          max(when(col("a.doc_id") < col("b.doc_id"), col("b.n"))
+            .otherwise(col("a.n"))).as("n_b"))
         .materialized // small by construction (filtered prefix postings)
       // per-doc sorted digest arrays: verification payload joins ONCE per
       // side per pair (narrow doc_id keys), intersect counted in codegen

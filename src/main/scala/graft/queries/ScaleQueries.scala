@@ -1109,9 +1109,34 @@ object ScaleQueries {
         .select(col("event_type").as("g"),
           expr("cast(floor(value * 1000000) as bigint)").as("v"))
         .materialized // three passes share the quantized scan
-      val stats = ev.groupBy("g")
+      groupSelect(s, ev)
+    },
+    q127OracleSql
+  )
+
+  /** The driver-side histogram is G×4096 longs — corpus-size-independent
+    * but GROUP-DOMAIN-dependent. Guarded: the plan is only safe while the
+    * group key is low-cardinality (event types, sources, shards), so a
+    * high-cardinality key fails fast here instead of OOMing the driver
+    * mid-collect; such keys belong on a distributed refine (per-group
+    * windows, q122) instead. */
+  val MaxSelectGroups = 1024
+
+  /** q127's body over any quantized (g: string, v: bigint) input —
+    * extracted so the guard is testable against synthetic group domains. */
+  private[graft] def groupSelect(
+      s: org.apache.spark.sql.SparkSession,
+      ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val statsRows = ev.groupBy("g")
         .agg(min("v").as("lo"), max("v").as("hi"), count(lit(1)).as("n"))
+        .limit(MaxSelectGroups + 1) // bound the driver collect BEFORE it runs
         .collect()
+      if (statsRows.length > MaxSelectGroups)
+        throw new IllegalStateException(
+          s"groupSelect: group domain exceeds $MaxSelectGroups " +
+            "(driver histogram would be G×4096 rows); use a distributed " +
+            "per-group refine for high-cardinality keys")
+      val stats = statsRows
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       val widths = stats.map { case (g, lo, hi, n) =>
         (g, lo, math.max(1L, (hi - lo) / 4096L + 1L), n)
@@ -1161,8 +1186,11 @@ object ScaleQueries {
         .select(col("event_type"), col("n"),
           col("median").as("median_x1e6"), col("p90").as("p90_x1e6"))
         .orderBy("event_type")
-    },
-    Some("""
+  }
+
+  // lazy: referenced by q127 above its definition point (vals in an
+  // object initialize in declaration order; lazy breaks the null window)
+  private lazy val q127OracleSql = Some("""
       WITH c AS (
         SELECT event_type AS g, CAST(FLOOR(value * 1000000) AS BIGINT) AS v
         FROM events),
@@ -1174,7 +1202,6 @@ object ScaleQueries {
              MAX(CASE WHEN rn = (n + 1) // 2 THEN v END) AS median_x1e6,
              MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN v END) AS p90_x1e6
       FROM r GROUP BY g ORDER BY g""")
-  )
 
   /** Order-independent table checksums — the anti-entropy primitive behind
     * "are these two replicas / snapshots / engine migrations byte-equal?":

@@ -734,21 +734,36 @@ object SimilarityQueries {
         col("cn").as("cna"), col("radius").as("ra"))
       val cy = cents.select(col("cid").as("cb"), col("ce").as("ceb"),
         col("cn").as("cnb"), col("radius").as("rb"))
-      val cellPairs = cx.join(broadcast(cy),
-          col("ca") <= col("cb") &&
-            sqrt(greatest(lit(0.0), lit(2.0) -
-              lit(2.0) * dotDec(col("cea"), col("ceb")) /
-                (col("cna") * col("cnb")))) <=
-              col("ra") + col("rb") + lit(w) + lit(1e-9))
-        .select("ca", "cb")
+      // candidate cell pairs KEEP dcc (centroid-centroid normalized
+      // distance) and both radii: the per-vector residual bounds below
+      // need them (round-6 tightening — the cell-level radius bound alone
+      // is weak on near-isotropic corpora where every radius ≈ √2)
+      val cellPairs = cx.join(broadcast(cy), col("ca") <= col("cb"))
+        .withColumn("dcc", sqrt(greatest(lit(0.0), lit(2.0) -
+          lit(2.0) * dotDec(col("cea"), col("ceb")) /
+            (col("cna") * col("cnb")))))
+        .filter(col("dcc") <= col("ra") + col("rb") + lit(w) + lit(1e-9))
+        .select("ca", "cb", "dcc", "ra", "rb")
+      // d(x̂, nearest ĉ) per vector — exact from the assignment cosine
+      val dx = sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) * col("ccos")))
       val a = assigned.select(col("cell").as("cell_a"),
         col("vec_id").as("ida"), col("embedding").as("ea"),
-        col("nrm").as("na"))
+        col("nrm").as("na"), dx.as("dxa"))
       val b = assigned.select(col("cell").as("cell_b"),
         col("vec_id").as("idb"), col("embedding").as("eb"),
-        col("nrm").as("nb"))
-      a.join(broadcast(cellPairs), col("cell_a") === col("ca"))
+        col("nrm").as("nb"), dx.as("dxb"))
+      // Residual bounds (strictly tighter than the radius bound, still
+      // conservative — slack only ever ADDS candidates):
+      //  a-side (before the big shuffle join): x in cell ca can reach
+      //    cell cb only if dcc ≤ d(x̂,ĉₐ) + r_b + w, by the triangle
+      //    inequality through ĉₐ — prunes the broadcast fanout per ROW;
+      //  pair-level (first conjunct of the big join, before the dot
+      //    product): d(x̂,ŷ) ≥ dcc − dxa − dxb, so a surviving pair needs
+      //    dcc ≤ dxa + dxb + w. Subsumes both per-side bounds (dx ≤ r).
+      a.join(broadcast(cellPairs), col("cell_a") === col("ca") &&
+          col("dcc") <= col("dxa") + col("rb") + lit(w) + lit(1e-9))
         .join(b, col("cell_b") === col("cb") &&
+          col("dcc") <= col("dxa") + col("dxb") + lit(w) + lit(1e-9) &&
           (col("ca") =!= col("cb") || col("ida") < col("idb")) &&
           dotDec(col("ea"), col("eb")) / (col("na") * col("nb")) >= t)
         .select(

@@ -37,14 +37,17 @@ object Sniffers {
     *
     * Labels follow charset_normalizer's Python-codec naming for the cases
     * the suite emits: `ascii`, `utf_8`, `utf_16`/`utf_32` (BOM present),
-    * `utf_16_le`/`utf_16_be` (inferred without BOM), `cp1251`, `shift_jis`
-    * / `euc_jp` (strict-decode + kana/kanji lead-byte bias), and `cp1252`
-    * for western single-byte text (charset_normalizer reports the Windows
-    * superset, not latin_1, for such files); `latin_1` only for byte soup
-    * that cp1252 rejects (its five undefined code points). Single-byte
-    * charsets whose decode can never fail (koi8_r, mac_cyrillic, …) are
-    * deliberately NOT claimed: with every byte sequence "valid" there is
-    * no honest signal to distinguish them from cp1251/cp1252.
+    * `utf_16_le`/`utf_16_be` (inferred without BOM), `cp1251` / `koi8_r`
+    * (Cyrillic, split by case geography), `shift_jis` / `euc_jp` /
+    * `gb2312` / `big5` (strict-decode + lead-byte/row bias — kana rows
+    * split EUC-JP from GB2312, ASCII-range trails split Big5 from the EUC
+    * family), and `cp1252` for western single-byte text
+    * (charset_normalizer reports the Windows superset, not latin_1, for
+    * such files); `latin_1` only for byte soup that cp1252 rejects (its
+    * five undefined code points). Remaining can-never-fail single-byte
+    * charsets (mac_cyrillic, cp866, …) are deliberately NOT claimed:
+    * beyond the koi8/cp1251 case-geography signal there is no honest
+    * structural evidence to distinguish them.
     */
   def detectEncoding(path: String): Option[String] = {
     try {
@@ -57,16 +60,30 @@ object Sniffers {
         else if (decodes(bytes, "UTF-8")) {
           if (bytes.forall(b => b >= 0)) Some("ascii") else Some("utf_8")
         } else if (decodes(bytes, "windows-1251") && hasCyrillicBias(bytes))
-          Some("cp1251")
-        // Japanese multibyte before the Windows single-byte fallbacks:
-        // both have structural (failable) decodes, so a pass is a real
-        // signal — but require a CJK lead-byte bias too, since short
-        // Cyrillic/Western byte runs can accidentally form valid pairs.
-        // EUC-JP first: its lead range (0xA1-0xFE paired) is stricter
-        // than Shift_JIS's, so EUC-JP text often ALSO decodes as
-        // Shift_JIS, rarely vice versa.
-        else if (decodes(bytes, "EUC-JP") && hasJisBias(bytes, eucJp = true))
+          // KOI8-R vs cp1251 (both complete single-byte Cyrillic codecs —
+          // neither decode can fail, so the signal is CASE GEOGRAPHY):
+          // KOI8-R puts lowercase а-я at 0xC0-0xDF and uppercase at
+          // 0xE0-0xFF; cp1251 is the reverse. Running text is
+          // overwhelmingly lowercase, so a 0xC0-0xDF-dominant profile is
+          // KOI8-R (charset_normalizer reaches the same split through its
+          // frequency coherence tables).
+          Some(if (looksKoi8(bytes)) "koi8_r" else "cp1251")
+        // CJK multibyte before the Windows single-byte fallbacks: all have
+        // structural (failable) decodes, so a pass is a real signal — but
+        // require a lead-byte bias too, since short Cyrillic/Western byte
+        // runs can accidentally form valid pairs. Within the EUC family
+        // (EUC-JP and GB2312 share the 0xA1-0xFE high×high structure) the
+        // discriminator is LANGUAGE SHAPE: real Japanese always carries
+        // kana (EUC-JP rows 0xA4/0xA5); Chinese hanzi rows are 0xB0-0xF7.
+        else if (decodes(bytes, "EUC-JP") && hasJisBias(bytes, eucJp = true)
+            && hasEucKana(bytes))
           Some("euc_jp")
+        else if (decodes(bytes, "GB2312") && hasEucHanziBias(bytes))
+          Some("gb2312")
+        else if (decodes(bytes, "EUC-JP") && hasJisBias(bytes, eucJp = true))
+          Some("euc_jp") // EUC structure, no kana, not GB2312-shaped
+        else if (decodes(bytes, "Big5") && hasBig5Bias(bytes))
+          Some("big5")
         else if (decodes(bytes, "Shift_JIS") && hasJisBias(bytes, eucJp = false))
           Some("shift_jis")
         else if (decodes(bytes, "windows-1252")) Some("cp1252")
@@ -149,6 +166,83 @@ object Sniffers {
   private def looksUtf16(b: Array[Byte]): Boolean = {
     val zeros = b.count(_ == 0)
     b.length >= 4 && zeros * 3 > b.length
+  }
+
+  /** KOI8-R case geography (see the cascade comment): among Cyrillic-range
+    * bytes, lowercase-position (0xC0-0xDF) dominance ⇒ KOI8-R. The 2×
+    * margin keeps mixed-case cp1251 (uppercase А-Я at 0xC0-0xDF) from
+    * flipping over on headings. */
+  private def looksKoi8(b: Array[Byte]): Boolean = {
+    var lo = 0 // 0xC0-0xDF: koi8 lowercase / cp1251 uppercase
+    var hi = 0 // 0xE0-0xFF: koi8 uppercase / cp1251 lowercase
+    b.foreach { x =>
+      val v = x & 0xff
+      if (v >= 0xc0 && v <= 0xdf) lo += 1
+      else if (v >= 0xe0) hi += 1
+    }
+    lo > hi * 2
+  }
+
+  /** EUC-JP kana rows: pairs with lead 0xA4 (hiragana) / 0xA5 (katakana).
+    * Real Japanese text always carries kana between the kanji; EUC-coded
+    * Chinese (GB2312) essentially never does. Requires a handful of kana
+    * pairs, not a ratio — short headlines are kana-sparse. */
+  private def hasEucKana(b: Array[Byte]): Boolean = {
+    var kana = 0
+    var i = 0
+    while (i < b.length - 1) {
+      val x = b(i) & 0xff
+      if (x >= 0x80) {
+        if ((x == 0xa4 || x == 0xa5) && (b(i + 1) & 0xff) >= 0xa1) kana += 1
+        i += 2 // consume the EUC pair
+      } else i += 1
+    }
+    kana >= 3
+  }
+
+  /** GB2312 hanzi bias: high density plus most high×high pair LEADS in the
+    * hanzi rows 0xB0-0xF7 (the kana/symbol rows 0xA1-0xAF carry little of
+    * real Chinese text). */
+  private def hasEucHanziBias(b: Array[Byte]): Boolean = {
+    var pairs = 0
+    var hanzi = 0
+    var high = 0
+    var i = 0
+    while (i < b.length - 1) {
+      val x = b(i) & 0xff
+      if (x >= 0x80) {
+        high += 2
+        pairs += 1
+        if (x >= 0xb0 && x <= 0xf7) hanzi += 1
+        i += 2
+      } else i += 1
+    }
+    pairs >= 4 && high * 3 >= b.length && hanzi * 4 >= pairs * 3
+  }
+
+  /** Big5 bias: dense high×trail pairs with leads in the common Big5 range
+    * 0xA4-0xF9, PLUS at least one ASCII-range trail (0x40-0x7E) — the
+    * structural signature that separates Big5 from the EUC family, whose
+    * trails are never below 0xA1. */
+  private def hasBig5Bias(b: Array[Byte]): Boolean = {
+    var pairs = 0
+    var lead = 0
+    var asciiTrail = 0
+    var high = 0
+    var i = 0
+    while (i < b.length - 1) {
+      val x = b(i) & 0xff
+      if (x >= 0x80) {
+        val t = b(i + 1) & 0xff
+        high += (if (t >= 0x80) 2 else 1)
+        pairs += 1
+        if (x >= 0xa4 && x <= 0xf9) lead += 1
+        if (t >= 0x40 && t <= 0x7e) asciiTrail += 1
+        i += 2
+      } else i += 1
+    }
+    pairs >= 4 && high * 4 >= b.length && lead * 4 >= pairs * 3 &&
+      asciiTrail >= 1
   }
 
   private def hasCyrillicBias(b: Array[Byte]): Boolean = {

@@ -49,8 +49,16 @@ object PdfParser {
 
   /** Per-font decode info for the content interpreter: composite fonts
     * (Type0, §9.7) show 2-byte codes; `toUnicode` maps a code to its
-    * Unicode string per the font's embedded /ToUnicode CMap (§9.10.3). */
-  final case class PdfFont(twoByte: Boolean, toUnicode: Map[Int, String])
+    * Unicode string per the font's embedded /ToUnicode CMap (§9.10.3).
+    * `cidFallback` is the Identity-H recovery path when /ToUnicode is
+    * absent: CID → GID (via /CIDToGIDMap) → Unicode (via the embedded
+    * TrueType font program's own 'cmap', inverted — [[TrueTypeCmap]],
+    * §9.6.6.4). Lookup order in the extractor: toUnicode, cidFallback,
+    * then raw code point. */
+  final case class PdfFont(
+      twoByte: Boolean,
+      toUnicode: Map[Int, String],
+      cidFallback: Map[Int, String] = Map.empty)
 
   /** Parse a /ToUnicode CMap stream (§9.10.3 + Adobe CMap spec): only the
     * `bfchar` (code → UTF-16BE string) and `bfrange` (code interval →
@@ -195,9 +203,52 @@ object PdfParser {
             decodeStream(s).map(parseToUnicodeCMap).getOrElse(Map.empty)
           case _ => Map.empty[Int, String]
         }
-        key -> PdfFont(twoByte, toUni)
+        val fallback =
+          if (!twoByte || toUni.nonEmpty) Map.empty[Int, String]
+          else cidFallbackOf(fd)
+        key -> PdfFont(twoByte, toUni, fallback)
       }
       fontDicts.toMap
+    }
+
+    /** Identity-H text recovery without /ToUnicode (§9.6.6.4): descend to
+      * the CIDFont, invert the embedded TrueType 'cmap' (GID → Unicode),
+      * and compose with /CIDToGIDMap (the /Identity default, or the
+      * 2-byte-big-endian stream form). Empty when the font program is
+      * absent/unparseable — the extractor then keeps its raw-code-point
+      * fallback, which at worst renders GIDs as arbitrary glyphs rather
+      * than dropping the table. */
+    private def cidFallbackOf(type0: PDict): Map[Int, String] = {
+      val cidFont = (for {
+        dfs <- entry(type0, "DescendantFonts")
+        arr <- Some(resolve(dfs)).collect { case PArr(xs) => xs }
+        head <- arr.headOption
+        d <- dict(head)
+      } yield d).getOrElse(return Map.empty)
+      val fontBytes = (for {
+        desc <- entry(cidFont, "FontDescriptor").flatMap(dict)
+        ff <- entry(desc, "FontFile2")
+        s <- Some(resolve(ff)).collect { case st: PStream => st }
+        bytes <- decodeStream(s)
+      } yield bytes).getOrElse(return Map.empty)
+      val gid2uni = TrueTypeCmap.gidToUnicode(fontBytes)
+      if (gid2uni.isEmpty) return Map.empty
+      entry(cidFont, "CIDToGIDMap") match {
+        case Some(s: PStream) =>
+          decodeStream(s) match {
+            case Some(m) =>
+              val out = Map.newBuilder[Int, String]
+              var cid = 0
+              while (2 * cid + 1 < m.length) {
+                val gid = ((m(2 * cid) & 0xff) << 8) | (m(2 * cid + 1) & 0xff)
+                gid2uni.get(gid).foreach(u => out += cid -> u)
+                cid += 1
+              }
+              out.result()
+            case None => Map.empty
+          }
+        case _ => gid2uni // /Identity (the default): CID = GID
+      }
     }
 
     /** Decoded content-stream bytes of a page: /Contents may be one stream

@@ -235,7 +235,8 @@ object PdfTextExtractor {
         while (i + 1 < bytes.length) {
           val code = ((bytes(i) & 0xff) << 8) | (bytes(i + 1) & 0xff)
           sb.append(f.toUnicode.getOrElse(code,
-            new String(Character.toChars(code))))
+            f.cidFallback.getOrElse(code,
+              new String(Character.toChars(code)))))
           i += 2
         }
         sb.toString()

@@ -141,8 +141,11 @@ class SheetReader(p: SheetPartition, required: StructType)
   private val localPath = localized.file.getPath
   private val wb = XlsxParser.openWorkbook(localPath)
     .getOrElse(throw new IllegalStateException(s"not an xlsx: ${p.path}"))
-  private val rows = new SheetRowIterator(localPath, p.target, wb.shared)
   private val colIdx: Array[Int] = required.fields.map(_.name.toInt)
+  // pushed-down pruning reaches the DECODE: cells outside the required
+  // ordinals are never materialized (no shared-string lookup, no text)
+  private val rows =
+    new SheetRowIterator(localPath, p.target, wb.shared, Some(colIdx.toSet))
   private var current: IndexedSeq[String] = _
 
   override def next(): Boolean = {

@@ -182,13 +182,25 @@ object SheetOpenRecorder {
   * attributes (an out-of-order row number is clamped to lastRow+1).
   * Close-safe: closes itself at exhaustion; callers should also `close()`
   * for the early-termination path.
+  *
+  * `needed` = pushed-down column ordinals (DSv2 pruning): cells outside
+  * the set are emitted as position-preserving nulls WITHOUT decoding —
+  * no text accumulation, no shared-string lookup, no boolean/number
+  * rendering. The XML walk still scans the sheet (the format is not
+  * columnar), but per-cell decode work tracks the projection.
+  * `decodedCells` counts actual decodes so tests can pin the claim.
   */
 final class SheetRowIterator(
     path: String,
     target: String,
-    shared: IndexedSeq[String]
+    shared: IndexedSeq[String],
+    needed: Option[Set[Int]] = None
 ) extends Iterator[IndexedSeq[String]] with java.io.Closeable {
   SheetOpenRecorder.record()
+
+  private var decoded = 0L
+  /** Number of cells actually decoded (pruned cells excluded). */
+  def decodedCells: Long = decoded
 
   // Hadoop-FS localized view (pass-through for local paths, task-local
   // spill for hdfs:/s3a:) — ZipFile needs random access by entry name.
@@ -221,6 +233,7 @@ final class SheetRowIterator(
     var cellType = "n"
     var inC = false; var inV = false; var inT = false
     var sawV = false; var sawIs = false
+    var wantCell = true // false ⇒ pruned: position kept, decode skipped
     val text = new StringBuilder
     while (r.hasNext) {
       r.next() match {
@@ -236,6 +249,7 @@ final class SheetRowIterator(
               cellCol = Option(r.getAttributeValue(null, "r"))
                 .flatMap(XlsxParser.colOf).getOrElse(autoCol + 1)
               autoCol = cellCol
+              wantCell = needed.forall(_.contains(cellCol))
               cellType = Option(r.getAttributeValue(null, "t")).getOrElse("n")
               sawV = false; sawIs = false
               text.clear()
@@ -244,14 +258,18 @@ final class SheetRowIterator(
             case "t" if inC && sawIs => inT = true
             case _ =>
           }
-        case CHARACTERS | CDATA => if (inV || inT) text.append(r.getText)
+        case CHARACTERS | CDATA =>
+          if ((inV || inT) && wantCell) text.append(r.getText)
         case END_ELEMENT => r.getLocalName match {
             case "v" => inV = false
             case "t" => inT = false
             case "c" if inC =>
               inC = false
               while (cells.length < cellCol) cells += null
-              cells += decodeCell(cellType, sawV, sawIs, text.toString)
+              cells += (if (wantCell) {
+                decoded += 1
+                decodeCell(cellType, sawV, sawIs, text.toString)
+              } else null)
             case "row" if cells != null =>
               pendingGap = rowNum - lastRow - 1
               lastRow = rowNum

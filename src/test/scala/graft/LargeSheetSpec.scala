@@ -95,4 +95,42 @@ class LargeSheetSpec extends SparkSpec {
     val actionOpens = graft.sources.xlsx.SheetOpenRecorder.drain()
     assert(actionOpens.forall(_.startsWith("Executor task launch worker")))
   }
+
+  test("pushed-down column pruning reaches the cell DECODE, not just row building") {
+    val p = tmpDir("bigsheet3").resolve("big3.xlsx").toString
+    makeBigXlsx(p)
+
+    // iterator-level proof: with needed={2}, only column C's cells are
+    // ever decoded; the rest are position-preserving nulls
+    val it = new graft.sources.xlsx.SheetRowIterator(
+      p, "xl/worksheets/sheet1.xml", IndexedSeq.empty, Some(Set(2)))
+    try {
+      var n = 0L
+      var ok = true
+      while (it.hasNext) {
+        val row = it.next()
+        ok &&= row.zipWithIndex.forall { case (v, i) =>
+          if (i == 2) v == ((n * 31 + 2 + 31) % 1000003).toString // row n+1
+          else v == null
+        }
+        n += 1
+      }
+      assert(ok, "pruned row content wrong")
+      assert(n == Rows.toLong)
+      assert(it.decodedCells == Rows.toLong,
+        s"expected exactly one decode per row, got ${it.decodedCells}")
+    } finally it.close()
+
+    // plan-level proof: a projection through the DSv2 source prunes the
+    // scan schema (the physical scan reads only the selected ordinal)
+    val pruned = spark.read.format("graft-excel").load(p).select("2")
+    val scanSchemas = pruned.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        s.scan.readSchema().fieldNames.toSeq
+    }
+    assert(scanSchemas == Seq(Seq("2")),
+      s"scan not pruned: $scanSchemas\n" +
+        pruned.queryExecution.executedPlan.toString.take(1500))
+    assert(pruned.count() == Rows.toLong)
+  }
 }

@@ -425,6 +425,92 @@ class PdfImporterSpec extends SparkSpec {
     assert(rows(1)(1) == "X")
   }
 
+  /** Minimal TrueType font program: sfnt directory with a single 'cmap'
+    * table, format-4 (platform 3, encoding 1) mapping each given char to
+    * its glyph id — enough for the Identity-H recovery path, which reads
+    * only 'cmap'. */
+  private def ttfWithCmap4(pairs: Seq[(Char, Int)]): Array[Byte] = {
+    import java.io.DataOutputStream
+    val segs = pairs.map { case (ch, gid) => (ch.toInt, gid) }.sortBy(_._1)
+    val segCount = segs.length + 1 // + the required 0xFFFF terminator
+    val sub = new ByteArrayOutputStream()
+    val sw = new DataOutputStream(sub)
+    sw.writeShort(4) // format
+    sw.writeShort(16 + 8 * segCount) // length
+    sw.writeShort(0) // language
+    sw.writeShort(2 * segCount)
+    sw.writeShort(0); sw.writeShort(0); sw.writeShort(0) // search hints
+    segs.foreach { case (c, _) => sw.writeShort(c) } // endCodes
+    sw.writeShort(0xffff)
+    sw.writeShort(0) // reservedPad
+    segs.foreach { case (c, _) => sw.writeShort(c) } // startCodes
+    sw.writeShort(0xffff)
+    segs.foreach { case (c, g) => sw.writeShort((g - c) & 0xffff) } // idDelta
+    sw.writeShort(1)
+    (0 until segCount).foreach(_ => sw.writeShort(0)) // idRangeOffset
+    val subBytes = sub.toByteArray
+
+    val out = new ByteArrayOutputStream()
+    val w = new DataOutputStream(out)
+    w.writeInt(0x00010000) // sfnt version
+    w.writeShort(1) // numTables: cmap only
+    w.writeShort(0); w.writeShort(0); w.writeShort(0)
+    w.writeBytes("cmap"); w.writeInt(0) // tag, checksum
+    w.writeInt(28); w.writeInt(12 + subBytes.length) // offset, length
+    // cmap header at 28: version, one encoding record (3,1) at offset 12
+    w.writeShort(0); w.writeShort(1)
+    w.writeShort(3); w.writeShort(1); w.writeInt(12)
+    w.write(subBytes)
+    out.toByteArray
+  }
+
+  test("Identity-H WITHOUT /ToUnicode recovers text via the embedded font's cmap") {
+    // the common real-world CID font: /Encoding /Identity-H, no /ToUnicode
+    // — codes are GIDs (CIDToGIDMap defaults to /Identity), and the only
+    // route back to text is inverting the TrueType 'cmap' (§9.6.6.4)
+    val font = ttfWithCmap4(Seq('H' -> 1, 'i' -> 2, '!' -> 3))
+    val content =
+      ("BT /F1 12 Tf\n" +
+        "1 0 0 1 72 700 Tm <000100020003> Tj\n" + // GIDs 1,2,3 → "Hi!"
+        "ET\n").getBytes("ISO-8859-1")
+    val out = new ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.6\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >> endobj\n")
+    w(s"4 0 obj << /Length ${content.length} >> stream\n")
+    out.write(content)
+    w("\nendstream endobj\n")
+    w("5 0 obj << /Type /Font /Subtype /Type0 /BaseFont /TestCID " +
+      "/Encoding /Identity-H /DescendantFonts [6 0 R] >> endobj\n")
+    w("6 0 obj << /Type /Font /Subtype /CIDFontType2 /BaseFont /TestCID " +
+      "/CIDToGIDMap /Identity /FontDescriptor 7 0 R >> endobj\n")
+    w("7 0 obj << /Type /FontDescriptor /FontName /TestCID " +
+      "/FontFile2 8 0 R >> endobj\n")
+    w(s"8 0 obj << /Length ${font.length} >> stream\n")
+    out.write(font)
+    w("\nendstream endobj\n")
+    w("trailer << /Root 1 0 R >>\n%%EOF\n")
+    val p = tmpDir("pdfidh").resolve("identity_h.pdf")
+    Files.write(p, out.toByteArray)
+
+    val answers = new PdfImporter(spark, p.toString).work()
+    assert(answers.head.parseInfo == "OK")
+    val rows = answers.head.data.collect().map(_.toSeq)
+    assert(rows.exists(_.contains("Hi!")),
+      s"Identity-H text not recovered: ${rows.toSeq}")
+  }
+
+  test("TrueTypeCmap: format-4 segments invert to GID → Unicode") {
+    val font = ttfWithCmap4(Seq('A' -> 7, 'B' -> 9, 'z' -> 11))
+    val m = graft.sources.pdf.TrueTypeCmap.gidToUnicode(font)
+    assert(m == Map(7 -> "A", 9 -> "B", 11 -> "z"))
+    // garbage in → empty map, never a throw
+    assert(graft.sources.pdf.TrueTypeCmap.gidToUnicode(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
   test("simple font /ToUnicode remaps bytes; /Resources inherits from /Pages") {
     // the page has NO /Resources — it inherits the /Pages node's (§7.7.3.4);
     // F2's CMap maps 'q'(0x71) → 'z' for single-byte codes

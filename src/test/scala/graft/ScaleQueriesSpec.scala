@@ -157,4 +157,26 @@ class ScaleQueriesSpec extends SparkSpec {
     assert(plan.contains("isFinalPlan=true"), plan.take(1500))
     assert(plan.contains("skew=true"), plan.take(3000))
   }
+
+  test("q127 groupSelect fails fast past the group-domain cap (no driver OOM path)") {
+    // the driver histogram is G×4096 rows — safe only for low-cardinality
+    // group keys; a high-cardinality key must error BEFORE collecting,
+    // with a message pointing at the distributed alternative
+    import spark.implicits._
+    val wide = (0 until graft.queries.ScaleQueries.MaxSelectGroups + 5)
+      .map(i => (s"g$i", i.toLong)).toDF("g", "v")
+    val ex = intercept[IllegalStateException] {
+      graft.queries.ScaleQueries.groupSelect(spark, wide)
+    }
+    assert(ex.getMessage.contains("group domain"))
+    // and a small domain still selects the exact order statistics
+    val small = Seq.tabulate(100)(i => ("a", i.toLong + 1)) ++
+      Seq.tabulate(10)(i => ("b", i.toLong * 10))
+    val got = graft.queries.ScaleQueries.groupSelect(
+        spark, small.toDF("g", "v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // a: 1..100 → median = 50th = 50, p90 = ceil(909/10)=90th = 90
+    // b: 0,10..90 → median = 5th = 40, p90 = 9th = 80
+    assert(got.toSeq == Seq(("a", 100L, 50L, 90L), ("b", 10L, 40L, 80L)))
+  }
 }

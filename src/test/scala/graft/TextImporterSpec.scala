@@ -138,4 +138,37 @@ class TextImporterSpec extends SparkSpec {
       "\u043f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440 \u043a\u0430\u043a \u0434\u0435\u043b\u0430 \u0441\u0435\u0433\u043e\u0434\u043d\u044f\n".getBytes("windows-1251"))
     assert(Sniffers.detectEncoding(ru).contains("cp1251"))
   }
+
+  test("charset_normalizer label parity tier 2: koi8_r, gb2312, big5") {
+    import graft.sources.Sniffers
+    val dir = tmpDir("enc4")
+    def put(name: String, bytes: Array[Byte]): String = {
+      val p = dir.resolve(name)
+      java.nio.file.Files.write(p, bytes)
+      p.toString
+    }
+    // the SAME lowercase Russian text in both Cyrillic codecs: case
+    // geography (koi8 lowercase at 0xC0-0xDF, cp1251's at 0xE0-0xFF)
+    // is the only honest discriminator \u2014 both decodes always succeed
+    val ru = "\u043f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440 \u043a\u0430\u043a \u0434\u0435\u043b\u0430 \u0441\u0435\u0433\u043e\u0434\u043d\u044f\n"
+    assert(Sniffers.detectEncoding(put("koi.txt", ru.getBytes("KOI8-R")))
+      .contains("koi8_r"))
+    assert(Sniffers.detectEncoding(put("cp1251.txt", ru.getBytes("windows-1251")))
+      .contains("cp1251"))
+    // Chinese text: GB2312 shares EUC-JP's byte structure but carries no
+    // kana \u2014 the hanzi-row bias must claim it as gb2312, not euc_jp
+    val zh = "\u4eca\u5929\u5929\u6c14\u5f88\u597d\uff0c\u6211\u4eec\u53bb\u516c\u56ed\u6563\u6b65\u5427\u3002\n"
+    assert(Sniffers.detectEncoding(put("gb.txt", zh.getBytes("GB2312")))
+      .contains("gb2312"))
+    // Traditional Chinese in Big5: ASCII-range trail bytes are the
+    // structural signature no EUC-family codec produces
+    val tw = "\u4eca\u5929\u5929\u6c23\u5f88\u597d\uff0c\u6211\u5011\u53bb\u516c\u5712\u6563\u6b65\u5427\u3002\n"
+    assert(Sniffers.detectEncoding(put("big5.txt", tw.getBytes("Big5")))
+      .contains("big5"))
+    // and the tier-1 set must be undisturbed: Japanese still splits by
+    // its kana rows, never claimed as gb2312
+    val ja = "\u3053\u3093\u306b\u3061\u306f\u4e16\u754c\u3001\u4eca\u65e5\u306f\u826f\u3044\u5929\u6c17\u3067\u3059\u3002\n"
+    assert(Sniffers.detectEncoding(put("ja2.txt", ja.getBytes("EUC-JP")))
+      .contains("euc_jp"))
+  }
 }
