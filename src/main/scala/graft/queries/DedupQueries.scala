@@ -1904,6 +1904,98 @@ object DedupQueries {
       FROM pairs ORDER BY src_a, src_b""")
   )
 
+  /** Substring-excision ACCOUNTING — the actual removal step of Lee et
+    * al. 2021 ("remove substrings that appear elsewhere"), where q26/q91
+    * are the detectors: for every position whose fixed 8-token gram is
+    * duplicated ACROSS documents, the 8-token interval it covers is
+    * marked, per-doc overlapping intervals merge (interval union), and
+    * the answer is how many tokens excision removes vs keeps, plus how
+    * many contiguous cut regions the doc splits into. The cross-doc
+    * discipline matches q91: a within-doc repeat alone excises nothing.
+    *
+    * Exactness: everything is integer — positions from posexplode, the
+    * union via the sorted-starts identity Σ min(W, next − cur) (+W for
+    * the last start), region count = 1 + #gaps > W; DuckDB mirrors with
+    * LAG windows over the same md5 gram keys.
+    *
+    * Scale shape: grams shuffle as 32-byte digests + int positions
+    * (text never moves); the dup set is a wordcount groupBy; the union
+    * is ONE window over (doc_id, pos) rows — rows ∝ duplicated
+    * positions only, not corpus tokens. The left join restores
+    * untouched docs. */
+  val q134 = Q(
+    "q134_span_excise",
+    (s, dir) => {
+      val W = 8
+      val docs = documents(s, dir)
+      val toks = docs.select(col("doc_id"),
+        filter(split(col("text"), "\\s+"), x => length(x) > 0).as("w"))
+        .select(col("doc_id"), col("w"), size(col("w")).as("n"))
+      val grams = toks
+        .filter(col("n") >= W)
+        .select(col("doc_id"), col("n"), posexplode(
+          expr(s"transform(sequence(1, n - ${W - 1}), " +
+            s"i -> md5(array_join(slice(w, i, $W), ' ')))")))
+        .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("h"))
+        .materialized // consumers: dup set + position join
+      val dup = grams.select("h", "doc_id").distinct()
+        .groupBy("h").agg(count(lit(1)).as("nd"))
+        .filter(col("nd") >= 2).select("h")
+      val hitPos = grams.join(dup, "h").select("doc_id", "p").distinct()
+      val w = Window.partitionBy("doc_id").orderBy("p")
+      val perDoc = hitPos
+        .withColumn("prev", lag(col("p"), 1).over(w))
+        .groupBy("doc_id")
+        .agg(
+          (sum(when(col("prev").isNull, lit(W))
+            .otherwise(least(lit(W), col("p") - col("prev")))))
+            .cast("long").as("excised"),
+          sum(when(col("prev").isNull || col("p") - col("prev") > W, 1L)
+            .otherwise(0L)).as("n_regions"))
+      toks.select(col("doc_id"), col("n").cast("long").as("n_tokens"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("excised"), lit(0L)).as("excised"),
+          (col("n_tokens") - coalesce(col("excised"), lit(0L))).as("kept"),
+          coalesce(col("n_regions"), lit(0L)).as("n_regions"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'),
+                           x -> length(x) > 0) AS w
+        FROM documents),
+      sized AS (SELECT doc_id, w, len(w) AS n FROM toks),
+      grams AS (
+        SELECT doc_id, i AS p, md5(array_to_string(w[i:i+7], ' ')) AS h
+        FROM (SELECT doc_id, w, unnest(range(1, n - 7 + 1)) AS i
+              FROM sized WHERE n >= 8)),
+      dup AS (
+        SELECT h FROM (SELECT DISTINCT h, doc_id FROM grams)
+        GROUP BY h HAVING COUNT(*) >= 2),
+      hitpos AS (
+        SELECT DISTINCT doc_id, p FROM grams JOIN dup USING (h)),
+      gaps AS (
+        SELECT doc_id, p,
+               LAG(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+        FROM hitpos),
+      per_doc AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN prev IS NULL THEN 8
+                             ELSE LEAST(8, p - prev) END) AS BIGINT)
+                 AS excised,
+               CAST(SUM(CASE WHEN prev IS NULL OR p - prev > 8
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_regions
+        FROM gaps GROUP BY doc_id)
+      SELECT s.doc_id, CAST(s.n AS BIGINT) AS n_tokens,
+             COALESCE(p.excised, 0) AS excised,
+             CAST(s.n AS BIGINT) - COALESCE(p.excised, 0) AS kept,
+             COALESCE(p.n_regions, 0) AS n_regions
+      FROM sized s LEFT JOIN per_doc p USING (doc_id)
+      ORDER BY doc_id""")
+  )
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q26, q38, q71, q74, q76,
-    q82, q88, q90, q91, q95, q101, q103, q114, q115, q130, q133)
+    q82, q88, q90, q91, q95, q101, q103, q114, q115, q130, q133, q134)
 }

@@ -1361,6 +1361,184 @@ object SimilarityQueries {
       FROM pairs ORDER BY label_a, label_b""")
   )
 
+  /** ANN index-quality AUDIT — recall@5 of the q41 hyperplane-LSH index
+    * against exact brute-force ground truth, per probe, as a first-class
+    * query ("measure, don't guess" applied to the index itself: every
+    * production ANN deployment gates on a recall audit like this before
+    * trusting the approximate path). Probes = the q40/q41 query set
+    * (vec_id < 8). `n_candidates` is the audit's cost column: how many
+    * exact rerank pairs the index admitted (the LSH cost proxy), next to
+    * how many of the true top-5 it found.
+    *
+    * Exactness: counts are integers; `recall` is one int/int division
+    * (identical doubles both engines); ties inside the top-5 broken by
+    * neighbor_id exactly as q40/q41 do, so both engines rank the same
+    * quantized cosines.
+    *
+    * Scale shape: the exact side is q40's broadcast-probe scan (the audit
+    * is FOR a small probe panel — 8 rows broadcast, corpus streams by,
+    * BNLJ case (b)); the LSH side is q41's bucket equi-join. At 100 TB
+    * the audit costs one corpus scan per panel refresh, which is exactly
+    * what it costs in production. */
+  val q136 = Q(
+    "q136_ann_recall",
+    (s, dir) => {
+      val emb = embeddings(s, dir)
+      // ---- exact ground truth: q40's shape, top-5 ----
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          sqrt(dotDec(col("embedding"), col("embedding"))).as("qn"))
+      val cands = emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ce"),
+        sqrt(dotDec(col("embedding"), col("embedding"))).as("cn"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      val exactTop = cands.join(broadcast(queries),
+          col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          (dotDec(col("qe"), col("ce")) / (col("qn") * col("cn")))
+            .as("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("query_id", "neighbor_id")
+      // ---- index side: q41's signatures, candidate set + top-5 ----
+      def planeBit(vec: Column, g: Int, bit: Int): Column = {
+        val weighted = graft.functions.FixedPointDot
+          .fixed_point_dot(vec, typedLit(planeWeights(g)))
+        when(weighted >= 0, lit(1L << bit)).otherwise(lit(0L))
+      }
+      def tableSig(vec: Column, t: Int): Column =
+        (0 until LshPlanes).map(p => planeBit(vec, t * LshPlanes + p, p))
+          .reduce(_ bitwiseOR _)
+      val signed = emb.select(
+        col("vec_id"), col("embedding"),
+        explode(array((0 until LshTables).map { t =>
+          struct(lit(t).as("t"), tableSig(col("embedding"), t).as("sig"))
+        }: _*)).as("b"))
+        .select(col("vec_id"), col("embedding"),
+          col("b.t").as("t"), col("b.sig").as("sig"))
+      val qSig = signed.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          sqrt(dotDec(col("embedding"), col("embedding"))).as("qn"),
+          col("t"), col("sig"))
+      val cSig = signed.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ce"),
+        sqrt(dotDec(col("embedding"), col("embedding"))).as("cn"),
+        col("t"), col("sig"))
+      val collided = cSig.join(broadcast(qSig), Seq("t", "sig"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          col("qe"), col("ce"), col("qn"), col("cn"))
+        .dropDuplicates("query_id", "neighbor_id")
+        .materialized // candidate count + rerank share the collision set
+      val lshTop = collided
+        .select(col("query_id"), col("neighbor_id"),
+          (dotDec(col("qe"), col("ce")) / (col("qn") * col("cn")))
+            .as("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val nCand = collided.groupBy("query_id")
+        .agg(count(lit(1)).as("n_candidates"))
+      // ---- the audit ----
+      val matched = exactTop.as("e")
+        .join(lshTop.as("l"),
+          col("e.query_id") === col("l.query_id") &&
+            col("e.neighbor_id") === col("l.neighbor_id"))
+        .groupBy(col("e.query_id").as("query_id"))
+        .agg(count(lit(1)).as("n_matched"))
+      exactTop.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+        .join(matched, Seq("query_id"), "left")
+        .join(nCand, Seq("query_id"), "left")
+        .select(col("query_id"), col("n_exact"),
+          coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          (coalesce(col("n_matched"), lit(0L)).cast("double") /
+            col("n_exact")).as("recall"))
+        .orderBy("query_id")
+    },
+    Some(s"""
+      WITH u AS (
+        SELECT vec_id, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings),
+      nrm AS (
+        SELECT vec_id,
+               sqrt(CAST(CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * x * 1e15) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e15) AS nrm
+        FROM u GROUP BY vec_id),
+      exact_dots AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               CAST(SUM(CAST(FLOOR(CAST(a.x AS DOUBLE) * b.x * 1e15) AS BIGINT)) AS BIGINT) AS dt
+        FROM u a JOIN u b ON a.i = b.i AND a.vec_id < 8
+                         AND a.vec_id <> b.vec_id
+        GROUP BY a.vec_id, b.vec_id),
+      exact_top AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT d.query_id, d.neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY d.query_id
+                   ORDER BY (CAST(d.dt AS DOUBLE) / 1e15) /
+                            (qn.nrm * cn.nrm) DESC, d.neighbor_id) AS rank
+          FROM exact_dots d
+          JOIN nrm qn ON qn.vec_id = d.query_id
+          JOIN nrm cn ON cn.vec_id = d.neighbor_id)
+        WHERE rank <= 5),
+      wt AS (
+        SELECT unnest(range(0, ${LshTables * LshPlanes * LshDim})) AS gi,
+               unnest(${PlaneThousandths.mkString("[", ",", "]")}) AS th),
+      w AS (
+        SELECT gi // $LshDim AS g, (gi % $LshDim) + 1 AS i,
+               CAST(th / 1000.0 AS FLOAT) AS w
+        FROM wt),
+      pd AS (
+        SELECT u.vec_id, w.g,
+               CAST(SUM(CAST(FLOOR(CAST(u.x AS DOUBLE) * CAST(w.w AS DOUBLE) * 1e15) AS BIGINT)) AS BIGINT) AS d
+        FROM u JOIN w ON u.i = w.i
+        GROUP BY u.vec_id, w.g),
+      sigs AS (
+        SELECT vec_id, g // $LshPlanes AS t,
+               CAST(SUM(CASE WHEN d >= 0 THEN (1::BIGINT << (g % $LshPlanes))
+                             ELSE 0 END) AS BIGINT) AS sig
+        FROM pd GROUP BY vec_id, g // $LshPlanes),
+      coll AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM sigs q JOIN sigs c ON q.t = c.t AND q.sig = c.sig
+        WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id),
+      lsh_dots AS (
+        SELECT coll.query_id, coll.neighbor_id,
+               CAST(SUM(CAST(FLOOR(CAST(a.x AS DOUBLE) * b.x * 1e15) AS BIGINT)) AS BIGINT) AS dt
+        FROM coll
+        JOIN u a ON a.vec_id = coll.query_id
+        JOIN u b ON b.vec_id = coll.neighbor_id AND a.i = b.i
+        GROUP BY coll.query_id, coll.neighbor_id),
+      lsh_top AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT d.query_id, d.neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY d.query_id
+                   ORDER BY (CAST(d.dt AS DOUBLE) / 1e15) /
+                            (qn.nrm * cn.nrm) DESC, d.neighbor_id) AS rank
+          FROM lsh_dots d
+          JOIN nrm qn ON qn.vec_id = d.query_id
+          JOIN nrm cn ON cn.vec_id = d.neighbor_id)
+        WHERE rank <= 5),
+      ncand AS (
+        SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_candidates
+        FROM coll GROUP BY query_id),
+      matched AS (
+        SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_matched
+        FROM exact_top e JOIN lsh_top l
+          ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
+        GROUP BY e.query_id)
+      SELECT e.query_id, CAST(e.n_exact AS BIGINT) AS n_exact,
+             COALESCE(m.n_matched, 0) AS n_matched,
+             COALESCE(n.n_candidates, 0) AS n_candidates,
+             CAST(COALESCE(m.n_matched, 0) AS DOUBLE) / e.n_exact AS recall
+      FROM (SELECT query_id, COUNT(*) AS n_exact
+            FROM exact_top GROUP BY query_id) e
+      LEFT JOIN matched m USING (query_id)
+      LEFT JOIN ncand n USING (query_id)
+      ORDER BY query_id""")
+  )
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q45, q47, q48, q49, q77, q79,
-    q80, q92, q94, q120)
+    q80, q92, q94, q120, q136)
 }

@@ -633,5 +633,147 @@ object TextQueries {
       FROM us JOIN ts USING (source) ORDER BY source""")
   )
 
-  val all: Seq[Q] = Seq(q25, q30, q31, q32, q36, q78, q87, q97, q100, q124)
+  /** Distributed BPE TRAINING — the first two merge decisions of the
+    * byte-pair-encoding tokenizer-training loop (Sennrich et al. 2016)
+    * over the corpus vocabulary, where q97 only APPLIES a fixed BPE-ish
+    * segmentation. Classic formulation: unique lowercase words with
+    * frequencies; per round, count adjacent symbol pairs weighted by word
+    * frequency, merge the max-count pair (ties → lexicographically
+    * smallest (left, right) — both engines compare strings as UTF-8
+    * bytes), rewrite, repeat. Fixed 2 rounds like q47's Lloyd loop, so
+    * the DuckDB oracle computes the identical fixpoint prefix.
+    *
+    * The rewrite is RELATIONAL, not a per-word fold: greedy leftmost
+    * non-overlapping matching only interacts between ADJACENT candidate
+    * positions (an occurrence overlap requires sharing a symbol), so
+    * within each maximal run of consecutive candidates greedy selects
+    * every other one from the run head — runs via the p − row_number
+    * trick, selection by parity, consumed right-halves dropped by an
+    * anti-condition, positions renumbered. Both engines execute the same
+    * algebra; no sequential UDF anywhere.
+    *
+    * Scale shape: the corpus collapses to the UNIQUE-WORD vocabulary at
+    * the first aggregate (the standard BPE trick — pair counting is
+    * vocab-sized, not corpus-sized, from round 1 on); per round one
+    * pair-count aggregate + one window over candidate positions; the
+    * winner is a 1-row driver collect (q47's centroid-sync discipline).
+    * At 100 TB the vocabulary table is millions of rows, not terabytes. */
+  val q135 = Q(
+    "q135_bpe_train",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = documents(s, dir)
+      val words = docs.select(explode(filter(split(col("text"), "\\s+"),
+          x => x.rlike("^[a-z]+$") && length(x) >= lit(2))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("wc"))
+        .materialized // vocabulary: every later step is vocab-sized
+      val sym1 = words.select(col("word"), col("wc"), posexplode(
+          expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")))
+        .select(col("word"), col("wc"), (col("pos") + 1).as("p"),
+          col("col").as("sym"))
+        .materialized // round-1 pairs + candidate scan + rebuild
+      val wOrd = Window.partitionBy("word").orderBy("p")
+      def withNext(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("nxt", lead(col("sym"), 1).over(wOrd))
+      def pairCounts(df: org.apache.spark.sql.DataFrame) =
+        withNext(df).filter(col("nxt").isNotNull)
+          .groupBy("sym", "nxt").agg(sum(col("wc")).as("cnt"))
+      def winner(df: org.apache.spark.sql.DataFrame): (String, String, Long) = {
+        val r = pairCounts(df)
+          .orderBy(col("cnt").desc, col("sym"), col("nxt")).limit(1).collect()
+        (r(0).getString(0), r(0).getString(1), r(0).getLong(2))
+      }
+      val (l1, r1, c1) = winner(sym1)
+      // greedy leftmost non-overlapping selection of (l1, r1) occurrences
+      val cand = withNext(sym1)
+        .filter(col("sym") === l1 && col("nxt") === r1)
+        .select(col("word").as("cw"), col("p").as("cp"))
+      val sel = cand
+        .withColumn("runkey", col("cp") - row_number().over(
+          Window.partitionBy("cw").orderBy("cp")))
+        .withColumn("off", row_number().over(
+          Window.partitionBy("cw", "runkey").orderBy("cp")))
+        .filter(col("off") % 2 === 1)
+        .select(col("cw"), col("cp"))
+        .materialized // both rebuild joins
+      val sym2 = sym1
+        .join(sel.as("m"),
+          col("word") === col("m.cw") && col("p") === col("m.cp"), "left")
+        .join(sel.as("d"),
+          col("word") === col("d.cw") && col("p") === col("d.cp") + 1, "left")
+        .filter(col("d.cp").isNull) // consumed right halves vanish
+        .select(col("word"), col("wc"),
+          when(col("m.cp").isNotNull, lit(l1 + r1)).otherwise(col("sym"))
+            .as("sym"),
+          row_number().over(Window.partitionBy("word")
+            .orderBy(col("p"))).as("p"))
+      val (l2, r2, c2) = winner(sym2)
+      s.createDataFrame(Seq(
+        (1L, l1, r1, l1 + r1, c1),
+        (2L, l2, r2, l2 + r2, c2)))
+        .toDF("merge_round", "lsym", "rsym", "merged", "cnt")
+        .orderBy("merge_round")
+    },
+    Some("""
+      WITH words AS (
+        SELECT w AS word, COUNT(*) AS wc FROM (
+          SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+            x -> regexp_matches(x, '^[a-z]+$') AND length(x) >= 2)) AS w
+          FROM documents)
+        GROUP BY w),
+      sym1 AS (
+        SELECT word, wc, i AS p, word[i:i] AS sym
+        FROM (SELECT word, wc, unnest(range(1, length(word) + 1)) AS i
+              FROM words)),
+      nx1 AS (
+        SELECT word, wc, p, sym,
+               LEAD(sym) OVER (PARTITION BY word ORDER BY p) AS nxt
+        FROM sym1),
+      pr1 AS (
+        SELECT sym, nxt, CAST(SUM(wc) AS BIGINT) AS cnt
+        FROM nx1 WHERE nxt IS NOT NULL GROUP BY sym, nxt),
+      w1 AS (SELECT sym AS l, nxt AS r, cnt
+             FROM pr1 ORDER BY cnt DESC, sym, nxt LIMIT 1),
+      cand AS (
+        SELECT n.word, n.p FROM nx1 n, w1
+        WHERE n.sym = w1.l AND n.nxt = w1.r),
+      sel AS (
+        SELECT word, p FROM (
+          SELECT word, p,
+                 ROW_NUMBER() OVER (PARTITION BY word, runkey ORDER BY p)
+                   AS off
+          FROM (SELECT word, p,
+                       p - ROW_NUMBER() OVER (PARTITION BY word ORDER BY p)
+                         AS runkey
+                FROM cand))
+        WHERE off % 2 = 1),
+      sym2 AS (
+        SELECT word, wc,
+               ROW_NUMBER() OVER (PARTITION BY word ORDER BY p) AS p, sym
+        FROM (
+          SELECT s.word, s.wc, s.p,
+                 CASE WHEN m.p IS NOT NULL THEN (SELECT l || r FROM w1)
+                      ELSE s.sym END AS sym
+          FROM sym1 s
+          LEFT JOIN sel m ON m.word = s.word AND m.p = s.p
+          LEFT JOIN sel d ON d.word = s.word AND d.p + 1 = s.p
+          WHERE d.p IS NULL)),
+      nx2 AS (
+        SELECT word, wc, p, sym,
+               LEAD(sym) OVER (PARTITION BY word ORDER BY p) AS nxt
+        FROM sym2),
+      pr2 AS (
+        SELECT sym, nxt, CAST(SUM(wc) AS BIGINT) AS cnt
+        FROM nx2 WHERE nxt IS NOT NULL GROUP BY sym, nxt),
+      w2 AS (SELECT sym AS l, nxt AS r, cnt
+             FROM pr2 ORDER BY cnt DESC, sym, nxt LIMIT 1)
+      SELECT CAST(1 AS BIGINT) AS merge_round, l AS lsym, r AS rsym,
+             l || r AS merged, cnt FROM w1
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), l, r, l || r, cnt FROM w2
+      ORDER BY merge_round""")
+  )
+
+  val all: Seq[Q] = Seq(q25, q30, q31, q32, q36, q78, q87, q97, q100, q124,
+    q135)
 }

@@ -255,7 +255,11 @@ class PlanRegressionSpec extends SparkSpec {
       "q129_resume_audit",
       // q133: the pair loop runs over source-catalog-sized signature
       // tables (K rows of 64 longs each side) — corpus-independent
-      "q133_source_minhash")
+      "q133_source_minhash",
+      // q136: the exact-ground-truth side of the recall audit is q40's
+      // broadcast probe panel (8 rows) scored against the streaming
+      // corpus — case (b); the LSH side is a bucket equi-join
+      "q136_ann_recall")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")
