@@ -84,6 +84,56 @@ object BulkIngest {
       .toDF()
   }
 
+  /** The ingest PLANNER: the file-size split that [[parseOne]]'s scale
+    * story promises, implemented instead of documented. Files at or above
+    * `bigBytes` with a range-splittable format (`.xlsx` today) are routed
+    * through the DSv2 `graft-excel` source — sheet-per-partition executor
+    * decode with streaming row iterators, so a single multi-GB workbook
+    * does not pin one task's memory to the whole file — and everything
+    * else takes the file-grain [[parseFiles]] path. Both roads emit the
+    * same [[CellRow]] shape (the DSv2 road via the `_sheet`/`_row_idx`
+    * metadata columns), so downstream consumers cannot tell which planner
+    * decision a row took. */
+  def parseTreeAuto(
+      spark: SparkSession,
+      root: String,
+      bigBytes: Long = 64L << 20,
+      partitions: Int = 0): DataFrame = {
+    import graft.sources.xlsx.{ExcelTable, XlsxParser}
+    import org.apache.spark.sql.functions.{array, col, lit, typedLit}
+    implicit val enc = Encoders.product[CellRow]
+    val entries = FsIO.listFilesRecursiveWithLen(root).toSeq.sortBy(_._1)
+    val (big, small) = entries.partition { case (p, len) =>
+      len >= bigBytes && p.toLowerCase.endsWith(".xlsx")
+    }
+    val base = parseFiles(spark, small.map(_._1), partitions)
+    val bigDfs: Seq[DataFrame] = big.map(_._1).flatMap { p =>
+      val sheets =
+        try XlsxParser.openSheetList(p)
+        catch { case _: Exception => None }
+      sheets match {
+        case None | Some(Seq()) =>
+          Seq(spark.createDataset(Seq(
+            CellRow(p, "ImportExcel", "None", "Failed", -1L, Seq.empty)))
+            .toDF())
+        case Some(list) => list.map { sh =>
+          val df = spark.read.format("graft-excel")
+            .option("sheet", sh.name).load(p)
+          val cells =
+            if (df.columns.isEmpty) typedLit(Seq.empty[String])
+            else array(df.columns.map(col): _*)
+          df.select(
+            lit(p).as("path"), lit("ImportExcel").as("engine"),
+            col(ExcelTable.SheetColName).as("sheet"),
+            lit("OK").as("parse_info"),
+            col(ExcelTable.RowIdxColName).as("row_idx"),
+            cells.as("cells"))
+        }
+      }
+    }
+    bigDfs.foldLeft(base)(_ union _)
+  }
+
   def parseFiles(spark: SparkSession, paths: Seq[String], partitions: Int = 0): DataFrame = {
     val parts =
       if (partitions > 0) partitions

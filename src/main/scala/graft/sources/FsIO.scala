@@ -119,6 +119,18 @@ object FsIO {
     }
   }
 
+  /** [[listFilesRecursive]] with file sizes — the ingest planner's
+    * file-size split needs the length without a second RPC per file. */
+  def listFilesRecursiveWithLen(root: String): Iterator[(String, Long)] = {
+    val it = fs(root).listFiles(hpath(root), true)
+    new Iterator[(String, Long)] {
+      override def hasNext: Boolean = it.hasNext
+      override def next(): (String, Long) = {
+        val st = it.next(); (st.getPath.toString, st.getLen)
+      }
+    }
+  }
+
   /** Immediate children (for distributed subtree fan-out listing). */
   def listChildren(root: String): Seq[(String, Boolean)] =
     fs(root).listStatus(hpath(root)).toSeq

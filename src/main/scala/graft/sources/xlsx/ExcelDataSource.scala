@@ -4,11 +4,11 @@ import java.util
 
 import graft.sources.TextImporter
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsMetadataColumns, SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.DataSourceRegister
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -77,13 +77,34 @@ class ExcelTable(
     path: String,
     options: CaseInsensitiveStringMap,
     schema: StructType
-) extends Table with SupportsRead {
+) extends Table with SupportsRead with SupportsMetadataColumns {
   override def name(): String = s"graft-excel:$path"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new ExcelScanBuilder(path, options, schema)
+  // hidden unless selected (DSv2 metadata-column contract): the sheet
+  // name and the 0-based within-sheet row index — what lets a caller
+  // (BulkIngest.parseTreeAuto) get CellRow-shaped output from the
+  // range-split executor decode instead of a one-task whole-file parse
+  override def metadataColumns(): Array[MetadataColumn] =
+    Array(ExcelTable.SheetCol, ExcelTable.RowIdxCol)
+}
+
+object ExcelTable {
+  val SheetColName = "_sheet"
+  val RowIdxColName = "_row_idx"
+  object SheetCol extends MetadataColumn {
+    override def name(): String = SheetColName
+    override def dataType(): DataType = StringType
+    override def isNullable: Boolean = false
+  }
+  object RowIdxCol extends MetadataColumn {
+    override def name(): String = RowIdxColName
+    override def dataType(): DataType = LongType
+    override def isNullable: Boolean = false
+  }
 }
 
 class ExcelScanBuilder(
@@ -103,7 +124,7 @@ class ExcelScanBuilder(
       val wb = XlsxParser.openWorkbook(path).getOrElse(
         throw new IllegalArgumentException(s"not an xlsx: $path"))
       val sheet = ExcelDataSource.resolveSheet(wb, options)
-      Array(SheetPartition(path, sheet.target))
+      Array(SheetPartition(path, sheet.target, sheet.name))
     }
     override def createReaderFactory(): PartitionReaderFactory = {
       // ship the driver's Hadoop conf so executor-side byte access works
@@ -118,7 +139,8 @@ class ExcelScanBuilder(
 /** One partition = one sheet (the natural split unit of the format; a
   * row-range sub-split would need random access inside the deflate stream).
   */
-case class SheetPartition(path: String, target: String) extends InputPartition
+case class SheetPartition(path: String, target: String, sheetName: String)
+  extends InputPartition
 
 class SheetReaderFactory(required: StructType, fsProps: Map[String, String])
     extends PartitionReaderFactory {
@@ -141,22 +163,33 @@ class SheetReader(p: SheetPartition, required: StructType)
   private val localPath = localized.file.getPath
   private val wb = XlsxParser.openWorkbook(localPath)
     .getOrElse(throw new IllegalStateException(s"not an xlsx: ${p.path}"))
-  private val colIdx: Array[Int] = required.fields.map(_.name.toInt)
+  // data ordinals = numeric field names; _sheet/_row_idx are the DSv2
+  // metadata columns (present in `required` only when explicitly selected)
+  private val dataCols: Array[Int] =
+    required.fields.map(_.name).flatMap(_.toIntOption)
   // pushed-down pruning reaches the DECODE: cells outside the required
   // ordinals are never materialized (no shared-string lookup, no text)
   private val rows =
-    new SheetRowIterator(localPath, p.target, wb.shared, Some(colIdx.toSet))
+    new SheetRowIterator(localPath, p.target, wb.shared, Some(dataCols.toSet))
   private var current: IndexedSeq[String] = _
+  private var rowIdx: Long = -1L
+  private val sheetNameUtf8 = UTF8String.fromString(p.sheetName)
 
   override def next(): Boolean = {
-    if (rows.hasNext) { current = rows.next(); true } else false
+    if (rows.hasNext) { current = rows.next(); rowIdx += 1; true } else false
   }
 
   override def get(): InternalRow = {
-    InternalRow.fromSeq(colIdx.map { i =>
-      val v = if (i < current.length) current(i) else null
-      if (v == null) null else UTF8String.fromString(v)
-    }.toIndexedSeq)
+    InternalRow.fromSeq(required.fields.toIndexedSeq.map { f =>
+      f.name match {
+        case ExcelTable.SheetColName  => sheetNameUtf8
+        case ExcelTable.RowIdxColName => rowIdx
+        case n =>
+          val i = n.toInt
+          val v = if (i < current.length) current(i) else null
+          if (v == null) null else UTF8String.fromString(v)
+      }
+    })
   }
 
   override def close(): Unit = { rows.close(); localized.close() }

@@ -113,6 +113,36 @@ class BulkIngestSpec extends SparkSpec {
     assert(df.rdd.getNumPartitions == 3)
   }
 
+  test("DSv2 metadata columns: _sheet and _row_idx surface only when selected") {
+    val dir = makeTree()
+    val p = dir.resolve("book.xlsx").toString
+    val df = spark.read.format("graft-excel").load(p)
+    assert(!df.columns.contains("_sheet")) // hidden by default
+    val withMeta = df.select(col("_sheet"), col("_row_idx"), col("0"), col("1"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getString(2), r.getString(3)))
+    assert(withMeta.toSeq == Seq(("P1", 0L, "hi", "7"), ("P1", 1L, null, "8")))
+  }
+
+  test("parseTreeAuto routes big workbooks through DSv2, cell-identical to parseTree") {
+    val dir = makeTree()
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (java.nio.file.Paths.get(r.getString(0))
+          .getFileName.toString, r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4), r.getSeq[String](5).toList))
+        .sortBy(t => (t._1, t._3, t._5)).toSeq
+    // threshold 1 byte: every .xlsx (incl. the corrupt one) takes the
+    // DSv2 road; output must be indistinguishable from the file-grain road
+    val auto = BulkIngest.parseTreeAuto(spark, dir.toString, bigBytes = 1L)
+    assert(key(auto) == key(BulkIngest.parseTree(spark, dir.toString)))
+    // and the DSv2 road was actually taken: the plan carries a BatchScan
+    assert(auto.queryExecution.executedPlan.toString.contains("BatchScan"),
+      auto.queryExecution.executedPlan.toString.take(1500))
+    // default threshold: small files stay file-grain (no BatchScan)
+    val plain = BulkIngest.parseTreeAuto(spark, dir.toString)
+    assert(!plain.queryExecution.executedPlan.toString.contains("BatchScan"))
+  }
+
   test("parquet and json files are cataloged as Native, not re-decoded") {
     val dir = tmpDir("bulk_native")
     spark.range(3).toDF("x").coalesce(1)
