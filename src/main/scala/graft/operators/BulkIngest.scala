@@ -148,6 +148,37 @@ object BulkIngest {
       .toDF()
   }
 
+  /** CONTINUOUS ingestion: the same per-file parse semantics over files
+    * as they ARRIVE under `root` — Structured Streaming's file source
+    * discovers new files per microbatch (checkpointed, so each file is
+    * parsed exactly once across restarts), and the parse itself is the
+    * identical executor-side [[parseOne]] the batch roads use. The
+    * `binaryFile` source is used for DISCOVERY only: selecting just
+    * `path` prunes the content read (the format supports required-schema
+    * pruning), and parseOne streams the bytes itself through the
+    * Hadoop-FS layer — keeping one code path for batch and streaming and
+    * preserving per-file failure isolation (a corrupt arrival yields one
+    * Failed row, never a dead query). */
+  def stream(spark: SparkSession, root: String, glob: String = "*"): DataFrame = {
+    val props = FsIO.captureProps(spark)
+    implicit val enc = Encoders.product[CellRow]
+    import org.apache.spark.sql.types._
+    spark.readStream.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      // binaryFile's FIXED schema — streaming file sources demand it
+      // explicitly; only `path` is ever selected, so content is pruned
+      .schema(StructType(Seq(
+        StructField("path", StringType, nullable = false),
+        StructField("modificationTime", TimestampType, nullable = false),
+        StructField("length", LongType, nullable = false),
+        StructField("content", BinaryType, nullable = true))))
+      .load(root)
+      .select("path")
+      .as(Encoders.STRING)
+      .mapPartitions { it => FsIO.install(props); it.flatMap(parseOne) }
+      .toDF()
+  }
+
   /** One file → cell rows; pure, runs inside executor tasks. Exposed for
     * the per-format parity tests against `AnyFile.parse`. */
   private[graft] def parseOne(path: String): Seq[CellRow] = {

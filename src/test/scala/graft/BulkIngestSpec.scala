@@ -143,6 +143,51 @@ class BulkIngestSpec extends SparkSpec {
     assert(!plain.queryExecution.executedPlan.toString.contains("BatchScan"))
   }
 
+  test("streaming ingestion: arrivals parse exactly once across restarts, cells ≡ batch") {
+    val in = tmpDir("bulk_stream_in")
+    val out = tmpDir("bulk_stream_out").toString
+    val ckpt = tmpDir("bulk_stream_ckpt").toString
+    def run(): Unit = {
+      val q = graft.operators.BulkIngest.stream(spark, in.toString)
+        .writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    def read() = spark.read.parquet(out)
+      .collect().map(r => (graft.sources.FsIO.fileName(r.getString(0)),
+        r.getString(3), r.getLong(4), r.getSeq[String](5).toList))
+      .sortBy(t => (t._1, t._3)).toSeq
+
+    // batch 1: a text file and a CORRUPT xlsx (failure isolation)
+    writeFile(in, "a.txt", "x\ty\n1\t2\n")
+    writeFile(in, "bad.xlsx", "not a zip")
+    run()
+    val after1 = read()
+    assert(after1.map(_._1).distinct == Seq("a.txt", "bad.xlsx"))
+    assert(after1.filter(_._1 == "bad.xlsx").map(_._2) == Seq("Failed"))
+
+    // batch 2 is a RESTART: only the new arrival parses (no re-emission)
+    writeFile(in, "b.csv", "p,q\nr,s\n")
+    run()
+    val after2 = read()
+    assert(after2.count(_._1 == "a.txt") == after1.count(_._1 == "a.txt"))
+    assert(after2.exists(_._1 == "b.csv"))
+    // cells equal the batch road, file for file
+    val batch = graft.operators.BulkIngest
+      .parseFiles(spark, Seq(in.resolve("a.txt").toString,
+        in.resolve("b.csv").toString, in.resolve("bad.xlsx").toString))
+      .collect().map(r => (graft.sources.FsIO.fileName(r.getString(0)),
+        r.getString(3), r.getLong(4), r.getSeq[String](5).toList))
+      .sortBy(t => (t._1, t._3)).toSeq
+    assert(after2 == batch)
+  }
+
   test("parquet and json files are cataloged as Native, not re-decoded") {
     val dir = tmpDir("bulk_native")
     spark.range(3).toDF("x").coalesce(1)
