@@ -1296,7 +1296,79 @@ object PipelineQueries {
       ORDER BY lang_out, source_out""")
   )
 
+  /** Largest-remainder (Hamilton) apportionment of an epoch TOKEN BUDGET
+    * across sources — the allocation step a mixture spec feeds (q67
+    * samples a given mixture; q116 caps per source; THIS decides the
+    * integer budget each source gets): quota = budget·tokensᵢ/total,
+    * floors assigned first, the `budget − Σfloor` leftover goes to the
+    * largest fractional remainders (ties → source asc). The classic
+    * apportionment guarantee — every source within 1 token of its exact
+    * quota, Σ alloc ≡ budget — becomes a hash-checked law here.
+    *
+    * Exactness: the fractional compare uses the integer remainder
+    * `(budget·tokensᵢ) mod total` directly (same denominator ⇒ same
+    * order) — no floats anywhere; budget·tokens ≈ 10⁵·10⁷ stays far
+    * under 2⁶³.
+    *
+    * Scale shape: one map-side token count + a source-sized aggregate;
+    * the apportionment itself runs on the #sources-row frame (two
+    * unpartitioned windows over a catalog-sized table). */
+  val q137 = Q(
+    "q137_mixture_alloc",
+    (s, dir) => {
+      val budget = 100000L
+      val srcToks = documents(s, dir)
+        .select(col("source"),
+          size(filter(split(col("text"), "\\s+"), x => length(x) > 0))
+            .cast("long").as("toks"))
+        .groupBy("source").agg(sum(col("toks")).as("n_tokens"))
+      val wAll = Window.partitionBy(lit(1))
+      val quotas = srcToks
+        .withColumn("total", sum(col("n_tokens")).over(wAll))
+        .withColumn("floor_alloc",
+          expr(s"($budget * n_tokens) div total"))
+        .withColumn("rem", expr(s"($budget * n_tokens) % total"))
+      quotas
+        .withColumn("leftover",
+          lit(budget) - sum(col("floor_alloc")).over(wAll))
+        .withColumn("rk", row_number().over(Window.partitionBy(lit(1))
+          .orderBy(col("rem").desc, col("source"))))
+        .select(col("source"), col("n_tokens"), col("floor_alloc"),
+          col("rem"),
+          when(col("rk") <= col("leftover"), 1L).otherwise(0L).as("extra"))
+        .withColumn("alloc", col("floor_alloc") + col("extra"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH srctoks AS (
+        SELECT source, CAST(SUM(len(list_filter(
+                 string_split_regex(text, '\s+'),
+                 x -> length(x) > 0))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source),
+      quotas AS (
+        SELECT source, n_tokens,
+               CAST(SUM(n_tokens) OVER () AS BIGINT) AS total
+        FROM srctoks),
+      floored AS (
+        SELECT source, n_tokens,
+               (100000 * n_tokens) // total AS floor_alloc,
+               (100000 * n_tokens) % total AS rem
+        FROM quotas),
+      ranked AS (
+        SELECT source, n_tokens, floor_alloc, rem,
+               CAST(100000 - SUM(floor_alloc) OVER () AS BIGINT) AS leftover,
+               ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+        FROM floored)
+      SELECT source, n_tokens, CAST(floor_alloc AS BIGINT) AS floor_alloc,
+             CAST(rem AS BIGINT) AS rem,
+             CAST(CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+               AS extra,
+             CAST(floor_alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+               AS BIGINT) AS alloc
+      FROM ranked ORDER BY source""")
+  )
+
   val all: Seq[Q] = Seq(q33, q34, q35, q37, q46, q53, q54, q55, q56, q57,
     q65, q66, q67, q69, q72, q83, q86, q96, q104, q108, q116, q117, q121,
-    q131)
+    q131, q137)
 }

@@ -1346,6 +1346,72 @@ object ScaleQueries {
       GROUP BY shard ORDER BY shard""")
   )
 
+  /** Rendezvous-hash (HRW) RESHARDING audit — what growing a storage/
+    * state layer from 8 to 10 shards actually moves: every doc's shard is
+    * argmax over shards of md5(doc_id#shard), so adding shards leaves all
+    * existing weights untouched and a doc moves ONLY when a NEW shard
+    * wins — the minimal-disruption law consistent hashing is chosen for,
+    * here surfaced as a hash-checked movement matrix (old_shard,
+    * new_shard, n_docs, moved). Every moved row lands on shard 8 or 9 by
+    * construction; the expected moved fraction is 2/10.
+    *
+    * Exactness: weights are md5-prefix integers; argmax ties (≈2⁻³² per
+    * pair) break identically in both engines (max weight, then max
+    * shard id).
+    *
+    * Scale shape: per-row argmax over a FIXED 10-entry literal array —
+    * pure map-side codegen — then one (old, new)-keyed wordcount
+    * aggregate. At 10⁹ docs: one scan, one 80-cell shuffle. */
+  val q138 = Q(
+    "q138_reshard_audit",
+    (s, dir) => {
+      def hrwShard(n: Int): org.apache.spark.sql.Column = {
+        val entries = (0 until n).map { sh =>
+          struct(
+            // hex chars 1-8 = the unsigned high half of the 8-byte prefix
+            // (matches the oracle's ('0x'||substr(md5,1,8))::BIGINT form)
+            shiftrightunsigned(graft.functions.GraftFunctions.md5_prefix64(
+              concat(col("doc_id").cast("string"), lit(s"#$sh"))), 32).as("w"),
+            lit(sh.toLong).as("shard"))
+        }
+        array_max(array(entries: _*)).getField("shard")
+      }
+      documents(s, dir)
+        .select(col("doc_id"),
+          hrwShard(8).as("old_shard"), hrwShard(10).as("new_shard"))
+        .groupBy("old_shard", "new_shard")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("moved",
+          (col("old_shard") =!= col("new_shard")).cast("long"))
+        .orderBy("old_shard", "new_shard")
+    },
+    Some("""
+      WITH w AS (
+        SELECT d.doc_id, sh.s AS shard,
+               ('0x' || substr(md5(d.doc_id::VARCHAR || '#' || sh.s::VARCHAR),
+                 1, 8))::BIGINT AS w
+        FROM documents d, (SELECT unnest(range(0, 10)) AS s) sh),
+      olds AS (
+        SELECT doc_id, shard AS old_shard FROM (
+          SELECT doc_id, shard,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY w DESC, shard DESC) AS rk
+          FROM w WHERE shard < 8) WHERE rk = 1),
+      news AS (
+        SELECT doc_id, shard AS new_shard FROM (
+          SELECT doc_id, shard,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY w DESC, shard DESC) AS rk
+          FROM w) WHERE rk = 1)
+      SELECT o.old_shard, n.new_shard,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(CASE WHEN o.old_shard <> n.new_shard THEN 1 ELSE 0 END
+               AS BIGINT) AS moved
+      FROM olds o JOIN news n USING (doc_id)
+      GROUP BY o.old_shard, n.new_shard
+      ORDER BY old_shard, new_shard""")
+  )
+
   val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q73, q84, q85, q89, q99,
-    q106, q110, q118, q123, q125, q127, q128, q129)
+    q106, q110, q118, q123, q125, q127, q128, q129, q138)
 }
