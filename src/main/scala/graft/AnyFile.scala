@@ -44,8 +44,9 @@ object AnyFile {
     // URIs answer exactly like local paths; for scheme-less local paths
     // the extra isReadable check preserves reference parity on
     // permission-denied files.
+    if (path.isEmpty) return Seq(ParserAnswer.failed(spark, path))
     val localUnreadable =
-      graft.sources.FsIO.hpath(path).toUri.getScheme == null && {
+      !graft.sources.FsIO.hasScheme(path) && {
         val p = Paths.get(path)
         Files.exists(p) && !Files.isReadable(p)
       }

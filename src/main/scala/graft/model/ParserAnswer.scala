@@ -35,11 +35,12 @@ final case class ParserAnswer(
 ) {
 
   /** Absolute path string — `RulePath` parity (`main.py:51-57`). A path
-    * carrying a URI scheme (`hdfs://…`, `file://…`) is already absolute
-    * and is kept verbatim; only scheme-less local paths get resolved. */
+    * carrying a URI scheme (`hdfs:/…`, `file:/…` — letter-led and
+    * colon-slash, so `2021-01-01T12:30:00.csv` stays a relative local
+    * file) is already absolute and kept verbatim; only scheme-less local
+    * paths get resolved. */
   val filePath: String =
-    if (new org.apache.hadoop.fs.Path(filePathRaw).toUri.getScheme != null)
-      filePathRaw
+    if (graft.sources.FsIO.hasScheme(filePathRaw)) filePathRaw
     else java.nio.file.Paths.get(filePathRaw).toAbsolutePath.toString
 
   /** `"Failed"` iff zero rows, else `"OK"` (`main.py:103`). Lazy: only

@@ -33,6 +33,12 @@ import graft.sources.FsIO
   * memory bound is one file's decoded cells. */
 object BulkIngest {
 
+  /** `path` is the FILESYSTEM-QUALIFIED form the Hadoop listing returns
+    * (`file:/…`, `hdfs://nn/…`) — the canonical re-openable address, and
+    * deliberately so: every CellRow.path can be fed back to [[FsIO]] or
+    * `spark.read` as-is. Callers joining against scheme-less catalogs
+    * (e.g. `ParserAnswer.filePath`) should compare on
+    * `FsIO.hpath(p).toUri.getPath`. */
   final case class CellRow(
       path: String,
       engine: String,
@@ -107,28 +113,58 @@ object BulkIngest {
       len >= bigBytes && p.toLowerCase.endsWith(".xlsx")
     }
     val base = parseFiles(spark, small.map(_._1), partitions)
-    val bigDfs: Seq[DataFrame] = big.map(_._1).flatMap { p =>
-      val sheets =
-        try XlsxParser.openSheetList(p)
-        catch { case _: Exception => None }
-      sheets match {
-        case None | Some(Seq()) =>
-          Seq(spark.createDataset(Seq(
-            CellRow(p, "ImportExcel", "None", "Failed", -1L, Seq.empty)))
-            .toDF())
-        case Some(list) => list.map { sh =>
-          val df = spark.read.format("graft-excel")
-            .option("sheet", sh.name).load(p)
-          val cells =
-            if (df.columns.isEmpty) typedLit(Seq.empty[String])
-            else array(df.columns.map(col): _*)
-          df.select(
-            lit(p).as("path"), lit("ImportExcel").as("engine"),
-            col(ExcelTable.SheetColName).as("sheet"),
-            lit("OK").as("parse_info"),
-            col(ExcelTable.RowIdxColName).as("row_idx"),
-            cells.as("cells"))
+    // Big-workbook road. The driver opens ONLY the zip central directory
+    // per file (sheet list); per-sheet widths come from ONE Spark job of
+    // streaming shape probes (a task per sheet, each guarded — a corrupt
+    // sheet fails its FILE into one Failed row, matching the file-grain
+    // road's whole-file isolation), and the DSv2 reads get EXPLICIT
+    // schemas so nothing re-opens the workbook on the driver. Residual
+    // risk, documented: corruption that first manifests mid row-scan on
+    // an executor fails the query (the file-grain road would have caught
+    // it per-file) — the probe pass bounds that window to decode-level
+    // breakage, not container-level.
+    val props = FsIO.captureProps(spark)
+    val sheetLists: Seq[(String, Option[Seq[XlsxParser.SheetRef]])] =
+      big.map { case (p, _) =>
+        p -> (try XlsxParser.openSheetList(p).filter(_.nonEmpty)
+              catch { case _: Exception => None })
+      }
+    val probeInput = sheetLists.collect { case (p, Some(list)) =>
+      list.map(sh => (p, sh.name, sh.target))
+    }.flatten
+    val widths: Map[(String, String), Option[Int]] =
+      if (probeInput.isEmpty) Map.empty
+      else spark.sparkContext
+        .parallelize(probeInput, probeInput.length)
+        .map { case (p, name, target) =>
+          FsIO.install(props)
+          val w =
+            try Some(XlsxParser.sheetShape(p, target, IndexedSeq.empty)._1)
+            catch { case _: Exception => None }
+          ((p, name), w)
         }
+        .collect().toMap
+    def failedRow(p: String): DataFrame =
+      spark.createDataset(Seq(
+        CellRow(p, "ImportExcel", "None", "Failed", -1L, Seq.empty))).toDF()
+    val bigDfs: Seq[DataFrame] = sheetLists.flatMap {
+      case (p, None) => Seq(failedRow(p))
+      case (p, Some(list)) if list.exists(sh => widths((p, sh.name)).isEmpty) =>
+        Seq(failedRow(p)) // a broken sheet fails its file, like parseOne
+      case (p, Some(list)) => list.map { sh =>
+        val width = widths((p, sh.name)).get
+        val df = spark.read.format("graft-excel")
+          .schema(graft.sources.TextImporter.positionalSchema(width))
+          .option("sheet", sh.name).load(p)
+        val cells =
+          if (df.columns.isEmpty) typedLit(Seq.empty[String])
+          else array(df.columns.map(col): _*)
+        df.select(
+          lit(p).as("path"), lit("ImportExcel").as("engine"),
+          col(ExcelTable.SheetColName).as("sheet"),
+          lit("OK").as("parse_info"),
+          col(ExcelTable.RowIdxColName).as("row_idx"),
+          cells.as("cells"))
       }
     }
     bigDfs.foldLeft(base)(_ union _)

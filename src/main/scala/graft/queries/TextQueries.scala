@@ -678,12 +678,20 @@ object TextQueries {
       def pairCounts(df: org.apache.spark.sql.DataFrame) =
         withNext(df).filter(col("nxt").isNotNull)
           .groupBy("sym", "nxt").agg(sum(col("wc")).as("cnt"))
-      def winner(df: org.apache.spark.sql.DataFrame): (String, String, Long) = {
-        val r = pairCounts(df)
+      // Option-shaped: a vocabulary-free slice (no ^[a-z]{2,}$ tokens, or
+      // no adjacent pairs left after round 1) must yield the same EMPTY /
+      // one-row result the SQL oracle produces, never a driver crash
+      def winner(df: org.apache.spark.sql.DataFrame): Option[(String, String, Long)] =
+        pairCounts(df)
           .orderBy(col("cnt").desc, col("sym"), col("nxt")).limit(1).collect()
-        (r(0).getString(0), r(0).getString(1), r(0).getLong(2))
-      }
-      val (l1, r1, c1) = winner(sym1)
+          .headOption.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      def result(rows: Seq[(Long, String, String, String, Long)]) =
+        s.createDataFrame(rows)
+          .toDF("merge_round", "lsym", "rsym", "merged", "cnt")
+          .orderBy("merge_round")
+      winner(sym1) match {
+        case None => result(Seq.empty)
+        case Some((l1, r1, c1)) =>
       // greedy leftmost non-overlapping selection of (l1, r1) occurrences
       val cand = withNext(sym1)
         .filter(col("sym") === l1 && col("nxt") === r1)
@@ -707,12 +715,11 @@ object TextQueries {
             .as("sym"),
           row_number().over(Window.partitionBy("word")
             .orderBy(col("p"))).as("p"))
-      val (l2, r2, c2) = winner(sym2)
-      s.createDataFrame(Seq(
-        (1L, l1, r1, l1 + r1, c1),
-        (2L, l2, r2, l2 + r2, c2)))
-        .toDF("merge_round", "lsym", "rsym", "merged", "cnt")
-        .orderBy("merge_round")
+      result(Seq((1L, l1, r1, l1 + r1, c1)) ++
+        winner(sym2).map { case (l2, r2, c2) =>
+          (2L, l2, r2, l2 + r2, c2)
+        })
+      }
     },
     Some("""
       WITH words AS (

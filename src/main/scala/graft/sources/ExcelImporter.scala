@@ -97,9 +97,13 @@ class ExcelImporter(
     val sheets = XlsxParser.openSheetList(filePath).getOrElse(return failedAnswer())
     if (sheets.isEmpty) return failedAnswer()
     val path = filePath
+    val fsProps = graft.sources.FsIO.captureProps(spark)
     val shapes: Map[String, (Int, Long)] = spark.sparkContext
       .parallelize(sheets.map(_.target), sheets.length)
-      .map(t => t -> XlsxParser.sheetShape(path, t, IndexedSeq.empty))
+      .map { t =>
+        graft.sources.FsIO.install(fsProps) // executor-side hdfs:/s3a: access
+        t -> XlsxParser.sheetShape(path, t, IndexedSeq.empty)
+      }
       .collect().toMap
     sheets.map { sheet =>
       val (width, rowCount) = shapes(sheet.target)

@@ -45,15 +45,21 @@ object FsIO {
   }
 
   /** Executor-side: install captured props once per JVM (idempotent —
-    * re-installing an identical map is free). */
-  def install(props: Map[String, String]): Unit =
-    if (installedProps == null || installedProps != props) synchronized {
+    * re-installing an identical map is free). Fully synchronized: two
+    * concurrent installs must never interleave the check and the swap. */
+  def install(props: Map[String, String]): Unit = synchronized {
+    if (installedProps == null || installedProps != props) {
       val c = new Configuration()
       props.foreach { case (k, v) => c.set(k, v) }
       cachedConf = c
       installedProps = props
     }
+  }
 
+  /** Installed conf if any, else the live session's Hadoop conf, else
+    * fresh defaults. The no-session default is deliberately NOT cached:
+    * caching it would pin a bare Configuration forever and blind every
+    * later driver-side call to the session's fs.* settings. */
   def conf(): Configuration = {
     val c = cachedConf
     if (c != null) c
@@ -61,38 +67,71 @@ object FsIO {
       org.apache.spark.sql.SparkSession.getActiveSession
         .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
         .map(_.sparkContext.hadoopConfiguration)
-        .getOrElse {
-          val d = new Configuration()
-          cachedConf = d
-          d
-        }
+        .getOrElse(new Configuration())
     }
   }
 
-  def hpath(path: String): HPath = new HPath(path)
+  /** Does `path` carry a real URI scheme (`hdfs:/…`, `file:/…`)? Requires
+    * letter-led scheme AND a slash right after the colon, so relative
+    * filenames with colons in a segment (`2021-01-01T12:30:00.csv`) are
+    * never misparsed as schemes. */
+  def hasScheme(path: String): Boolean =
+    path.matches("^[A-Za-z][A-Za-z0-9+.\\-]*:/.*")
+
+  def hpath(path: String): HPath =
+    if (hasScheme(path)) new HPath(path)
+    // scheme-less: build via a relative URI so colons inside path
+    // segments stay literal instead of being parsed as a scheme
+    else new HPath(new java.net.URI(null, null, path, null))
 
   def fs(path: String): FileSystem = hpath(path).getFileSystem(conf())
 
   /** Last path segment (what `Path.getFileName` gives for local paths). */
   def fileName(path: String): String =
     try hpath(path).getName
-    catch { case _: IllegalArgumentException => "" }
+    catch { case _: Exception => "" }
 
+  // Probes map only GENUINE absence (FileNotFound) and malformed paths
+  // to false; transient storage errors (s3a throttle, auth expiry — any
+  // other IOException) PROPAGATE so a task retries instead of silently
+  // cataloging a healthy file as missing/Failed.
   def exists(path: String): Boolean =
     try fs(path).exists(hpath(path))
-    catch { case _: Exception => false }
+    catch {
+      case _: java.io.FileNotFoundException => false
+      case _: IllegalArgumentException => false
+      case _: java.net.URISyntaxException => false
+    }
 
   def isFile(path: String): Boolean =
     try fs(path).getFileStatus(hpath(path)).isFile
-    catch { case _: Exception => false }
+    catch {
+      case _: java.io.FileNotFoundException => false
+      case _: IllegalArgumentException => false
+      case _: java.net.URISyntaxException => false
+    }
 
   def isDirectory(path: String): Boolean =
     try fs(path).getFileStatus(hpath(path)).isDirectory
-    catch { case _: Exception => false }
+    catch {
+      case _: java.io.FileNotFoundException => false
+      case _: IllegalArgumentException => false
+      case _: java.net.URISyntaxException => false
+    }
 
   def len(path: String): Long = fs(path).getFileStatus(hpath(path)).getLen
 
-  def open(path: String): InputStream = fs(path).open(hpath(path))
+  def open(path: String): InputStream =
+    try fs(path).open(hpath(path))
+    catch {
+      // Hadoop's LocalFileSystem builds internal sibling paths (.crc)
+      // that re-trip the colon-scheme ambiguity for filenames like
+      // `12:30:00.csv` even when the top-level Path was built safely —
+      // a known Hadoop limitation. For scheme-less local paths, bytes
+      // are bytes: fall back to java.nio.
+      case _: IllegalArgumentException if !hasScheme(path) =>
+        java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path))
+    }
 
   def readAllBytes(path: String): Array[Byte] = {
     val in = open(path)
@@ -157,10 +196,15 @@ object FsIO {
       }
       val tmp = File.createTempFile("graft-spill-", suffix)
       tmp.deleteOnExit()
-      val in = open(path)
-      val out = new FileOutputStream(tmp)
-      try in.transferTo(out)
-      finally { out.close(); in.close() }
+      try {
+        val in = open(path)
+        val out = new FileOutputStream(tmp)
+        try in.transferTo(out)
+        finally { out.close(); in.close() }
+      } catch {
+        // never leak a partial spill on a failed copy
+        case e: Throwable => tmp.delete(); throw e
+      }
       new Localized(tmp, spilled = true)
     }
   }

@@ -76,12 +76,19 @@ object Sniffers {
         // discriminator is LANGUAGE SHAPE: real Japanese always carries
         // kana (EUC-JP rows 0xA4/0xA5); Chinese hanzi rows are 0xB0-0xF7.
         else if (decodes(bytes, "EUC-JP") && hasJisBias(bytes, eucJp = true)
-            && hasEucKana(bytes))
+            && eucKanaPairs(bytes) >= 2)
           Some("euc_jp")
-        else if (decodes(bytes, "GB2312") && hasEucHanziBias(bytes))
+        // gb2312 only with ZERO kana evidence: kana-sparse Japanese (a
+        // kanji-heavy roster with one stray kana) must stay euc_jp via
+        // the fallback below. The remaining ambiguity — kanji-ONLY text,
+        // where the EUC byte structures are literally identical — goes
+        // gb2312 when hanzi-row-shaped; no structural signal exists to
+        // do better without language frequency tables.
+        else if (decodes(bytes, "GB2312") && hasEucHanziBias(bytes)
+            && eucKanaPairs(bytes) == 0)
           Some("gb2312")
         else if (decodes(bytes, "EUC-JP") && hasJisBias(bytes, eucJp = true))
-          Some("euc_jp") // EUC structure, no kana, not GB2312-shaped
+          Some("euc_jp") // EUC structure, kana-sparse or not GB2312-shaped
         else if (decodes(bytes, "Big5") && hasBig5Bias(bytes))
           Some("big5")
         else if (decodes(bytes, "Shift_JIS") && hasJisBias(bytes, eucJp = false))
@@ -183,11 +190,13 @@ object Sniffers {
     lo > hi * 2
   }
 
-  /** EUC-JP kana rows: pairs with lead 0xA4 (hiragana) / 0xA5 (katakana).
-    * Real Japanese text always carries kana between the kanji; EUC-coded
-    * Chinese (GB2312) essentially never does. Requires a handful of kana
-    * pairs, not a ratio — short headlines are kana-sparse. */
-  private def hasEucKana(b: Array[Byte]): Boolean = {
+  /** EUC-JP kana-row pair count: pairs with lead 0xA4 (hiragana) / 0xA5
+    * (katakana). Real Japanese text carries kana between the kanji;
+    * EUC-coded Chinese (GB2312) essentially never does — the cascade uses
+    * ≥2 as positive evidence and ==0 as the gb2312 precondition, so
+    * kana-SPARSE Japanese falls through to the euc_jp fallback rather
+    * than being claimed as Chinese. */
+  private def eucKanaPairs(b: Array[Byte]): Int = {
     var kana = 0
     var i = 0
     while (i < b.length - 1) {
@@ -197,7 +206,7 @@ object Sniffers {
         i += 2 // consume the EUC pair
       } else i += 1
     }
-    kana >= 3
+    kana
   }
 
   /** GB2312 hanzi bias: high density plus most high×high pair LEADS in the

@@ -39,11 +39,14 @@ class ExcelDataSource extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val path = ExcelDataSource.pathOf(options)
-    val wb = XlsxParser.openWorkbook(path)
+    // sheet list only — shared strings never load on the driver (cell
+    // ARITY doesn't depend on string values, so the width probe passes an
+    // empty table; ExcelImporter's executor-side probe does the same)
+    val sheets = XlsxParser.openSheetList(path)
       .getOrElse(throw new IllegalArgumentException(s"not an xlsx: $path"))
-    val sheet = ExcelDataSource.resolveSheet(wb, options)
+    val sheet = ExcelDataSource.resolveSheet(sheets, options)
     // streaming width probe — no row materialization on the driver
-    val (width, _) = XlsxParser.sheetShape(path, sheet.target, wb.shared)
+    val (width, _) = XlsxParser.sheetShape(path, sheet.target, IndexedSeq.empty)
     TextImporter.positionalSchema(width)
   }
 
@@ -63,11 +66,16 @@ object ExcelDataSource {
 
   def resolveSheet(
       wb: XlsxParser.Workbook,
+      options: CaseInsensitiveStringMap): XlsxParser.SheetRef =
+    resolveSheet(wb.sheets, options)
+
+  def resolveSheet(
+      sheets: Seq[XlsxParser.SheetRef],
       options: CaseInsensitiveStringMap): XlsxParser.SheetRef = {
     Option(options.get("sheet")) match {
-      case None => wb.sheets.headOption.getOrElse(
+      case None => sheets.headOption.getOrElse(
         throw new IllegalArgumentException("workbook has no sheets"))
-      case Some(name) => wb.sheets.find(_.name == name).getOrElse(
+      case Some(name) => sheets.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"no sheet named '$name'"))
     }
   }
@@ -121,9 +129,12 @@ class ExcelScanBuilder(
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
     override def planInputPartitions(): Array[InputPartition] = {
-      val wb = XlsxParser.openWorkbook(path).getOrElse(
+      // sheet-LIST open only (zip central directory + two tiny metadata
+      // entries): the driver must never load a multi-GB workbook's
+      // shared-string table — executors re-open the container themselves
+      val sheets = XlsxParser.openSheetList(path).getOrElse(
         throw new IllegalArgumentException(s"not an xlsx: $path"))
-      val sheet = ExcelDataSource.resolveSheet(wb, options)
+      val sheet = ExcelDataSource.resolveSheet(sheets, options)
       Array(SheetPartition(path, sheet.target, sheet.name))
     }
     override def createReaderFactory(): PartitionReaderFactory = {
@@ -161,16 +172,20 @@ class SheetReader(p: SheetPartition, required: StructType)
   // load and the row stream.
   private val localized = graft.sources.FsIO.localize(p.path)
   private val localPath = localized.file.getPath
-  private val wb = XlsxParser.openWorkbook(localPath)
-    .getOrElse(throw new IllegalStateException(s"not an xlsx: ${p.path}"))
   // data ordinals = numeric field names; _sheet/_row_idx are the DSv2
   // metadata columns (present in `required` only when explicitly selected)
   private val dataCols: Array[Int] =
     required.fields.map(_.name).flatMap(_.toIntOption)
-  // pushed-down pruning reaches the DECODE: cells outside the required
-  // ordinals are never materialized (no shared-string lookup, no text)
+  // construction past localize() must release the spill on failure —
+  // close() never runs for a reader that didn't finish constructing
   private val rows =
-    new SheetRowIterator(localPath, p.target, wb.shared, Some(dataCols.toSet))
+    try {
+      val wb = XlsxParser.openWorkbook(localPath)
+        .getOrElse(throw new IllegalStateException(s"not an xlsx: ${p.path}"))
+      // pushed-down pruning reaches the DECODE: cells outside the required
+      // ordinals are never materialized (no shared-string lookup, no text)
+      new SheetRowIterator(localPath, p.target, wb.shared, Some(dataCols.toSet))
+    } catch { case e: Throwable => localized.close(); throw e }
   private var current: IndexedSeq[String] = _
   private var rowIdx: Long = -1L
   private val sheetNameUtf8 = UTF8String.fromString(p.sheetName)

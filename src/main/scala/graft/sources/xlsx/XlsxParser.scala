@@ -204,10 +204,20 @@ final class SheetRowIterator(
 
   // Hadoop-FS localized view (pass-through for local paths, task-local
   // spill for hdfs:/s3a:) — ZipFile needs random access by entry name.
+  // A constructor failure past localize() (corrupt zip, missing entry)
+  // must release the spill NOW: close() is unreachable for an object
+  // that never finished constructing, and deleteOnExit never fires on a
+  // long-lived executor JVM.
   private val localized = graft.sources.FsIO.localize(path)
-  private val zip = new ZipFile(localized.file)
-  private val inOpt = Option(zip.getEntry(target)).map(zip.getInputStream)
-  private val readerOpt = inOpt.map(StaxUtil.reader)
+  private val (zip, inOpt, readerOpt) =
+    try {
+      val z = new ZipFile(localized.file)
+      try {
+        val in = Option(z.getEntry(target)).map(z.getInputStream)
+        try (z, in, in.map(StaxUtil.reader))
+        catch { case e: Throwable => in.foreach(_.close()); throw e }
+      } catch { case e: Throwable => z.close(); throw e }
+    } catch { case e: Throwable => localized.close(); throw e }
   private var closed = false
 
   private var pendingGap = 0

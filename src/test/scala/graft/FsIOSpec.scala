@@ -154,6 +154,34 @@ class FsIOSpec extends SparkSpec {
       key(BulkIngest.parseTree(spark, dir.toString)))
   }
 
+  test("CellRow.path is the qualified, re-openable Hadoop form") {
+    val dir = tmpDir("fsio_qual")
+    writeFile(dir, "q.txt", "a\tb\n")
+    val paths = BulkIngest.parseTree(spark, dir.toString)
+      .select("path").distinct().collect().map(_.getString(0))
+    assert(paths.nonEmpty)
+    paths.foreach { p =>
+      assert(FsIO.hasScheme(p), s"expected a qualified path, got $p")
+      assert(FsIO.isFile(p)) // the address round-trips through the FS layer
+    }
+  }
+
+  test("colon-bearing relative filenames are paths, not URI schemes") {
+    val dir = tmpDir("fsio_colon")
+    val p = writeFile(dir, "2021-01-01T12:30:00.csv", "a,b\n1,2\n")
+    assert(!FsIO.hasScheme(p.stripPrefix("/"))) // relative, colon in segment
+    assert(FsIO.hasScheme("file:/tmp/x") && FsIO.hasScheme("hdfs://nn/x"))
+    assert(!FsIO.hasScheme("2021-01-01T12:30:00.csv"))
+    assert(FsIO.isFile(p)) // absolute local path with colons still resolves
+    assert(new String(FsIO.readAllBytes(p), "UTF-8") == "a,b\n1,2\n")
+    // Spark itself cannot read colon filenames (the Hadoop .crc-sibling
+    // limitation reaches spark.read too), so the parse path's contract
+    // is graceful degradation: an answer, never a crash
+    assert(AnyFile.parse(spark, p).head.parseInfo != null)
+    // empty path: failed answer, never a throw
+    assert(AnyFile.parse(spark, "").head.parseInfo == "Failed")
+  }
+
   test("DSv2 graft-excel reads a file: URI") {
     val dir = tmpDir("fsio_dsv2")
     val p = dir.resolve("book.xlsx").toString
