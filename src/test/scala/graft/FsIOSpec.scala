@@ -115,6 +115,39 @@ class FsIOSpec extends SparkSpec {
     assert(localRows == Seq(IndexedSeq("hi", "7"), IndexedSeq(null, "8")))
   }
 
+  test("ods and xlsb parse identically through a remote scheme") {
+    installSpillScheme()
+    val dir = tmpDir("fsio_containers")
+    // minimal ODS: content.xml with one table
+    val tableNs = "urn:oasis:names:tc:opendocument:xmlns:table:1.0"
+    val officeNs = "urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+    val odsPath = dir.resolve("t.ods").toString
+    writeZip(odsPath,
+      "content.xml" ->
+        s"""<office:document-content xmlns:office="$officeNs" xmlns:table="$tableNs">
+           |<office:body><office:spreadsheet>
+           |<table:table table:name="S1">
+           |<table:table-row>
+           |<table:table-cell office:value-type="string"><text:p xmlns:text="x">a</text:p></table:table-cell>
+           |<table:table-cell office:value-type="float" office:value="7"><text:p xmlns:text="x">7</text:p></table:table-cell>
+           |</table:table-row>
+           |</table:table></office:spreadsheet></office:body>
+           |</office:document-content>""".stripMargin)
+    val localOds = graft.sources.ods.OdsParser.sheets(odsPath)
+    val remoteOds = graft.sources.ods.OdsParser.sheets("spill:" + odsPath)
+    assert(localOds.nonEmpty && remoteOds == localOds)
+
+    // xlsb: corrupt container must fail identically (None) both ways —
+    // the structural path is what's under test, not the BIFF payload
+    val xbPath = writeFile(dir, "bad.xlsb", "not a zip")
+    assert(graft.sources.xlsb.XlsbParser.parse(xbPath).isEmpty)
+    assert(graft.sources.xlsb.XlsbParser.parse("spill:" + xbPath).isEmpty)
+
+    // pdf importer byte path: whole-file read through the scheme
+    val pdfBytes = FsIO.readAllBytes("spill:" + writeFile(dir, "x.bin", "ab"))
+    assert(new String(pdfBytes, "UTF-8") == "ab")
+  }
+
   test("BulkIngest over a non-file scheme ≡ local parseTree, cell for cell") {
     installSpillScheme()
     val dir = tmpDir("fsio_bulk")
