@@ -703,10 +703,31 @@ object SimilarityQueries {
     * "slow day on adversarial data" and q42's "non-starter at 100×". */
   val q94 = Q(
     "q94_dedup_embedding_ball",
-    (s, dir) => {
-      val t = 0.4
+    (s, dir) => ballCover(embeddings(s, dir), 0.4),
+    q42.oracle // bit-identical to the all-pairs answer, by construction
+  )
+
+  /** q94's engine, parameterized over the corpus so BallCoverSpec can
+    * drive it with CLUSTERED data and audit pruning power directly
+    * (candidate volume vs all-pairs) — the "measure, don't guess" answer
+    * to the data-dependence caveat in the scaladoc above. */
+  private[graft] def ballCover(embIn: org.apache.spark.sql.DataFrame, t: Double)
+      : org.apache.spark.sql.DataFrame =
+    ballCoverImpl(embIn, t, exact = true)
+
+  /** The candidate PAIR SET the residual bounds admit, before the exact
+    * cosine — the audit view: `count()` of this over `n(n−1)/2` is the
+    * pruning power on a given corpus. */
+  private[graft] def ballCoverCandidates(embIn: org.apache.spark.sql.DataFrame, t: Double)
+      : org.apache.spark.sql.DataFrame =
+    ballCoverImpl(embIn, t, exact = false)
+
+  private def ballCoverImpl(
+      embIn: org.apache.spark.sql.DataFrame,
+      t: Double,
+      exact: Boolean): org.apache.spark.sql.DataFrame = {
       val w = math.sqrt(2.0 - 2.0 * t) // normalized-distance budget at t
-      val emb = embeddings(s, dir)
+      val emb = embIn
       val k = math.ceil(math.sqrt(emb.count().toDouble)).toLong
       val cb = emb.filter(col("vec_id") < k)
         .select(col("vec_id").as("cid"), col("embedding").as("ce"),
@@ -760,11 +781,20 @@ object SimilarityQueries {
       //  pair-level (first conjunct of the big join, before the dot
       //    product): d(x̂,ŷ) ≥ dcc − dxa − dxb, so a surviving pair needs
       //    dcc ≤ dxa + dxb + w. Subsumes both per-side bounds (dx ≤ r).
-      a.join(broadcast(cellPairs), col("cell_a") === col("ca") &&
+      val fanout = a.join(broadcast(cellPairs), col("cell_a") === col("ca") &&
           col("dcc") <= col("dxa") + col("rb") + lit(w) + lit(1e-9))
-        .join(b, col("cell_b") === col("cb") &&
+      val pairBound =
+        col("cell_b") === col("cb") &&
           col("dcc") <= col("dxa") + col("dxb") + lit(w) + lit(1e-9) &&
-          (col("ca") =!= col("cb") || col("ida") < col("idb")) &&
+          (col("ca") =!= col("cb") || col("ida") < col("idb"))
+      if (!exact)
+        // audit view: pairs the bounds ADMIT, exact cosine not yet applied
+        fanout.join(b, pairBound)
+          .select(
+            least(col("ida"), col("idb")).as("id_a"),
+            greatest(col("ida"), col("idb")).as("id_b"))
+      else fanout
+        .join(b, pairBound &&
           dotDec(col("ea"), col("eb")) / (col("na") * col("nb")) >= t)
         .select(
           least(col("ida"), col("idb")).as("id_a"),
@@ -772,9 +802,7 @@ object SimilarityQueries {
           (dotDec(col("ea"), col("eb")) / (col("na") * col("nb")))
             .as("cosine"))
         .orderBy("id_a", "id_b")
-    },
-    q42.oracle // bit-identical to the all-pairs answer, by construction
-  )
+  }
 
   private val KmK = 8      // clusters
   private val KmRounds = 2 // Lloyd iterations (fixed → both engines agree)
