@@ -634,7 +634,10 @@ object DedupQueries {
       val spans = docs.select(col("doc_id"),
         explode(graft.functions.SpanDigests.span_digests(
           filter(split(col("text"), "\\s+"), x => length(x) > 0))).as("sd"))
-        .select(col("doc_id"), col("sd.span").as("span"), col("sd.d").as("d"))
+        // digest CHAINS stay full-width inside span_digests; only the
+        // emitted shuffle key truncates to 16 hex chars (64-bit entropy)
+        .select(col("doc_id"), col("sd.span").as("span"),
+          substring(col("sd.d"), 1, 16).as("d"))
         .distinct()
         .materialized // consumers: dup set + per-doc join
       val dup = spans.groupBy("span", "d")
@@ -676,7 +679,7 @@ object DedupQueries {
                list_transform(range(1, len(h) - 31), i -> md5(h[i] || h[i+32]))
              ELSE [] END AS h FROM h5),
       spans AS (
-        SELECT DISTINCT doc_id, span, d FROM (
+        SELECT DISTINCT doc_id, span, substr(d, 1, 16) AS d FROM (
           SELECT doc_id, 1::BIGINT AS span, unnest(h) AS d FROM h0
           UNION ALL
           SELECT doc_id, 2::BIGINT, unnest(h) FROM h1
@@ -1931,11 +1934,14 @@ object DedupQueries {
       val toks = docs.select(col("doc_id"),
         filter(split(col("text"), "\\s+"), x => length(x) > 0).as("w"))
         .select(col("doc_id"), col("w"), size(col("w")).as("n"))
+      // 16-hex-char digest prefix (64-bit entropy — collision-safe at any
+      // plausible gram count) instead of the full 32-char md5: halves the
+      // bytes every downstream exchange and compare touches
       val grams = toks
         .filter(col("n") >= W)
         .select(col("doc_id"), col("n"), posexplode(
           expr(s"transform(sequence(1, n - ${W - 1}), " +
-            s"i -> md5(array_join(slice(w, i, $W), ' ')))")))
+            s"i -> substring(md5(array_join(slice(w, i, $W), ' ')), 1, 16))")))
         .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("h"))
         .materialized // consumers: dup set + position join
       val dup = grams.select("h", "doc_id").distinct()
@@ -1968,7 +1974,8 @@ object DedupQueries {
         FROM documents),
       sized AS (SELECT doc_id, w, len(w) AS n FROM toks),
       grams AS (
-        SELECT doc_id, i AS p, md5(array_to_string(w[i:i+7], ' ')) AS h
+        SELECT doc_id, i AS p,
+               substr(md5(array_to_string(w[i:i+7], ' ')), 1, 16) AS h
         FROM (SELECT doc_id, w, unnest(range(1, n - 7 + 1)) AS i
               FROM sized WHERE n >= 8)),
       dup AS (
