@@ -84,17 +84,25 @@ class XmlssScanBuilder(
     override def toBatch: Batch = this
     override def planInputPartitions(): Array[InputPartition] =
       Array(XmlssPartition(path, tableIdx, worksheetMode))
-    override def createReaderFactory(): PartitionReaderFactory =
-      new XmlssReaderFactory(required)
+    override def createReaderFactory(): PartitionReaderFactory = {
+      // ship the driver's Hadoop conf so executor-side byte access works
+      // on hdfs:/s3a: URIs — same discipline as the graft-excel factory
+      val props = org.apache.spark.sql.SparkSession.getActiveSession
+        .map(graft.sources.FsIO.captureProps).getOrElse(Map.empty[String, String])
+      new XmlssReaderFactory(required, props)
+    }
   }
 }
 
 case class XmlssPartition(path: String, tableIdx: Int, worksheetMode: Boolean)
     extends InputPartition
 
-class XmlssReaderFactory(required: StructType) extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+class XmlssReaderFactory(required: StructType, fsProps: Map[String, String])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    if (fsProps.nonEmpty) graft.sources.FsIO.install(fsProps)
     new XmlssReader(p.asInstanceOf[XmlssPartition], required)
+  }
 }
 
 class XmlssReader(p: XmlssPartition, required: StructType)

@@ -148,6 +148,27 @@ class FsIOSpec extends SparkSpec {
     assert(new String(pdfBytes, "UTF-8") == "ab")
   }
 
+  test("SpreadsheetML (xmlss) parses identically through a remote scheme") {
+    installSpillScheme()
+    val xmlNs = "urn:schemas-microsoft-com:office:spreadsheet"
+    val dir = tmpDir("fsio_xmlss")
+    val p = writeFile(dir, "sheet.xml",
+      s"""<?xml version="1.0"?><Workbook xmlns:ss="$xmlNs">
+         |<ss:Worksheet ss:Name="S_A"><ss:Table>
+         |<ss:Row><ss:Cell><ss:Data>r0c0</ss:Data></ss:Cell><ss:Cell><ss:Data>r0c1</ss:Data></ss:Cell></ss:Row>
+         |<ss:Row><ss:Cell><ss:Data>r1c0</ss:Data></ss:Cell></ss:Row>
+         |</ss:Table></ss:Worksheet></Workbook>""".stripMargin)
+    import graft.sources.xmlss.{XmlSpreadsheetParser, XmlssRowIterator}
+    assert(XmlSpreadsheetParser.tableShapes("spill:" + p) ==
+      XmlSpreadsheetParser.tableShapes(p))
+    def rowsOf(path: String): Seq[Seq[String]] = {
+      val it = new XmlssRowIterator(path, true, 0)
+      try it.map(_.toList).toList finally it.close()
+    }
+    assert(rowsOf("spill:" + p) == rowsOf(p))
+    assert(rowsOf(p) == Seq(Seq("r0c0", "r0c1"), Seq("r1c0")))
+  }
+
   test("BulkIngest over a non-file scheme ≡ local parseTree, cell for cell") {
     installSpillScheme()
     val dir = tmpDir("fsio_bulk")
