@@ -92,8 +92,9 @@ object BulkIngest {
 
   /** The ingest PLANNER: the file-size split that [[parseOne]]'s scale
     * story promises, implemented instead of documented. Files at or above
-    * `bigBytes` with a range-splittable format (`.xlsx` today) are routed
-    * through the DSv2 `graft-excel` source — sheet-per-partition executor
+    * `bigBytes` with a range-splittable format (`.xlsx` and SpreadsheetML
+    * `.xml`) are routed through their DSv2 sources (`graft-excel` /
+    * `graft-xmlss`) — sheet-per-partition executor
     * decode with streaming row iterators, so a single multi-GB workbook
     * does not pin one task's memory to the whole file — and everything
     * else takes the file-grain [[parseFiles]] path. Both roads emit the
@@ -110,8 +111,11 @@ object BulkIngest {
     implicit val enc = Encoders.product[CellRow]
     val entries = FsIO.listFilesRecursiveWithLen(root).toSeq.sortBy(_._1)
     val (big, small) = entries.partition { case (p, len) =>
-      len >= bigBytes && p.toLowerCase.endsWith(".xlsx")
+      len >= bigBytes &&
+        (p.toLowerCase.endsWith(".xlsx") || p.toLowerCase.endsWith(".xml"))
     }
+    val (bigXlsx, bigXml) =
+      big.map(_._1).partition(_.toLowerCase.endsWith(".xlsx"))
     val base = parseFiles(spark, small.map(_._1), partitions)
     // Big-workbook road. The driver opens ONLY the zip central directory
     // per file (sheet list); per-sheet widths come from ONE Spark job of
@@ -125,7 +129,7 @@ object BulkIngest {
     // breakage, not container-level.
     val props = FsIO.captureProps(spark)
     val sheetLists: Seq[(String, Option[Seq[XlsxParser.SheetRef]])] =
-      big.map { case (p, _) =>
+      bigXlsx.map { p =>
         p -> (try XlsxParser.openSheetList(p).filter(_.nonEmpty)
               catch { case _: Exception => None })
       }
@@ -144,30 +148,65 @@ object BulkIngest {
           ((p, name), w)
         }
         .collect().toMap
-    def failedRow(p: String): DataFrame =
+    def failedRow(p: String, engine: String): DataFrame =
       spark.createDataset(Seq(
-        CellRow(p, "ImportExcel", "None", "Failed", -1L, Seq.empty))).toDF()
+        CellRow(p, engine, "None", "Failed", -1L, Seq.empty))).toDF()
+    def toCellRows(df: DataFrame, p: String, engine: String): DataFrame = {
+      val cells =
+        if (df.columns.isEmpty) typedLit(Seq.empty[String])
+        else array(df.columns.map(col): _*)
+      df.select(
+        lit(p).as("path"), lit(engine).as("engine"),
+        col(ExcelTable.SheetColName).as("sheet"),
+        lit("OK").as("parse_info"),
+        col(ExcelTable.RowIdxColName).as("row_idx"),
+        cells.as("cells"))
+    }
     val bigDfs: Seq[DataFrame] = sheetLists.flatMap {
-      case (p, None) => Seq(failedRow(p))
+      case (p, None) => Seq(failedRow(p, "ImportExcel"))
       case (p, Some(list)) if list.exists(sh => widths((p, sh.name)).isEmpty) =>
-        Seq(failedRow(p)) // a broken sheet fails its file, like parseOne
+        Seq(failedRow(p, "ImportExcel")) // a broken sheet fails its file
       case (p, Some(list)) => list.map { sh =>
         val width = widths((p, sh.name)).get
-        val df = spark.read.format("graft-excel")
+        toCellRows(spark.read.format("graft-excel")
           .schema(graft.sources.TextImporter.positionalSchema(width))
-          .option("sheet", sh.name).load(p)
-        val cells =
-          if (df.columns.isEmpty) typedLit(Seq.empty[String])
-          else array(df.columns.map(col): _*)
-        df.select(
-          lit(p).as("path"), lit("ImportExcel").as("engine"),
-          col(ExcelTable.SheetColName).as("sheet"),
-          lit("OK").as("parse_info"),
-          col(ExcelTable.RowIdxColName).as("row_idx"),
-          cells.as("cells"))
+          .option("sheet", sh.name).load(p), p, "ImportExcel")
       }
     }
-    bigDfs.foldLeft(base)(_ union _)
+    // big SpreadsheetML files: same road through graft-xmlss — the
+    // (mode, shapes) probe runs as one executor job (a streaming scan per
+    // file), then each table reads with an explicit schema and carries
+    // its sheet name / row index via the shared metadata columns
+    val xmlShapes: Map[String, Option[(Boolean, Seq[(Int, String, Int)])]] =
+      if (bigXml.isEmpty) Map.empty
+      else spark.sparkContext
+        .parallelize(bigXml, bigXml.length)
+        .map { p =>
+          FsIO.install(props)
+          val r =
+            try {
+              val (mode, shapes) =
+                graft.sources.xmlss.XmlSpreadsheetParser.tableShapes(p)
+              Some((mode == "worksheet",
+                shapes.map(sh => (sh.index, sh.sheetName, sh.width))))
+            } catch { case _: Exception => None }
+          (p, r)
+        }
+        .collect().toMap
+    val xmlDfs: Seq[DataFrame] = bigXml.flatMap { p =>
+      xmlShapes(p) match {
+        case None | Some((_, Seq())) => Seq(failedRow(p, "ImportXML"))
+        case Some((ws, shapes)) => shapes.map { case (idx, name, width) =>
+          toCellRows(spark.read.format("graft-xmlss")
+            .schema(graft.sources.TextImporter.positionalSchema(width))
+            .option("table", idx.toString)
+            .option("mode", if (ws) "worksheet" else "standalone")
+            .option("sheetname", name)
+            .load(p), p, "ImportXML")
+        }
+      }
+    }
+    (bigDfs ++ xmlDfs).foldLeft(base)(_ union _)
   }
 
   def parseFiles(spark: SparkSession, paths: Seq[String], partitions: Int = 0): DataFrame = {

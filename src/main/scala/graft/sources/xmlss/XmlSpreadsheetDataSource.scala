@@ -4,7 +4,7 @@ import java.util
 
 import graft.sources.TextImporter
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsMetadataColumns, SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.DataSourceRegister
@@ -44,7 +44,8 @@ class XmlSpreadsheetDataSource extends TableProvider with DataSourceRegister {
     val options = new CaseInsensitiveStringMap(properties)
     val path = XmlSpreadsheetDataSource.pathOf(options)
     new XmlssTable(path, options.getInt("table", 0),
-      XmlSpreadsheetDataSource.worksheetMode(path, options), schema)
+      XmlSpreadsheetDataSource.worksheetMode(path, options), schema,
+      Option(options.get("sheetname")))
   }
 }
 
@@ -63,18 +64,25 @@ object XmlSpreadsheetDataSource {
 }
 
 class XmlssTable(
-    path: String, tableIdx: Int, worksheetMode: Boolean, schema: StructType)
-    extends Table with SupportsRead {
+    path: String, tableIdx: Int, worksheetMode: Boolean, schema: StructType,
+    sheetNameOpt: Option[String] = None)
+    extends Table with SupportsRead with SupportsMetadataColumns {
   override def name(): String = s"graft-xmlss:$path#$tableIdx"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
-    new XmlssScanBuilder(path, tableIdx, worksheetMode, schema)
+    new XmlssScanBuilder(path, tableIdx, worksheetMode, schema, sheetNameOpt)
+  // same metadata-column contract as graft-excel: hidden unless selected
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(graft.sources.xlsx.ExcelTable.SheetCol,
+      graft.sources.xlsx.ExcelTable.RowIdxCol)
 }
 
 class XmlssScanBuilder(
-    path: String, tableIdx: Int, worksheetMode: Boolean, fullSchema: StructType)
+    path: String, tableIdx: Int, worksheetMode: Boolean, fullSchema: StructType,
+    sheetNameOpt: Option[String] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = fullSchema
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -82,8 +90,18 @@ class XmlssScanBuilder(
   override def build(): Scan = new Scan with Batch {
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
-    override def planInputPartitions(): Array[InputPartition] =
-      Array(XmlssPartition(path, tableIdx, worksheetMode))
+    override def planInputPartitions(): Array[InputPartition] = {
+      // sheet name only resolves (one driver streaming probe) when the
+      // metadata column could be asked for and the caller didn't pass it
+      val name = sheetNameOpt.getOrElse {
+        if (required.fieldNames.contains(
+            graft.sources.xlsx.ExcelTable.SheetColName))
+          XmlSpreadsheetParser.tableShapes(path)._2
+            .lift(tableIdx).map(_.sheetName).getOrElse("None")
+        else "None"
+      }
+      Array(XmlssPartition(path, tableIdx, worksheetMode, name))
+    }
     override def createReaderFactory(): PartitionReaderFactory = {
       // ship the driver's Hadoop conf so executor-side byte access works
       // on hdfs:/s3a: URIs — same discipline as the graft-excel factory
@@ -94,7 +112,9 @@ class XmlssScanBuilder(
   }
 }
 
-case class XmlssPartition(path: String, tableIdx: Int, worksheetMode: Boolean)
+case class XmlssPartition(
+    path: String, tableIdx: Int, worksheetMode: Boolean,
+    sheetName: String = "None")
     extends InputPartition
 
 class XmlssReaderFactory(required: StructType, fsProps: Map[String, String])
@@ -109,17 +129,24 @@ class XmlssReader(p: XmlssPartition, required: StructType)
     extends PartitionReader[InternalRow] {
   // executor-side: STREAM the target table's rows (one at a time)
   private val rows = new XmlssRowIterator(p.path, p.worksheetMode, p.tableIdx)
-  private val colIdx: Array[Int] = required.fields.map(_.name.toInt)
   private var current: Seq[String] = _
+  private var rowIdx: Long = -1L
+  private val sheetNameUtf8 = UTF8String.fromString(p.sheetName)
 
   override def next(): Boolean =
-    if (rows.hasNext) { current = rows.next(); true } else false
+    if (rows.hasNext) { current = rows.next(); rowIdx += 1; true } else false
 
   override def get(): InternalRow =
-    InternalRow.fromSeq(colIdx.map { i =>
-      val v = if (i < current.length) current(i) else null
-      if (v == null) null else UTF8String.fromString(v)
-    }.toIndexedSeq)
+    InternalRow.fromSeq(required.fields.toIndexedSeq.map { f =>
+      f.name match {
+        case graft.sources.xlsx.ExcelTable.SheetColName  => sheetNameUtf8
+        case graft.sources.xlsx.ExcelTable.RowIdxColName => rowIdx
+        case n =>
+          val i = n.toInt
+          val v = if (i < current.length) current(i) else null
+          if (v == null) null else UTF8String.fromString(v)
+      }
+    })
 
   override def close(): Unit = rows.close()
 }
