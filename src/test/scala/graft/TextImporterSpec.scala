@@ -170,5 +170,11 @@ class TextImporterSpec extends SparkSpec {
     val ja = "\u3053\u3093\u306b\u3061\u306f\u4e16\u754c\u3001\u4eca\u65e5\u306f\u826f\u3044\u5929\u6c17\u3067\u3059\u3002\n"
     assert(Sniffers.detectEncoding(put("ja2.txt", ja.getBytes("EUC-JP")))
       .contains("euc_jp"))
+    // kana-SPARSE Japanese (kanji roster with two stray kana) must stay
+    // euc_jp \u2014 the gb2312 branch only claims ZERO-kana text
+    val jaSparse = "\u6771\u4eac\u90fd\u8b70\u4f1a\u8b70\u54e1\u9078\u6319\u306e\u7d50\u679c\u304c\u767a\u8868\u3055\u308c\u305f\u3002\n"
+    assert(Sniffers.detectEncoding(
+        put("ja3.txt", jaSparse.getBytes("EUC-JP")))
+      .contains("euc_jp"))
   }
 }
