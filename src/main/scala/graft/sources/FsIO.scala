@@ -133,6 +133,35 @@ object FsIO {
         java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path))
     }
 
+  /** Open positioned at `offset` — ranged reads for the zip-directory
+    * road ([[graft.sources.zip.RangedZip]]). Hadoop streams are seekable
+    * on every scheme; the colon-filename local fallback seeks through a
+    * file channel. */
+  def openAt(path: String, offset: Long): InputStream =
+    try {
+      val in = fs(path).open(hpath(path))
+      try { in.seek(offset); in }
+      catch { case e: Throwable => in.close(); throw e }
+    } catch {
+      case _: IllegalArgumentException if !hasScheme(path) =>
+        val ch = java.nio.file.Files
+          .newByteChannel(java.nio.file.Paths.get(path))
+        ch.position(offset)
+        java.nio.channels.Channels.newInputStream(ch)
+    }
+
+  /** Exactly `len` bytes at `offset` (EOF short-reads throw). */
+  def readRange(path: String, offset: Long, len: Int): Array[Byte] = {
+    val in = openAt(path, offset)
+    try {
+      val buf = in.readNBytes(len)
+      if (buf.length != len)
+        throw new java.io.EOFException(
+          s"short read at $offset (+$len, got ${buf.length}): $path")
+      buf
+    } finally in.close()
+  }
+
   def readAllBytes(path: String): Array[Byte] = {
     val in = open(path)
     try in.readAllBytes()
@@ -183,6 +212,21 @@ object FsIO {
     override def close(): Unit = if (spilled) { file.delete(); () }
   }
 
+  /** First configured Spark local dir (`spark.local.dir`, first entry) if
+    * a SparkEnv is live and the dir exists; null otherwise, which makes
+    * `File.createTempFile` fall back to java.io.tmpdir (bare-JVM tests). */
+  private def spillDir(): File =
+    try {
+      val env = org.apache.spark.SparkEnv.get
+      if (env == null) null
+      else {
+        val d = new File(env.conf
+          .get("spark.local.dir", System.getProperty("java.io.tmpdir"))
+          .split(",").head.trim)
+        if (d.isDirectory) d else null
+      }
+    } catch { case _: Exception => null }
+
   def localize(path: String): Localized = {
     val uri = hpath(path).toUri
     val scheme = uri.getScheme
@@ -194,8 +238,14 @@ object FsIO {
         val n = fileName(path); val d = n.lastIndexOf('.')
         if (d < 0) ".tmp" else n.substring(d)
       }
-      val tmp = File.createTempFile("graft-spill-", suffix)
-      tmp.deleteOnExit()
+      // Spill under Spark's configured scratch disks when a SparkEnv is
+      // live (executor or driver JVM), not java.io.tmpdir — spark.local.dir
+      // is where operators are allowed to burn disk. No deleteOnExit():
+      // close() deletes the file and the failed-copy catch below handles
+      // the rest; DeleteOnExitHook entries are never removed, so per-spill
+      // registration would leak one path string per remote file for the
+      // life of a long-lived executor JVM.
+      val tmp = File.createTempFile("graft-spill-", suffix, spillDir())
       try {
         val in = open(path)
         val out = new FileOutputStream(tmp)

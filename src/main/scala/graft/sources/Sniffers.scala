@@ -76,20 +76,34 @@ object Sniffers {
         // discriminator is LANGUAGE SHAPE: real Japanese always carries
         // kana (EUC-JP rows 0xA4/0xA5); Chinese hanzi rows are 0xB0-0xF7.
         else if (decodes(bytes, "EUC-JP") && hasJisBias(bytes, eucJp = true)
-            && eucKanaPairs(bytes) >= 2)
+            && kanaDominant(bytes))
           Some("euc_jp")
-        // gb2312 only with ZERO kana evidence: kana-sparse Japanese (a
-        // kanji-heavy roster with one stray kana) must stay euc_jp via
-        // the fallback below. The remaining ambiguity — kanji-ONLY text,
-        // where the EUC byte structures are literally identical — goes
-        // gb2312 when hanzi-row-shaped; no structural signal exists to
-        // do better without language frequency tables.
+        // gb2312 when the kana evidence is PROPORTIONALLY negligible: the
+        // test is a fraction of all high-byte pairs, not an absolute
+        // count, because GB2312 itself encodes kana in the same 0xA4/0xA5
+        // rows — Chinese text quoting a Japanese title carries a couple
+        // of kana pairs and must still route gb2312, while kana-sparse
+        // Japanese (a kanji-heavy roster, where kana still make up well
+        // over an eighth of the pairs) stays euc_jp via the branch above
+        // or the fallback below. Kanji-ONLY text — where the EUC byte
+        // structures are literally identical — goes gb2312 when
+        // hanzi-row-shaped; no structural signal exists to do better
+        // without language frequency tables.
         else if (decodes(bytes, "GB2312") && hasEucHanziBias(bytes)
-            && eucKanaPairs(bytes) == 0)
+            && !kanaDominant(bytes))
           Some("gb2312")
         else if (decodes(bytes, "EUC-JP") && hasJisBias(bytes, eucJp = true))
           Some("euc_jp") // EUC structure, kana-sparse or not GB2312-shaped
-        else if (decodes(bytes, "Big5") && hasBig5Bias(bytes))
+        // big5 must NOT outrank Shift_JIS on text that satisfies both:
+        // SJIS kanji leads 0xE0-0xEF sit inside the Big5 lead window and
+        // SJIS trails legitimately span the 0x40-0x7E "ASCII trail"
+        // signal, so a strict-Big5-decodable SJIS page is common — but
+        // genuine Big5 text essentially never passes a STRICT Shift_JIS
+        // decode with lead-shaped bytes (its common hanzi leads 0xA4-0xC6
+        // read as half-width-katakana singles, failing the lead-ratio
+        // test). Claim big5 only when the Shift_JIS reading is untenable.
+        else if (decodes(bytes, "Big5") && hasBig5Bias(bytes)
+            && !(decodes(bytes, "Shift_JIS") && hasJisBias(bytes, eucJp = false)))
           Some("big5")
         else if (decodes(bytes, "Shift_JIS") && hasJisBias(bytes, eucJp = false))
           Some("shift_jis")
@@ -190,23 +204,26 @@ object Sniffers {
     lo > hi * 2
   }
 
-  /** EUC-JP kana-row pair count: pairs with lead 0xA4 (hiragana) / 0xA5
-    * (katakana). Real Japanese text carries kana between the kanji;
-    * EUC-coded Chinese (GB2312) essentially never does — the cascade uses
-    * ≥2 as positive evidence and ==0 as the gb2312 precondition, so
-    * kana-SPARSE Japanese falls through to the euc_jp fallback rather
-    * than being claimed as Chinese. */
-  private def eucKanaPairs(b: Array[Byte]): Int = {
+  /** EUC kana-row evidence, PROPORTIONAL: pairs with lead 0xA4 (hiragana)
+    * / 0xA5 (katakana) relative to all high-byte pairs. Real Japanese
+    * prose — even a kanji-heavy roster — runs well above an eighth kana
+    * (particles, okurigana); EUC-coded Chinese quoting a Japanese name
+    * carries a couple of kana pairs that stay far below it (GB2312 puts
+    * kana in the same rows, so an absolute count would misroute such
+    * text to euc_jp). Requires ≥2 kana pairs AND kana ≥ 1/8 of pairs. */
+  private def kanaDominant(b: Array[Byte]): Boolean = {
     var kana = 0
+    var pairs = 0
     var i = 0
     while (i < b.length - 1) {
       val x = b(i) & 0xff
       if (x >= 0x80) {
+        pairs += 1
         if ((x == 0xa4 || x == 0xa5) && (b(i + 1) & 0xff) >= 0xa1) kana += 1
         i += 2 // consume the EUC pair
       } else i += 1
     }
-    kana
+    kana >= 2 && kana * 8 >= pairs
   }
 
   /** GB2312 hanzi bias: high density plus most high×high pair LEADS in the

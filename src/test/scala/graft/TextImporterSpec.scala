@@ -177,4 +177,36 @@ class TextImporterSpec extends SparkSpec {
         put("ja3.txt", jaSparse.getBytes("EUC-JP")))
       .contains("euc_jp"))
   }
+
+  test("tier-2 ambiguity: SJIS-vs-Big5 ordering, proportional kana") {
+    import graft.sources.Sniffers
+    val dir = tmpDir("enc5")
+    def put(name: String, bytes: Array[Byte]): String = {
+      val p = dir.resolve(name)
+      java.nio.file.Files.write(p, bytes)
+      p.toString
+    }
+    // Japanese kanji chosen so every Shift_JIS pair has a 0xE0-0xEF lead
+    // AND the byte string strictly decodes as Big5 \u2014 the adversarial case
+    // where the Big5 branch used to outrank Shift_JIS. The strict-SJIS
+    // tiebreak must route it shift_jis.
+    val jisHeavy = "\u51dc\u6248\u7199\u720d\u7210\u721b\u7228\u722c" +
+      "\u722d\u7230\u7232\u723b\u723c\u723f\u7240\u7246" +
+      "\u4e55\u6ef7\u6f13\u6f3e"
+    assert(Sniffers.detectEncoding(
+        put("sjis_e0.txt", jisHeavy.getBytes("Shift_JIS")))
+      .contains("shift_jis"))
+    // Chinese text QUOTING a Japanese title: GB2312 encodes kana in the
+    // same 0xA4/0xA5 rows, so a couple of quoted kana pairs must not flip
+    // hanzi-row-dominant text to euc_jp \u2014 the kana test is proportional
+    val zhQuote = "\u5386\u53f2\u5b66\u5bb6\u5728\u7814\u7a76\u53e4\u4ee3" +
+      "\u6587\u732e\u65f6\u53d1\u73b0\u8bb8\u591a\u91cd\u8981\u8d44\u6599" +
+      "\uff0c\u5176\u4e2d\u5305\u62ec\u4e00\u9996\u540d\u4e3a\u300c\u3055" +
+      "\u304f\u3089\u300d\u7684\u65e5\u672c\u6b4c\u66f2\u7684\u8bb0\u8f7d" +
+      "\uff0c\u8fd9\u4e9b\u8d44\u6599\u5bf9\u7814\u7a76\u4e24\u56fd\u6587" +
+      "\u5316\u4ea4\u6d41\u5177\u6709\u91cd\u8981\u4ef7\u503c\u3002\n"
+    assert(Sniffers.detectEncoding(
+        put("zh_quote.txt", zhQuote.getBytes("GB2312")))
+      .contains("gb2312"))
+  }
 }
