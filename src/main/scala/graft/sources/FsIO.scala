@@ -227,6 +227,10 @@ object FsIO {
       }
     } catch { case _: Exception => null }
 
+  /** Remote-spill count — observability for tests pinning the ranged-zip
+    * road's no-copy claim (a metadata probe must never tick this). */
+  private[graft] val spillCount = new java.util.concurrent.atomic.AtomicLong
+
   def localize(path: String): Localized = {
     val uri = hpath(path).toUri
     val scheme = uri.getScheme
@@ -234,6 +238,7 @@ object FsIO {
       val f = if (scheme == null) new File(path) else new File(uri.getPath)
       new Localized(f, spilled = false)
     } else {
+      spillCount.incrementAndGet()
       val suffix = {
         val n = fileName(path); val d = n.lastIndexOf('.')
         if (d < 0) ".tmp" else n.substring(d)

@@ -6,7 +6,7 @@ import javax.xml.stream.XMLStreamConstants._
 import graft.sources.StaxUtil
 
 import scala.collection.mutable.ArrayBuffer
-import scala.xml.{Elem, XML}
+import scala.xml.XML
 
 /** Pure OOXML (`.xlsx`) workbook parser — no Spark dependencies, so the
   * same code runs on the DRIVER (sheet enumeration, shape probing in
@@ -38,28 +38,65 @@ object XlsxParser {
   )
   final case class SheetRef(name: String, target: String)
 
+  /** Container access is RANGED by default ([[graft.sources.zip.RangedZip]]
+    * — tail read + central directory + per-entry bounded streams, no
+    * whole-file copy for remote paths), with a localize+`ZipFile` fallback
+    * for containers the ranged reader rejects (unusual method/feature —
+    * `java.util.zip` is the tolerance backstop). */
   def openWorkbook(path: String): Option[Workbook] =
-    graft.sources.FsIO.withLocal(path) { f =>
-      val zip = new ZipFile(f)
-      try {
-        sheetListOf(zip).map(sheets => Workbook(sheets, sharedStrings(zip)))
-      } finally zip.close()
+    try {
+      val view = new graft.sources.zip.RangedZip.ZipView(path)
+      sheetListOf(e => view.readAll(e))
+        .map(sheets => Workbook(sheets, sharedStrings(view.open(SstEntry))))
+    } catch {
+      case _: Exception =>
+        graft.sources.FsIO.withLocal(path) { f =>
+          val zip = new ZipFile(f)
+          try {
+            sheetListOf(e => zipEntryBytes(zip, e))
+              .map(sheets => Workbook(sheets,
+                sharedStrings(Option(zip.getEntry(SstEntry))
+                  .map(zip.getInputStream))))
+          } finally zip.close()
+        }
     }
 
   /** Sheet names + targets ONLY — reads the zip central directory plus the
     * two few-hundred-byte metadata entries (`workbook.xml`, its rels).
-    * The cheap open for callers that probe/decode sheets elsewhere. */
+    * The cheap open for callers that probe/decode sheets elsewhere; with
+    * the ranged road this touches a bounded few KiB of the container on
+    * ANY scheme — the driver never copies a remote multi-GB workbook to
+    * read its sheet list. */
   def openSheetList(path: String): Option[Seq[SheetRef]] =
-    graft.sources.FsIO.withLocal(path) { f =>
-      val zip = new ZipFile(f)
-      try sheetListOf(zip)
-      finally zip.close()
+    try {
+      val view = new graft.sources.zip.RangedZip.ZipView(path)
+      sheetListOf(e => view.readAll(e))
+    } catch {
+      case _: Exception =>
+        graft.sources.FsIO.withLocal(path) { f =>
+          val zip = new ZipFile(f)
+          try sheetListOf(e => zipEntryBytes(zip, e))
+          finally zip.close()
+        }
     }
 
-  private def sheetListOf(zip: ZipFile): Option[Seq[SheetRef]] =
-    loadZipXml(zip, "xl/workbook.xml").map { workbook =>
+  private val SstEntry = "xl/sharedStrings.xml"
+
+  private def zipEntryBytes(zip: ZipFile, entry: String): Option[Array[Byte]] =
+    Option(zip.getEntry(entry)).map { e =>
+      val in = zip.getInputStream(e)
+      try in.readAllBytes()
+      finally in.close()
+    }
+
+  private def sheetListOf(
+      load: String => Option[Array[Byte]]): Option[Seq[SheetRef]] =
+    load("xl/workbook.xml")
+      .map(b => XML.load(new java.io.ByteArrayInputStream(b)))
+      .map { workbook =>
       val relTargets: Map[String, String] =
-        loadZipXml(zip, "xl/_rels/workbook.xml.rels") match {
+        load("xl/_rels/workbook.xml.rels")
+          .map(b => XML.load(new java.io.ByteArrayInputStream(b))) match {
           case Some(rels) =>
             (rels \\ "Relationship").map { r =>
               val id = r.attribute("Id").map(_.text).getOrElse("")
@@ -79,11 +116,10 @@ object XlsxParser {
   /** Shared-string table via StAX (it has one entry per unique cell string —
     * the other potentially huge part of the container). Multi-run strings
     * (`<si><r><t>..`) concatenate all `<t>` descendants, like openpyxl. */
-  private def sharedStrings(zip: ZipFile): IndexedSeq[String] =
-    Option(zip.getEntry("xl/sharedStrings.xml")) match {
+  private def sharedStrings(inOpt: Option[java.io.InputStream]): IndexedSeq[String] =
+    inOpt match {
       case None => IndexedSeq.empty
-      case Some(e) =>
-        val in = zip.getInputStream(e)
+      case Some(in) =>
         try {
           val r = StaxUtil.reader(in)
           val out = IndexedSeq.newBuilder[String]
@@ -150,12 +186,6 @@ object XlsxParser {
     else Some(letters.foldLeft(0)((acc, ch) => acc * 26 + (ch - 'A' + 1)) - 1)
   }
 
-  def loadZipXml(zip: ZipFile, entry: String): Option[Elem] =
-    Option(zip.getEntry(entry)).map { e =>
-      val in = zip.getInputStream(e)
-      try XML.load(in)
-      finally in.close()
-    }
 }
 
 /** Where sheet decodes happen: every [[SheetRowIterator]] records the
@@ -202,22 +232,38 @@ final class SheetRowIterator(
   /** Number of cells actually decoded (pruned cells excluded). */
   def decodedCells: Long = decoded
 
-  // Hadoop-FS localized view (pass-through for local paths, task-local
-  // spill for hdfs:/s3a:) — ZipFile needs random access by entry name.
-  // A constructor failure past localize() (corrupt zip, missing entry)
-  // must release the spill NOW: close() is unreachable for an object
-  // that never finished constructing, and deleteOnExit never fires on a
-  // long-lived executor JVM.
-  private val localized = graft.sources.FsIO.localize(path)
-  private val (zip, inOpt, readerOpt) =
-    try {
-      val z = new ZipFile(localized.file)
+  // Ranged road first: stream exactly this sheet's deflate bytes via the
+  // zip central directory (no container copy on ANY scheme). Containers
+  // the ranged reader rejects fall back to the localize+ZipFile road
+  // (pass-through for local paths, bounded task-local spill for
+  // hdfs:/s3a:). A constructor failure past localize() (corrupt zip,
+  // missing entry) must release the spill NOW: close() is unreachable
+  // for an object that never finished constructing.
+  private var localized: graft.sources.FsIO.Localized = null
+  private var zip: ZipFile = null
+  private val (inOpt, readerOpt) = {
+    val ranged =
       try {
-        val in = Option(z.getEntry(target)).map(z.getInputStream)
-        try (z, in, in.map(StaxUtil.reader))
+        val view = new graft.sources.zip.RangedZip.ZipView(path)
+        val in = view.open(target)
+        try Some((in, in.map(StaxUtil.reader)))
         catch { case e: Throwable => in.foreach(_.close()); throw e }
-      } catch { case e: Throwable => z.close(); throw e }
-    } catch { case e: Throwable => localized.close(); throw e }
+      } catch { case _: Exception => None }
+    ranged.getOrElse {
+      localized = graft.sources.FsIO.localize(path)
+      try {
+        zip = new ZipFile(localized.file)
+        val in = Option(zip.getEntry(target)).map(zip.getInputStream)
+        try (in, in.map(StaxUtil.reader))
+        catch { case e: Throwable => in.foreach(_.close()); throw e }
+      } catch {
+        case e: Throwable =>
+          if (zip != null) zip.close()
+          localized.close()
+          throw e
+      }
+    }
+  }
   private var closed = false
 
   private var pendingGap = 0
@@ -309,7 +355,7 @@ final class SheetRowIterator(
     closed = true
     readerOpt.foreach(r => try r.close() catch { case _: Exception => () })
     inOpt.foreach(i => try i.close() catch { case _: Exception => () })
-    zip.close()
-    localized.close()
+    if (zip != null) zip.close()
+    if (localized != null) localized.close()
   }
 }
