@@ -91,59 +91,131 @@ object BulkIngest {
   }
 
   /** The ingest PLANNER: the file-size split that [[parseOne]]'s scale
-    * story promises, implemented instead of documented. Files at or above
-    * `bigBytes` with a range-splittable format (`.xlsx` and SpreadsheetML
-    * `.xml`) are routed through their DSv2 sources (`graft-excel` /
-    * `graft-xmlss`) — sheet-per-partition executor
-    * decode with streaming row iterators, so a single multi-GB workbook
-    * does not pin one task's memory to the whole file — and everything
-    * else takes the file-grain [[parseFiles]] path. Both roads emit the
-    * same [[CellRow]] shape (the DSv2 road via the `_sheet`/`_row_idx`
-    * metadata columns), so downstream consumers cannot tell which planner
-    * decision a row took. */
+    * story promises, implemented instead of documented, COMPOSED with the
+    * distributed listing (round 7): the driver lists only the root's
+    * immediate children; whole subtrees are swept with lengths INSIDE
+    * executor tasks, and the only thing ever collected back is the list
+    * of BIG splittable files — tiny by definition (each entry stands for
+    * ≥ `bigBytes` of data; 10⁵ big files ⇒ a 10⁵-string list standing
+    * for ≥ 6 TB). Small files flow from the executor-side listing
+    * straight into the file-grain parse with no driver materialization,
+    * so a 10⁸-file corpus gets BOTH the fan-out and the size split.
+    *
+    * Files at or above `bigBytes` with a range-splittable format
+    * (`.xlsx`, `.xlsb`, SpreadsheetML `.xml`) are routed through their
+    * DSv2 sources (`graft-excel` / `graft-xlsb` / `graft-xmlss`) —
+    * sheet-per-partition executor decode with streaming row iterators,
+    * so a single multi-GB workbook does not pin one task's memory to the
+    * whole file. Both roads emit the same [[CellRow]] shape (the DSv2
+    * road via the `_sheet`/`_row_idx` metadata columns), so downstream
+    * consumers cannot tell which planner decision a row took. Big
+    * NON-splittable files (a multi-GB `.xls` binary, a huge `.pdf`) stay
+    * file-grain — their formats have no random-access split point; the
+    * per-task bound there is one file, documented on [[parseOne]].
+    *
+    * The listing sweep runs twice end-to-end: once eagerly (the big-file
+    * collect) and once lazily when the returned frame executes (the
+    * small road re-lists inside its own stage). Metadata RPCs are orders
+    * of magnitude cheaper than the parse work they feed, and the
+    * alternative — persisting a 10⁸-row listing across the planner —
+    * would trade two cheap sweeps for cluster-wide cache pressure. */
   def parseTreeAuto(
       spark: SparkSession,
       root: String,
       bigBytes: Long = 64L << 20,
       partitions: Int = 0): DataFrame = {
     import graft.sources.xlsx.{ExcelTable, XlsxParser}
+    import graft.sources.xlsb.XlsbStream
     import org.apache.spark.sql.functions.{array, col, lit, typedLit}
     implicit val enc = Encoders.product[CellRow]
-    val entries = FsIO.listFilesRecursiveWithLen(root).toSeq.sortBy(_._1)
-    val (big, small) = entries.partition { case (p, len) =>
+    val parts =
+      if (partitions > 0) partitions
+      else math.max(1, spark.sparkContext.defaultParallelism)
+    val props = FsIO.captureProps(spark)
+
+    def isBig(p: String, len: Long): Boolean = {
+      val l = p.toLowerCase
       len >= bigBytes &&
-        (p.toLowerCase.endsWith(".xlsx") || p.toLowerCase.endsWith(".xml"))
+        (l.endsWith(".xlsx") || l.endsWith(".xlsb") || l.endsWith(".xml"))
     }
-    val (bigXlsx, bigXml) =
-      big.map(_._1).partition(_.toLowerCase.endsWith(".xlsx"))
-    val base = parseFiles(spark, small.map(_._1), partitions)
-    // Big-workbook road. The driver opens ONLY the zip central directory
-    // per file (sheet list); per-sheet widths come from ONE Spark job of
-    // streaming shape probes (a task per sheet, each guarded — a corrupt
+
+    // Distributed listing with lengths: one listStatus on the driver
+    // (immediate children only), subtree sweeps inside executor tasks.
+    val children = FsIO.listChildrenWithLen(root)
+    val seedDirs = children.collect { case (p, true, _) => p }
+    val rootFiles = children.collect { case (p, false, len) => (p, len) }
+    def listedWithLen: org.apache.spark.sql.Dataset[(String, Long)] = {
+      implicit val e2 = Encoders.product[(String, Long)]
+      spark.createDataset(seedDirs)(Encoders.STRING)
+        .repartition(math.max(1, math.min(math.max(seedDirs.length, 1), parts)))
+        .mapPartitions { dirs =>
+          FsIO.install(props)
+          dirs.flatMap(FsIO.listFilesRecursiveWithLen)
+        }
+        .union(spark.createDataset(rootFiles))
+    }
+
+    // The ONE driver-side materialization: big splittable files.
+    val big: Seq[String] = listedWithLen
+      .filter((e: (String, Long)) => isBig(e._1, e._2))
+      .map(_._1)(Encoders.STRING)
+      .collect().toSeq.sorted
+    val (bigXlsx, rest) = big.partition(_.toLowerCase.endsWith(".xlsx"))
+    val (bigXlsb, bigXml) = rest.partition(_.toLowerCase.endsWith(".xlsb"))
+
+    // Small road: listing output flows straight into the file-grain
+    // parse — never collected.
+    val base: DataFrame = listedWithLen
+      .filter((e: (String, Long)) => !isBig(e._1, e._2))
+      .map(_._1)(Encoders.STRING)
+      .repartition(parts)
+      .mapPartitions { it => FsIO.install(props); it.flatMap(parseOne) }
+      .toDF()
+
+    // Big-workbook road. ALL container probing runs executor-side in two
+    // batched jobs (the driver never touches workbook bytes — ADVICE r6):
+    // job 1 reads sheet lists (ranged central-directory reads), job 2
+    // streams per-sheet shape probes, each task guarded — a corrupt
     // sheet fails its FILE into one Failed row, matching the file-grain
-    // road's whole-file isolation), and the DSv2 reads get EXPLICIT
+    // road's whole-file isolation. The DSv2 reads then get EXPLICIT
     // schemas so nothing re-opens the workbook on the driver. Residual
     // risk, documented: corruption that first manifests mid row-scan on
     // an executor fails the query (the file-grain road would have caught
     // it per-file) — the probe pass bounds that window to decode-level
-    // breakage, not container-level.
-    val props = FsIO.captureProps(spark)
-    val sheetLists: Seq[(String, Option[Seq[XlsxParser.SheetRef]])] =
-      bigXlsx.map { p =>
-        p -> (try XlsxParser.openSheetList(p).filter(_.nonEmpty)
-              catch { case _: Exception => None })
-      }
-    val probeInput = sheetLists.collect { case (p, Some(list)) =>
-      list.map(sh => (p, sh.name, sh.target))
+    // breakage, not container-level. Probe jobs batch to the session's
+    // parallelism, not one task per sheet — thousands of big workbooks
+    // must not become thousands of 10 ms tasks.
+    def batched(n: Int): Int = math.max(1, math.min(n, parts))
+    val sheetLists: Seq[(String, Boolean, Option[Seq[XlsxParser.SheetRef]])] =
+      if (bigXlsx.isEmpty && bigXlsb.isEmpty) Nil
+      else spark.sparkContext
+        .parallelize(bigXlsx.map((_, true)) ++ bigXlsb.map((_, false)),
+          batched(bigXlsx.length + bigXlsb.length))
+        .map { case (p, isXlsx) =>
+          FsIO.install(props)
+          val list =
+            try {
+              val l =
+                if (isXlsx) XlsxParser.openSheetList(p)
+                else XlsbStream.openSheetList(p)
+              l.filter(_.nonEmpty)
+            } catch { case _: Exception => None }
+          (p, isXlsx, list)
+        }
+        .collect().toSeq.sortBy(_._1)
+    val probeInput = sheetLists.collect { case (p, isXlsx, Some(list)) =>
+      list.map(sh => (p, isXlsx, sh.name, sh.target))
     }.flatten
     val widths: Map[(String, String), Option[Int]] =
       if (probeInput.isEmpty) Map.empty
       else spark.sparkContext
-        .parallelize(probeInput, probeInput.length)
-        .map { case (p, name, target) =>
+        .parallelize(probeInput, batched(probeInput.length))
+        .map { case (p, isXlsx, name, target) =>
           FsIO.install(props)
           val w =
-            try Some(XlsxParser.sheetShape(p, target, IndexedSeq.empty)._1)
+            try Some(
+              if (isXlsx) XlsxParser.sheetShape(p, target, IndexedSeq.empty)._1
+              else XlsbStream.sheetShape(p, target)._1)
             catch { case _: Exception => None }
           ((p, name), w)
         }
@@ -163,24 +235,25 @@ object BulkIngest {
         cells.as("cells"))
     }
     val bigDfs: Seq[DataFrame] = sheetLists.flatMap {
-      case (p, None) => Seq(failedRow(p, "ImportExcel"))
-      case (p, Some(list)) if list.exists(sh => widths((p, sh.name)).isEmpty) =>
+      case (p, _, None) => Seq(failedRow(p, "ImportExcel"))
+      case (p, _, Some(list)) if list.exists(sh => widths((p, sh.name)).isEmpty) =>
         Seq(failedRow(p, "ImportExcel")) // a broken sheet fails its file
-      case (p, Some(list)) => list.map { sh =>
+      case (p, isXlsx, Some(list)) => list.map { sh =>
         val width = widths((p, sh.name)).get
-        toCellRows(spark.read.format("graft-excel")
+        toCellRows(spark.read
+          .format(if (isXlsx) "graft-excel" else "graft-xlsb")
           .schema(graft.sources.TextImporter.positionalSchema(width))
           .option("sheet", sh.name).load(p), p, "ImportExcel")
       }
     }
     // big SpreadsheetML files: same road through graft-xmlss — the
-    // (mode, shapes) probe runs as one executor job (a streaming scan per
-    // file), then each table reads with an explicit schema and carries
-    // its sheet name / row index via the shared metadata columns
+    // (mode, shapes) probe runs as one batched executor job (a streaming
+    // scan per file), then each table reads with an explicit schema and
+    // carries its sheet name / row index via the shared metadata columns
     val xmlShapes: Map[String, Option[(Boolean, Seq[(Int, String, Int)])]] =
       if (bigXml.isEmpty) Map.empty
       else spark.sparkContext
-        .parallelize(bigXml, bigXml.length)
+        .parallelize(bigXml, batched(bigXml.length))
         .map { p =>
           FsIO.install(props)
           val r =

@@ -180,6 +180,7 @@ object FsIO {
     * a `Files.walk` driver array would. Callers needing determinism sort
     * the (path-string) result themselves. */
   def listFilesRecursive(root: String): Iterator[String] = {
+    ListingRecorder.record()
     val it = fs(root).listFiles(hpath(root), true)
     new Iterator[String] {
       override def hasNext: Boolean = it.hasNext
@@ -190,6 +191,7 @@ object FsIO {
   /** [[listFilesRecursive]] with file sizes — the ingest planner's
     * file-size split needs the length without a second RPC per file. */
   def listFilesRecursiveWithLen(root: String): Iterator[(String, Long)] = {
+    ListingRecorder.record()
     val it = fs(root).listFiles(hpath(root), true)
     new Iterator[(String, Long)] {
       override def hasNext: Boolean = it.hasNext
@@ -203,6 +205,12 @@ object FsIO {
   def listChildren(root: String): Seq[(String, Boolean)] =
     fs(root).listStatus(hpath(root)).toSeq
       .map(st => (st.getPath.toString, st.isDirectory))
+
+  /** Immediate children with file sizes — the ingest planner's fan-out
+    * seeds plus the root's own files in one RPC. */
+  def listChildrenWithLen(root: String): Seq[(String, Boolean, Long)] =
+    fs(root).listStatus(hpath(root)).toSeq
+      .map(st => (st.getPath.toString, st.isDirectory, st.getLen))
 
   /** A local `java.io.File` view of `path`: pass-through for local
     * schemes, bounded spill-to-temp for remote ones. `close()` deletes
@@ -268,5 +276,24 @@ object FsIO {
     val l = localize(path)
     try f(l.file)
     finally l.close()
+  }
+}
+
+/** Where RECURSIVE listings happen: each `listFilesRecursive*` call
+  * records the calling thread's name (bounded). Spark-free — the
+  * parseTreeAuto spec asserts the planner's full-tree sweep runs only on
+  * executor task threads, never the driver (the driver is allowed one
+  * `listStatus` of the root's immediate children). */
+object ListingRecorder {
+  private val names = new java.util.concurrent.ConcurrentLinkedQueue[String]
+  private val Cap = 1024
+  def record(): Unit = {
+    if (names.size < Cap) names.add(Thread.currentThread().getName)
+  }
+  def drain(): Seq[String] = {
+    val out = Vector.newBuilder[String]
+    var n = names.poll()
+    while (n != null) { out += n; n = names.poll() }
+    out.result()
   }
 }

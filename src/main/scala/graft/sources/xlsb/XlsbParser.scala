@@ -1,9 +1,5 @@
 package graft.sources.xlsb
 
-import java.util.zip.ZipFile
-
-import scala.collection.mutable
-
 /** Minimal binary-OOXML (`.xlsb`) workbook parser, from the public
   * [MS-XLSB] record layouts — the format pandas reads via pyxlsb
   * (reference `main.py:245-247`). Same container as `.xlsx` (a zip with
@@ -18,16 +14,17 @@ import scala.collection.mutable
   * column. Value rendering is identical to [[graft.sources.xls.XlsParser]]:
   * integral doubles without `.0`, `True`/`False`, error cells → null.
   *
-  * Driver-side decode like `.xls`: sheets cap at 1,048,576×16,384 and real
-  * .xlsb files are bounded workbook documents, not data-lake inputs; the
-  * scale path for big tabular data is the columnar formats.
-  */
+  * Since round 7 the decode itself is STREAMED ([[XlsbStream]] /
+  * [[XlsbRowIterator]] — ranged zip reads, one row in memory at a time),
+  * shared by this materialized whole-file API, the file-grain BulkIngest
+  * road, and the `graft-xlsb` DSv2 source, so all roads decode
+  * byte-identically. */
 object XlsbParser {
 
   final case class XlsbSheet(name: String, rows: Seq[IndexedSeq[String]])
 
   // record ids ([MS-XLSB] 2.1.2)
-  private val BrtRowHdr = 0
+  private[xlsb] val BrtRowHdrId = 0
   private val BrtCellRk = 2
   private val BrtCellError = 3
   private val BrtCellBool = 4
@@ -38,12 +35,13 @@ object XlsbParser {
   private val BrtFmlaNum = 9
   private val BrtFmlaBool = 10
   private val BrtFmlaError = 11
-  private val BrtSSTItem = 19
+  private[xlsb] val BrtSSTItemId = 19
   private val BrtBundleSh = 156
 
   private def u16(b: Array[Byte], o: Int): Int =
     (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
-  private def u32(b: Array[Byte], o: Int): Int = u16(b, o) | (u16(b, o + 2) << 16)
+  private[xlsb] def u32At(b: Array[Byte], o: Int): Int =
+    u16(b, o) | (u16(b, o + 2) << 16)
   private def f64(b: Array[Byte], o: Int): Double = {
     var bits = 0L
     var i = 7
@@ -51,103 +49,57 @@ object XlsbParser {
     java.lang.Double.longBitsToDouble(bits)
   }
 
-  /** Iterate the (type, payload) records of a binary part. */
-  private def records(bytes: Array[Byte]): Iterator[(Int, Array[Byte], Int)] =
-    new Iterator[(Int, Array[Byte], Int)] {
-      private var pos = 0
-      override def hasNext: Boolean = pos < bytes.length
-      override def next(): (Int, Array[Byte], Int) = {
-        // type: 7 bits per byte, high bit of the FIRST byte = 2-byte type
-        var t = bytes(pos) & 0xff
-        pos += 1
-        if ((t & 0x80) != 0) {
-          t = (t & 0x7f) | ((bytes(pos) & 0x7f) << 7)
-          pos += 1
-        }
-        // size: up to 4 varint bytes
-        var size = 0
-        var shift = 0
-        var more = true
-        while (more) {
-          val b = bytes(pos) & 0xff
-          pos += 1
-          size |= (b & 0x7f) << shift
-          shift += 7
-          more = (b & 0x80) != 0 && shift < 28
-        }
-        val off = pos
-        pos += size
-        (t, bytes, off)
-      }
-    }
-
-  private def readEntry(zip: ZipFile, name: String): Option[Array[Byte]] =
-    Option(zip.getEntry(name)).map { e =>
-      val in = zip.getInputStream(e)
-      try in.readAllBytes()
-      finally in.close()
-    }
+  /** XLWideString at `o` (value only). */
+  private[xlsb] def wideStringAt(b: Array[Byte], o: Int): String =
+    wideString(b, o)._1
 
   /** XLWideString at `o`: (string, bytes consumed). */
   private def wideString(b: Array[Byte], o: Int): (String, Int) = {
-    val cch = u32(b, o)
+    val cch = u32At(b, o)
     if (cch == -1) (null, 4) // XLNullableWideString null marker
     else (new String(b, o + 4, cch * 2, "UTF-16LE"), 4 + cch * 2)
   }
 
-  def parse(path: String): Option[Seq[XlsbSheet]] =
-    try graft.sources.FsIO.withLocal(path)(f => parseLocal(new ZipFile(f)))
-    catch { case _: Exception => None }
-
-  private def parseLocal(zipIn: ZipFile): Option[Seq[XlsbSheet]] = {
-    val zip = zipIn
+  /** (relId, name) pairs of the workbook part's BrtBundleSh records. */
+  private[xlsb] def bundleSheets(wbBytes: Array[Byte]): Seq[(String, String)] = {
+    val rs = new XlsbStream.RecordInputStream(
+      new java.io.ByteArrayInputStream(wbBytes))
     try {
-      val wbBytes = readEntry(zip, "xl/workbook.bin").getOrElse(return None)
-      // sheet list: BrtBundleSh = hsState u32, iTabID u32, relId, name
-      val bundles = records(wbBytes).collect {
-        case (BrtBundleSh, b, o) =>
-          val (relId, n) = wideString(b, o + 8)
-          val (name, _) = wideString(b, o + 8 + n)
-          (relId, if (name == null) "None" else name)
-      }.toSeq
-      if (bundles.isEmpty) return None
-
-      // rels XML maps relId → part path (same shape as xlsx)
-      val relTargets: Map[String, String] =
-        readEntry(zip, "xl/_rels/workbook.bin.rels") match {
-          case None => Map.empty
-          case Some(rels) =>
-            val root = scala.xml.XML.loadString(new String(rels, "UTF-8"))
-            (root \\ "Relationship").map { r =>
-              val id = r.attribute("Id").map(_.text).getOrElse("")
-              val tgt = r.attribute("Target").map(_.text).getOrElse("")
-              id -> (if (tgt.startsWith("/")) tgt.drop(1) else "xl/" + tgt)
-            }.toMap
+      val out = Seq.newBuilder[(String, String)]
+      var rec = rs.nextRecord()
+      while (rec != null) {
+        if (rec._1 == BrtBundleSh) {
+          // BrtBundleSh = hsState u32, iTabID u32, relId, name
+          val b = rec._2
+          val (relId, n) = wideString(b, 8)
+          val (name, _) = wideString(b, 8 + n)
+          out += ((relId, if (name == null) "None" else name))
         }
-
-      // shared strings: BrtSSTItem = flags u8, XLWideString (extras bounded
-      // by the record payload, so they need no explicit skip)
-      val sst: IndexedSeq[String] =
-        readEntry(zip, "xl/sharedStrings.bin") match {
-          case None => IndexedSeq.empty
-          case Some(bytes) =>
-            records(bytes).collect {
-              case (BrtSSTItem, b, o) => wideString(b, o + 1)._1
-            }.toIndexedSeq
-        }
-
-      val sheets = bundles.zipWithIndex.map { case ((relId, name), i) =>
-        val target = relTargets.getOrElse(relId,
-          s"xl/worksheets/sheet${i + 1}.bin")
-        val rows = readEntry(zip, target) match {
-          case None => Seq.empty[IndexedSeq[String]]
-          case Some(bytes) => sheetRows(bytes, sst)
-        }
-        XlsbSheet(name, rows)
+        rec = rs.nextRecord()
       }
-      Some(sheets)
-    } catch { case _: Exception => None }
-    finally zip.close()
+      out.result()
+    } finally rs.close()
+  }
+
+  private[xlsb] def isCellRecord(t: Int): Boolean = t match {
+    case BrtCellRk | BrtCellError | BrtCellBool | BrtCellReal | BrtCellSt |
+        BrtCellIsst | BrtFmlaString | BrtFmlaNum | BrtFmlaBool |
+        BrtFmlaError => true
+    case _ => false
+  }
+
+  /** Render one cell record's VALUE (payload = col u32, style+flags u32,
+    * then the typed value at offset 8). Identical rendering to the BIFF8
+    * reader: integral doubles without `.0`, `True`/`False`, error → null. */
+  private[xlsb] def decodeCellValue(
+      t: Int, b: Array[Byte], sst: IndexedSeq[String]): String = t match {
+    case BrtCellRk => decodeRk(u32At(b, 8))
+    case BrtCellReal | BrtFmlaNum => renderNum(f64(b, 8))
+    case BrtCellBool | BrtFmlaBool =>
+      if ((b(8) & 0xff) != 0) "True" else "False"
+    case BrtCellSt | BrtFmlaString => wideStringAt(b, 8)
+    case BrtCellIsst => sst.lift(u32At(b, 8)).orNull
+    case _ => null // BrtCellError/BrtFmlaError: NaN under dtype=str
   }
 
   private def renderNum(d: Double): String =
@@ -163,45 +115,28 @@ object XlsbParser {
     renderNum(if (x100) v / 100.0 else v)
   }
 
-  /** Cell records carry (col u32, style+flags u32) then the value; the row
-    * comes from the preceding BrtRowHdr (rw u32 first). */
-  private def sheetRows(
-      bytes: Array[Byte], sst: IndexedSeq[String]
-  ): Seq[IndexedSeq[String]] = {
-    val cells = mutable.Map.empty[(Int, Int), String]
-    var row = 0
-    records(bytes).foreach { case (t, b, o) =>
-      def col = u32(b, o)
-      t match {
-        case BrtRowHdr => row = u32(b, o)
-        case BrtCellRk => cells((row, col)) = decodeRk(u32(b, o + 8))
-        case BrtCellReal | BrtFmlaNum =>
-          cells((row, col)) = renderNum(f64(b, o + 8))
-        case BrtCellBool | BrtFmlaBool =>
-          cells((row, col)) = if ((b(o + 8) & 0xff) != 0) "True" else "False"
-        case BrtCellSt | BrtFmlaString =>
-          cells((row, col)) = wideString(b, o + 8)._1
-        case BrtCellIsst =>
-          cells((row, col)) = sst.lift(u32(b, o + 8)).orNull
-        case BrtCellError | BrtFmlaError =>
-          cells((row, col)) = null // error cells → NaN under dtype=str
-        case _ =>
+  /** Materialized whole-workbook decode (file-grain BulkIngest road and
+    * the driver importer) — the same streaming iterator the DSv2 source
+    * uses, collected. A sheet whose part is missing yields empty rows; a
+    * structurally broken container yields None. */
+  def parse(path: String): Option[Seq[XlsbSheet]] =
+    try {
+      val sheets = XlsbStream.openSheetList(path) match {
+        case None => return None
+        case Some(s) => s
       }
-    }
-    if (cells.isEmpty) Seq.empty
-    else {
-      val byRow = cells.groupBy(_._1._1)
-      val maxRow = byRow.keysIterator.max
-      (0 to maxRow).map { r =>
-        byRow.get(r) match {
-          case None => IndexedSeq.empty[String]
-          case Some(rowCells) =>
-            val w = rowCells.keysIterator.map(_._2).max + 1
-            val arr = Array.fill[String](w)(null)
-            rowCells.foreach { case ((_, c), v) => arr(c) = v }
-            arr.toIndexedSeq
-        }
-      }
-    }
-  }
+      val sst = XlsbStream.loadSst(path)
+      Some(sheets.map { sr =>
+        val rows =
+          try {
+            val it = new XlsbRowIterator(path, sr.target, sst)
+            try it.toIndexedSeq
+            finally it.close()
+          } catch {
+            case _: java.io.FileNotFoundException =>
+              Seq.empty[IndexedSeq[String]]
+          }
+        XlsbSheet(sr.name, rows)
+      })
+    } catch { case _: Exception => None }
 }

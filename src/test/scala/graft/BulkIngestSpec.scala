@@ -59,6 +59,7 @@ class BulkIngestSpec extends SparkSpec {
     writeFile(dir, "broken.xlsx", "this is not a zip")
     writeFile(dir, "mystery.xyz", "???")
     writeFile(dir, "obj.pk1", "not a pickle either")
+    XlsbFixture.makeXlsb(dir.resolve("modern.xlsb").toString)
     dir
   }
 
@@ -95,7 +96,8 @@ class BulkIngestSpec extends SparkSpec {
         .flatMap(_.data.collect().toSeq)
         .map(_.toSeq.map(v => if (v == null) null else v.toString))
 
-    for (f <- Seq("a.txt", "ragged.csv", "fixed.ant", "sheet.xml", "book.xlsx"))
+    for (f <- Seq("a.txt", "ragged.csv", "fixed.ant", "sheet.xml", "book.xlsx",
+        "modern.xlsb"))
       assert(bulkCells(f) == anyFileCells(f), f)
 
     // sheet names carried through
@@ -141,6 +143,55 @@ class BulkIngestSpec extends SparkSpec {
     // default threshold: small files stay file-grain (no BatchScan)
     val plain = BulkIngest.parseTreeAuto(spark, dir.toString)
     assert(!plain.queryExecution.executedPlan.toString.contains("BatchScan"))
+  }
+
+  test("parseTreeAuto: deep tree plans with executor-side listing only") {
+    // deep tree: big + small files spread across subdirectories — the
+    // planner must compose the size split WITH the distributed listing
+    val dir = tmpDir("bulk_deep")
+    val s1 = dir.resolve("s1"); val s2 = dir.resolve("s2/deeper")
+    java.nio.file.Files.createDirectories(s1)
+    java.nio.file.Files.createDirectories(s2)
+    writeFile(dir, "root.txt", "a\tb\n1\t2\n")
+    writeFile(s1, "one.csv", "1,2\n3,4\n")
+    XlsbFixture.makeXlsb(s1.resolve("big.xlsb").toString)
+    writeFile(s2, "two.txt", "z\n")
+    writeZip(s2.resolve("big.xlsx").toString,
+      "xl/workbook.xml" ->
+        s"""<workbook xmlns="$mainNs" xmlns:r="$relsNs"><sheets>
+           |<sheet name="P1" sheetId="1" r:id="rId1"/>
+           |</sheets></workbook>""".stripMargin,
+      "xl/_rels/workbook.xml.rels" ->
+        s"""<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+           |<Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/>
+           |</Relationships>""".stripMargin,
+      "xl/worksheets/sheet1.xml" ->
+        s"""<worksheet xmlns="$mainNs"><sheetData>
+           |<row r="1"><c r="A1"><v>5</v></c></row>
+           |</sheetData></worksheet>""".stripMargin)
+
+    graft.sources.ListingRecorder.drain() // reset
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (graft.sources.FsIO.fileName(r.getString(0)),
+        r.getString(2), r.getLong(4), r.getSeq[String](5).toList))
+        .sortBy(t => (t._1, t._2, t._3)).toSeq
+    // threshold 1: both workbooks take the DSv2 road; everything else
+    // parses from the executor-side listing without a driver collect
+    val auto = BulkIngest.parseTreeAuto(spark, dir.toString, bigBytes = 1L)
+    val rows = key(auto)
+    // the full-tree sweep (planning + execution above) ran ONLY inside
+    // executor tasks: the driver's whole role was one listStatus of the
+    // root's immediate children. Drained BEFORE the file-grain
+    // comparison run below, which lists driver-side by design.
+    val listingThreads = graft.sources.ListingRecorder.drain()
+    assert(listingThreads.nonEmpty)
+    assert(listingThreads.forall(_.startsWith("Executor task launch worker")),
+      s"driver-side recursive listing detected: $listingThreads")
+    assert(rows == key(BulkIngest.parseTree(spark, dir.toString)))
+    assert(rows.exists(t => t._1 == "big.xlsb" && t._2 == "BinSheet"))
+    assert(rows.exists(t => t._1 == "big.xlsx" && t._2 == "P1"))
+    // and the DSv2 road is in the plan
+    assert(auto.queryExecution.executedPlan.toString.contains("BatchScan"))
   }
 
   test("streaming ingestion: arrivals parse exactly once across restarts, cells ≡ batch") {

@@ -1,76 +1,12 @@
 package graft
 
-import java.io.FileOutputStream
-import java.util.zip.{ZipEntry, ZipOutputStream}
-
 import org.apache.spark.sql.Row
 
 /** Binary OOXML (`.xlsb`): hand-assembled varint-framed record parts per
   * the public MS-XLSB layouts. */
 class XlsbImporterSpec extends SparkSpec {
 
-  private def u32(v: Int): Array[Byte] =
-    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
-      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
-  private def f64(d: Double): Array[Byte] = {
-    val bits = java.lang.Double.doubleToLongBits(d)
-    Array.tabulate(8)(i => ((bits >> (8 * i)) & 0xff).toByte)
-  }
-  private def varint(n: Int): Array[Byte] = {
-    var v = n
-    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
-    while (v >= 0x80) { out += ((v & 0x7f) | 0x80).toByte; v >>= 7 }
-    out += v.toByte
-    out.toArray
-  }
-  private def rec(id: Int, body: Array[Byte]): Array[Byte] = {
-    val idBytes =
-      if (id < 0x80) Array(id.toByte)
-      else Array(((id & 0x7f) | 0x80).toByte, ((id >> 7) & 0x7f).toByte)
-    idBytes ++ varint(body.length) ++ body
-  }
-  private def ws(s: String): Array[Byte] =
-    u32(s.length) ++ s.getBytes("UTF-16LE")
-  private def cellHdr(col: Int): Array[Byte] = u32(col) ++ u32(0)
-
-  private def makeXlsb(path: String): Unit = {
-    // cells reuse the BIFF RK encoding
-    def rkInt(v: Int): Array[Byte] = u32((v << 2) | 2)
-    val workbook = rec(156, u32(0) ++ u32(1) ++ ws("rId1") ++ ws("BinSheet"))
-    val rels =
-      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
-        |<Relationship Id="rId1" Type="t" Target="worksheets/sheet1.bin"/>
-        |</Relationships>""".stripMargin.getBytes("UTF-8")
-    val sstPart = rec(159, u32(2) ++ u32(2)) ++
-      rec(19, Array(0.toByte) ++ ws("shared")) ++
-      rec(19, Array(0.toByte) ++ ws("wörld"))
-    val sheet = Array(
-      rec(0, u32(0) ++ new Array[Byte](21)), // BrtRowHdr row 0
-      rec(2, cellHdr(0) ++ rkInt(123)),      // RK int → "123"
-      rec(5, cellHdr(1) ++ f64(2.5)),        // real → "2.5"
-      rec(7, cellHdr(2) ++ u32(0)),          // isst → "shared"
-      rec(0, u32(1) ++ new Array[Byte](21)), // row 1
-      rec(4, cellHdr(0) ++ Array(1.toByte)), // bool → "True"
-      rec(6, cellHdr(1) ++ ws("inline")),    // inline string
-      rec(3, cellHdr(2) ++ Array(0x2A.toByte)), // error → null
-      rec(0, u32(3) ++ new Array[Byte](21)), // row 3 (row 2 is a gap)
-      // cached formula number; trailing formula bytes must be ignored
-      rec(9, cellHdr(0) ++ f64(41.0) ++ u32(0) ++ u32(0)),
-      rec(7, cellHdr(1) ++ u32(1))           // isst → "wörld"
-    ).flatten
-
-    val out = new ZipOutputStream(new FileOutputStream(path))
-    def entry(name: String, bytes: Array[Byte]): Unit = {
-      out.putNextEntry(new ZipEntry(name))
-      out.write(bytes)
-      out.closeEntry()
-    }
-    entry("xl/workbook.bin", workbook)
-    entry("xl/_rels/workbook.bin.rels", rels)
-    entry("xl/sharedStrings.bin", sstPart)
-    entry("xl/worksheets/sheet1.bin", sheet)
-    out.close()
-  }
+  private def makeXlsb(path: String): Unit = XlsbFixture.makeXlsb(path)
 
   test("xlsb: varint records, sheet bundle, SST, cell kinds, gap row") {
     val dir = tmpDir("xlsb")
@@ -88,5 +24,66 @@ class XlsbImporterSpec extends SparkSpec {
     assert(rows(1) == Row("True", "inline", null))
     assert(rows(2) == Row(null, null, null)) // gap row
     assert(rows(3) == Row("41", "wörld", null))
+  }
+
+  test("graft-xlsb DSv2: inferred schema, rows, metadata columns") {
+    val dir = tmpDir("xlsb_dsv2")
+    val p = dir.resolve("modern.xlsb").toString
+    makeXlsb(p)
+    val df = spark.read.format("graft-xlsb").load(p)
+    assert(df.columns.toSeq == Seq("0", "1", "2"))
+    val rows = df.collect()
+    assert(rows.length == 4)
+    assert(rows(0) == Row("123", "2.5", "shared"))
+    assert(rows(2) == Row(null, null, null)) // gap row survives the stream
+    assert(rows(3) == Row("41", "wörld", null))
+    // metadata columns surface only when selected — CellRow shape for the
+    // size-split planner
+    val meta = spark.read.format("graft-xlsb").load(p)
+      .select("_sheet", "_row_idx", "0").collect()
+    assert(meta.forall(_.getString(0) == "BinSheet"))
+    assert(meta.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L, 3L))
+  }
+
+  test("xlsb streaming iterator: pruning reaches the decode") {
+    val dir = tmpDir("xlsb_prune")
+    val p = dir.resolve("modern.xlsb").toString
+    makeXlsb(p)
+    import graft.sources.xlsb.{XlsbRowIterator, XlsbStream}
+    val sheets = XlsbStream.openSheetList(p).get
+    assert(sheets.map(_.name) == Seq("BinSheet"))
+    val sst = XlsbStream.loadSst(p)
+    assert(sst == IndexedSeq("shared", "wörld"))
+    // full decode
+    val full = new XlsbRowIterator(p, sheets.head.target, sst)
+    val fullRows = try full.toIndexedSeq finally full.close()
+    assert(fullRows.map(_.toList) == Seq(
+      List("123", "2.5", "shared"), List("True", "inline", null),
+      Nil, List("41", "wörld")))
+    assert(full.decodedCells == 8L)
+    // pruned to column 0: positions kept, decodes skipped
+    val pruned = new XlsbRowIterator(p, sheets.head.target, sst, Some(Set(0)))
+    val prunedRows = try pruned.toIndexedSeq finally pruned.close()
+    assert(prunedRows.map(_.toList) == Seq(
+      List("123", null, null), List("True", null, null),
+      Nil, List("41", null)))
+    assert(pruned.decodedCells == 3L)
+    // shape probe decodes nothing
+    assert(XlsbStream.sheetShape(p, sheets.head.target) == (3, 4L))
+  }
+
+  test("xlsb DSv2 decodes spill-free on a remote scheme") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.spill.impl", classOf[SpillFs].getName)
+    graft.sources.FsIO.install(graft.sources.FsIO.captureProps(spark))
+    val dir = tmpDir("xlsb_remote")
+    val p = dir.resolve("modern.xlsb").toString
+    makeXlsb(p)
+    val before = graft.sources.FsIO.spillCount.get()
+    val local = spark.read.format("graft-xlsb").load(p).collect().toSeq
+    val remote = spark.read.format("graft-xlsb").load("spill:" + p).collect().toSeq
+    assert(remote == local)
+    assert(graft.sources.FsIO.spillCount.get() == before,
+      "xlsb DSv2 must stream via ranged reads, never localize")
   }
 }
