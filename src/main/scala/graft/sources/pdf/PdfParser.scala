@@ -203,8 +203,19 @@ object PdfParser {
             decodeStream(s).map(parseToUnicodeCMap).getOrElse(Map.empty)
           case _ => Map.empty[Int, String]
         }
+        // Named predefined Unicode CMaps (Adobe's UniJIS/UniGB/UniCNS/
+        // UniKS-UCS2 and -UTF16 families, §9.7.5.2): the 2-byte code IS
+        // the Unicode value (UCS-2, or UTF-16BE where a surrogate pair
+        // arrives as two consecutive codes that concatenate correctly),
+        // so the extractor's raw code-as-codepoint default is exact. The
+        // font's embedded TrueType cmap must NOT be inverted here — that
+        // recovery assumes code = CID = GID (the Identity-H convention)
+        // and would mis-map Unicode-valued codes through glyph ids.
+        val unicodeCoded = name(fd, "Encoding").exists(
+          _.matches("Uni(JIS|JIS2004|JISX02[0-9]*|GB|CNS|KS)[A-Za-z0-9]*" +
+            "-(UCS2|UTF16)(-HW)?-[HV]"))
         val fallback =
-          if (!twoByte || toUni.nonEmpty) Map.empty[Int, String]
+          if (!twoByte || toUni.nonEmpty || unicodeCoded) Map.empty[Int, String]
           else cidFallbackOf(fd)
         key -> PdfFont(twoByte, toUni, fallback)
       }

@@ -503,6 +503,50 @@ class PdfImporterSpec extends SparkSpec {
       s"Identity-H text not recovered: ${rows.toSeq}")
   }
 
+  test("named Unicode CMap (/UniGB-UCS2-H): codes decode as UCS-2, cmap NOT inverted") {
+    // a CJK CID font using a predefined Unicode CMap: the 2-byte codes
+    // ARE Unicode values. The embedded font program deliberately carries
+    // a POISONED cmap (chars mapped to glyph ids equal to our codes) —
+    // if the Identity-H recovery path ran here, inversion would decode
+    // the codes as Q/R/S; the /Encoding guard must keep the raw UCS-2
+    // reading instead.
+    val font = ttfWithCmap4(Seq('Q' -> 0x4ECA, 'R' -> 0x5929, 'S' -> 0x597D))
+    val content =
+      ("BT /F1 12 Tf\n" +
+        "1 0 0 1 72 700 Tm <4ECA5929597D> Tj\n" + // U+4ECA U+5929 U+597D
+        "ET\n").getBytes("ISO-8859-1")
+    val out = new ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.6\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >> endobj\n")
+    w(s"4 0 obj << /Length ${content.length} >> stream\n")
+    out.write(content)
+    w("\nendstream endobj\n")
+    w("5 0 obj << /Type /Font /Subtype /Type0 /BaseFont /TestGB " +
+      "/Encoding /UniGB-UCS2-H /DescendantFonts [6 0 R] >> endobj\n")
+    w("6 0 obj << /Type /Font /Subtype /CIDFontType0 /BaseFont /TestGB " +
+      "/FontDescriptor 7 0 R >> endobj\n")
+    w("7 0 obj << /Type /FontDescriptor /FontName /TestGB " +
+      "/FontFile2 8 0 R >> endobj\n")
+    w(s"8 0 obj << /Length ${font.length} >> stream\n")
+    out.write(font)
+    w("\nendstream endobj\n")
+    w("trailer << /Root 1 0 R >>\n%%EOF\n")
+    val p = tmpDir("pdfgb").resolve("unigb.pdf")
+    Files.write(p, out.toByteArray)
+
+    val answers = new PdfImporter(spark, p.toString).work()
+    assert(answers.head.parseInfo == "OK")
+    val rows = answers.head.data.collect().map(_.toSeq)
+    assert(rows.exists(_.contains("今天好")),
+      s"UCS-2 coded text not extracted: ${rows.toSeq}")
+    assert(!rows.exists(_.exists(v => v != null && v.toString.contains("QRS"))),
+      "poisoned cmap inversion leaked into a Unicode-CMap font")
+  }
+
   test("TrueTypeCmap: format-4 segments invert to GID → Unicode") {
     val font = ttfWithCmap4(Seq('A' -> 7, 'B' -> 9, 'z' -> 11))
     val m = graft.sources.pdf.TrueTypeCmap.gidToUnicode(font)
