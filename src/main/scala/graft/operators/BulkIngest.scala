@@ -307,12 +307,18 @@ object BulkIngest {
     * Hadoop-FS layer — keeping one code path for batch and streaming and
     * preserving per-file failure isolation (a corrupt arrival yields one
     * Failed row, never a dead query). */
-  def stream(spark: SparkSession, root: String, glob: String = "*"): DataFrame = {
+  def stream(spark: SparkSession, root: String, glob: String = "*",
+      maxFilesPerTrigger: Int = 0): DataFrame = {
     val props = FsIO.captureProps(spark)
     implicit val enc = Encoders.product[CellRow]
     import org.apache.spark.sql.types._
-    spark.readStream.format("binaryFile")
+    val reader0 = spark.readStream.format("binaryFile")
       .option("pathGlobFilter", glob)
+    val reader =
+      if (maxFilesPerTrigger > 0)
+        reader0.option("maxFilesPerTrigger", maxFilesPerTrigger)
+      else reader0
+    reader
       // binaryFile's FIXED schema — streaming file sources demand it
       // explicitly; only `path` is ever selected, so content is pruned
       .schema(StructType(Seq(
