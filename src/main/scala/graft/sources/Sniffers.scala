@@ -67,7 +67,15 @@ object Sniffers {
           // overwhelmingly lowercase, so a 0xC0-0xDF-dominant profile is
           // KOI8-R (charset_normalizer reaches the same split through its
           // frequency coherence tables).
-          Some(if (looksKoi8(bytes)) "koi8_r" else "cp1251")
+          // tier 3 (within the case-geography family): mac_cyrillic keeps
+          // its UPPERCASE А-Я at 0x80-0x9F while its lowercase run
+          // coincides byte-for-byte with cp1251's (0xE0-0xFE, я at 0xDF
+          // being the lone divergence) — so capitalization is the only
+          // honest structural signal, and ALL-lowercase Mac text is
+          // deliberately labeled cp1251 (literally identical bytes).
+          Some(if (looksKoi8(bytes)) "koi8_r"
+               else if (looksMacCyrillic(bytes)) "mac_cyrillic"
+               else "cp1251")
         // CJK multibyte before the Windows single-byte fallbacks: all have
         // structural (failable) decodes, so a pass is a real signal — but
         // require a lead-byte bias too, since short Cyrillic/Western byte
@@ -107,6 +115,15 @@ object Sniffers {
           Some("big5")
         else if (decodes(bytes, "Shift_JIS") && hasJisBias(bytes, eucJp = false))
           Some("shift_jis")
+        // cp866 (tier 3): a complete SBCS — decode can never fail — but
+        // its LOWERCASE run is split across 0xA0-0xAF (а-п) and
+        // 0xE0-0xEF (р-я) with uppercase at 0x80-0x9F, a band geography
+        // no other supported codec produces (cp1251/mac put lowercase at
+        // 0xE0+, koi8 at 0xC0-0xDF). Dense high bytes confined to those
+        // three bands, with the а-п band dominant, is the structural
+        // signature. Ordered after the failable CJK decodes and BEFORE
+        // cp1252 (lowercase cp866 bytes happen to be valid cp1252).
+        else if (looksCp866(bytes)) Some("cp866")
         else if (decodes(bytes, "windows-1252")) Some("cp1252")
         else Some("latin_1") // latin-1 decodes any byte sequence
       }
@@ -202,6 +219,52 @@ object Sniffers {
       else if (v >= 0xe0) hi += 1
     }
     lo > hi * 2
+  }
+
+  /** Mac-Cyrillic vs cp1251, decided by WHERE the uppercase lives: both
+    * put lowercase а-ю at 0xE0-0xFE, but Mac uppercase А-Я sits at
+    * 0x80-0x9F (cp1251's at 0xC0-0xDF; its 0x80-0x9F carries only rare
+    * punctuation). Requires ≥2 upper-band bytes AND more of them than
+    * the 0xC0-0xDF band (which for Mac text holds only я=0xDF/ё). */
+  private def looksMacCyrillic(b: Array[Byte]): Boolean = {
+    var high = 0
+    var upper = 0 // 0x80-0x9F: mac uppercase
+    var mid = 0 // 0xC0-0xDF: cp1251 uppercase (mac: just я, ё)
+    b.foreach { x =>
+      val v = x & 0xff
+      if (v >= 0x80) {
+        high += 1
+        if (v <= 0x9f) upper += 1
+        else if (v >= 0xc0 && v <= 0xdf) mid += 1
+      }
+    }
+    // the ≥3% floor keeps a stray cp1251 „quote“ pair (0x80-0x9F
+    // punctuation) from flipping a lowercase page to mac_cyrillic
+    upper >= 2 && upper > mid && upper * 32 >= high
+  }
+
+  /** cp866 band geography (see the cascade comment): dense high bytes,
+    * ≥95% confined to {0x80-0x9F, 0xA0-0xAF, 0xE0-0xEF}, with the а-п
+    * lowercase band 0xA0-0xAF carrying at least as much as 0xE0-0xEF
+    * and at least a third of all high bytes (а/е/и/н/о all live there,
+    * so running Russian text always does). */
+  private def looksCp866(b: Array[Byte]): Boolean = {
+    var high = 0
+    var upper = 0 // 0x80-0x9F
+    var lowA = 0 // 0xA0-0xAF: а-п
+    var lowB = 0 // 0xE0-0xEF: р-я
+    b.foreach { x =>
+      val v = x & 0xff
+      if (v >= 0x80) {
+        high += 1
+        if (v <= 0x9f) upper += 1
+        else if (v <= 0xaf) lowA += 1
+        else if (v >= 0xe0 && v <= 0xef) lowB += 1
+      }
+    }
+    high >= 8 && high * 4 >= b.length &&
+      (upper + lowA + lowB) * 20 >= high * 19 &&
+      lowA >= lowB && lowA * 3 >= high
   }
 
   /** EUC kana-row evidence, PROPORTIONAL: pairs with lead 0xA4 (hiragana)

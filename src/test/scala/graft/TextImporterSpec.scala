@@ -209,4 +209,37 @@ class TextImporterSpec extends SparkSpec {
         put("zh_quote.txt", zhQuote.getBytes("GB2312")))
       .contains("gb2312"))
   }
+
+  test("charset_normalizer label parity tier 3: cp866, mac_cyrillic") {
+    import graft.sources.Sniffers
+    val dir = tmpDir("enc6")
+    def put(name: String, bytes: Array[Byte]): String = {
+      val p = dir.resolve(name)
+      java.nio.file.Files.write(p, bytes)
+      p.toString
+    }
+    val ru = "привет мир как дела сегодня и ещё немного текста для проверки\n"
+    val ruCap = "Привет Мир Как Дела Сегодня Ещё Немного Текста Для Проверки\n"
+    // cp866's split lowercase bands (а-п at 0xA0-0xAF, р-я at 0xE0-0xEF)
+    // are unique among the supported codecs — claimed in either case
+    assert(Sniffers.detectEncoding(put("dos.txt", ru.getBytes("IBM866")))
+      .contains("cp866"))
+    assert(Sniffers.detectEncoding(put("dos2.txt", ruCap.getBytes("IBM866")))
+      .contains("cp866"))
+    // mac_cyrillic splits from cp1251 by WHERE the uppercase lives
+    // (0x80-0x9F vs 0xC0-0xDF) — capitalized text carries the signal
+    assert(Sniffers.detectEncoding(
+        put("mac.txt", ruCap.getBytes("x-MacCyrillic")))
+      .contains("mac_cyrillic"))
+    // ALL-lowercase Mac text is byte-identical to cp1251 (both put а-ю
+    // at 0xE0-0xFE): the honest label is the common codec
+    assert(Sniffers.detectEncoding(
+        put("mac_lo.txt", ru.getBytes("x-MacCyrillic")))
+      .contains("cp1251"))
+    // and the tier-1/2 Cyrillic set is undisturbed
+    assert(Sniffers.detectEncoding(put("win.txt", ruCap.getBytes("windows-1251")))
+      .contains("cp1251"))
+    assert(Sniffers.detectEncoding(put("koi2.txt", ru.getBytes("KOI8-R")))
+      .contains("koi8_r"))
+  }
 }
