@@ -2003,6 +2003,66 @@ object DedupQueries {
       ORDER BY doc_id""")
   )
 
+  /** Cluster-transitivity audit — the honesty check on connected-component
+    * dedup: component clustering merges documents by CHAINS (a~b, b~c ⇒
+    * {a,b,c}) even when the endpoints a,c share no direct similarity
+    * edge. Per multi-member cluster this reports how many member pairs
+    * are direct edges vs chained-only — the number that tells a curation
+    * team whether their threshold produces tight duplicate groups or
+    * topic-blob over-merging (a high chained share means canonical-doc
+    * selection is collapsing documents that never matched each other).
+    *
+    * Scale shape: q24's component loop (8-byte label shuffles) + ONE
+    * cluster-keyed count of the existing edge table + integer pair
+    * algebra (C(n,2) − direct). Nothing new shuffles at scale; the audit
+    * rides artifacts the dedup pipeline already built. */
+  val q141 = Q(
+    "q141_chain_audit",
+    (s, dir) => {
+      val docs = documents(s, dir)
+      val comp = jaccardComponents(docs)
+      val sizes = comp.groupBy("cluster")
+        .agg(count(lit(1)).as("n_members"))
+      val direct = jaccardPairs(docs)
+        .select(col("doc_a"))
+        .join(comp.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .groupBy("cluster").agg(count(lit(1)).as("direct_pairs"))
+      sizes.join(direct, Seq("cluster"), "left")
+        .na.fill(0L, Seq("direct_pairs"))
+        .filter(col("n_members") > 1)
+        .select(col("cluster"), col("n_members"), col("direct_pairs"),
+          expr("n_members * (n_members - 1) div 2 - direct_pairs")
+            .as("chained_pairs"))
+        .orderBy("cluster")
+    },
+    Some(s"""
+      WITH RECURSIVE $JaccardPairsSql,
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM jp
+        UNION ALL
+        SELECT doc_b, doc_a FROM jp),
+      reach(src, node) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.node),
+      comp AS (
+        SELECT src AS doc_id, MIN(node) AS cluster FROM reach GROUP BY src),
+      sizes AS (
+        SELECT cluster, COUNT(*) AS n_members FROM comp GROUP BY cluster),
+      direct AS (
+        SELECT c.cluster, COUNT(*) AS direct_pairs
+        FROM jp JOIN comp c ON c.doc_id = jp.doc_a
+        GROUP BY c.cluster)
+      SELECT s.cluster, s.n_members,
+             COALESCE(d.direct_pairs, 0) AS direct_pairs,
+             s.n_members * (s.n_members - 1) // 2
+               - COALESCE(d.direct_pairs, 0) AS chained_pairs
+      FROM sizes s LEFT JOIN direct d USING (cluster)
+      WHERE s.n_members > 1
+      ORDER BY s.cluster""")
+  )
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q26, q38, q71, q74, q76,
-    q82, q88, q90, q91, q95, q101, q103, q114, q115, q130, q133, q134)
+    q82, q88, q90, q91, q95, q101, q103, q114, q115, q130, q133, q134,
+    q141)
 }

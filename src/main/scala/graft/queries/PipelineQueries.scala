@@ -1368,7 +1368,119 @@ object PipelineQueries {
       FROM ranked ORDER BY source""")
   )
 
+  /** Frequency-pruned vocabulary with an OOV audit — the tokenizer-design
+    * question every pipeline answers before training: what is the SMALLEST
+    * vocabulary covering ≥80% of the corpus token mass, and what OOV rate
+    * does each source then pay? The kept set is the shortest prefix of the
+    * (tf DESC, token) ordering whose running mass reaches the threshold —
+    * computed with integer arithmetic (`cum_before * 100 < total * 80`) so
+    * the boundary token is engine-exact; OOV rates are reported in basis
+    * points via integer division for the same reason.
+    *
+    * Scale shape: one wordcount aggregate (map-side combined, vocab-sized
+    * after), one unpartitioned window over the VOCABULARY (not the corpus
+    * — a few million rows at web scale, one node's work), then a
+    * broadcast anti-join of the token stream against the kept set and a
+    * source-keyed count. Document text never shuffles; the only
+    * corpus-sized exchange carries (source, token) pairs pre-aggregated
+    * by the combiner. */
+  val q139 = Q(
+    "q139_vocab_coverage",
+    (s, dir) => {
+      val toks = documents(s, dir)
+        .select(col("source"),
+          explode(split(col("text"), "\\s+")).as("token"))
+        .filter(length(col("token")) > 0)
+        .materialized // consumers: vocab counts, per-source totals, OOV
+      val counts = toks.groupBy("token").agg(count(lit(1)).as("tf"))
+      val total = counts.agg(sum(col("tf")).as("total"))
+      val w = Window.orderBy(col("tf").desc, col("token"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val kept = counts
+        .withColumn("cum", sum(col("tf")).over(w))
+        .crossJoin(broadcast(total))
+        .filter((col("cum") - col("tf")) * 100 < col("total") * 80)
+        .select("token")
+      val vocabSize = kept.agg(count(lit(1)).as("vocab_size"))
+      val perSource = toks.groupBy("source")
+        .agg(count(lit(1)).as("total_tokens"))
+      val oov = toks.join(broadcast(kept), Seq("token"), "left_anti")
+        .groupBy("source").agg(count(lit(1)).as("oov_tokens"))
+      perSource.join(oov, Seq("source"), "left")
+        .na.fill(0L, Seq("oov_tokens"))
+        .crossJoin(broadcast(vocabSize))
+        .select(col("source"), col("total_tokens"), col("oov_tokens"),
+          expr("oov_tokens * 10000 div total_tokens").as("oov_bp"),
+          col("vocab_size"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT source, unnest(string_split_regex(text, '\s+')) AS token
+        FROM documents),
+      tok AS (SELECT * FROM toks WHERE length(token) > 0),
+      counts AS (SELECT token, COUNT(*) AS tf FROM tok GROUP BY token),
+      total AS (SELECT CAST(SUM(tf) AS BIGINT) AS total FROM counts),
+      cum AS (
+        SELECT token, tf,
+               CAST(SUM(tf) OVER (ORDER BY tf DESC, token
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM counts),
+      kept AS (
+        SELECT token FROM cum, total WHERE (cum - tf) * 100 < total * 80),
+      vs AS (SELECT COUNT(*) AS vocab_size FROM kept),
+      per AS (SELECT source, COUNT(*) AS total_tokens FROM tok GROUP BY source),
+      oov AS (
+        SELECT source, COUNT(*) AS oov_tokens FROM tok
+        WHERE token NOT IN (SELECT token FROM kept)
+        GROUP BY source)
+      SELECT p.source, p.total_tokens,
+             COALESCE(o.oov_tokens, 0) AS oov_tokens,
+             COALESCE(o.oov_tokens, 0) * 10000 // p.total_tokens AS oov_bp,
+             vs.vocab_size
+      FROM per p LEFT JOIN oov o USING (source), vs
+      ORDER BY p.source""")
+  )
+
+  /** Deterministic per-source quota sampling — the per-domain cap a web
+    * corpus applies so no single source dominates training: each source
+    * keeps its `Cap` documents with the smallest content-hash buckets
+    * (ties by doc_id). Unlike a threshold sample (q34), the yield per
+    * source is EXACT; unlike `df.sample`, selection is a pure function of
+    * content — reproducible on any cluster size, and survivors are
+    * re-derivable for audit.
+    *
+    * Scale shape: one map-side hash projection + one window over
+    * source-sized groups (`WindowGroupLimit` prunes rank > Cap before the
+    * sort spills at 100 TB) — no joins, text never shuffles. */
+  val q142 = Q(
+    "q142_quota_sample",
+    (s, dir) => {
+      val bucket = conv(substring(md5(col("text")), 1, 8), 16, 10)
+        .cast("long")
+      val w = Window.partitionBy("source")
+        .orderBy(col("bucket"), col("doc_id"))
+      documents(s, dir)
+        .select(col("doc_id"), col("source"), bucket.as("bucket"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 8)
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH b AS (
+        SELECT doc_id, source,
+               ('0x' || substr(md5(text), 1, 8))::BIGINT AS bucket
+        FROM documents),
+      ranked AS (
+        SELECT doc_id, source, bucket,
+               ROW_NUMBER() OVER (PARTITION BY source
+                 ORDER BY bucket, doc_id) AS rk
+        FROM b)
+      SELECT doc_id, source, bucket, CAST(rk AS BIGINT) AS rk
+      FROM ranked WHERE rk <= 8 ORDER BY doc_id""")
+  )
+
   val all: Seq[Q] = Seq(q33, q34, q35, q37, q46, q53, q54, q55, q56, q57,
     q65, q66, q67, q69, q72, q83, q86, q96, q104, q108, q116, q117, q121,
-    q131, q137)
+    q131, q137, q139, q142)
 }

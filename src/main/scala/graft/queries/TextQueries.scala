@@ -781,6 +781,58 @@ object TextQueries {
       ORDER BY merge_round""")
   )
 
+  /** Per-document n-gram NOVELTY — the inverse of near-dup detection: what
+    * fraction of a document's distinct 5-grams appear in NO other
+    * document? Low novelty flags boilerplate-heavy or template-generated
+    * documents even when no single pair crosses a dedup threshold; the
+    * corpus-level novelty distribution is the health metric web-crawl
+    * curation tracks release over release. Reported in basis points via
+    * integer division (engine-exact).
+    *
+    * Scale shape: grams are digested to 16-hex md5 prefixes before any
+    * exchange (the q91 key discipline — text never shuffles), then one
+    * wordcount aggregate over gram digests + one digest-keyed join back
+    * + one doc-keyed count. At 100 TB this is the q21 shingle volume
+    * without the pair join. */
+  val q140 = Q(
+    "q140_novel_ngrams",
+    (s, dir) => {
+      val grams = documents(s, dir)
+        .select(col("doc_id"),
+          graft.functions.GraftFunctions.word_ngrams(col("text"), 5).as("g"))
+        .select(col("doc_id"), substring(md5(col("g")), 1, 16).as("h"))
+        .distinct()
+        .materialized // consumers: gram document-frequency + per-doc join
+      val dfreq = grams.groupBy("h").agg(count(lit(1)).as("df"))
+      grams.join(dfreq, "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("novel_grams"))
+        .select(col("doc_id"), col("n_grams"), col("novel_grams"),
+          expr("novel_grams * 10000 div n_grams").as("novelty_bp"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH w AS (
+        SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+      g AS (
+        SELECT DISTINCT doc_id,
+               substr(md5(array_to_string(w[i:i+4], ' ')), 1, 16) AS h
+        FROM (SELECT doc_id, w,
+                     unnest(range(1, greatest(len(w) - 4, 1) + 1)) AS i
+              FROM w)
+        WHERE len(w) >= 5),
+      dfreq AS (SELECT h, COUNT(*) AS df FROM g GROUP BY h),
+      per AS (
+        SELECT doc_id, COUNT(*) AS n_grams,
+               CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS novel_grams
+        FROM g JOIN dfreq USING (h) GROUP BY doc_id)
+      SELECT doc_id, n_grams, novel_grams,
+             novel_grams * 10000 // n_grams AS novelty_bp
+      FROM per ORDER BY doc_id""")
+  )
+
   val all: Seq[Q] = Seq(q25, q30, q31, q32, q36, q78, q87, q97, q100, q124,
-    q135)
+    q135, q140)
 }

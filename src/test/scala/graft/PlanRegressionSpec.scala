@@ -259,7 +259,12 @@ class PlanRegressionSpec extends SparkSpec {
       // q136: the exact-ground-truth side of the recall audit is q40's
       // broadcast probe panel (8 rows) scored against the streaming
       // corpus — case (b); the LSH side is a bucket equi-join
-      "q136_ann_recall")
+      "q136_ann_recall",
+      // q139: two ONE-ROW scalar frames (corpus token total, kept-vocab
+      // size) cross joined over vocab-sized / source-sized tables —
+      // case (a); the corpus-sized paths are wordcount aggregates and a
+      // broadcast anti-join on the kept set
+      "q139_vocab_coverage")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")
