@@ -102,8 +102,9 @@ object BulkIngest {
     * so a 10⁸-file corpus gets BOTH the fan-out and the size split.
     *
     * Files at or above `bigBytes` with a range-splittable format
-    * (`.xlsx`, `.xlsb`, SpreadsheetML `.xml`) are routed through their
-    * DSv2 sources (`graft-excel` / `graft-xlsb` / `graft-xmlss`) —
+    * (`.xlsx`, `.xlsb`, SpreadsheetML `.xml`, OpenDocument
+    * `.ods`/`.odf`/`.odt`) are routed through their DSv2 sources
+    * (`graft-excel` / `graft-xlsb` / `graft-xmlss` / `graft-ods`) —
     * sheet-per-partition executor decode with streaming row iterators,
     * so a single multi-GB workbook does not pin one task's memory to the
     * whole file. Both roads emit the same [[CellRow]] shape (the DSv2
@@ -136,7 +137,8 @@ object BulkIngest {
     def isBig(p: String, len: Long): Boolean = {
       val l = p.toLowerCase
       len >= bigBytes &&
-        (l.endsWith(".xlsx") || l.endsWith(".xlsb") || l.endsWith(".xml"))
+        (l.endsWith(".xlsx") || l.endsWith(".xlsb") || l.endsWith(".xml") ||
+          l.endsWith(".ods") || l.endsWith(".odf") || l.endsWith(".odt"))
     }
 
     // Distributed listing with lengths: one listStatus on the driver
@@ -160,8 +162,9 @@ object BulkIngest {
       .filter((e: (String, Long)) => isBig(e._1, e._2))
       .map(_._1)(Encoders.STRING)
       .collect().toSeq.sorted
-    val (bigXlsx, rest) = big.partition(_.toLowerCase.endsWith(".xlsx"))
-    val (bigXlsb, bigXml) = rest.partition(_.toLowerCase.endsWith(".xlsb"))
+    val (bigXlsx, rest0) = big.partition(_.toLowerCase.endsWith(".xlsx"))
+    val (bigXlsb, rest1) = rest0.partition(_.toLowerCase.endsWith(".xlsb"))
+    val (bigXml, bigOds) = rest1.partition(_.toLowerCase.endsWith(".xml"))
 
     // Small road: listing output flows straight into the file-grain
     // parse — never collected.
@@ -279,7 +282,35 @@ object BulkIngest {
         }
       }
     }
-    (bigDfs ++ xmlDfs).foldLeft(base)(_ union _)
+    // big OpenDocument files: the graft-ods road (same one-big-XML shape
+    // as xmlss — per-table partitions with an executor-batched shape
+    // probe; table names carry through the shared metadata columns)
+    val odsShapes: Map[String, Option[Seq[(Int, String, Int)]]] =
+      if (bigOds.isEmpty) Map.empty
+      else spark.sparkContext
+        .parallelize(bigOds, batched(bigOds.length))
+        .map { p =>
+          FsIO.install(props)
+          val r =
+            try Some(graft.sources.ods.OdsStream.tableShapes(p)
+              .map(sh => (sh.index, sh.name, sh.width)))
+            catch { case _: Exception => None }
+          (p, r)
+        }
+        .collect().toMap
+    val odsDfs: Seq[DataFrame] = bigOds.flatMap { p =>
+      odsShapes(p) match {
+        case None | Some(Seq()) => Seq(failedRow(p, "ImportExcel"))
+        case Some(shapes) => shapes.map { case (idx, name, width) =>
+          toCellRows(spark.read.format("graft-ods")
+            .schema(graft.sources.TextImporter.positionalSchema(width))
+            .option("table", idx.toString)
+            .option("sheetname", name)
+            .load(p), p, "ImportExcel")
+        }
+      }
+    }
+    (bigDfs ++ xmlDfs ++ odsDfs).foldLeft(base)(_ union _)
   }
 
   def parseFiles(spark: SparkSession, paths: Seq[String], partitions: Int = 0): DataFrame = {

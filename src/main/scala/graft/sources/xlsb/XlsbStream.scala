@@ -1,11 +1,9 @@
 package graft.sources.xlsb
 
 import java.io.InputStream
-import java.util.zip.ZipFile
 
 import scala.collection.mutable.ArrayBuffer
 
-import graft.sources.FsIO
 import graft.sources.xlsx.XlsxParser.SheetRef
 import graft.sources.zip.RangedZip
 
@@ -66,29 +64,10 @@ object XlsbStream {
   }
 
   /** Open one zip entry as a stream: ranged road first, localize+ZipFile
-    * fallback. Returns the stream plus the closer that releases whatever
-    * container resources back it. */
+    * fallback (shared policy, [[RangedZip.entryStreamOrLocalize]]). */
   private[xlsb] def entryStream(
       path: String, entry: String): Option[(InputStream, () => Unit)] =
-    try {
-      val view = new RangedZip.ZipView(path)
-      view.open(entry).map(in => (in, () => in.close()))
-    } catch {
-      case _: Exception =>
-        val localized = FsIO.localize(path)
-        try {
-          val zip = new ZipFile(localized.file)
-          Option(zip.getEntry(entry)) match {
-            case None =>
-              zip.close(); localized.close(); None
-            case Some(e) =>
-              val in = zip.getInputStream(e)
-              Some((in, () => { in.close(); zip.close(); localized.close() }))
-          }
-        } catch {
-          case e: Throwable => localized.close(); throw e
-        }
-    }
+    RangedZip.entryStreamOrLocalize(path, entry)
 
   private def readEntryBytes(path: String, entry: String): Option[Array[Byte]] =
     entryStream(path, entry).map { case (in, closer) =>

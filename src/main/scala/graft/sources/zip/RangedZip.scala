@@ -185,6 +185,32 @@ object RangedZip {
     override def close(): Unit = in.close()
   }
 
+  /** Open one entry as a stream with the standard fallback policy: ranged
+    * road first; containers the ranged reader rejects go through
+    * localize+`ZipFile`. Returns the stream plus the closer that releases
+    * whatever container resources back it. */
+  def entryStreamOrLocalize(
+      path: String, entry: String): Option[(InputStream, () => Unit)] =
+    try {
+      val view = new ZipView(path)
+      view.open(entry).map(in => (in, () => in.close()))
+    } catch {
+      case _: Exception =>
+        val localized = FsIO.localize(path)
+        try {
+          val zip = new java.util.zip.ZipFile(localized.file)
+          Option(zip.getEntry(entry)) match {
+            case None =>
+              zip.close(); localized.close(); None
+            case Some(e) =>
+              val in = zip.getInputStream(e)
+              Some((in, () => { in.close(); zip.close(); localized.close() }))
+          }
+        } catch {
+          case e: Throwable => localized.close(); throw e
+        }
+    }
+
   /** A reusable view: one central-directory parse, many entry opens. */
   final class ZipView(val path: String, knownLen: Long = -1L) {
     val entries: Map[String, Entry] = RangedZip.entries(path, knownLen)
