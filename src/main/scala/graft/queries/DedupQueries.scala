@@ -2062,7 +2062,85 @@ object DedupQueries {
       ORDER BY s.cluster""")
   )
 
+  /** Dedup-threshold YIELD sweep — the calibration run before committing
+    * to a similarity cutoff: every candidate pair above the q21 floor
+    * (j ≥ 0.05) lands in a 5%-wide similarity bucket
+    * (`floor(jaccard·20)` — both engines derive the double from the same
+    * integer division, so the bucket boundary is engine-exact), and each
+    * bucket reports its pair count and distinct documents touched. Read
+    * cumulatively from the top, this is "how many pairs/docs would a
+    * threshold of t remove" — the q83 quality-sweep idea applied to the
+    * dedup knob.
+    *
+    * Scale shape: q21's prefix-filtered pair machinery (the expensive
+    * part a pipeline already runs) + one bucket-keyed count + one
+    * (bucket, doc) distinct — 9-byte rows. Text never shuffles. */
+  val q143 = Q(
+    "q143_threshold_yield",
+    (s, dir) => {
+      val jp = jaccardPairs(documents(s, dir))
+        .withColumn("bucket", floor(col("jaccard") * 20).cast("long"))
+        .materialized // consumers: pair counts + doc explode
+      val pairs = jp.groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+      val docs = jp
+        .select(col("bucket"),
+          explode(array(col("doc_a"), col("doc_b"))).as("d"))
+        .groupBy("bucket").agg(countDistinct(col("d")).as("n_docs"))
+      pairs.join(docs, "bucket").orderBy("bucket")
+    },
+    Some(s"""
+      WITH $JaccardPairsSql,
+      b AS (
+        SELECT doc_a, doc_b, CAST(floor(jaccard * 20) AS BIGINT) AS bucket
+        FROM jp),
+      bpairs AS (SELECT bucket, COUNT(*) AS n_pairs FROM b GROUP BY bucket),
+      bdocs AS (
+        SELECT bucket, COUNT(DISTINCT d) AS n_docs
+        FROM (SELECT bucket, unnest([doc_a, doc_b]) AS d FROM b)
+        GROUP BY bucket)
+      SELECT bucket, n_pairs, n_docs
+      FROM bpairs JOIN bdocs USING (bucket) ORDER BY bucket""")
+  )
+
+  /** Cross-source near-duplication flow matrix — WHERE duplication comes
+    * from: each q21 near-dup pair lands in the unordered (source, source)
+    * cell of its two documents' origins. Heavy diagonal cells mean
+    * within-crawl boilerplate; heavy off-diagonal cells mean mirror
+    * domains — the signal that drives source-level dedup (q133) and
+    * per-source caps (q142).
+    *
+    * Scale shape: the pair machinery + two id-keyed joins to the (doc_id,
+    * source) projection + one catalog²-bounded aggregate (a few thousand
+    * cells for any real source catalog). Text never shuffles. */
+  val q144 = Q(
+    "q144_source_overlap",
+    (s, dir) => {
+      val docs = documents(s, dir)
+      val src = docs.select(col("doc_id"), col("source"))
+      jaccardPairs(docs)
+        .join(src.withColumnRenamed("doc_id", "doc_a")
+          .withColumnRenamed("source", "src_a"), "doc_a")
+        .join(src.withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("source", "src_b"), "doc_b")
+        .select(least(col("src_a"), col("src_b")).as("source_1"),
+          greatest(col("src_a"), col("src_b")).as("source_2"))
+        .groupBy("source_1", "source_2")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("source_1", "source_2")
+    },
+    Some(s"""
+      WITH $JaccardPairsSql
+      SELECT least(da.source, db.source) AS source_1,
+             greatest(da.source, db.source) AS source_2,
+             COUNT(*) AS n_pairs
+      FROM jp
+      JOIN documents da ON da.doc_id = doc_a
+      JOIN documents db ON db.doc_id = doc_b
+      GROUP BY 1, 2
+      ORDER BY source_1, source_2""")
+  )
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q26, q38, q71, q74, q76,
     q82, q88, q90, q91, q95, q101, q103, q114, q115, q130, q133, q134,
-    q141)
+    q141, q143, q144)
 }
