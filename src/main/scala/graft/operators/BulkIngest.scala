@@ -110,9 +110,13 @@ object BulkIngest {
     * whole file. Both roads emit the same [[CellRow]] shape (the DSv2
     * road via the `_sheet`/`_row_idx` metadata columns), so downstream
     * consumers cannot tell which planner decision a row took. Big
-    * NON-splittable files (a multi-GB `.xls` binary, a huge `.pdf`) stay
+    * NON-splittable files (a huge `.pdf`, a giant text file) stay
     * file-grain — their formats have no random-access split point; the
     * per-task bound there is one file, documented on [[parseOne]].
+    * `.xls` deliberately has no big-file road: BIFF8 caps a sheet at
+    * 65,536×256 cells, so the CELL payload of any real `.xls` is small —
+    * a multi-GB one is carrying embedded objects the cell decode never
+    * materializes.
     *
     * The listing sweep runs twice end-to-end: once eagerly (the big-file
     * collect) and once lazily when the returned frame executes (the

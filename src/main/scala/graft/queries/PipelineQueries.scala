@@ -1480,7 +1480,170 @@ object PipelineQueries {
       FROM ranked WHERE rk <= 8 ORDER BY doc_id""")
   )
 
+  /** Per-document start offsets of the GPT-style concat-and-chunk packing
+    * order: documents concatenated by ascending `doc_id`, each document's
+    * `startp` = tokens of everything before it. Shared by q145/q146.
+    *
+    * The oracle computes this with ONE global window (`SUM OVER (ORDER BY
+    * doc_id)`), which on Spark would funnel the corpus through a single
+    * task. Here the cumulative sum is two-phase: per-doc token counts roll
+    * up into `doc_id div 4096` range buckets (a map-side-combined
+    * aggregate producing corpus/4096 rows), an unpartitioned window runs
+    * ONLY over that bucket table to produce each bucket's prefix total,
+    * and the per-document remainder is a window PARTITIONED by bucket —
+    * so no task ever sees more than one bucket of documents. The bucket
+    * prefixes broadcast back. Bucket order ⊆ doc_id order, so the
+    * reconstructed offsets are bit-identical to the oracle's single
+    * window. */
+  private def packedOffsets(
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val toks = documents(s, dir)
+      .select(col("doc_id"),
+        size(filter(split(col("text"), "\\s+"), x => length(x) > 0))
+          .cast("long").as("ntok"))
+      .filter(col("ntok") > 0)
+      .withColumn("bucket", expr("doc_id div 4096"))
+    val bucketPrefix = toks
+      .groupBy("bucket").agg(sum(col("ntok")).as("btok"))
+      .withColumn("bprefix",
+        coalesce(sum(col("btok")).over(Window.partitionBy(lit(1))
+          .orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bucket", "bprefix")
+    val within = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    toks.join(broadcast(bucketPrefix), "bucket")
+      .withColumn("startp",
+        col("bprefix") + sum(col("ntok")).over(within) - col("ntok"))
+      .select("doc_id", "ntok", "startp")
+  }
+
+  /** Oracle-side twin of [[packedOffsets]] (single global window — fine
+    * for DuckDB, replaced by the two-phase shape on Spark). */
+  private val PackedOffsetsSql = """
+      toks AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                    t -> length(t) > 0)) AS BIGINT) AS ntok
+        FROM documents),
+      pos AS (
+        SELECT doc_id, ntok,
+               CAST(SUM(ntok) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - ntok AS BIGINT) AS startp
+        FROM toks WHERE ntok > 0)"""
+
+  /** Sequence-packing audit — the training-example assembly step of an
+    * LLM pipeline made relational: documents concatenate in deterministic
+    * `doc_id` order and split into fixed 512-token context windows
+    * (concat-and-chunk, the padding-free packing GPT-style pipelines
+    * use). Output is the docs-per-chunk histogram with full-chunk and
+    * token accounting — the shape that tells you how many examples cross
+    * document boundaries and how much attention-mask fragmentation to
+    * expect per context length. Complements q65: THAT packs onto W
+    * independent per-worker streams (offsets only meaningful within a
+    * stream); THIS audits the single globally-ordered packing a
+    * reproducible eval corpus needs, which is exactly the case where the
+    * naive global-window cumsum becomes the scale hazard.
+    *
+    * Exactness: token counts, offsets and chunk ids are all BIGINT
+    * integer algebra (`div` ↔ `//` at the same points); no floats.
+    *
+    * Scale shape: offsets via the two-phase cumsum of [[packedOffsets]]
+    * (nothing corpus-sized ever crosses one task); each document then
+    * explodes into only the ⌈ntok/512⌉+1 chunks it touches; the chunk
+    * roll-up is a wordcount-shaped HashAggregate keyed by chunk_id whose
+    * shuffle carries 24-byte rows; the histogram over chunks is tiny. */
+  val q145 = Q(
+    "q145_sequence_packing",
+    (s, dir) => {
+      val spans = packedOffsets(s, dir)
+        .withColumn("endp", col("startp") + col("ntok"))
+        .withColumn("c0", expr("startp div 512"))
+        .withColumn("c1", expr("(startp + ntok - 1) div 512"))
+      val chunks = spans
+        .select(explode(sequence(col("c0"), col("c1"))).as("chunk_id"),
+          col("startp"), col("endp"))
+        .groupBy("chunk_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(least(col("endp"), (col("chunk_id") + 1) * 512) -
+            greatest(col("startp"), col("chunk_id") * 512)).as("n_tokens"))
+      chunks.groupBy("n_docs")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("n_tokens") === 512, 1L).otherwise(0L))
+            .as("full_chunks"),
+          sum(col("n_tokens")).as("tokens"))
+        .orderBy("n_docs")
+    },
+    Some(s"""
+      WITH $PackedOffsetsSql,
+      spans AS (
+        SELECT doc_id, ntok, startp, startp + ntok AS endp,
+               startp // 512 AS c0, (startp + ntok - 1) // 512 AS c1
+        FROM pos),
+      cells AS (
+        SELECT doc_id, unnest(range(c0, c1 + 1)) AS chunk_id, startp, endp
+        FROM spans),
+      chunks AS (
+        SELECT chunk_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(LEAST(endp, (chunk_id + 1) * 512)
+                        - GREATEST(startp, chunk_id * 512)) AS BIGINT)
+                 AS n_tokens
+        FROM cells GROUP BY chunk_id)
+      SELECT n_docs, COUNT(*) AS n_chunks,
+             CAST(SUM(CASE WHEN n_tokens = 512 THEN 1 ELSE 0 END) AS BIGINT)
+               AS full_chunks,
+             CAST(SUM(n_tokens) AS BIGINT) AS tokens
+      FROM chunks GROUP BY n_docs ORDER BY n_docs""")
+  )
+
+  /** Context-length sweep over the same packing: for each candidate
+    * window size C ∈ {128, 256, 512, 1024, 2048}, how many documents get
+    * split across a chunk boundary, how many chunks the epoch needs, and
+    * the final-chunk padding — the table a pretraining config review
+    * reads before fixing sequence length. Key fact exploited: under
+    * concat-and-chunk the OFFSETS are C-independent, so one offset pass
+    * (the [[packedOffsets]] two-phase cumsum) serves all five C values
+    * via a literal-array explode — map-side, no join, no re-scan.
+    *
+    * Scale shape: 5× row multiplication of (doc_id, ntok, startp) tuples
+    * only (24 bytes each, text never leaves the first projection), then
+    * a 5-group map-side-combined aggregate. */
+  val q146 = Q(
+    "q146_context_sweep",
+    (s, dir) => {
+      val perdoc = packedOffsets(s, dir)
+        .select(col("ntok"), col("startp"),
+          explode(array(lit(128), lit(256), lit(512), lit(1024), lit(2048)))
+            .as("c"))
+        .withColumn("is_split",
+          when(expr("startp div c") < expr("(startp + ntok - 1) div c"), 1)
+            .otherwise(0))
+      perdoc.groupBy("c")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("is_split")).as("docs_split"),
+          expr("(sum(ntok) + c - 1) div c").as("n_chunks"),
+          expr("((sum(ntok) + c - 1) div c) * c - sum(ntok)")
+            .as("pad_tokens"))
+        .orderBy("c")
+    },
+    Some(s"""
+      WITH $PackedOffsetsSql,
+      perdoc AS (
+        SELECT p.doc_id, p.ntok, c.c,
+               CAST(p.startp // c.c < (p.startp + p.ntok - 1) // c.c AS INT)
+                 AS is_split
+        FROM pos p CROSS JOIN
+             (SELECT unnest([128, 256, 512, 1024, 2048]) AS c) c)
+      SELECT c, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(is_split) AS BIGINT) AS docs_split,
+             CAST((SUM(ntok) + c - 1) // c AS BIGINT) AS n_chunks,
+             CAST(((SUM(ntok) + c - 1) // c) * c - SUM(ntok) AS BIGINT)
+               AS pad_tokens
+      FROM perdoc GROUP BY c ORDER BY c""")
+  )
+
   val all: Seq[Q] = Seq(q33, q34, q35, q37, q46, q53, q54, q55, q56, q57,
     q65, q66, q67, q69, q72, q83, q86, q96, q104, q108, q116, q117, q121,
-    q131, q137, q139, q142)
+    q131, q137, q139, q142, q145, q146)
 }
