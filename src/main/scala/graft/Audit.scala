@@ -64,7 +64,9 @@ object Audit {
     * exchange must stay under. */
   val DigestShuffleQueries: Seq[String] = Seq(
     "q20_dedup_exact", "q26_dup_spans", "q85_snapshot_diff",
-    "q88_canonical_select", "q91_max_dup_span", "q134_span_excise")
+    "q88_canonical_select", "q91_max_dup_span", "q134_span_excise",
+    "q140_novel_ngrams", "q145_sequence_packing", "q147_rank_fluency",
+    "q148_gapped_contamination")
 
   def shuffleAudit(spark: SparkSession, sfDir: String): Seq[String] = {
     DigestShuffleQueries.map { name =>

@@ -1643,7 +1643,83 @@ object PipelineQueries {
       FROM perdoc GROUP BY c ORDER BY c""")
   )
 
+  /** Gapped-shingle contamination — the paraphrase extension of q96:
+    * verbatim 5-gram overlap misses eval examples that entered the corpus
+    * with a single token edited (dates localized, a name swapped, a typo
+    * fixed). For every 5-token window this keys BOTH the verbatim shingle
+    * and the GAPPED shingle (middle token wildcarded, `w1 w2 * w4 w5`);
+    * a window whose gapped key hits the benchmark's gapped set while its
+    * verbatim key misses is exactly a one-middle-token substitution —
+    * reported as `paraphrase_only`, the contamination verbatim dedup
+    * can never see. Benchmark stand-in: doc_id < 50 (q96 convention; the
+    * eval set is externally supplied in production).
+    *
+    * Exactness: hit counters are integer sums over identical md5-prefix
+    * keys in both engines; no floats anywhere.
+    *
+    * Scale shape: identical to q96 — both benchmark key sets are
+    * distinct-hashed and BROADCAST (an eval benchmark is thousands of
+    * docs against a 100 TB corpus); corpus windows carry two 16-char
+    * digests, the joins are map-side, and the per-doc aggregate is a
+    * map-side-combined counter 4-tuple. Text never shuffles. */
+  val q148 = Q(
+    "q148_gapped_contamination",
+    (s, dir) => {
+      val keyed = documents(s, dir)
+        .select(col("doc_id"), split(col("text"), "\\s+").as("w"))
+        .filter(size(col("w")) >= 5)
+        .select(col("doc_id"), col("w"),
+          explode(sequence(lit(0), size(col("w")) - 5)).as("i"))
+        .select(col("doc_id"),
+          substring(md5(concat_ws(" ", expr("slice(w, i + 1, 5)"))), 1, 16)
+            .as("v"),
+          substring(md5(concat_ws(" ", expr("w[i]"), expr("w[i+1]"),
+            lit("*"), expr("w[i+3]"), expr("w[i+4]"))), 1, 16).as("g"))
+        .materialized // consumers: two bench key sets + the corpus scan
+      val benchV = keyed.filter(col("doc_id") < 50).select("v").distinct()
+      val benchG = keyed.filter(col("doc_id") < 50).select("g").distinct()
+      keyed.filter(col("doc_id") >= 50)
+        .join(broadcast(benchV.withColumn("hv", lit(1))), Seq("v"), "left")
+        .join(broadcast(benchG.withColumn("hg", lit(1))), Seq("g"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_windows"),
+          sum(coalesce(col("hv"), lit(0))).cast("long").as("verbatim_hits"),
+          sum(coalesce(col("hg"), lit(0))).cast("long").as("gapped_hits"),
+          sum(when(col("hg") === 1 && col("hv").isNull, 1).otherwise(0))
+            .cast("long").as("paraphrase_only"))
+        .filter(col("gapped_hits") > 0)
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH w AS (
+        SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+      k AS (
+        SELECT doc_id,
+               substr(md5(array_to_string(w[i:i+4], ' ')), 1, 16) AS v,
+               substr(md5(w[i] || ' ' || w[i+1] || ' * ' ||
+                          w[i+3] || ' ' || w[i+4]), 1, 16) AS g
+        FROM (SELECT doc_id, w,
+                     unnest(range(1, greatest(len(w) - 4, 1) + 1)) AS i
+              FROM w)
+        WHERE len(w) >= 5),
+      bv AS (SELECT DISTINCT v FROM k WHERE doc_id < 50),
+      bg AS (SELECT DISTINCT g FROM k WHERE doc_id < 50),
+      per AS (
+        SELECT doc_id, COUNT(*) AS n_windows,
+               CAST(SUM(CASE WHEN bv.v IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+                 AS verbatim_hits,
+               CAST(SUM(CASE WHEN bg.g IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+                 AS gapped_hits,
+               CAST(SUM(CASE WHEN bg.g IS NOT NULL AND bv.v IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                 AS paraphrase_only
+        FROM k LEFT JOIN bv ON k.v = bv.v LEFT JOIN bg ON k.g = bg.g
+        WHERE k.doc_id >= 50 GROUP BY doc_id)
+      SELECT doc_id, n_windows, verbatim_hits, gapped_hits, paraphrase_only
+      FROM per WHERE gapped_hits > 0 ORDER BY doc_id""")
+  )
+
   val all: Seq[Q] = Seq(q33, q34, q35, q37, q46, q53, q54, q55, q56, q57,
     q65, q66, q67, q69, q72, q83, q86, q96, q104, q108, q116, q117, q121,
-    q131, q137, q139, q142, q145, q146)
+    q131, q137, q139, q142, q145, q146, q148)
 }

@@ -833,6 +833,87 @@ object TextQueries {
       FROM per ORDER BY doc_id""")
   )
 
+  /** Bigram frequency-rank fluency score — an LM-free perplexity proxy:
+    * rank every corpus bigram by frequency (rank 1 = most frequent, ties
+    * share the competition rank), then score each document by the mean
+    * rank of its bigram occurrences. Fluent prose rides the head of the
+    * Zipf curve (low mean rank); gibberish, boilerplate-free templates
+    * and wrong-language text sit in the tail. The hapax count (bigrams
+    * occurring once in the whole corpus) is the rawest novelty signal.
+    * This is the frequency-based stand-in pipelines use when a real LM
+    * perplexity pass is too expensive for a first cut — and unlike
+    * log-prob scoring it is integer-exact, so the oracle hash-matches.
+    *
+    * Scale shape: bigram occurrences carry only 16-char md5 digests (the
+    * q140 convention); counts are one wordcount-shaped HashAggregate.
+    * The rank needs a global order over VOCABULARY frequencies — the
+    * scale hazard — so it is derived without ranking the vocabulary:
+    * collapse counts to the count-HISTOGRAM (one row per distinct
+    * frequency value; Zipf bounds this at O(√occurrences), thousands of
+    * rows at 100 TB), run the exclusive cumulative sum over that tiny
+    * table (the one single-partition window, bounded by construction),
+    * and broadcast the count→rank map back onto the vocab-sized count
+    * table. Per-doc scoring joins occurrences to ranked counts on the
+    * digest (8/16-byte shuffle rows) and aggregates map-side. Text
+    * never shuffles; nothing corpus- or vocab-sized crosses one task. */
+  val q147 = Q(
+    "q147_rank_fluency",
+    (s, dir) => {
+      val bi = documents(s, dir)
+        .select(col("doc_id"),
+          graft.functions.GraftFunctions.word_ngrams(col("text"), 2).as("g"))
+        .select(col("doc_id"), substring(md5(col("g")), 1, 16).as("h"))
+        .materialized // consumers: corpus counts + per-doc scoring join
+      val counts = bi.groupBy("h").agg(count(lit(1)).as("cnt"))
+      val histo = counts.groupBy("cnt").agg(count(lit(1)).as("n_b"))
+      val rankOf = histo
+        .withColumn("rank",
+          coalesce(sum(col("n_b")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+              .orderBy(col("cnt").desc)
+              .rowsBetween(
+                org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                -1)), lit(0L)) + lit(1L))
+        .select("cnt", "rank")
+      val ranked = counts.join(broadcast(rankOf), "cnt").select("h", "cnt", "rank")
+      bi.join(ranked, "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("rank")).as("sum_rank"),
+          sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .select(col("doc_id"), col("n_bigrams"), col("sum_rank"),
+          expr("sum_rank div n_bigrams").as("mean_rank"), col("n_hapax"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH w AS (
+        SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+      bi AS (
+        SELECT doc_id,
+               substr(md5(array_to_string(w[i:i+1], ' ')), 1, 16) AS h
+        FROM (SELECT doc_id, w,
+                     unnest(range(1, greatest(len(w) - 1, 1) + 1)) AS i
+              FROM w)
+        WHERE len(w) >= 2),
+      counts AS (SELECT h, COUNT(*) AS cnt FROM bi GROUP BY h),
+      histo AS (SELECT cnt, COUNT(*) AS n_b FROM counts GROUP BY cnt),
+      rank_of AS (
+        SELECT cnt,
+               CAST(COALESCE(SUM(n_b) OVER (ORDER BY cnt DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    + 1 AS BIGINT) AS rank
+        FROM histo),
+      ranked AS (
+        SELECT h, c.cnt, rank FROM counts c JOIN rank_of r ON c.cnt = r.cnt)
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+             CAST(SUM(rank) AS BIGINT) AS sum_rank,
+             CAST(SUM(rank) AS BIGINT) // COUNT(*) AS mean_rank,
+             CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax
+      FROM bi JOIN ranked USING (h)
+      GROUP BY doc_id ORDER BY doc_id""")
+  )
+
   val all: Seq[Q] = Seq(q25, q30, q31, q32, q36, q78, q87, q97, q100, q124,
-    q135, q140)
+    q135, q140, q147)
 }

@@ -1,0 +1,90 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Round-7 packing queries assert LAWS in their scaladocs; machine-check
+  * them (the Round6LawsSpec discipline):
+  *  - q145: the interval-intersection clamp algebra (explode c0..c1, clamp
+  *    with least/greatest) equals a brute-force token-by-token simulation
+  *    of concat-and-chunk packing, for arbitrary document lengths
+  *    (∀-property);
+  *  - q145 ⋈ q146: the two queries derive from ONE packing, so at C=512
+  *    q146's chunk count and padding must reproduce q145's histogram
+  *    sums exactly (cross-query law on the real sf0.001 data);
+  *  - q146: offsets are C-independent, so `docs_split` must be
+  *    monotonically non-increasing in C (a bigger window never splits
+  *    more documents under the same concatenation order).
+  */
+class Round7LawsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("∀ doc lengths: clamp algebra ≡ brute-force concat-and-chunk simulation") {
+    val C = 16
+    val gen = Gen.listOf(Gen.choose(1, 50))
+    val prop = Prop.forAll(gen) { lens =>
+      // offsets of the packing order
+      val starts = lens.scanLeft(0)(_ + _).init
+      // the q145 formulation: explode covered chunks, clamp the overlap
+      val byChunk = scala.collection.mutable.Map.empty[Int, (Int, Int)]
+      starts.zip(lens).foreach { case (s, n) =>
+        val c0 = s / C
+        val c1 = (s + n - 1) / C
+        (c0 to c1).foreach { c =>
+          val tok = math.min(s + n, (c + 1) * C) - math.max(s, c * C)
+          val (d, t) = byChunk.getOrElse(c, (0, 0))
+          byChunk(c) = (d + 1, t + tok)
+        }
+      }
+      // brute force: walk every token of the concatenation
+      val owner = lens.zipWithIndex.flatMap { case (n, i) => Seq.fill(n)(i) }
+      val brute = owner.zipWithIndex
+        .groupBy { case (_, pos) => pos / C }
+        .map { case (c, toks) => c -> (toks.map(_._1).distinct.size, toks.size) }
+      byChunk.toMap == brute
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("q145 ⋈ q146 law: one packing — histogram sums reproduce the C=512 sweep row") {
+    val hist = SparkEntry.queries("q145_sequence_packing")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(hist.nonEmpty)
+    val nChunks = hist.map { case (_, n, _, _) => n }.sum
+    val tokens = hist.map { case (_, _, _, t) => t }.sum
+    hist.foreach { case (nd, _, full, _) =>
+      assert(nd >= 1L)
+      assert(full <= hist.find(_._1 == nd).get._2)
+    }
+    val sweep = SparkEntry.queries("q146_context_sweep")(spark, sf)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val c512 = sweep.find(_._1 == 512).get
+    assert(c512._4 == nChunks,
+      s"q146 n_chunks ${c512._4} != q145 histogram chunk total $nChunks")
+    assert(c512._5 == nChunks * 512 - tokens,
+      "q146 pad_tokens must equal 512*n_chunks - corpus tokens from q145")
+    // every chunk except possibly the last is full: token total bounds
+    assert(tokens > (nChunks - 1) * 512 && tokens <= nChunks * 512)
+  }
+
+  test("q146 law: docs_split is non-increasing in C; chunk arithmetic exact") {
+    val rows = SparkEntry.queries("q146_context_sweep")(spark, sf)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq == Seq(128, 256, 512, 1024, 2048))
+    val nDocs = rows.map(_._2).distinct
+    assert(nDocs.size == 1, "every C sees the same document count")
+    rows.sliding(2).foreach {
+      case Array((_, _, s1, _, _), (_, _, s2, _, _)) =>
+        assert(s2 <= s1, "a larger context window never splits more docs")
+      case _ =>
+    }
+    rows.foreach { case (c, _, _, nc, pad) =>
+      assert(pad >= 0 && pad < c, s"padding must be in [0, $c)")
+      assert(nc > 0)
+    }
+  }
+}
