@@ -1719,7 +1719,156 @@ object PipelineQueries {
       FROM per WHERE gapped_hits > 0 ORDER BY doc_id""")
   )
 
+  /** Epoch waterfill — the data-constrained budget split (the planning
+    * step behind "repeat high-quality sources more"): a token budget
+    * B = 2.5·(corpus tokens) is allocated across sources proportionally
+    * to their unique token mass, but each source is capped at `e_max`
+    * epochs of itself — 4 for high-quality sources (mean scaled
+    * type-token ratio ≥ 500, the q104 metric), 2 for the rest. The
+    * exact solution is the classic WATERFILL: find the level λ where
+    * Σ min(λ·u_s, cap_s) = B; sources below the level hit their cap,
+    * the rest share the residual proportionally. Output per source:
+    * tokens, quality, cap, the exact integer allocation (Σ alloc ≡ B
+    * whenever Σ cap ≥ B — Hamilton largest-remainder on the residual,
+    * q137's discipline), and realized epochs in basis points.
+    *
+    * Exactness: all integer; the residual shares u·R div den run in
+    * DECIMAL(38,0) ↔ HUGEINT (q100/q110 pattern — u·R overflows BIGINT
+    * long before 100 TB); ties in the remainder rank break on source.
+    *
+    * Scale shape: ONE corpus scan into a map-side-combined per-source
+    * aggregate (catalog-sized output); everything after — tier prefix
+    * sums, the bracket search, the remainder rank — is algebra over
+    * source-catalog-sized and tier-count-sized frames whose
+    * single-partition windows are bounded by |catalog|, with one-row
+    * scalar frames (totals, bracket) broadcast back (case-(a) BNLJ).
+    * Text never shuffles; nothing corpus-sized crosses a task twice. */
+  val q149 = Q(
+    "q149_epoch_waterfill",
+    (s, dir) => {
+      val src = documents(s, dir)
+        .select(col("source"),
+          filter(split(col("text"), "\\s+"), x => length(x) > 0).as("ws"))
+        .select(col("source"), size(col("ws")).cast("long").as("nt"),
+          expr("(1000 * size(array_distinct(ws))) div size(ws)").as("q"))
+        .groupBy("source")
+        .agg(sum(col("nt")).as("u"), expr("sum(q) div count(1)").as("mean_q"))
+        .withColumn("e_max", when(col("mean_q") >= 500, 4L).otherwise(2L))
+        .withColumn("cap", col("e_max") * col("u"))
+        .materialized // consumers: totals, tier table, allocation join
+      val tot = src.agg(sum(col("u")).as("t"), sum(col("cap")).as("sumcap"))
+        .withColumn("b", expr("(5 * t) div 2"))
+      val wTier = Window.orderBy("e_max")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bracket = src.groupBy("e_max")
+        .agg(sum(col("cap")).as("tier_cap"), sum(col("u")).as("tier_u"))
+        .withColumn("cap_below",
+          coalesce(sum(col("tier_cap")).over(wTier), lit(0L)))
+        .withColumn("u_below",
+          coalesce(sum(col("tier_u")).over(wTier), lit(0L)))
+        .crossJoin(tot)
+        .filter(col("cap_below") + col("e_max") * (col("t") - col("u_below"))
+          >= col("b"))
+        .orderBy("e_max").limit(1)
+        .select(lit(1).as("k"), col("e_max").as("bracket_e"),
+          (col("b") - col("cap_below")).as("r"),
+          (col("t") - col("u_below")).as("den"))
+      val joined = src.withColumn("k", lit(1))
+        .join(broadcast(bracket), Seq("k"), "left")
+      val capped = joined
+        .filter(col("bracket_e").isNull || col("e_max") < col("bracket_e"))
+        .select(col("source"), col("u"), col("mean_q"), col("e_max"),
+          col("cap"), col("cap").as("alloc"))
+      val wRem = Window.orderBy(col("rem").desc, col("source"))
+      val wAll = Window.partitionBy(lit(1))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val uncapped = joined
+        .filter(col("bracket_e").isNotNull && col("e_max") >= col("bracket_e"))
+        .withColumn("fs", expr(
+          "cast(cast(u as decimal(38,0)) * r div cast(den as decimal(38,0)) as bigint)"))
+        .withColumn("rem",
+          expr("cast(u as decimal(38,0)) * r % cast(den as decimal(38,0))"))
+        .withColumn("extra_n", col("r") - sum(col("fs")).over(wAll))
+        .withColumn("rn", row_number().over(wRem))
+        .select(col("source"), col("u"), col("mean_q"), col("e_max"),
+          col("cap"),
+          (col("fs") + when(col("rn") <= col("extra_n"), 1L).otherwise(0L))
+            .as("alloc"))
+      capped.unionByName(uncapped)
+        .select(col("source"), col("u").as("n_tokens"), col("mean_q"),
+          col("e_max"), col("cap"), col("alloc"),
+          expr("alloc * 10000 div u").as("epochs_bp"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH perdoc AS (
+        SELECT source,
+               CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                    x -> length(x) > 0)) AS BIGINT) AS nt,
+               1000 * len(list_distinct(list_filter(
+                     string_split_regex(text, '\s+'), x -> length(x) > 0)))
+                 // len(list_filter(string_split_regex(text, '\s+'),
+                                    x -> length(x) > 0)) AS q
+        FROM documents),
+      srcagg AS (
+        SELECT source, CAST(SUM(nt) AS BIGINT) AS u,
+               CAST(SUM(q) AS BIGINT) // COUNT(*) AS mean_q
+        FROM perdoc GROUP BY source),
+      src2 AS (
+        SELECT source, u, mean_q,
+               CAST(CASE WHEN mean_q >= 500 THEN 4 ELSE 2 END AS BIGINT)
+                 AS e_max,
+               CAST(CASE WHEN mean_q >= 500 THEN 4 ELSE 2 END * u AS BIGINT)
+                 AS cap
+        FROM srcagg),
+      tot AS (
+        SELECT CAST(SUM(u) AS BIGINT) AS t,
+               CAST(SUM(cap) AS BIGINT) AS sumcap,
+               (5 * CAST(SUM(u) AS BIGINT)) // 2 AS b
+        FROM src2),
+      tiers AS (
+        SELECT e_max, CAST(SUM(cap) AS BIGINT) AS tier_cap,
+               CAST(SUM(u) AS BIGINT) AS tier_u
+        FROM src2 GROUP BY e_max),
+      tiers2 AS (
+        SELECT e_max,
+               CAST(COALESCE(SUM(tier_cap) OVER (ORDER BY e_max
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS cap_below,
+               CAST(COALESCE(SUM(tier_u) OVER (ORDER BY e_max
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS u_below
+        FROM tiers),
+      bracket AS (
+        SELECT e_max AS bracket_e, b - cap_below AS r, t - u_below AS den
+        FROM tiers2, tot
+        WHERE cap_below + e_max * (t - u_below) >= b
+        ORDER BY e_max LIMIT 1),
+      un AS (
+        SELECT s.source, s.u, s.mean_q, s.e_max, s.cap,
+               CAST(CAST(s.u AS HUGEINT) * r // CAST(den AS HUGEINT)
+                    AS BIGINT) AS fs,
+               CAST(s.u AS HUGEINT) * r % CAST(den AS HUGEINT) AS rem, r
+        FROM src2 s, bracket WHERE s.e_max >= bracket_e),
+      alloc_un AS (
+        SELECT source, u, mean_q, e_max, cap,
+               fs + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, source)
+                            <= r - (SELECT SUM(fs) FROM un)
+                         THEN 1 ELSE 0 END AS alloc
+        FROM un),
+      alloc_cap AS (
+        SELECT source, u, mean_q, e_max, cap, cap AS alloc FROM src2
+        WHERE NOT EXISTS (SELECT 1 FROM bracket)
+           OR e_max < (SELECT bracket_e FROM bracket)),
+      allrows AS (
+        SELECT * FROM alloc_un UNION ALL SELECT * FROM alloc_cap)
+      SELECT source, u AS n_tokens, mean_q, e_max, cap,
+             CAST(alloc AS BIGINT) AS alloc,
+             CAST(alloc AS BIGINT) * 10000 // u AS epochs_bp
+      FROM allrows ORDER BY source""")
+  )
+
   val all: Seq[Q] = Seq(q33, q34, q35, q37, q46, q53, q54, q55, q56, q57,
     q65, q66, q67, q69, q72, q83, q86, q96, q104, q108, q116, q117, q121,
-    q131, q137, q139, q142, q145, q146, q148)
+    q131, q137, q139, q142, q145, q146, q148, q149)
 }

@@ -264,7 +264,11 @@ class PlanRegressionSpec extends SparkSpec {
       // size) cross joined over vocab-sized / source-sized tables —
       // case (a); the corpus-sized paths are wordcount aggregates and a
       // broadcast anti-join on the kept set
-      "q139_vocab_coverage")
+      "q139_vocab_coverage",
+      // q149: the totals frame and the ≤1-row waterfill bracket are
+      // scalar cross/left joins over the source-catalog-sized frame —
+      // case (a); the corpus-sized path is one map-side aggregate
+      "q149_epoch_waterfill")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")

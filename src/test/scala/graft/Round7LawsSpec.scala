@@ -70,6 +70,43 @@ class Round7LawsSpec extends SparkSpec {
     assert(tokens > (nChunks - 1) * 512 && tokens <= nChunks * 512)
   }
 
+  test("q149 law: allocation ≡ an independent sequential waterfill recompute") {
+    val rows = SparkEntry.queries("q149_epoch_waterfill")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4),
+        r.getLong(5))) // source, n_tokens, e_max, cap, alloc
+    assert(rows.nonEmpty)
+    val t = rows.map(_._2).sum
+    val b = 5 * t / 2
+    val sumCap = rows.map(_._4).sum
+    // reference waterfill, sequential and independent of the SQL shape
+    val expected: Map[String, Long] =
+      if (b >= sumCap) rows.map(r => r._1 -> r._4).toMap
+      else {
+        val tiers = rows.map(_._3).distinct.sorted
+        val bracketE = tiers.find { e =>
+          val capBelow = rows.filter(_._3 < e).map(_._4).sum
+          val uAtOrAbove = rows.filter(_._3 >= e).map(_._2).sum
+          capBelow + e * uAtOrAbove >= b
+        }.get
+        val capped = rows.filter(_._3 < bracketE)
+        val uncapped = rows.filter(_._3 >= bracketE)
+        val r = b - capped.map(_._4).sum
+        val den = uncapped.map(_._2).sum
+        val floors = uncapped.map(x => (x._1, x._2 * r / den, x._2 * r % den))
+        val extras = (r - floors.map(_._2).sum).toInt
+        val bumped = floors.sortBy(x => (-x._3, x._1)).zipWithIndex
+          .map { case ((s2, f, _), i) => s2 -> (if (i < extras) f + 1 else f) }
+        (capped.map(x => x._1 -> x._4) ++ bumped).toMap
+      }
+    rows.foreach { case (s2, _, _, cap, alloc) =>
+      assert(alloc == expected(s2), s"$s2: alloc $alloc != reference ${expected(s2)}")
+      assert(alloc <= cap, s"$s2 exceeds its epoch cap")
+    }
+    if (b < sumCap)
+      assert(rows.map(_._5).sum == b, "Σ alloc must equal the budget exactly")
+  }
+
   test("q146 law: docs_split is non-increasing in C; chunk arithmetic exact") {
     val rows = SparkEntry.queries("q146_context_sweep")(spark, sf)
       .collect()
