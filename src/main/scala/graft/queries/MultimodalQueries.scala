@@ -199,5 +199,86 @@ object MultimodalQueries {
       ORDER BY doc_id""")
   )
 
-  val all: Seq[Q] = Seq(q50, q51, q70, q126)
+  /** Modality token budgeting — the context-cost accounting a multimodal
+    * pretraining mix runs before fixing its interleaving ratios: every
+    * media document's CONTEXT COST is its text tokens plus its modality
+    * tokens — a ViT-style 16×16 patch grid for images (⌈w/16⌉·⌈h/16⌉,
+    * the patch arithmetic vision encoders bill by) and 10 ms frames for
+    * audio (PCM samples from the RIFF header's rate/channels, then
+    * samples·100 div rate). Per format: document count, text vs modal
+    * token mass, and the modal share in basis points — the table that
+    * says "png docs spend 87% of their context on pixels".
+    *
+    * The width/height/rate/channels feeding the patch math come from the
+    * REAL container-header decode ([[graft.operators.Multimodal.MediaCodec]]
+    * parses the PNG/JPEG/GIF/RIFF headers byte-for-byte); the oracle
+    * recomputes them from the fixture arithmetic, so a one-byte header
+    * mis-parse diverges the hash.
+    *
+    * Scale shape: the decode is partition-wise (payloads never leave
+    * their scan task); the doc_id equi-join attaches word counts (8-byte
+    * keys; co-partition by id at rest and it vanishes); the roll-up is a
+    * 4-group map-side-combined aggregate. Bytes and text never shuffle. */
+  val q150 = Q(
+    "q150_modal_token_budget",
+    (s, dir) => {
+      val decoded = Multimodal.decodeAll(Multimodal.containerTable(s, dir))
+        .toDF()
+        .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
+          col("format"))
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(filter(split(col("text"), "\\s+"), x => length(x) > 0))
+            .cast("long").as("tt"))
+      decoded.join(toks, "doc_id")
+        .withColumn("mt",
+          when(col("format") === "wav",
+            expr("(((n_bytes - 44) div (2 * height)) * 100) div width"))
+            .otherwise(expr("((width + 15) div 16) * ((height + 15) div 16)")))
+        .groupBy("format")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tt")).as("text_tokens"),
+          sum(col("mt")).as("modal_tokens"))
+        .withColumn("modal_share_bp",
+          expr("modal_tokens * 10000 div (modal_tokens + text_tokens)"))
+        .orderBy("format")
+    },
+    // Mirrors containerTable's fixture arithmetic (q50 oracle discipline):
+    // header sizes 33/21/13/44, width/height from the doc_id recurrences,
+    // (rate, channels) in the audio spatial slots.
+    Some("""
+      WITH base AS (
+        SELECT doc_id, doc_id % 4 AS fk,
+               CAST(strlen(text) AS BIGINT) AS body_len,
+               CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                    x -> length(x) > 0)) AS BIGINT) AS tt
+        FROM documents),
+      meta AS (
+        SELECT doc_id, tt,
+               CASE fk WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                       WHEN 2 THEN 'gif' ELSE 'wav' END AS format,
+               CASE fk WHEN 0 THEN 33 WHEN 1 THEN 21
+                       WHEN 2 THEN 13 ELSE 44 END + body_len AS n_bytes,
+               CASE WHEN fk = 3 THEN 8000 + (doc_id % 8) * 4000
+                    ELSE 16 + (doc_id * 31 + 7) % 2048 END AS width,
+               CASE WHEN fk = 3 THEN 1 + doc_id % 2
+                    ELSE 16 + (doc_id * 17 + 3) % 2048 END AS height
+        FROM base),
+      tok AS (
+        SELECT format, tt,
+               CASE WHEN format = 'wav'
+                    THEN (((n_bytes - 44) // (2 * height)) * 100) // width
+                    ELSE ((width + 15) // 16) * ((height + 15) // 16)
+               END AS mt
+        FROM meta)
+      SELECT format, COUNT(*) AS n_docs,
+             CAST(SUM(tt) AS BIGINT) AS text_tokens,
+             CAST(SUM(mt) AS BIGINT) AS modal_tokens,
+             CAST(SUM(mt) AS BIGINT) * 10000
+               // (CAST(SUM(mt) AS BIGINT) + CAST(SUM(tt) AS BIGINT))
+               AS modal_share_bp
+      FROM tok GROUP BY format ORDER BY format""")
+  )
+
+  val all: Seq[Q] = Seq(q50, q51, q70, q126, q150)
 }
