@@ -107,6 +107,77 @@ class Round7LawsSpec extends SparkSpec {
       assert(rows.map(_._5).sum == b, "Σ alloc must equal the budget exactly")
   }
 
+  test("q147 law: scoring ≡ an independent in-memory rank recompute") {
+    // reference: plain Scala over the same parquet text, string-keyed
+    // (no digests — at this scale a 64-bit md5-prefix collision is
+    // impossible, so digest-keyed Spark counts must agree exactly)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val occ: Seq[(Long, String)] = docs.toSeq.flatMap { case (id, t) =>
+      val w = t.split("\\s+", -1)
+      if (w.length < 2) Seq.empty
+      else w.sliding(2).map(p => id -> p.mkString(" ")).toSeq
+    }
+    val cnt = occ.groupBy(_._2).map { case (g, xs) => g -> xs.size.toLong }
+    val histo = cnt.values.groupBy(identity).map { case (c, xs) => c -> xs.size.toLong }
+    val rankOf: Map[Long, Long] = histo.keys.map { c =>
+      c -> (1L + histo.collect { case (c2, n) if c2 > c => n }.sum)
+    }.toMap
+    val expected = occ.groupBy(_._1).map { case (id, xs) =>
+      val ranks = xs.map { case (_, g) => rankOf(cnt(g)) }
+      val hapax = xs.count { case (_, g) => cnt(g) == 1L }
+      id -> (xs.size.toLong, ranks.sum, ranks.sum / xs.size, hapax.toLong)
+    }
+    val got = SparkEntry.queries("q147_rank_fluency")(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (id, e) =>
+      assert(got(id) == e, s"doc $id: ${got(id)} != reference $e")
+    }
+  }
+
+  test("q148 law: hit counters ≡ an independent in-memory shingle recompute") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def windows(t: String): Seq[(String, String)] = {
+      val w = t.split("\\s+", -1)
+      if (w.length < 5) Seq.empty
+      else (0 to w.length - 5).map { i =>
+        (w.slice(i, i + 5).mkString(" "),
+          s"${w(i)} ${w(i + 1)} * ${w(i + 3)} ${w(i + 4)}")
+      }
+    }
+    val bench = docs.filter(_._1 < 50).flatMap(d => windows(d._2))
+    val bv = bench.map(_._1).toSet
+    val bg = bench.map(_._2).toSet
+    val expected = docs.filter(_._1 >= 50).flatMap { case (id, t) =>
+      val ws = windows(t)
+      if (ws.isEmpty) None
+      else {
+        val vb = ws.count(x => bv(x._1)).toLong
+        val gp = ws.count(x => bg(x._2)).toLong
+        val po = ws.count(x => bg(x._2) && !bv(x._1)).toLong
+        if (gp > 0) Some(id -> (ws.size.toLong, vb, gp, po)) else None
+      }
+    }.toMap
+    val got = SparkEntry.queries("q148_gapped_contamination")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == expected,
+      s"mismatch: only-in-got=${got.keySet -- expected.keySet} " +
+        s"only-in-expected=${expected.keySet -- got.keySet}")
+    // a verbatim hit's gapped key is in the bench gapped set by
+    // construction, so the gapped detector dominates the verbatim one
+    got.values.foreach { case (n, vb, gp, po) =>
+      assert(gp >= vb, "gapped hits must dominate verbatim hits")
+      assert(vb <= n && gp <= n && po <= gp)
+    }
+  }
+
   test("q146 law: docs_split is non-increasing in C; chunk arithmetic exact") {
     val rows = SparkEntry.queries("q146_context_sweep")(spark, sf)
       .collect()
