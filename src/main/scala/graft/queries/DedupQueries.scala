@@ -2140,7 +2140,79 @@ object DedupQueries {
       ORDER BY source_1, source_2""")
   )
 
+  /** Soft-dedup effective corpus size — instead of DROPPING near-dup
+    * cluster members (q88's keep-best policy), weight every document by
+    * 1/cluster_size (×1e6 fixed point) and report, per source, the raw
+    * vs effective document and token counts. Σ 1/n over a cluster is
+    * exactly 1 doc of effective mass, so `eff_docs_ppm/1e6` is the
+    * corpus size a training run actually sees under duplicate-aware
+    * sampling — the "how much unique data do we really have" number
+    * (and the weight column itself is the SoftDeDup-style sampling
+    * weight). `retention_ppm` = mean weight = the per-source redundancy
+    * discount. Integer divisions throughout → engine-exact.
+    *
+    * Scale shape: rides artifacts the dedup pipeline already built —
+    * q24's component loop (8-byte label shuffles), one cluster-keyed
+    * size count, one doc-keyed join to map-side token counts, and a
+    * ≤|sources|-row final aggregate. The only per-doc state crossing an
+    * exchange is (doc_id, cluster, n_tok); text never shuffles.
+    * Independent of q141 in the bench by design — see q141's note: each
+    * audit is priced as a standalone run of the pipeline it rides. */
+  val q155 = Q(
+    "q155_effective_size",
+    (s, dir) => {
+      val docs = documents(s, dir)
+      val comp = jaccardComponents(docs)
+      val sizes = comp.groupBy("cluster").agg(count(lit(1)).as("csz"))
+      docs
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), "\\s+")).cast("long").as("n_tok"))
+        .join(comp, "doc_id")
+        .join(sizes, "cluster")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          sum(expr("1000000 div csz")).as("eff_docs_ppm"),
+          sum(expr("n_tok * 1000000 div csz")).as("eff_tokens_ppm"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("eff_docs_ppm"), col("eff_tokens_ppm"),
+          expr("eff_docs_ppm div n_docs").as("retention_ppm"))
+        .orderBy("source")
+    },
+    Some(s"""
+      WITH RECURSIVE $JaccardPairsSql,
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM jp
+        UNION ALL
+        SELECT doc_b, doc_a FROM jp),
+      reach(src, node) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.node),
+      comp AS (
+        SELECT src AS doc_id, MIN(node) AS cluster FROM reach GROUP BY src),
+      sizes AS (SELECT cluster, COUNT(*) AS csz FROM comp GROUP BY cluster),
+      w AS (
+        SELECT d.source,
+               CAST(len(string_split_regex(d.text, '\\s+')) AS BIGINT)
+                 AS n_tok,
+               s.csz
+        FROM documents d
+        JOIN comp c ON c.doc_id = d.doc_id
+        JOIN sizes s USING (cluster)),
+      agg AS (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+               CAST(SUM(1000000 // csz) AS BIGINT) AS eff_docs_ppm,
+               CAST(SUM(n_tok * 1000000 // csz) AS BIGINT)
+                 AS eff_tokens_ppm
+        FROM w GROUP BY source)
+      SELECT source, n_docs, n_tokens, eff_docs_ppm, eff_tokens_ppm,
+             eff_docs_ppm // n_docs AS retention_ppm
+      FROM agg ORDER BY source""")
+  )
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q26, q38, q71, q74, q76,
     q82, q88, q90, q91, q95, q101, q103, q114, q115, q130, q133, q134,
-    q141, q143, q144)
+    q141, q143, q144, q155)
 }

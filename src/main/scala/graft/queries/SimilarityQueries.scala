@@ -1567,6 +1567,82 @@ object SimilarityQueries {
       ORDER BY query_id""")
   )
 
+  /** Semantic decontamination against a benchmark/eval set — q38/q96/q148
+    * find VERBATIM eval leakage; this finds the paraphrased kind those
+    * cannot see: every training vector whose embedding-cosine against ANY
+    * eval vector (vec_id < 64 plays the held-out benchmark) clears 0.3 is
+    * flagged with its hit count, best-matching eval item, and the exact
+    * cosine — the triage list a curation team reviews before a training
+    * run. Cosines are fixed-point (bit-identical cross-engine, see
+    * [[dotDec]]); ties on best-match break by smallest eval id.
+    *
+    * Scale shape: the eval side is SMALL BY DEFINITION (benchmarks are
+    * thousands of rows against a 100 TB corpus), so the honest plan is a
+    * broadcast of the eval vectors with the threshold fused INTO the
+    * nested-loop join condition (q42's lesson: non-qualifying pairs are
+    * walked as condition evaluations, never materialized as rows — the
+    * corpus side streams map-side at scan speed, no shuffle). Only the
+    * rare flagged pairs reach the one train-keyed window exchange, whose
+    * partitions are bounded by the eval-set size. */
+  val q152 = Q(
+    "q152_semantic_decontam",
+    (s, dir) => {
+      val emb = embeddings(s, dir)
+      val eval = emb.filter(col("vec_id") < 64)
+        .select(col("vec_id").as("eval_id"), col("embedding").as("ee"),
+          sqrt(dotDec(col("embedding"), col("embedding"))).as("en"))
+      val train = emb.filter(col("vec_id") >= 64)
+        .select(col("vec_id").as("train_id"), col("embedding").as("te"),
+          sqrt(dotDec(col("embedding"), col("embedding"))).as("tn"))
+      val hits = train.join(broadcast(eval),
+          dotDec(col("te"), col("ee")) / (col("tn") * col("en")) >= 0.3)
+        .select(col("train_id"), col("eval_id"),
+          (dotDec(col("te"), col("ee")) / (col("tn") * col("en")))
+            .as("cosine"))
+      hits
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("train_id"))
+            .orderBy(col("cosine").desc, col("eval_id"))))
+        .withColumn("n_hits",
+          count(lit(1)).over(Window.partitionBy(col("train_id"))))
+        .filter(col("rank") === 1)
+        .select(col("train_id"), col("n_hits"),
+          col("eval_id").as("best_eval_id"), col("cosine").as("best_cosine"))
+        .orderBy("train_id")
+    },
+    Some(s"""
+      WITH u AS (
+        SELECT vec_id, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings),
+      nrm AS (
+        SELECT vec_id,
+               sqrt(CAST(CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * x * 1e15) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e15) AS nrm
+        FROM u GROUP BY vec_id),
+      dots AS (
+        SELECT t.vec_id AS train_id, e.vec_id AS eval_id,
+               CAST(CAST(SUM(CAST(FLOOR(CAST(t.x AS DOUBLE) * e.x * 1e15) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e15 AS dot
+        FROM u t JOIN u e ON t.i = e.i AND t.vec_id >= 64 AND e.vec_id < 64
+        GROUP BY t.vec_id, e.vec_id),
+      hits AS (
+        SELECT d.train_id, d.eval_id, d.dot / (tn.nrm * en.nrm) AS cosine
+        FROM dots d
+        JOIN nrm tn ON tn.vec_id = d.train_id
+        JOIN nrm en ON en.vec_id = d.eval_id
+        WHERE d.dot / (tn.nrm * en.nrm) >= 0.3),
+      ranked AS (
+        SELECT train_id, eval_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY train_id
+                                  ORDER BY cosine DESC, eval_id) AS rank,
+               CAST(COUNT(*) OVER (PARTITION BY train_id) AS BIGINT)
+                 AS n_hits
+        FROM hits)
+      SELECT train_id, n_hits, eval_id AS best_eval_id,
+             cosine AS best_cosine
+      FROM ranked WHERE rank = 1
+      ORDER BY train_id""")
+  )
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q45, q47, q48, q49, q77, q79,
-    q80, q92, q94, q120, q136)
+    q80, q92, q94, q120, q136, q152)
 }

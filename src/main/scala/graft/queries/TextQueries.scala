@@ -914,6 +914,196 @@ object TextQueries {
       GROUP BY doc_id ORDER BY doc_id""")
   )
 
+  /** Tokenizer fertility audit per source — tokens-per-word and
+    * chars-per-token under the corpus-trained BPE merge table (q97's
+    * tokenizer applied, q135's training decisions): the
+    * tokenizer-efficiency question every multilingual/multi-domain
+    * pipeline asks before committing to a vocab ("which sources pay 2×
+    * the context budget per word?"). Fertility is the standard metric
+    * name (tokens emitted per input word); both ratios are ×1e6 integer
+    * divisions so the oracle hash-matches.
+    *
+    * Scale shape, q97's argument compounded: all per-character work
+    * (pair stats, the 20-step merge chain) runs over DISTINCT WORDS —
+    * vocab-sized, not corpus-sized; the merge table is 20 collected
+    * rows baked into the plan as literals. The per-source rollup needs
+    * only (source, word)→count, which is the classic wordcount
+    * HashAggregate with map-side partials, joined to the vocab-sized
+    * tokenization table on the word key and collapsed to ≤|sources|
+    * rows. Nothing corpus-sized crosses an exchange a second time. */
+  val q153 = Q(
+    "q153_tokenizer_fertility",
+    (s, dir) => {
+      val sw = documents(s, dir)
+        .select(col("source"),
+          explode(filter(split(col("text"), "\\s+"),
+            x => length(x) > 0)).as("word"))
+        .groupBy("source", "word").agg(count(lit(1)).as("cnt"))
+        .materialized // consumers: global vocab (merge stats) + source join
+      val vocab = sw.groupBy("word").agg(sum(col("cnt")).as("freq"))
+        .materialized // consumers: merge-stat collect + tokenization pass
+      val merges: Seq[(String, String)] = vocab
+        .filter(length(col("word")) >= 2)
+        .select(col("freq"), explode(
+          transform(sequence(lit(1), length(col("word")) - 1),
+            i => struct(
+              col("word").substr(i, lit(1)).as("a"),
+              col("word").substr(i + 1, lit(1)).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("wcnt"))
+        .orderBy(col("wcnt").desc, col("a"), col("b"))
+        .limit(20)
+        .collect().toSeq
+        .map(r => (r.getString(0), r.getString(1)))
+      val spaced = concat_ws(" ", split(col("word"), ""))
+      val tokenized = merges.foldLeft(spaced) { case (c, (a, b)) =>
+        regexp_replace(c,
+          lit(java.util.regex.Pattern.quote(s"$a $b")),
+          lit(java.util.regex.Matcher.quoteReplacement(s"$a$b")))
+      }
+      val wordTok = vocab.select(col("word"),
+        size(split(tokenized, " ")).cast("long").as("n_tok"),
+        length(col("word")).cast("long").as("n_chr"))
+      sw.join(wordTok, "word")
+        .groupBy("source")
+        .agg(sum(col("cnt")).as("n_words"),
+          sum(col("cnt") * col("n_tok")).as("n_tokens"),
+          sum(col("cnt") * col("n_chr")).as("n_chars"))
+        .select(col("source"), col("n_words"), col("n_tokens"),
+          col("n_chars"),
+          expr("n_tokens * 1000000 div n_words").as("fertility_ppm"),
+          expr("n_chars * 1000000 div n_tokens").as("chars_per_token_ppm"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH RECURSIVE toks AS (
+        SELECT source, unnest(list_filter(string_split_regex(text, '\s+'),
+                                          x -> length(x) > 0)) AS word
+        FROM documents),
+      sw AS (SELECT source, word, COUNT(*) AS cnt
+             FROM toks GROUP BY source, word),
+      vocab AS (SELECT word, CAST(SUM(cnt) AS BIGINT) AS freq
+                FROM sw GROUP BY word),
+      idx AS (
+        SELECT word, freq, unnest(range(1, length(word))) AS i
+        FROM vocab WHERE length(word) >= 2),
+      prs AS (
+        SELECT substr(word, i, 1) AS a, substr(word, i + 1, 1) AS b, freq
+        FROM idx),
+      merges AS (
+        SELECT a, b,
+               ROW_NUMBER() OVER (ORDER BY SUM(freq) DESC, a, b) AS rn
+        FROM prs GROUP BY a, b
+        QUALIFY rn <= 20),
+      apply(word, s, step) AS (
+        SELECT word, array_to_string(string_split(word, ''), ' '), 0
+        FROM vocab
+        UNION ALL
+        SELECT ap.word, replace(ap.s, m.a || ' ' || m.b, m.a || m.b),
+               ap.step + 1
+        FROM apply ap JOIN merges m ON m.rn = ap.step + 1),
+      wtok AS (
+        SELECT word, CAST(len(string_split(s, ' ')) AS BIGINT) AS n_tok,
+               CAST(length(word) AS BIGINT) AS n_chr
+        FROM apply WHERE step = (SELECT COUNT(*) FROM merges)),
+      agg AS (
+        SELECT source,
+               CAST(SUM(cnt) AS BIGINT) AS n_words,
+               CAST(SUM(cnt * n_tok) AS BIGINT) AS n_tokens,
+               CAST(SUM(cnt * n_chr) AS BIGINT) AS n_chars
+        FROM sw JOIN wtok USING (word) GROUP BY source)
+      SELECT source, n_words, n_tokens, n_chars,
+             n_tokens * 1000000 // n_words AS fertility_ppm,
+             n_chars * 1000000 // n_tokens AS chars_per_token_ppm
+      FROM agg ORDER BY source""")
+  )
+
+  /** Zipf head/tail mass audit per source — the corpus-shape fingerprint:
+    * total token mass, distinct types, hapax types, and the mass carried
+    * by the rank-≤10 / rank-≤100 type heads (competition ranks,
+    * tie-groups included whole, so the cut is deterministic without any
+    * within-tie ordering). Natural prose puts ~20-40% of mass in the
+    * top-10 head and has a long hapax tail; templated/boilerplate
+    * sources collapse the tail and a wrong tokenizer inflates it — this
+    * is the single-pass "is this source distributionally healthy" gate
+    * run before spending on dedup or LM scoring. All integer-exact.
+    *
+    * Scale shape: q147's rank-without-sorting trick, per source — word
+    * occurrences carry 16-hex md5 digests into one wordcount aggregate;
+    * type counts collapse to the per-source count-HISTOGRAM (one row per
+    * distinct frequency VALUE — Zipf bounds it at O(√mass) rows); ranks
+    * come from a cumulative window over that bounded histogram (per-
+    * source partitions of thousands of rows at 100 TB, never
+    * vocab-sized); the final aggregate is ≤|sources| rows. The
+    * vocabulary is never globally sorted and text never shuffles. */
+  val q154 = Q(
+    "q154_zipf_mass",
+    (s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val counts = documents(s, dir)
+        .select(col("source"),
+          explode(filter(split(col("text"), "\\s+"),
+            x => length(x) > 0)).as("word"))
+        .select(col("source"), substring(md5(col("word")), 1, 16).as("h"))
+        .groupBy("source", "h").agg(count(lit(1)).as("cnt"))
+      val histo = counts.groupBy("source", "cnt")
+        .agg(count(lit(1)).as("n_typ"))
+      val ranked = histo.withColumn("rank",
+        coalesce(sum(col("n_typ")).over(
+          W.partitionBy("source").orderBy(col("cnt").desc)
+            .rowsBetween(W.unboundedPreceding, -1)), lit(0L)) + lit(1L))
+      ranked.groupBy("source")
+        .agg(sum(col("cnt") * col("n_typ")).as("total_tokens"),
+          sum(col("n_typ")).as("n_types"),
+          sum(when(col("cnt") === 1, col("n_typ")).otherwise(0L))
+            .as("hapax_types"),
+          sum(when(col("rank") <= 10, col("cnt") * col("n_typ"))
+            .otherwise(0L)).as("top10_mass"),
+          sum(when(col("rank") <= 100, col("cnt") * col("n_typ"))
+            .otherwise(0L)).as("top100_mass"))
+        .select(col("source"), col("total_tokens"), col("n_types"),
+          col("hapax_types"), col("top10_mass"), col("top100_mass"),
+          expr("top10_mass * 10000 div total_tokens").as("head10_bp"),
+          expr("top100_mass * 10000 div total_tokens").as("head100_bp"),
+          expr("hapax_types * 10000 div total_tokens").as("hapax_bp"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT source, unnest(list_filter(string_split_regex(text, '\s+'),
+                                          x -> length(x) > 0)) AS word
+        FROM documents),
+      counts AS (
+        SELECT source, substr(md5(word), 1, 16) AS h, COUNT(*) AS cnt
+        FROM toks GROUP BY source, h),
+      histo AS (
+        SELECT source, cnt, COUNT(*) AS n_typ FROM counts GROUP BY source, cnt),
+      ranked AS (
+        SELECT source, cnt, n_typ,
+               CAST(COALESCE(SUM(n_typ) OVER (PARTITION BY source
+                    ORDER BY cnt DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    + 1 AS BIGINT) AS rank
+        FROM histo),
+      agg AS (
+        SELECT source,
+               CAST(SUM(cnt * n_typ) AS BIGINT) AS total_tokens,
+               CAST(SUM(n_typ) AS BIGINT) AS n_types,
+               CAST(SUM(CASE WHEN cnt = 1 THEN n_typ ELSE 0 END) AS BIGINT)
+                 AS hapax_types,
+               CAST(SUM(CASE WHEN rank <= 10 THEN cnt * n_typ ELSE 0 END)
+                 AS BIGINT) AS top10_mass,
+               CAST(SUM(CASE WHEN rank <= 100 THEN cnt * n_typ ELSE 0 END)
+                 AS BIGINT) AS top100_mass
+        FROM ranked GROUP BY source)
+      SELECT source, total_tokens, n_types, hapax_types, top10_mass,
+             top100_mass,
+             top10_mass * 10000 // total_tokens AS head10_bp,
+             top100_mass * 10000 // total_tokens AS head100_bp,
+             hapax_types * 10000 // total_tokens AS hapax_bp
+      FROM agg ORDER BY source""")
+  )
+
   val all: Seq[Q] = Seq(q25, q30, q31, q32, q36, q78, q87, q97, q100, q124,
-    q135, q140, q147)
+    q135, q140, q147, q153, q154)
 }
