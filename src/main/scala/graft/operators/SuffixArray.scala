@@ -1,0 +1,196 @@
+package graft.operators
+
+import graft.operators.Materialize.MaterializeOps
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Distributed word-level suffix arrays by Manber–Myers prefix doubling —
+  * the machinery behind exact substring-level corpus dedup ("find every
+  * phrase that occurs more than once anywhere in the corpus", the
+  * suffix-array formulation popularized for LLM training data by Lee et
+  * al. 2021, *Deduplicating Training Data Makes Language Models Better*).
+  * The shingle family (q26/q91/q134) answers that question for FIXED
+  * window sizes; the suffix array answers it for ALL lengths at once: the
+  * longest repeated phrase at a position is its max LCP with the suffix-
+  * order neighbors, with no k chosen in advance.
+  *
+  * Scale design — why this shape survives 100 TB:
+  *
+  *  - A suffix is never materialized. Each of the ≤ log2(maxDocLen)
+  *    doubling rounds compares suffixes by an integer pair
+  *    `(rank[pos], rank[pos + 2^k])`, so after round 0 every exchange
+  *    carries (doc_id, pos, rank) rows — ≤ 32 bytes — never text. Round 0
+  *    is the only word-keyed exchange, and what it ranks is the corpus
+  *    position table keyed by SINGLE words (bounded-width keys), not
+  *    suffixes.
+  *  - Global dense ranking is in-place and two-phase, with no
+  *    single-partition stage and no join-back: range-partition + sort by
+  *    the rank pair (per-task slice bounded by the range split), one
+  *    statistics pass collecting (firstKey, lastKey, nDistinct) per
+  *    partition — #partitions rows on the driver — then each task
+  *    assigns `offset(p) + local dense index` in one scan. The class
+  *    count falls out of the same statistics, so the Manber–Myers
+  *    fixpoint test costs no extra job.
+  *  - The `rank[pos + 2^k]` lookup is a `lead(r, 2^k)` window partitioned
+  *    by doc_id — suffixes never cross documents, so the window is
+  *    per-document, never global, and replaces a second corpus-wide
+  *    self-join exchange per round.
+  *  - Each round cuts lineage (`materialized` — localCheckpoint in bench,
+  *    reliable checkpoint under preemption, see [[Materialize]]);
+  *    otherwise round k would recompute rounds 0..k-1 through every
+  *    ranking pass again.
+  *  - Rounds stop at the Manber–Myers fixpoint: when a doubling step
+  *    splits no rank class, no longer offset can split one either, so the
+  *    loop exits well before log2(maxDocLen) on real text (only
+  *    genuinely-equal suffixes — e.g. exact duplicate documents — still
+  *    share a class, and those never separate).
+  */
+object SuffixArray {
+
+  /** In-place two-phase dense rank: append to `df` an order-preserving
+    * dense 1-based ordinal `out` of its `keys` columns, plus the total
+    * distinct-key count. Shape: range-partition + sort by `keys`; one
+    * bounded statistics job (per-partition firstKey/lastKey/nDistinct —
+    * #partitions rows to the driver); then every task stamps
+    * `offset + local dense index` in a single scan. Equal keys land in
+    * one range partition, but the offset arithmetic still reconciles a
+    * key straddling a partition boundary (defensive — costs nothing).
+    * No join back, no single-partition window, no corpus-sized driver
+    * state. */
+  private[graft] def denseRank(
+      df: DataFrame, keys: Seq[String], out: String): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    val kc = keys.map(col)
+    val sorted = df.repartitionByRange(kc: _*).sortWithinPartitions(kc: _*)
+    val keyIdx = keys.map(sorted.schema.fieldIndex)
+    val sortedRdd = sorted.rdd
+    def keyOf(r: Row): Seq[Any] = keyIdx.map(r.get)
+    // Job 1 (bounded): per-partition (firstKey, lastKey, nDistinct).
+    val stats = sortedRdd.mapPartitionsWithIndex { (pid, it) =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val first = it.next()
+        var prev = keyOf(first)
+        val firstKey = prev
+        var n = 1L
+        while (it.hasNext) {
+          val k = keyOf(it.next())
+          if (k != prev) { n += 1; prev = k }
+        }
+        Iterator.single((pid, firstKey, prev, n))
+      }
+    }.collect().sortBy(_._1)
+    // Driver-side offsets: distinct keys strictly before each partition,
+    // discounting a first key that continues the previous partition's
+    // last key (cannot happen under range partitioning; kept defensive).
+    val offsets = new Array[Long](sortedRdd.getNumPartitions)
+    val carries = new Array[Seq[Any]](sortedRdd.getNumPartitions)
+    var acc = 0L
+    var carry: Seq[Any] = null
+    stats.foreach { case (pid, firstKey, lastKey, n) =>
+      offsets(pid) = acc
+      carries(pid) = carry
+      acc += (if (carry != null && firstKey == carry) n - 1 else n)
+      carry = lastKey
+    }
+    val total = acc
+    val schema = StructType(
+      sorted.schema.fields :+ StructField(out, LongType, nullable = false))
+    // Job 2 (deferred): stamp the ordinal in one scan per task. Re-reads
+    // the already-written shuffle output; nothing upstream recomputes.
+    val stamped = sortedRdd.mapPartitionsWithIndex { (pid, it) =>
+      var r = offsets(pid)
+      var prev: Seq[Any] = carries(pid)
+      it.map { row =>
+        val k = keyOf(row)
+        if (k != prev) { r += 1; prev = k }
+        Row.fromSeq(row.toSeq :+ r)
+      }
+    }
+    (spark.createDataFrame(stamped, schema), total)
+  }
+
+  /** `(doc_id, pos, suffix_rank)` — the dense global lexicographic rank of
+    * the word-level suffix starting at each position of each document
+    * (suffixes run to the END OF THEIR DOCUMENT; shorter-is-smaller on
+    * prefix ties, the usual suffix-array order). Equal suffixes — which
+    * exist whenever documents share an exact tail — share a rank, so the
+    * rank is `DENSE_RANK` over suffix order. */
+  def suffixRanks(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), split(col("text"), "\\s+").as("w"))
+    val pos = toks.select(col("doc_id"),
+      posexplode(col("w")).as(Seq("pos", "word")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("word"))
+    val (ranked, classes0) = denseRank(pos, Seq("word"), "r")
+    var classes = classes0
+    var cur = ranked.select(col("doc_id"), col("pos"), col("r")).materialized
+    // Bounded scalar: the longest document's word count caps the rounds.
+    val maxLen = toks.agg(max(size(col("w")))).head().getInt(0).toLong
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    var k = 1L
+    var fixed = false
+    while (k < maxLen && !fixed) {
+      // Suffix shorter than pos+2^k sorts before any continuation: -1.
+      val withR2 = cur.select(col("doc_id"), col("pos"), col("r"),
+        coalesce(lead(col("r"), k.toInt).over(byDoc), lit(-1L)).as("r2"))
+      val (next, newClasses) = denseRank(withR2, Seq("r", "r2"), "rn")
+      cur = next.select(col("doc_id"), col("pos"), col("rn").as("r"))
+        .materialized
+      fixed = newClasses == classes
+      classes = newClasses
+      k *= 2
+    }
+    cur.withColumnRenamed("r", "suffix_rank")
+  }
+
+  /** Per-document longest-repeated-phrase profile from the suffix array:
+    * `lrs_words` = length (in words, capped at `cap`) of the longest
+    * phrase starting in this document that also occurs ANYWHERE else in
+    * the corpus (another position of any document, itself included);
+    * `n_dup_starts` = how many of the document's positions start a
+    * phrase of ≥ `minRun` words that occurs elsewhere — the excisable
+    * duplicated-mass signal of Lee et al.'s ExactSubstr dedup, with no
+    * fixed shingle width.
+    *
+    * The classic suffix-array identity does the heavy lifting: the
+    * longest repeat at a position is its max LCP with the two NEIGHBORS
+    * in suffix order, so after ranking, the whole computation is one
+    * contiguous-index self-join (8-byte key) + an elementwise-compare
+    * LCP on `cap`-bounded word windows + two doc-keyed aggregations —
+    * no pairwise document comparison anywhere. */
+  def lrsPerDoc(docs: DataFrame, cap: Int = 31, minRun: Int = 8): DataFrame = {
+    val ranks = suffixRanks(docs)
+    // Contiguous suffix-array index: ties broken (doc_id, pos), mirroring
+    // the oracle's ORDER BY suffix, doc_id, pos. Keys are unique per row,
+    // so the ordinal is a permutation — the suffix array itself.
+    val (sa, _) = denseRank(ranks, Seq("suffix_rank", "doc_id", "pos"), "sidx")
+    val toks = docs.select(col("doc_id"), split(col("text"), "\\s+").as("w"))
+    val capped = sa.join(toks, "doc_id")
+      .select(col("doc_id"), col("sidx"),
+        slice(col("w"), (col("pos") + 1).cast("int"), lit(cap)).as("cap"))
+      .materialized
+    val nxt = capped.select((col("sidx") - 1).as("sidx"), col("cap").as("ncap"))
+    val pairs = capped.join(nxt, Seq("sidx"), "left")
+    // LCP of the capped windows: zip_with pads the shorter side with
+    // nulls, so the first non-equal slot (null-safe compare) IS the LCP;
+    // fully-equal windows fall through to min length.
+    val eq = zip_with(col("cap"), col("ncap"), (x, y) => x <=> y)
+    val firstDiff = array_position(eq, false)
+    val ln = when(col("ncap").isNull, lit(0L))
+      .otherwise(when(firstDiff === 0,
+        least(size(col("cap")), size(col("ncap"))).cast("long"))
+        .otherwise(firstDiff - 1))
+    val withL = pairs.select(col("sidx"), ln.as("ln"))
+    // Each adjacent pair (i, i+1) bounds BOTH endpoints' repeats.
+    val contrib = withL
+      .union(withL.select((col("sidx") + 1).as("sidx"), col("ln")))
+      .groupBy("sidx").agg(max(col("ln")).as("g"))
+    capped.select(col("doc_id"), col("sidx"))
+      .join(contrib, "sidx")
+      .groupBy("doc_id")
+      .agg(max(col("g")).as("lrs_words"),
+        sum(when(col("g") >= minRun, 1L).otherwise(0L)).as("n_dup_starts"))
+  }
+}

@@ -2212,7 +2212,104 @@ object DedupQueries {
       FROM agg ORDER BY source""")
   )
 
+  /** Distributed suffix-array construction (Manber–Myers prefix doubling,
+    * see [[graft.operators.SuffixArray]]): the dense global lexicographic
+    * rank of every word-level document suffix. This is the index that
+    * upgrades the fixed-width shingle dedup family (q26/q91/q134) to
+    * ALL-length exact substring matching — Lee et al. 2021's ExactSubstr
+    * formulation — and q157 rides it for the longest-repeated-phrase
+    * profile. The oracle materializes every suffix as a chr(1)-joined
+    * string and sorts it (fine at sf0.01, quadratic memory at scale);
+    * the Spark plan never materializes a suffix: O(log maxDocLen) rounds
+    * of integer-pair ranking, each a distinct → range-sort → zipWithIndex
+    * two-phase dense rank with lineage cut per round.
+    *
+    * Scale shape: after round 0 (which sorts the DISTINCT vocabulary and
+    * joins single words back), every exchange carries (doc_id, pos, rank)
+    * or (rank, rank') integer rows; rounds are log-bounded by the longest
+    * document, not the corpus; no single-partition stage anywhere — the
+    * global dense rank is range-partition + contiguous zipWithIndex. */
+  val q156 = Q(
+    "q156_suffix_rank",
+    (s, dir) => {
+      graft.operators.SuffixArray.suffixRanks(documents(s, dir))
+        .select(col("doc_id"), col("pos"), col("suffix_rank"))
+        .orderBy("doc_id", "pos")
+    },
+    Some(raw"""
+      WITH toks AS (
+        SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+      posx AS (
+        SELECT doc_id, unnest(generate_series(1, len(w))) AS i, w FROM toks),
+      suf AS (
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+               array_to_string(w[i:], chr(1)) AS s
+        FROM posx)
+      SELECT doc_id, pos, DENSE_RANK() OVER (ORDER BY s) AS suffix_rank
+      FROM suf ORDER BY doc_id, pos""")
+  )
+
+  /** Longest-repeated-phrase profile per document, from the q156 suffix
+    * array: `lrs_words` = longest phrase (in words, capped at 31) starting
+    * in the document that occurs anywhere else in the corpus;
+    * `n_dup_starts` = positions starting a ≥8-word phrase that occurs
+    * elsewhere — the excisable duplicated-mass signal with NO shingle
+    * width chosen in advance. The suffix-array identity (longest repeat =
+    * max LCP with the two suffix-order neighbors) turns the all-pairs
+    * phrase search into one contiguous-index self-join on 8-byte keys
+    * plus an elementwise LCP over 31-word windows.
+    *
+    * Scale shape: q156's ranking rounds + one doc-keyed join to slice the
+    * capped windows (the only exchange carrying text, bounded at 31 words
+    * per row) + the sidx±1 equi-join + two aggregations. The oracle's
+    * global ORDER BY suffix window is replaced by the same two-phase
+    * zipWithIndex dense rank used in the doubling rounds. */
+  val q157 = Q(
+    "q157_phrase_lrs",
+    (s, dir) => {
+      graft.operators.SuffixArray.lrsPerDoc(documents(s, dir))
+        .orderBy("doc_id")
+    },
+    Some(raw"""
+      WITH toks AS (
+        SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+      posx AS (
+        SELECT doc_id, unnest(generate_series(1, len(w))) AS i, w FROM toks),
+      suf AS (
+        SELECT doc_id, i - 1 AS pos,
+               w[i:least(i + 30, len(w))] AS cap,
+               array_to_string(w[i:], chr(1)) AS s
+        FROM posx),
+      sa AS (
+        SELECT doc_id, pos, cap, s,
+               lead(cap) OVER (ORDER BY s, doc_id, pos) AS ncap
+        FROM suf),
+      l1 AS (
+        SELECT doc_id, pos, s,
+               CASE WHEN ncap IS NULL THEN 0
+                    -- list_position yields 0 (not NULL) when no slot
+                    -- differs: nullif routes the all-equal case to the
+                    -- capped-min-length arm
+                    ELSE coalesce(
+                      nullif(list_position(
+                        list_transform(list_zip(cap, ncap),
+                          p -> p[1] IS NOT DISTINCT FROM p[2]),
+                        false), 0) - 1,
+                      least(len(cap), len(ncap)))
+               END AS ln
+        FROM sa),
+      l2 AS (
+        SELECT doc_id,
+               greatest(ln,
+                 coalesce(lag(ln) OVER (ORDER BY s, doc_id, pos), 0)) AS g
+        FROM l1)
+      SELECT doc_id, CAST(max(g) AS BIGINT) AS lrs_words,
+             CAST(sum(CASE WHEN g >= 8 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_starts
+      FROM l2 GROUP BY doc_id ORDER BY doc_id""")
+  )
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q26, q38, q71, q74, q76,
     q82, q88, q90, q91, q95, q101, q103, q114, q115, q130, q133, q134,
-    q141, q143, q144, q155)
+    q141, q143, q144, q155, q156, q157)
 }

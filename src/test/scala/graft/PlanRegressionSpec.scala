@@ -268,7 +268,12 @@ class PlanRegressionSpec extends SparkSpec {
       // q149: the totals frame and the ≤1-row waterfill bracket are
       // scalar cross/left joins over the source-catalog-sized frame —
       // case (a); the corpus-sized path is one map-side aggregate
-      "q149_epoch_waterfill")
+      "q149_epoch_waterfill",
+      // q152: the eval/benchmark panel (vec_id < 64) broadcasts against
+      // the streaming train side with the cosine threshold fused into
+      // the join condition — case (b); the only exchange downstream is
+      // the train-keyed window over the rare flagged pairs
+      "q152_semantic_decontam")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")

@@ -1,0 +1,109 @@
+package graft
+
+import graft.operators.SuffixArray
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Laws for the distributed suffix array (q156/q157 machinery):
+  *
+  *  - prefix-doubling ranks ≡ a naive in-memory suffix sort (dense rank
+  *    over word-sequence lexicographic order, ties included) — ∀ random
+  *    corpora over a tiny vocabulary, chosen SMALL so rank ties, shared
+  *    tails, exact-duplicate docs and single-word docs all occur;
+  *  - lrsPerDoc ≡ brute-force all-pairs capped LCP (the quadratic
+  *    definition the suffix-array identity replaces);
+  *  - a planted duplicated phrase is found at ≥ its planted length.
+  *
+  * The generator sticks to ASCII words: Spark compares UTF8 bytes while
+  * the in-memory model compares Java Strings — identical orders on
+  * ASCII, deliberately not exercised beyond it here (the oracle-checked
+  * corpus covers realistic text).
+  */
+class SuffixArraySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val vocab = Vector("a", "b", "ab", "ba", "aa", "c")
+
+  private def naiveRanks(docs: Seq[(Long, String)]): Map[(Long, Long), Long] = {
+    val sufs = docs.flatMap { case (id, text) =>
+      val w = text.split("\\s+").toVector
+      w.indices.map(p => ((id, p.toLong), w.drop(p)))
+    }
+    import scala.math.Ordering.Implicits._
+    val order = sufs.map(_._2).distinct.sorted
+    val rank = order.zipWithIndex.map { case (s, i) => s -> (i + 1L) }.toMap
+    sufs.map { case (k, s) => k -> rank(s) }.toMap
+  }
+
+  private def bruteLrs(docs: Seq[(Long, String)], cap: Int, minRun: Int)
+      : Map[Long, (Long, Long)] = {
+    val toks = docs.map { case (id, t) => id -> t.split("\\s+").toVector }
+    val allSuf = toks.flatMap { case (id, w) =>
+      w.indices.map(p => ((id, p), w.drop(p)))
+    }
+    def lcp(a: Vector[String], b: Vector[String]): Int = {
+      val n = math.min(math.min(a.length, b.length), cap)
+      var i = 0
+      while (i < n && a(i) == b(i)) i += 1
+      i
+    }
+    toks.map { case (id, w) =>
+      val gs = w.indices.map { p =>
+        val mine = w.drop(p)
+        allSuf.collect { case ((d2, p2), s2) if (d2, p2) != ((id, p)) =>
+          lcp(mine, s2)
+        }.foldLeft(0)(math.max)
+      }
+      id -> (gs.foldLeft(0)(math.max).toLong,
+        gs.count(_ >= minRun).toLong)
+    }.toMap
+  }
+
+  private val corpusGen: Gen[List[String]] =
+    Gen.chooseNum(1, 8).flatMap { nDocs =>
+      Gen.listOfN(nDocs,
+        Gen.chooseNum(1, 12).flatMap(n =>
+          Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" "))))
+    }
+
+  test("∀ corpora: prefix-doubling ranks ≡ naive suffix sort (ties included)") {
+    val prop = Prop.forAll(corpusGen) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val df = docs.toDF("doc_id", "text")
+      val got = SuffixArray.suffixRanks(df)
+        .collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+        .toMap
+      got == naiveRanks(docs)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("∀ corpora: lrsPerDoc ≡ brute-force all-pairs capped LCP") {
+    val prop = Prop.forAll(corpusGen) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val df = docs.toDF("doc_id", "text")
+      val got = SuffixArray.lrsPerDoc(df, cap = 5, minRun = 2)
+        .collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+        .toMap
+      got == bruteLrs(docs, cap = 5, minRun = 2)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("planted duplicated phrase is recovered at full length") {
+    val phrase = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"alpha beta $phrase gamma"),
+      (1L, s"delta $phrase epsilon zeta"),
+      (2L, "unrelated words only here"))
+    val out = SuffixArray.lrsPerDoc(docs.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(0L) >= 12L, s"doc 0 lrs ${out(0L)}")
+    assert(out(1L) >= 12L, s"doc 1 lrs ${out(1L)}")
+    assert(out(2L) <= 1L, s"doc 2 lrs ${out(2L)}")
+  }
+}
