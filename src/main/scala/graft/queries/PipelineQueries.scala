@@ -1868,7 +1868,75 @@ object PipelineQueries {
       FROM allrows ORDER BY source""")
   )
 
+  /** Temperature-scaled source sampling (the multilingual-pretraining
+    * staple: draw from source i with probability ∝ count^α, α < 1, so
+    * low-resource sources are up-sampled without drowning the head —
+    * mC4/XLM-R style). α = 1/2 keeps the arithmetic engine-exact:
+    * weight = ⌊√tokens⌋ (IEEE sqrt is correctly rounded and every count
+    * is < 2^52, so both engines floor the same double), shares in ppm by
+    * integer division, and the redistributed draw of one corpus-sized
+    * token budget in DECIMAL(38,0)/HUGEINT so the products cannot
+    * overflow at any corpus size. `oversample_ppm` > 1e6 marks sources
+    * the temperature up-samples relative to natural frequency.
+    *
+    * Scale shape: one corpus scan collapsing to the per-source aggregate
+    * (map-side combined, catalog-sized); everything after is windows and
+    * projections over the ≤|sources| frame — the lone unpartitioned
+    * window is catalog-bounded by construction. Text never shuffles;
+    * q137 apportions a FIXED budget by largest remainder, q149
+    * waterfills under per-source epoch caps, and this query is the
+    * power-law-tempered third policy on the same catalog frame. */
+  val q151 = Q(
+    "q151_temperature_mix",
+    (s, dir) => {
+      val perSrc = documents(s, dir)
+        .select(col("source"),
+          size(split(col("text"), "\\s+")).cast("long").as("n"))
+        .groupBy("source").agg(sum(col("n")).as("n_tokens"))
+        .withColumn("weight", floor(sqrt(col("n_tokens"))).cast("long"))
+      val wAll = Window.partitionBy(lit(1))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      perSrc
+        .withColumn("tot_w", sum(col("weight")).over(wAll))
+        .withColumn("tot_n", sum(col("n_tokens")).over(wAll))
+        .withColumn("share_ppm",
+          expr("weight * 1000000 div tot_w"))
+        .withColumn("draw_tokens", expr(
+          "cast(cast(tot_n as decimal(38,0)) * weight div cast(tot_w as decimal(38,0)) as bigint)"))
+        .withColumn("oversample_ppm", expr(
+          "cast(cast(draw_tokens as decimal(38,0)) * 1000000 div cast(n_tokens as decimal(38,0)) as bigint)"))
+        .select(col("source"), col("n_tokens"), col("weight"),
+          col("share_ppm"), col("draw_tokens"), col("oversample_ppm"))
+        .orderBy("source")
+    },
+    Some(raw"""
+      WITH perSrc AS (
+        SELECT source,
+               CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT)
+                 AS n_tokens
+        FROM documents GROUP BY source),
+      w AS (
+        SELECT source, n_tokens,
+               CAST(FLOOR(SQRT(n_tokens)) AS BIGINT) AS weight
+        FROM perSrc),
+      t AS (
+        SELECT source, n_tokens, weight,
+               CAST(SUM(weight) OVER () AS BIGINT) AS tot_w,
+               CAST(SUM(n_tokens) OVER () AS BIGINT) AS tot_n
+        FROM w),
+      d AS (
+        SELECT source, n_tokens, weight,
+               weight * 1000000 // tot_w AS share_ppm,
+               CAST(CAST(tot_n AS HUGEINT) * weight // CAST(tot_w AS HUGEINT)
+                 AS BIGINT) AS draw_tokens
+        FROM t)
+      SELECT source, n_tokens, weight, share_ppm, draw_tokens,
+             CAST(CAST(draw_tokens AS HUGEINT) * 1000000
+                  // CAST(n_tokens AS HUGEINT) AS BIGINT) AS oversample_ppm
+      FROM d ORDER BY source""")
+  )
+
   val all: Seq[Q] = Seq(q33, q34, q35, q37, q46, q53, q54, q55, q56, q57,
     q65, q66, q67, q69, q72, q83, q86, q96, q104, q108, q116, q117, q121,
-    q131, q137, q139, q142, q145, q146, q148, q149)
+    q131, q137, q139, q142, q145, q146, q148, q149, q151)
 }

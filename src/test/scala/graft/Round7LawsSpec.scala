@@ -195,4 +195,47 @@ class Round7LawsSpec extends SparkSpec {
       assert(nc > 0)
     }
   }
+
+  test("q151 laws: tempered shares flatten the distribution, floors bound the sums") {
+    val rows = SparkEntry.queries("q151_temperature_mix")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val n = rows.length
+    val totN = rows.map(_._2).sum
+    // weight is the exact integer sqrt of the token count
+    rows.foreach { case (src, nt, w, _, _, _) =>
+      assert(w * w <= nt && (w + 1) * (w + 1) > nt,
+        s"$src: weight $w is not isqrt($nt)")
+    }
+    // floor rounding: each sum lands within n of its exact target
+    val shareSum = rows.map(_._4).sum
+    assert(shareSum > 1000000L - n && shareSum <= 1000000L, s"share sum $shareSum")
+    val drawSum = rows.map(_._5).sum
+    assert(drawSum > totN - n && drawSum <= totN, s"draw sum $drawSum vs $totN")
+    // the full integer pipeline ≡ an independent BigInt recompute
+    val totW = rows.map(_._3).sum
+    rows.foreach { case (src, nt, w, share, draw, over) =>
+      assert(share == w * 1000000L / totW, s"$src share")
+      val d = (BigInt(totN) * w / totW).toLong
+      assert(draw == d, s"$src draw $draw != $d")
+      assert(over == (BigInt(d) * 1000000 / nt).toLong, s"$src oversample")
+    }
+    // α < 1 flattens: the reported ppm can invert between near-equal
+    // sources by isqrt flooring (relative slack ~1/weight), so the
+    // order law is asserted on the exact integer pipeline inputs: a
+    // strictly smaller source never gets a strictly smaller weight
+    rows.sortBy(_._2).sliding(2).foreach {
+      case Array((_, n1, w1, _, _, _), (_, n2, w2, _, _, _)) if n1 <= n2 =>
+        assert(w1 <= w2, s"isqrt monotonicity broken: ($n1,$w1) vs ($n2,$w2)")
+      case _ =>
+    }
+    // the head is down-sampled, the tail is up-sampled (unless uniform)
+    val (minSrc, maxSrc) = (rows.minBy(_._2), rows.maxBy(_._2))
+    if (minSrc._2 < maxSrc._2) {
+      assert(minSrc._6 >= 1000000L - n, s"smallest source ${minSrc._1} not up-sampled")
+      assert(maxSrc._6 <= 1000000L, s"largest source ${maxSrc._1} not down-sampled")
+    }
+  }
 }
