@@ -145,22 +145,17 @@ object SuffixArray {
     cur.withColumnRenamed("r", "suffix_rank")
   }
 
-  /** Per-document longest-repeated-phrase profile from the suffix array:
-    * `lrs_words` = length (in words, capped at `cap`) of the longest
-    * phrase starting in this document that also occurs ANYWHERE else in
-    * the corpus (another position of any document, itself included);
-    * `n_dup_starts` = how many of the document's positions start a
-    * phrase of ≥ `minRun` words that occurs elsewhere — the excisable
-    * duplicated-mass signal of Lee et al.'s ExactSubstr dedup, with no
-    * fixed shingle width.
-    *
-    * The classic suffix-array identity does the heavy lifting: the
-    * longest repeat at a position is its max LCP with the two NEIGHBORS
-    * in suffix order, so after ranking, the whole computation is one
-    * contiguous-index self-join (8-byte key) + an elementwise-compare
-    * LCP on `cap`-bounded word windows + two doc-keyed aggregations —
-    * no pairwise document comparison anywhere. */
-  def lrsPerDoc(docs: DataFrame, cap: Int = 31, minRun: Int = 8): DataFrame = {
+  /** `(doc_id, pos, g)` — for EVERY word position, the length (capped at
+    * `cap`) of the longest phrase starting there that also occurs
+    * anywhere else in the corpus (another position of any document,
+    * itself included). The classic suffix-array identity does the heavy
+    * lifting: the longest repeat at a position is its max LCP with the
+    * two NEIGHBORS in suffix order, so after ranking, the whole
+    * computation is one contiguous-index self-join (8-byte key) + an
+    * elementwise-compare LCP on `cap`-bounded word windows + one
+    * bucket-max — no pairwise document comparison anywhere. This is the
+    * primitive under q157 (per-doc profile) and q158 (excision sweep). */
+  def positionDupLens(docs: DataFrame, cap: Int = 31): DataFrame = {
     val ranks = suffixRanks(docs)
     // Contiguous suffix-array index: ties broken (doc_id, pos), mirroring
     // the oracle's ORDER BY suffix, doc_id, pos. Keys are unique per row,
@@ -168,7 +163,7 @@ object SuffixArray {
     val (sa, _) = denseRank(ranks, Seq("suffix_rank", "doc_id", "pos"), "sidx")
     val toks = docs.select(col("doc_id"), split(col("text"), "\\s+").as("w"))
     val capped = sa.join(toks, "doc_id")
-      .select(col("doc_id"), col("sidx"),
+      .select(col("doc_id"), col("pos"), col("sidx"),
         slice(col("w"), (col("pos") + 1).cast("int"), lit(cap)).as("cap"))
       .materialized
     val nxt = capped.select((col("sidx") - 1).as("sidx"), col("cap").as("ncap"))
@@ -187,10 +182,17 @@ object SuffixArray {
     val contrib = withL
       .union(withL.select((col("sidx") + 1).as("sidx"), col("ln")))
       .groupBy("sidx").agg(max(col("ln")).as("g"))
-    capped.select(col("doc_id"), col("sidx"))
+    capped.select(col("doc_id"), col("pos"), col("sidx"))
       .join(contrib, "sidx")
+      .select(col("doc_id"), col("pos"), col("g"))
+  }
+
+  /** Per-document longest-repeated-phrase profile: max duplicate length
+    * and count of positions starting a ≥ `minRun`-word phrase that
+    * occurs elsewhere — the doc-grain roll-up of [[positionDupLens]]. */
+  def lrsPerDoc(docs: DataFrame, cap: Int = 31, minRun: Int = 8): DataFrame =
+    positionDupLens(docs, cap)
       .groupBy("doc_id")
       .agg(max(col("g")).as("lrs_words"),
         sum(when(col("g") >= minRun, 1L).otherwise(0L)).as("n_dup_starts"))
-  }
 }

@@ -2309,7 +2309,114 @@ object DedupQueries {
       FROM l2 GROUP BY doc_id ORDER BY doc_id""")
   )
 
+  /** ExactSubstr excision-yield sweep — the policy question behind
+    * Lee et al.'s substring dedup, answered from the q156 suffix array:
+    * for each minimum-phrase threshold L, how many documents are hit,
+    * how many positions start a ≥L-word duplicated phrase, and how many
+    * corpus tokens an excision pass would actually touch (per-document
+    * interval UNION of the [pos, pos+g) duplicate spans, so overlapping
+    * phrases are not double-counted; capped g under-counts no union
+    * mass, because every inner start of a long repeat is itself a
+    * start). q134 answers this for one fixed shingle width; the sweep
+    * prices the policy across thresholds in one pass with no width
+    * re-chosen per run.
+    *
+    * Scale shape: the q156/q157 machinery (integer exchanges, in-place
+    * two-phase ranks) + a ×|thresholds| literal explode + interval
+    * union as a doc-partitioned running-max window (never global) + a
+    * ≤|thresholds|-row roll-up; the corpus token total rides a 1-row
+    * broadcast. Text shuffles only inside the 31-word LCP windows. */
+  val q158 = Q(
+    "q158_excision_sweep",
+    (s, dir) => {
+      val docs = documents(s, dir)
+      val dup = graft.operators.SuffixArray.positionDupLens(docs)
+      val thresholds = array(Seq(8, 16, 24, 31).map(v => lit(v.toLong)): _*)
+      val iv = dup
+        .select(col("doc_id"), col("pos"), col("g"),
+          explode(thresholds).as("l_min"))
+        .filter(col("g") >= col("l_min"))
+        .select(col("l_min"), col("doc_id"), col("pos"),
+          (col("pos") + col("g")).as("e"))
+      val byDoc = Window.partitionBy("l_min", "doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cov = iv
+        .withColumn("pe", max(col("e")).over(byDoc))
+        .select(col("l_min"), col("doc_id"),
+          greatest(lit(0L),
+            col("e") - greatest(col("pos"), coalesce(col("pe"), col("pos"))))
+            .as("new_cov"))
+        .groupBy("l_min", "doc_id")
+        .agg(sum(col("new_cov")).as("cov_tok"), count(lit(1)).as("n_pos"))
+      val tot = docs
+        .agg(sum(size(split(col("text"), "\\s+"))).cast("long").as("t"))
+      cov.groupBy("l_min")
+        .agg(count(lit(1)).as("n_docs_hit"),
+          sum(col("n_pos")).as("dup_starts"),
+          sum(col("cov_tok")).as("excis_tokens"))
+        .crossJoin(broadcast(tot))
+        .select(col("l_min"), col("n_docs_hit"), col("dup_starts"),
+          col("excis_tokens"),
+          expr("excis_tokens * 1000000 div t").as("excis_ppm"))
+        .orderBy("l_min")
+    },
+    Some(raw"""
+      WITH toks AS (
+        SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+      posx AS (
+        SELECT doc_id, unnest(generate_series(1, len(w))) AS i, w FROM toks),
+      suf AS (
+        SELECT doc_id, i - 1 AS pos,
+               w[i:least(i + 30, len(w))] AS cap,
+               array_to_string(w[i:], chr(1)) AS s
+        FROM posx),
+      sa AS (
+        SELECT doc_id, pos, cap, s,
+               lead(cap) OVER (ORDER BY s, doc_id, pos) AS ncap
+        FROM suf),
+      l1 AS (
+        SELECT doc_id, pos, s,
+               CASE WHEN ncap IS NULL THEN 0
+                    ELSE coalesce(
+                      nullif(list_position(
+                        list_transform(list_zip(cap, ncap),
+                          p -> p[1] IS NOT DISTINCT FROM p[2]),
+                        false), 0) - 1,
+                      least(len(cap), len(ncap)))
+               END AS ln
+        FROM sa),
+      l2 AS (
+        SELECT doc_id, pos,
+               greatest(ln,
+                 coalesce(lag(ln) OVER (ORDER BY s, doc_id, pos), 0)) AS g
+        FROM l1),
+      th AS (SELECT CAST(unnest([8, 16, 24, 31]) AS BIGINT) AS l_min),
+      iv AS (
+        SELECT l_min, doc_id, CAST(pos AS BIGINT) AS pos,
+               CAST(pos + g AS BIGINT) AS e
+        FROM l2, th WHERE g >= l_min),
+      u AS (
+        SELECT l_min, doc_id, pos, e,
+               max(e) OVER (PARTITION BY l_min, doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+        FROM iv),
+      cov AS (
+        SELECT l_min, doc_id,
+               CAST(SUM(greatest(0, e - greatest(pos, coalesce(pe, pos))))
+                 AS BIGINT) AS cov_tok,
+               CAST(COUNT(*) AS BIGINT) AS n_pos
+        FROM u GROUP BY l_min, doc_id),
+      tot AS (
+        SELECT CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT)
+          AS t FROM documents)
+      SELECT l_min, CAST(COUNT(*) AS BIGINT) AS n_docs_hit,
+             CAST(SUM(n_pos) AS BIGINT) AS dup_starts,
+             CAST(SUM(cov_tok) AS BIGINT) AS excis_tokens,
+             CAST(SUM(cov_tok) AS BIGINT) * 1000000 // t AS excis_ppm
+      FROM cov, tot GROUP BY l_min, t ORDER BY l_min""")
+  )
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q26, q38, q71, q74, q76,
     q82, q88, q90, q91, q95, q101, q103, q114, q115, q130, q133, q134,
-    q141, q143, q144, q155, q156, q157)
+    q141, q143, q144, q155, q156, q157, q158)
 }

@@ -273,7 +273,11 @@ class PlanRegressionSpec extends SparkSpec {
       // the streaming train side with the cosine threshold fused into
       // the join condition — case (b); the only exchange downstream is
       // the train-keyed window over the rare flagged pairs
-      "q152_semantic_decontam")
+      "q152_semantic_decontam",
+      // q158: the corpus token total is a ONE-ROW scalar frame cross
+      // joined onto the ≤|thresholds|-row sweep — case (a); the
+      // corpus-sized path is the q156 suffix-array machinery
+      "q158_excision_sweep")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")

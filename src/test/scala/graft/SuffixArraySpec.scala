@@ -94,6 +94,31 @@ class SuffixArraySpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("q158 ⋈ q157 laws: sweep agrees with the per-doc profile; monotone in L") {
+    val sf = "/root/testdata/sf0.001"
+    val sweep = SparkEntry.queries("q158_excision_sweep")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(sweep.map(_._1).toSeq == Seq(8L, 16L, 24L, 31L))
+    val profile = SparkEntry.queries("q157_phrase_lrs")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // L=8 row must agree with q157's minRun=8 roll-up
+    val (_, hit8, starts8, excis8, ppm8) = sweep.head
+    assert(hit8 == profile.count(_._2 >= 8L), "n_docs_hit vs per-doc lrs")
+    assert(starts8 == profile.map(_._3).sum, "dup_starts vs per-doc n_dup_starts")
+    // a wider threshold can only shrink every measure
+    sweep.sliding(2).foreach {
+      case Array((_, h1, s1, e1, p1), (_, h2, s2, e2, p2)) =>
+        assert(h2 <= h1 && s2 <= s1 && e2 <= e1 && p2 <= p1, "sweep not monotone")
+      case _ =>
+    }
+    // union coverage is bounded by the corpus and by start-count × cap
+    assert(excis8 <= 31L * starts8)
+    assert(ppm8 <= 1000000L)
+  }
+
   test("planted duplicated phrase is recovered at full length") {
     val phrase = (1 to 12).map(i => s"tok$i").mkString(" ")
     val docs = Seq(
