@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.operators.Materialize.MaterializeOps
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import Tables._
@@ -1104,6 +1105,170 @@ object TextQueries {
       FROM agg ORDER BY source""")
   )
 
+  /** Greedy longest-match piece count for `word` against the literal
+    * `pieces` codebook (single characters are always available): one
+    * `aggregate` fold over the character positions carrying (next
+    * unconsumed position, count) — pure codegen'd expression, no UDF,
+    * no shuffle. Package-visible so the spec can plant adversarial
+    * codebooks. */
+  private[graft] def greedyPieces(word: Column, pieces: Seq[String]): Column = {
+    val p = array(pieces.map(lit): _*)
+    val rem = (i: Column) => length(word) - i + 1
+    aggregate(
+      sequence(lit(1), length(word)),
+      struct(lit(1).as("np"), lit(0L).as("c")),
+      (acc, i) => {
+        val step = when(rem(i) >= 4 && array_contains(p, word.substr(i, lit(4))), 4)
+          .when(rem(i) >= 3 && array_contains(p, word.substr(i, lit(3))), 3)
+          .when(rem(i) >= 2 && array_contains(p, word.substr(i, lit(2))), 2)
+          .otherwise(1)
+        when(i === acc.getField("np"),
+          struct((acc.getField("np") + step).as("np"),
+            (acc.getField("c") + 1L).as("c")))
+          .otherwise(struct(acc.getField("np").as("np"),
+            acc.getField("c").as("c")))
+      },
+      acc => acc.getField("c"))
+  }
+
+  /** Optimal (minimum) piece count for `word` against `pieces` — the
+    * Viterbi/unigram-LM decoding answer to the same question: one
+    * `aggregate` fold building the best[0..i] DP array (piece lengths
+    * ≤ 4, singles always available), again a pure codegen'd expression.
+    * try_element_at per the ANSI-mode house rule; indices are in range
+    * by construction. */
+  private[graft] def optPieces(word: Column, pieces: Seq[String]): Column = {
+    val p = array(pieces.map(lit): _*)
+    val Big = 1000000L
+    aggregate(
+      sequence(lit(1), length(word)),
+      array(lit(0L)),
+      (acc, j) => {
+        def viaLen(l: Int): Column =
+          when(j >= l && array_contains(p, word.substr(j - l + 1, lit(l))),
+            try_element_at(acc, j - l + 1) + 1L).otherwise(lit(Big))
+        concat(acc, array(least(
+          try_element_at(acc, j) + 1L, viaLen(2), viaLen(3), viaLen(4))))
+      },
+      acc => try_element_at(acc, length(word) + 1))
+  }
+
+  /** Viterbi-vs-greedy tokenization audit — the unigram-LM decoding
+    * question (Kudo, ACL'18): greedy longest-match (WordPiece-style)
+    * over-fragments words whose best cover needs a SHORTER first piece;
+    * exact DP segmentation prices that loss. The codebook is the top-64
+    * 2..4-char substrings of the corpus vocabulary by frequency-weighted
+    * occurrence (ties lexicographic — deterministic), collected
+    * driver-side like the IVF/PQ codebooks and baked into the plan as
+    * literals; single characters are always available, so every word
+    * segments. Per word-length bucket: words, words greedy
+    * over-fragments, total pieces under each decoder, and the
+    * corpus-frequency-weighted token saving of exact decoding.
+    *
+    * Scale shape, q97's argument again: the corpus collapses to the
+    * DISTINCT-WORD vocabulary at the first aggregate; substring stats
+    * are vocab-sized; the codebook is 64 collected rows
+    * (corpus-size-independent); BOTH decoders are single codegen'd
+    * `aggregate` folds in one projection over the vocab — no join, no
+    * UDF, no per-word shuffle — and the roll-up is ≤ maxWordLen rows. */
+  val q159 = Q(
+    "q159_viterbi_segment",
+    (s, dir) => {
+      val vocab = documents(s, dir)
+        .select(explode(filter(split(col("text"), "\\s+"),
+          x => x.rlike("^[a-z]+$"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .materialized // consumers: codebook collect + decoding pass
+      val pieces: Seq[String] = vocab
+        .select(col("word"), col("freq"),
+          explode(sequence(lit(1), length(col("word")))).as("i"))
+        .select(col("word"), col("freq"), col("i"),
+          explode(array(lit(2), lit(3), lit(4))).as("l"))
+        .filter(col("i") + col("l") - 1 <= length(col("word")))
+        .select(col("word").substr(col("i"), col("l")).as("piece"), col("freq"))
+        .groupBy("piece").agg(sum(col("freq")).as("t"))
+        .orderBy(col("t").desc, col("piece")).limit(64)
+        .collect().map(_.getString(0)).toSeq
+      vocab
+        .select(col("word"), col("freq"),
+          greedyPieces(col("word"), pieces).as("gp"),
+          optPieces(col("word"), pieces).as("op"))
+        .groupBy(length(col("word")).cast("long").as("wlen"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(when(col("gp") > col("op"), 1L).otherwise(0L)).as("n_improved"),
+          sum(col("gp")).as("greedy_sum"),
+          sum(col("op")).as("opt_sum"),
+          sum(col("freq") * (col("gp") - col("op"))).as("tokens_saved"))
+        .orderBy("wlen")
+    },
+    Some(raw"""
+      WITH RECURSIVE tokens AS (
+        SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                                  x -> regexp_matches(x, '^[a-z]+$$'))) AS word
+        FROM documents),
+      words AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM tokens GROUP BY word),
+      occ AS (
+        SELECT substr(word, i, l) AS piece, freq
+        FROM (SELECT word, freq, unnest(range(1, length(word) + 1)) AS i
+              FROM words),
+             (SELECT unnest([2, 3, 4]) AS l)
+        WHERE i + l - 1 <= length(word)),
+      pieces AS (
+        SELECT piece FROM (
+          SELECT piece, ROW_NUMBER() OVER (ORDER BY SUM(freq) DESC, piece)
+            AS rn
+          FROM occ GROUP BY piece)
+        WHERE rn <= 64),
+      pl AS (SELECT list(piece) AS ps FROM pieces),
+      dp AS (
+        SELECT word, freq, 0 AS i,
+               CAST(0 AS BIGINT) AS b1, CAST(1000000 AS BIGINT) AS b2,
+               CAST(1000000 AS BIGINT) AS b3, CAST(1000000 AS BIGINT) AS b4
+        FROM words
+        UNION ALL
+        SELECT d.word, d.freq, d.i + 1,
+               least(d.b1 + 1,
+                 CASE WHEN d.i + 1 >= 2
+                           AND list_contains(ps, substr(d.word, d.i, 2))
+                      THEN d.b2 + 1 ELSE 1000000 END,
+                 CASE WHEN d.i + 1 >= 3
+                           AND list_contains(ps, substr(d.word, d.i - 1, 3))
+                      THEN d.b3 + 1 ELSE 1000000 END,
+                 CASE WHEN d.i + 1 >= 4
+                           AND list_contains(ps, substr(d.word, d.i - 2, 4))
+                      THEN d.b4 + 1 ELSE 1000000 END),
+               d.b1, d.b2, d.b3
+        FROM dp d, pl WHERE d.i < length(d.word)),
+      opt AS (SELECT word, freq, b1 AS op FROM dp WHERE i = length(word)),
+      greedy AS (
+        SELECT word, freq, 1 AS pos, CAST(0 AS BIGINT) AS c FROM words
+        UNION ALL
+        SELECT g.word, g.freq,
+               g.pos + CASE
+                 WHEN length(g.word) - g.pos + 1 >= 4
+                      AND list_contains(ps, substr(g.word, g.pos, 4)) THEN 4
+                 WHEN length(g.word) - g.pos + 1 >= 3
+                      AND list_contains(ps, substr(g.word, g.pos, 3)) THEN 3
+                 WHEN length(g.word) - g.pos + 1 >= 2
+                      AND list_contains(ps, substr(g.word, g.pos, 2)) THEN 2
+                 ELSE 1 END,
+               g.c + 1
+        FROM greedy g, pl WHERE g.pos <= length(g.word)),
+      gr AS (SELECT word, freq, c AS gp FROM greedy
+             WHERE pos = length(word) + 1)
+      SELECT CAST(length(o.word) AS BIGINT) AS wlen,
+             CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(CASE WHEN g.gp > o.op THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_improved,
+             CAST(SUM(g.gp) AS BIGINT) AS greedy_sum,
+             CAST(SUM(o.op) AS BIGINT) AS opt_sum,
+             CAST(SUM(o.freq * (g.gp - o.op)) AS BIGINT) AS tokens_saved
+      FROM opt o JOIN gr g USING (word, freq)
+      GROUP BY 1 ORDER BY wlen""")
+  )
+
   val all: Seq[Q] = Seq(q25, q30, q31, q32, q36, q78, q87, q97, q100, q124,
-    q135, q140, q147, q153, q154)
+    q135, q140, q147, q153, q154, q159)
 }

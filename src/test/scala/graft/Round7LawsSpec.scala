@@ -238,4 +238,31 @@ class Round7LawsSpec extends SparkSpec {
       assert(maxSrc._6 <= 1000000L, s"largest source ${maxSrc._1} not down-sampled")
     }
   }
+
+  test("q159 laws: planted codebook shows greedy over-fragmenting; DP bounds hold") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // {ab, bcd} on "abcd": greedy eats "ab" then singles (3 pieces);
+    // the optimum is a|bcd (2) — the classic longest-match trap
+    val planted = Seq("abcd").toDF("word")
+      .select(
+        graft.queries.TextQueries.greedyPieces(col("word"), Seq("ab", "bcd")).as("g"),
+        graft.queries.TextQueries.optPieces(col("word"), Seq("ab", "bcd")).as("o"))
+      .head()
+    assert(planted.getLong(0) == 3L, s"greedy ${planted.getLong(0)}")
+    assert(planted.getLong(1) == 2L, s"opt ${planted.getLong(1)}")
+    // corpus rollup invariants: optimum never worse, ceil(len/4) floor
+    val rows = SparkEntry.queries("q159_viterbi_segment")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (wlen, nw, imp, gs, os, saved) =>
+      assert(os <= gs, s"len $wlen: optimum worse than greedy")
+      assert(imp <= nw)
+      assert(os >= nw * ((wlen + 3) / 4), s"len $wlen below the piece floor")
+      assert(gs <= nw * wlen, s"len $wlen above the singles ceiling")
+      assert(saved >= 0)
+    }
+  }
 }
