@@ -125,7 +125,7 @@ object SuffixArray {
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("word"))
     val (ranked, classes0) = denseRank(pos, Seq("word"), "r")
     var classes = classes0
-    var cur = ranked.select(col("doc_id"), col("pos"), col("r")).materialized
+    var cur = ranked.select(col("doc_id"), col("pos"), col("r"))
     // Bounded scalar: the longest document's word count caps the rounds.
     val maxLen = toks.agg(max(size(col("w")))).head().getInt(0).toLong
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
@@ -137,12 +137,17 @@ object SuffixArray {
         coalesce(lead(col("r"), k.toInt).over(byDoc), lit(-1L)).as("r2"))
       val (next, newClasses) = denseRank(withR2, Seq("r", "r2"), "rn")
       cur = next.select(col("doc_id"), col("pos"), col("rn").as("r"))
-        .materialized
       fixed = newClasses == classes
       classes = newClasses
       k *= 2
     }
-    cur.withColumnRenamed("r", "suffix_rank")
+    // No per-round checkpoint: every round's denseRank runs an EAGER
+    // stats job that materializes that round's range exchange, and later
+    // jobs reuse those shuffle files (skipped stages) — recompute is
+    // bounded to the cheap post-shuffle stamping map, never the whole
+    // prefix of rounds. One cut at the end for the multi-consumer callers
+    // (and the `reliable` mode under preemption).
+    cur.withColumnRenamed("r", "suffix_rank").materialized
   }
 
   /** `(doc_id, pos, g)` — for EVERY word position, the length (capped at
