@@ -66,7 +66,11 @@ object Audit {
     "q20_dedup_exact", "q26_dup_spans", "q85_snapshot_diff",
     "q88_canonical_select", "q91_max_dup_span", "q134_span_excise",
     "q140_novel_ngrams", "q145_sequence_packing", "q147_rank_fluency",
-    "q148_gapped_contamination")
+    "q148_gapped_contamination",
+    // q156: round 0 exchanges single bounded-width words; every later
+    // doubling round exchanges (doc_id, pos, rank) integer rows — the
+    // PLANS claim "a suffix is never materialized", metered
+    "q156_suffix_rank")
 
   def shuffleAudit(spark: SparkSession, sfDir: String): Seq[String] = {
     DigestShuffleQueries.map { name =>
