@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.operators.Materialize.MaterializeOps
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
@@ -150,21 +150,16 @@ object SuffixArray {
     cur.withColumnRenamed("r", "suffix_rank").materialized
   }
 
-  /** `(doc_id, pos, g)` — for EVERY word position, the length (capped at
-    * `cap`) of the longest phrase starting there that also occurs
-    * anywhere else in the corpus (another position of any document,
-    * itself included). The classic suffix-array identity does the heavy
-    * lifting: the longest repeat at a position is its max LCP with the
-    * two NEIGHBORS in suffix order, so after ranking, the whole
-    * computation is one contiguous-index self-join (8-byte key) + an
-    * elementwise-compare LCP on `cap`-bounded word windows + one
-    * bucket-max — no pairwise document comparison anywhere. This is the
-    * primitive under q157 (per-doc profile) and q158 (excision sweep). */
-  def positionDupLens(docs: DataFrame, cap: Int = 31): DataFrame = {
+  /** `(doc_id, pos, sidx, l)` — contiguous suffix-array index (ties
+    * broken (doc_id, pos), mirroring the oracle's ORDER BY suffix,
+    * doc_id, pos; keys unique per row, so the ordinal is a permutation —
+    * the suffix array itself) plus the LCP (capped at `cap` words)
+    * between each suffix and its SUCCESSOR in suffix order. The common
+    * primitive under [[positionDupLens]] and [[phraseContam]]: one
+    * contiguous-index self-join (8-byte key) + an elementwise-compare
+    * LCP on `cap`-bounded word windows. */
+  def adjacentLcp(docs: DataFrame, cap: Int = 31): DataFrame = {
     val ranks = suffixRanks(docs)
-    // Contiguous suffix-array index: ties broken (doc_id, pos), mirroring
-    // the oracle's ORDER BY suffix, doc_id, pos. Keys are unique per row,
-    // so the ordinal is a permutation — the suffix array itself.
     val (sa, _) = denseRank(ranks, Seq("suffix_rank", "doc_id", "pos"), "sidx")
     val toks = docs.select(col("doc_id"), split(col("text"), "\\s+").as("w"))
     val capped = sa.join(toks, "doc_id")
@@ -182,14 +177,106 @@ object SuffixArray {
       .otherwise(when(firstDiff === 0,
         least(size(col("cap")), size(col("ncap"))).cast("long"))
         .otherwise(firstDiff - 1))
-    val withL = pairs.select(col("sidx"), ln.as("ln"))
+    pairs.select(col("doc_id"), col("pos"), col("sidx"), ln.as("l"))
+  }
+
+  /** `(doc_id, pos, g)` — for EVERY word position, the length (capped at
+    * `cap`) of the longest phrase starting there that also occurs
+    * anywhere else in the corpus (another position of any document,
+    * itself included). The classic suffix-array identity: the longest
+    * repeat at a position is its max LCP with the two NEIGHBORS in
+    * suffix order — so g = max(own l, predecessor's l) via one
+    * bucket-max. The primitive under q157 (per-doc profile) and q158
+    * (excision sweep). */
+  def positionDupLens(docs: DataFrame, cap: Int = 31): DataFrame = {
+    val adj = adjacentLcp(docs, cap).materialized
+    val withL = adj.select(col("sidx"), col("l").as("ln"))
     // Each adjacent pair (i, i+1) bounds BOTH endpoints' repeats.
     val contrib = withL
       .union(withL.select((col("sidx") + 1).as("sidx"), col("ln")))
       .groupBy("sidx").agg(max(col("ln")).as("g"))
-    capped.select(col("doc_id"), col("pos"), col("sidx"))
+    adj.select(col("doc_id"), col("pos"), col("sidx"))
       .join(contrib, "sidx")
       .select(col("doc_id"), col("pos"), col("g"))
+  }
+
+  /** Append to `df` the INCLUSIVE running count of `flagCol` over the
+    * global `orderCol` order, plus the flag total — the same two-phase
+    * shape as [[denseRank]]: range-partition + sort, one bounded
+    * per-partition count job (#partitions rows to the driver), then each
+    * task stamps `offset + local running count` in one scan. No
+    * single-partition window anywhere. */
+  private[graft] def withPrefixCount(
+      df: DataFrame, orderCol: String, flagCol: String, out: String)
+      : (DataFrame, Long) = {
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(col(orderCol))
+      .sortWithinPartitions(orderCol)
+    val fi = sorted.schema.fieldIndex(flagCol)
+    val sortedRdd = sorted.rdd
+    val counts = sortedRdd.mapPartitionsWithIndex { (pid, it) =>
+      var n = 0L
+      it.foreach(r => if (r.getBoolean(fi)) n += 1)
+      Iterator.single((pid, n))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val total = offsets.last
+    val schema = StructType(
+      sorted.schema.fields :+ StructField(out, LongType, nullable = false))
+    val stamped = sortedRdd.mapPartitionsWithIndex { (pid, it) =>
+      var c = offsets(pid)
+      it.map { r =>
+        if (r.getBoolean(fi)) c += 1
+        Row.fromSeq(r.toSeq :+ c)
+      }
+    }
+    (spark.createDataFrame(stamped, schema), total)
+  }
+
+  /** Benchmark decontamination at ANY phrase length: for every document
+    * NOT in the benchmark set, the length (words, capped at `cap`) of the
+    * longest phrase it shares with ANY benchmark document, plus how many
+    * of its positions start a shared phrase of ≥ `minRun` words. The
+    * verbatim-contamination question q38/q96/q148 answer for FIXED
+    * shingle widths, answered for all widths at once — Lee et al.'s
+    * decontamination formulation.
+    *
+    * Suffix-array identity, cross-set form: the max LCP between suffix i
+    * and any BENCHMARK suffix equals the max over its nearest benchmark
+    * neighbors above and below in suffix order, and LCP to a non-adjacent
+    * suffix is the running MIN of adjacent LCPs between them. So after
+    * [[adjacentLcp]]: one two-phase prefix count of benchmark positions
+    * assigns every row its preceding/following benchmark-segment ids, and
+    * two segment-partitioned running-min windows (never global — each
+    * partition spans one inter-benchmark gap) produce both LCPs. */
+  def phraseContam(
+      docs: DataFrame, isBench: Column, cap: Int = 31, minRun: Int = 8)
+      : DataFrame = {
+    val adj = adjacentLcp(docs, cap)
+      .withColumn("is_bench", isBench)
+    val (pc, nBench) = withPrefixCount(adj, "sidx", "is_bench", "pcnt")
+    val g = pc
+      .withColumn("fwdgrp", col("pcnt"))
+      .withColumn("bwdgrp",
+        col("pcnt") + when(col("is_bench"), 0L).otherwise(1L))
+    val wf = Window.partitionBy("fwdgrp").orderBy("sidx")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wb = Window.partitionBy("bwdgrp").orderBy(col("sidx").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    // The benchmark leader's own l belongs to the NEXT gap, not the span
+    // back to it — mask it out of the backward running min.
+    val lMasked = when(col("is_bench"), lit(1000000L)).otherwise(col("l"))
+    g
+      .withColumn("fwd", when(col("fwdgrp") >= 1,
+        coalesce(min(col("l")).over(wf), lit(0L))).otherwise(lit(0L)))
+      .withColumn("bwd", when(col("bwdgrp") <= nBench,
+        coalesce(min(lMasked).over(wb), lit(0L))).otherwise(lit(0L)))
+      .filter(!col("is_bench"))
+      .select(col("doc_id"), greatest(col("fwd"), col("bwd")).as("cl"))
+      .groupBy("doc_id")
+      .agg(max(col("cl")).as("max_shared_words"),
+        sum(when(col("cl") >= minRun, 1L).otherwise(0L))
+          .as("n_contam_starts"))
   }
 
   /** Per-document longest-repeated-phrase profile: max duplicate length

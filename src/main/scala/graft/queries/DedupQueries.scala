@@ -2416,7 +2416,91 @@ object DedupQueries {
       FROM cov, tot GROUP BY l_min, t ORDER BY l_min""")
   )
 
+  /** Benchmark decontamination at ANY phrase length (q38/q96/q148 detect
+    * FIXED-width shingle hits; this reports, per training document, the
+    * exact longest phrase shared with any benchmark document — capped at
+    * 31 words — plus how many positions start a ≥8-word shared phrase).
+    * `doc_id % 17 = 0` plays the held-out benchmark. The suffix-array
+    * cross-set identity does it without any train×bench comparison: the
+    * max LCP against the benchmark SET is the max against the two nearest
+    * benchmark suffixes in suffix order, and LCP to a non-adjacent suffix
+    * is the running MIN of adjacent LCPs between them — so one two-phase
+    * prefix count of benchmark positions segments the suffix order into
+    * inter-benchmark gaps, and two gap-partitioned running-min windows
+    * (never global) produce both directions. See
+    * [[graft.operators.SuffixArray.phraseContam]].
+    *
+    * Scale shape: q156's integer ranking rounds + the 31-word capped LCP
+    * exchange + ONE two-phase prefix count (bounded stats to the driver)
+    * + two windows whose partitions span single inter-benchmark gaps +
+    * a doc-keyed roll-up. No train-vs-bench join of any kind exists in
+    * the plan. */
+  val q160 = Q(
+    "q160_phrase_decontam",
+    (s, dir) => {
+      graft.operators.SuffixArray
+        .phraseContam(documents(s, dir), col("doc_id") % 17 === 0)
+        .orderBy("doc_id")
+    },
+    Some(raw"""
+      WITH toks AS (
+        SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+      posx AS (
+        SELECT doc_id, unnest(generate_series(1, len(w))) AS i, w FROM toks),
+      suf AS (
+        SELECT doc_id, i - 1 AS pos,
+               w[i:least(i + 30, len(w))] AS cap,
+               array_to_string(w[i:], chr(1)) AS s
+        FROM posx),
+      sa AS (
+        SELECT doc_id, pos, s, doc_id % 17 = 0 AS is_bench, cap,
+               lead(cap) OVER (ORDER BY s, doc_id, pos) AS ncap
+        FROM suf),
+      l1 AS (
+        SELECT doc_id, pos, s, is_bench,
+               CASE WHEN ncap IS NULL THEN 0
+                    ELSE coalesce(
+                      nullif(list_position(
+                        list_transform(list_zip(cap, ncap),
+                          p -> p[1] IS NOT DISTINCT FROM p[2]),
+                        false), 0) - 1,
+                      least(len(cap), len(ncap)))
+               END AS l
+        FROM sa),
+      l2 AS (
+        SELECT doc_id, pos, s, is_bench, l,
+               SUM(CASE WHEN is_bench THEN 1 ELSE 0 END)
+                 OVER (ORDER BY s, doc_id, pos ROWS UNBOUNDED PRECEDING)
+                 AS pcnt
+        FROM l1),
+      l3 AS (
+        SELECT doc_id, pos, s, is_bench, l, pcnt AS fwdgrp,
+               pcnt + CASE WHEN is_bench THEN 0 ELSE 1 END AS bwdgrp
+        FROM l2),
+      l4 AS (
+        SELECT doc_id, is_bench,
+               CASE WHEN fwdgrp >= 1 THEN coalesce(
+                 MIN(l) OVER (PARTITION BY fwdgrp ORDER BY s, doc_id, pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 ELSE 0 END AS fwd,
+               CASE WHEN bwdgrp <=
+                      (SELECT COUNT(*) FROM l1 WHERE is_bench)
+                 THEN coalesce(
+                   MIN(CASE WHEN is_bench THEN 1000000 ELSE l END)
+                     OVER (PARTITION BY bwdgrp
+                       ORDER BY s DESC, doc_id DESC, pos DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+                 ELSE 0 END AS bwd
+        FROM l3)
+      SELECT doc_id,
+             CAST(MAX(greatest(fwd, bwd)) AS BIGINT) AS max_shared_words,
+             CAST(SUM(CASE WHEN greatest(fwd, bwd) >= 8 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_contam_starts
+      FROM l4 WHERE NOT is_bench
+      GROUP BY doc_id ORDER BY doc_id""")
+  )
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q26, q38, q71, q74, q76,
     q82, q88, q90, q91, q95, q101, q103, q114, q115, q130, q133, q134,
-    q141, q143, q144, q155, q156, q157, q158)
+    q141, q143, q144, q155, q156, q157, q158, q160)
 }

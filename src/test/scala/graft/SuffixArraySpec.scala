@@ -94,6 +94,43 @@ class SuffixArraySpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  private def bruteContam(docs: Seq[(Long, String)], mod: Int, cap: Int,
+      minRun: Int): Map[Long, (Long, Long)] = {
+    val toks = docs.map { case (id, t) => id -> t.split("\\s+").toVector }
+    val benchSufs = toks.filter(_._1 % mod == 0)
+      .flatMap { case (_, w) => w.indices.map(w.drop) }
+    def lcp(a: Vector[String], b: Vector[String]): Int = {
+      val n = math.min(math.min(a.length, b.length), cap)
+      var i = 0
+      while (i < n && a(i) == b(i)) i += 1
+      i
+    }
+    toks.filter(_._1 % mod != 0).map { case (id, w) =>
+      val per = w.indices.map { p =>
+        val mine = w.drop(p)
+        benchSufs.map(lcp(mine, _)).foldLeft(0)(math.max)
+      }
+      id -> (per.foldLeft(0)(math.max).toLong,
+        per.count(_ >= minRun).toLong)
+    }.toMap
+  }
+
+  test("∀ corpora: phraseContam ≡ brute-force cross-set capped LCP") {
+    import org.apache.spark.sql.functions.col
+    val prop = Prop.forAll(corpusGen) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val df = docs.toDF("doc_id", "text")
+      val got = SuffixArray
+        .phraseContam(df, col("doc_id") % 3 === 0, cap = 5, minRun = 2)
+        .collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+        .toMap
+      got == bruteContam(docs, 3, 5, 2)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("q158 ⋈ q157 laws: sweep agrees with the per-doc profile; monotone in L") {
     val sf = "/root/testdata/sf0.001"
     val sweep = SparkEntry.queries("q158_excision_sweep")(spark, sf)
