@@ -150,34 +150,104 @@ object SuffixArray {
     cur.withColumnRenamed("r", "suffix_rank").materialized
   }
 
-  /** `(doc_id, pos, sidx, l)` — contiguous suffix-array index (ties
-    * broken (doc_id, pos), mirroring the oracle's ORDER BY suffix,
-    * doc_id, pos; keys unique per row, so the ordinal is a permutation —
-    * the suffix array itself) plus the LCP (capped at `cap` words)
-    * between each suffix and its SUCCESSOR in suffix order. The common
-    * primitive under [[positionDupLens]] and [[phraseContam]]: one
-    * contiguous-index self-join (8-byte key) + an elementwise-compare
-    * LCP on `cap`-bounded word windows. */
+  /** `(doc_id, pos, sidx, l, g)` — contiguous ordinal `sidx` of each word
+    * position in CAPPED suffix order (lexicographic by the `cap`-word
+    * window starting there, shorter-is-smaller, ties broken (doc_id,
+    * pos)), the LCP `l` (≤ `cap`) between each window and its SUCCESSOR
+    * in that order, and `g` = max(l, predecessor's l) — the longest
+    * phrase (≤ `cap` words) starting at the position that also occurs
+    * anywhere else in the corpus.
+    *
+    * Capped order, not full suffix order, on purpose: every capped LCP
+    * depends only on the `cap`-word windows, windows sharing a prefix
+    * sort contiguously in BOTH orders, and within an equal-window block
+    * every member's capped LCP to any other row is the same — so `l`/`g`
+    * per (doc_id, pos) are identical under any block-respecting order
+    * (SuffixArraySpec pins this to brute force ∀ corpora, and the
+    * full-order oracles of q157/q158/q160 hash-match). What it buys: the
+    * ≤ log₂(maxDocLen) prefix-doubling rounds collapse into ONE range
+    * exchange carrying the window column that any LCP step must exchange
+    * anyway, and the adjacent LCP needs no self-join — after the range
+    * sort, the successor IS the next row of the partition, so `sidx`,
+    * `l`, and `g` are all stamped in the denseRank discipline: one
+    * bounded stats job also collecting each partition's head/tail window
+    * (#partitions × `cap` words to the driver), then one scan per task
+    * with the neighbor partitions' boundary windows in the closure. Full
+    * UNCAPPED ranks (q156's contract) stay on [[suffixRanks]]. */
   def adjacentLcp(docs: DataFrame, cap: Int = 31): DataFrame = {
-    val ranks = suffixRanks(docs)
-    val (sa, _) = denseRank(ranks, Seq("suffix_rank", "doc_id", "pos"), "sidx")
+    val spark = docs.sparkSession
     val toks = docs.select(col("doc_id"), split(col("text"), "\\s+").as("w"))
-    val capped = sa.join(toks, "doc_id")
-      .select(col("doc_id"), col("pos"), col("sidx"),
-        slice(col("w"), (col("pos") + 1).cast("int"), lit(cap)).as("cap"))
-      .materialized
-    val nxt = capped.select((col("sidx") - 1).as("sidx"), col("cap").as("ncap"))
-    val pairs = capped.join(nxt, Seq("sidx"), "left")
-    // LCP of the capped windows: zip_with pads the shorter side with
-    // nulls, so the first non-equal slot (null-safe compare) IS the LCP;
-    // fully-equal windows fall through to min length.
-    val eq = zip_with(col("cap"), col("ncap"), (x, y) => x <=> y)
-    val firstDiff = array_position(eq, false)
-    val ln = when(col("ncap").isNull, lit(0L))
-      .otherwise(when(firstDiff === 0,
-        least(size(col("cap")), size(col("ncap"))).cast("long"))
-        .otherwise(firstDiff - 1))
-    pairs.select(col("doc_id"), col("pos"), col("sidx"), ln.as("l"))
+    val wins = toks
+      .select(col("doc_id"), col("w"), posexplode(col("w")).as(Seq("pos", "word")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        slice(col("w"), col("pos") + 1, lit(cap)).as("win"))
+    val sorted = wins
+      .repartitionByRange(col("win"), col("doc_id"), col("pos"))
+      .sortWithinPartitions("win", "doc_id", "pos")
+    val rdd = sorted.rdd
+    val nParts = rdd.getNumPartitions
+    // One bounded job: per-partition row count + boundary windows.
+    val stats = rdd.mapPartitionsWithIndex { (pid, it) =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val first = it.next()
+        var last = first
+        var n = 1L
+        while (it.hasNext) { last = it.next(); n += 1 }
+        Iterator.single(
+          (pid, n, first.getSeq[String](2), last.getSeq[String](2)))
+      }
+    }.collect().sortBy(_._1)
+    val offsets = new Array[Long](nParts)
+    val nextHead = new Array[Seq[String]](nParts)
+    val prevTail = new Array[Seq[String]](nParts)
+    var acc = 0L
+    var tail: Seq[String] = null
+    stats.foreach { case (pid, n, _, lastWin) =>
+      offsets(pid) = acc; prevTail(pid) = tail
+      acc += n; tail = lastWin
+    }
+    var head: Seq[String] = null
+    stats.reverseIterator.foreach { case (pid, _, firstWin, _) =>
+      nextHead(pid) = head; head = firstWin
+    }
+    def lcp(a: Seq[String], b: Seq[String]): Long =
+      if (a == null || b == null) 0L
+      else {
+        val n = math.min(a.length, b.length)
+        var i = 0
+        while (i < n && a(i) == b(i)) i += 1
+        i.toLong
+      }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("pos", LongType, nullable = false),
+      StructField("sidx", LongType, nullable = false),
+      StructField("l", LongType, nullable = false),
+      StructField("g", LongType, nullable = false)))
+    val stamped = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var sidx = offsets(pid)
+      var prevL = 0L
+      new Iterator[Row] {
+        private var cur: Row = if (it.hasNext) it.next() else null
+        private var first = true
+        def hasNext: Boolean = cur != null
+        def next(): Row = {
+          val nxt = if (it.hasNext) it.next() else null
+          val w = cur.getSeq[String](2)
+          if (first) { prevL = lcp(prevTail(pid), w); first = false }
+          val l = lcp(w,
+            if (nxt != null) nxt.getSeq[String](2) else nextHead(pid))
+          sidx += 1
+          val out = Row(cur.getLong(0), cur.getLong(1), sidx, l,
+            math.max(prevL, l))
+          prevL = l
+          cur = nxt
+          out
+        }
+      }
+    }
+    spark.createDataFrame(stamped, schema)
   }
 
   /** `(doc_id, pos, g)` — for EVERY word position, the length (capped at
@@ -185,20 +255,11 @@ object SuffixArray {
     * anywhere else in the corpus (another position of any document,
     * itself included). The classic suffix-array identity: the longest
     * repeat at a position is its max LCP with the two NEIGHBORS in
-    * suffix order — so g = max(own l, predecessor's l) via one
-    * bucket-max. The primitive under q157 (per-doc profile) and q158
-    * (excision sweep). */
-  def positionDupLens(docs: DataFrame, cap: Int = 31): DataFrame = {
-    val adj = adjacentLcp(docs, cap).materialized
-    val withL = adj.select(col("sidx"), col("l").as("ln"))
-    // Each adjacent pair (i, i+1) bounds BOTH endpoints' repeats.
-    val contrib = withL
-      .union(withL.select((col("sidx") + 1).as("sidx"), col("ln")))
-      .groupBy("sidx").agg(max(col("ln")).as("g"))
-    adj.select(col("doc_id"), col("pos"), col("sidx"))
-      .join(contrib, "sidx")
-      .select(col("doc_id"), col("pos"), col("g"))
-  }
+    * suffix order — which [[adjacentLcp]] already stamps as `g` in its
+    * single sorted scan. The primitive under q157 (per-doc profile) and
+    * q158 (excision sweep). */
+  def positionDupLens(docs: DataFrame, cap: Int = 31): DataFrame =
+    adjacentLcp(docs, cap).select(col("doc_id"), col("pos"), col("g"))
 
   /** Append to `df` the INCLUSIVE running count of `flagCol` over the
     * global `orderCol` order, plus the flag total — the same two-phase
@@ -253,6 +314,7 @@ object SuffixArray {
       docs: DataFrame, isBench: Column, cap: Int = 31, minRun: Int = 8)
       : DataFrame = {
     val adj = adjacentLcp(docs, cap)
+      .select(col("doc_id"), col("sidx"), col("l"))
       .withColumn("is_bench", isBench)
     val (pc, nBench) = withPrefixCount(adj, "sidx", "is_bench", "pcnt")
     val g = pc

@@ -2256,14 +2256,16 @@ object DedupQueries {
     * elsewhere — the excisable duplicated-mass signal with NO shingle
     * width chosen in advance. The suffix-array identity (longest repeat =
     * max LCP with the two suffix-order neighbors) turns the all-pairs
-    * phrase search into one contiguous-index self-join on 8-byte keys
-    * plus an elementwise LCP over 31-word windows.
+    * phrase search into adjacent comparisons in capped-suffix order.
     *
-    * Scale shape: q156's ranking rounds + one doc-keyed join to slice the
-    * capped windows (the only exchange carrying text, bounded at 31 words
-    * per row) + the sidx±1 equi-join + two aggregations. The oracle's
-    * global ORDER BY suffix window is replaced by the same two-phase
-    * zipWithIndex dense rank used in the doubling rounds. */
+    * Scale shape: ONE range exchange sorting the 31-word capped windows
+    * (the column any LCP step must exchange anyway — capped LCPs depend
+    * only on capped-window order, see
+    * [[graft.operators.SuffixArray.adjacentLcp]]), then sidx + both
+    * neighbor LCPs stamped in a single scan per task with partition
+    * boundary windows reconciled driver-side (#partitions rows), then one
+    * doc-keyed aggregation. No doubling rounds, no self-join, no window
+    * function. The oracle keeps the materialized global suffix sort. */
   val q157 = Q(
     "q157_phrase_lrs",
     (s, dir) => {
@@ -2321,11 +2323,12 @@ object DedupQueries {
     * prices the policy across thresholds in one pass with no width
     * re-chosen per run.
     *
-    * Scale shape: the q156/q157 machinery (integer exchanges, in-place
-    * two-phase ranks) + a ×|thresholds| literal explode + interval
-    * union as a doc-partitioned running-max window (never global) + a
-    * ≤|thresholds|-row roll-up; the corpus token total rides a 1-row
-    * broadcast. Text shuffles only inside the 31-word LCP windows. */
+    * Scale shape: q157's single capped-window range exchange (sidx and
+    * both neighbor LCPs stamped in the sorted scan) + a ×|thresholds|
+    * literal explode + interval union as a doc-partitioned running-max
+    * window (never global) + a ≤|thresholds|-row roll-up; the corpus
+    * token total rides a 1-row broadcast. Text shuffles only inside the
+    * 31-word LCP windows. */
   val q158 = Q(
     "q158_excision_sweep",
     (s, dir) => {
@@ -2430,11 +2433,12 @@ object DedupQueries {
     * (never global) produce both directions. See
     * [[graft.operators.SuffixArray.phraseContam]].
     *
-    * Scale shape: q156's integer ranking rounds + the 31-word capped LCP
-    * exchange + ONE two-phase prefix count (bounded stats to the driver)
-    * + two windows whose partitions span single inter-benchmark gaps +
-    * a doc-keyed roll-up. No train-vs-bench join of any kind exists in
-    * the plan. */
+    * Scale shape: ONE capped-window range exchange (sidx + adjacent LCP
+    * stamped in the sorted scan, see
+    * [[graft.operators.SuffixArray.adjacentLcp]]) + ONE two-phase prefix
+    * count (bounded stats to the driver) + two windows whose partitions
+    * span single inter-benchmark gaps + a doc-keyed roll-up. No
+    * train-vs-bench join of any kind exists in the plan. */
   val q160 = Q(
     "q160_phrase_decontam",
     (s, dir) => {
