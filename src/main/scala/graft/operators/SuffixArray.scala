@@ -127,7 +127,9 @@ object SuffixArray {
     var classes = classes0
     var cur = ranked.select(col("doc_id"), col("pos"), col("r"))
     // Bounded scalar: the longest document's word count caps the rounds.
-    val maxLen = toks.agg(max(size(col("w")))).head().getInt(0).toLong
+    // max() over an empty corpus is NULL — 0 short-circuits the loop.
+    val maxLen = Option(toks.agg(max(size(col("w")))).head().get(0))
+      .map(_.asInstanceOf[Int].toLong).getOrElse(0L)
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     var k = 1L
     var fixed = false

@@ -2360,7 +2360,8 @@ object DedupQueries {
         .crossJoin(broadcast(tot))
         .select(col("l_min"), col("n_docs_hit"), col("dup_starts"),
           col("excis_tokens"),
-          expr("excis_tokens * 1000000 div t").as("excis_ppm"))
+          expr("""cast(cast(excis_tokens as decimal(38,0)) * 1000000 div t
+                  as bigint)""").as("excis_ppm"))
         .orderBy("l_min")
     },
     Some(raw"""
@@ -2415,7 +2416,8 @@ object DedupQueries {
       SELECT l_min, CAST(COUNT(*) AS BIGINT) AS n_docs_hit,
              CAST(SUM(n_pos) AS BIGINT) AS dup_starts,
              CAST(SUM(cov_tok) AS BIGINT) AS excis_tokens,
-             CAST(SUM(cov_tok) AS BIGINT) * 1000000 // t AS excis_ppm
+             CAST(CAST(SUM(cov_tok) AS HUGEINT) * 1000000 // t AS BIGINT)
+               AS excis_ppm
       FROM cov, tot GROUP BY l_min, t ORDER BY l_min""")
   )
 

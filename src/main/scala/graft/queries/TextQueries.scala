@@ -1111,8 +1111,16 @@ object TextQueries {
     * unconsumed position, count) — pure codegen'd expression, no UDF,
     * no shuffle. Package-visible so the spec can plant adversarial
     * codebooks. */
+  /** Codebook as a typed array literal. `array()` with zero children
+    * infers `array<null>` and fails `array_contains` analysis, so an
+    * empty codebook (vocabulary with no 2..4-char substrings) gets an
+    * explicit `array<string>` type — both decoders then degrade to the
+    * pure single-character fold. */
+  private def pieceArray(pieces: Seq[String]): Column =
+    if (pieces.isEmpty) lit(Array.empty[String]) else array(pieces.map(lit): _*)
+
   private[graft] def greedyPieces(word: Column, pieces: Seq[String]): Column = {
-    val p = array(pieces.map(lit): _*)
+    val p = pieceArray(pieces)
     val rem = (i: Column) => length(word) - i + 1
     aggregate(
       sequence(lit(1), length(word)),
@@ -1138,7 +1146,7 @@ object TextQueries {
     * try_element_at per the ANSI-mode house rule; indices are in range
     * by construction. */
   private[graft] def optPieces(word: Column, pieces: Seq[String]): Column = {
-    val p = array(pieces.map(lit): _*)
+    val p = pieceArray(pieces)
     val Big = 1000000L
     aggregate(
       sequence(lit(1), length(word)),

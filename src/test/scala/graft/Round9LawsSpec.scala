@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-9 regression laws for the ADVICE fixes:
+  *
+  *  - the q158 ppm arithmetic must survive corpus-scale token counts
+  *    (excis_tokens ~ 1e13 → the ×1e6 product overflows BIGINT; the
+  *    DECIMAL(38,0) route must not), under the ANSI-mode house rule;
+  *  - the q159 decoders must analyze and degrade to the pure
+  *    single-character fold when the collected codebook is EMPTY
+  *    (a vocabulary with no 2..4-char substrings) — `array()` with no
+  *    children used to infer `array<null>` and fail analysis.
+  */
+class Round9LawsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("q158 ppm math: DECIMAL route exact at 100TB-scale token counts") {
+    // 1e13 duplicated tokens of a 3e13-token corpus: the plain-BIGINT
+    // product 1e13 * 1e6 = 1e19 > Long.MaxValue (~9.22e18).
+    val row = Seq((10000000000000L, 30000000000000L))
+      .toDF("excis_tokens", "t")
+      .select(expr(
+        """cast(cast(excis_tokens as decimal(38,0)) * 1000000 div t
+           as bigint)""").as("ppm"))
+      .head()
+    assert(row.getLong(0) == 333333L, s"ppm ${row.getLong(0)}")
+  }
+
+  test("q159 decoders: empty codebook degrades to the singles fold") {
+    val out = Seq("abcd", "x").toDF("word")
+      .select(col("word"),
+        queries.TextQueries.greedyPieces(col("word"), Seq.empty).as("g"),
+        queries.TextQueries.optPieces(col("word"), Seq.empty).as("o"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    out.foreach { case (w, g, o) =>
+      assert(g == w.length.toLong, s"greedy on '$w': $g")
+      assert(o == w.length.toLong, s"opt on '$w': $o")
+    }
+  }
+}

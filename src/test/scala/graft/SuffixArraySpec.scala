@@ -156,6 +156,14 @@ class SuffixArraySpec extends SparkSpec {
     assert(ppm8 <= 1000000L)
   }
 
+  test("empty corpus: ranks/LCP/dup-len frames are empty, no NPE") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(SuffixArray.suffixRanks(empty).count() == 0L)
+    assert(SuffixArray.adjacentLcp(empty).count() == 0L)
+    assert(SuffixArray.positionDupLens(empty).count() == 0L)
+    assert(SuffixArray.lrsPerDoc(empty).count() == 0L)
+  }
+
   test("planted duplicated phrase is recovered at full length") {
     val phrase = (1 to 12).map(i => s"tok$i").mkString(" ")
     val docs = Seq(
