@@ -4,7 +4,7 @@ import graft.operators.Materialize.MaterializeOps
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** Distributed word-level suffix arrays by Manber–Myers prefix doubling —
   * the machinery behind exact substring-level corpus dedup ("find every
@@ -250,6 +250,149 @@ object SuffixArray {
       }
     }
     spark.createDataFrame(stamped, schema)
+  }
+
+  /** Repeat-count sweep: for each k in `ks`, the length (capped at
+    * `cap` words) of the LONGEST phrase occurring at ≥ k positions
+    * anywhere in the corpus, how many suffix-order windows achieve it,
+    * and the lexicographically smallest achieving phrase. The classic
+    * suffix-array identity one level up from [[adjacentLcp]]: a phrase
+    * occurs ≥ k times iff some k consecutive suffixes in suffix order
+    * share it as a prefix, so `longest(k) = max over i of
+    * min(l_i .. l_{i+k-2})` — a sliding-window minimum over the
+    * adjacent-LCP sequence. Fixed-width shingle counting (q26/q38/q140)
+    * answers "which L-word phrases repeat"; the sweep answers "how LONG
+    * does boilerplate get at each repetition tier" with no L chosen in
+    * advance.
+    *
+    * Scale shape: the one capped-window range exchange [[adjacentLcp]]
+    * pays (the sort by `win` is reused across the stats and sweep jobs
+    * as skipped stages), plus a bounded stats job — each partition ships
+    * its row count and FIRST `max(ks)-1` windows, ≤ #partitions × 15 ×
+    * `cap` words to the driver — so every partition can extend its
+    * sliding windows across its boundary without a second exchange or a
+    * global window. Partials are ≤ |ks| rows per partition (local max,
+    * count-at-max, min phrase); the global roll-up is |ks|-row work.
+    * Output is order-invariant under the capped sort's tie-breaking:
+    * the adjacent-LCP sequence is block-invariant (equal capped windows
+    * form atomic runs), counts/lengths depend only on that sequence,
+    * and the phrase report takes the MINIMUM string over achieving
+    * windows. */
+  def repeatSweep(
+      docs: DataFrame,
+      ks: Seq[Int] = Seq(2, 4, 8, 16),
+      cap: Int = 31): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 2), s"ks must all be >= 2: $ks")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ksArr = ks.distinct.sorted.toArray
+    val maxM = ksArr.last - 1
+    val toks = docs.select(col("doc_id"), split(col("text"), "\\s+").as("w"))
+    val wins = toks
+      .select(col("doc_id"), col("w"),
+        posexplode(col("w")).as(Seq("pos", "word")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        slice(col("w"), col("pos") + 1, lit(cap)).as("win"))
+    val sorted = wins
+      .repartitionByRange(col("win"), col("doc_id"), col("pos"))
+      .sortWithinPartitions("win", "doc_id", "pos")
+    val rdd = sorted.rdd
+    // Bounded stats job: per-partition row count + first maxM windows.
+    val stats = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val head = new scala.collection.mutable.ArrayBuffer[Seq[String]](maxM)
+      var n = 0L
+      while (it.hasNext) {
+        val r = it.next()
+        if (n < maxM) head += r.getSeq[String](2)
+        n += 1
+      }
+      if (n == 0L) Iterator.empty else Iterator.single((pid, n, head.toSeq))
+    }.collect().sortBy(_._1)
+    val nByPid = stats.map(s => s._1 -> s._2).toMap
+    // Each partition's boundary extension: the next maxM windows in
+    // global order, chained across short/empty following partitions.
+    val exts: Map[Int, Seq[Seq[String]]] = stats.indices.map { i =>
+      stats(i)._1 ->
+        stats.view.slice(i + 1, stats.length).flatMap(_._3).take(maxM).toSeq
+    }.toMap
+    val sc = spark.sparkContext
+    val extB = sc.broadcast(exts)
+    val nB = sc.broadcast(nByPid)
+    def lcp(a: Seq[String], b: Seq[String]): Long = {
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n && a(i) == b(i)) i += 1
+      i.toLong
+    }
+    val nk = ksArr.length
+    val partials = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val nOwn = nB.value.getOrElse(pid, 0L)
+      if (nOwn == 0L) Iterator.empty
+      else {
+        val source =
+          it.map(_.getSeq[String](2)) ++ extB.value.getOrElse(pid, Nil).iterator
+        val buf = scala.collection.mutable.ArrayDeque.empty[Seq[String]]
+        val lq = scala.collection.mutable.ArrayDeque.empty[Long]
+        while (buf.size < maxM + 1 && source.hasNext) {
+          val w = source.next()
+          if (buf.nonEmpty) lq += lcp(buf.last, w)
+          buf += w
+        }
+        val best = new Array[Long](nk)
+        val cnt = new Array[Long](nk)
+        val phr = new Array[String](nk)
+        var i = 0L
+        while (i < nOwn) {
+          var ki = 0
+          while (ki < nk) {
+            val m = ksArr(ki) - 1
+            if (lq.size >= m) {
+              var mn = Long.MaxValue
+              var j = 0
+              while (j < m) { val v = lq(j); if (v < mn) mn = v; j += 1 }
+              if (mn >= 1L) {
+                if (mn > best(ki)) {
+                  best(ki) = mn; cnt(ki) = 1L
+                  phr(ki) = buf.head.take(mn.toInt).mkString(" ")
+                } else if (mn == best(ki)) {
+                  cnt(ki) += 1L
+                  val ph = buf.head.take(mn.toInt).mkString(" ")
+                  if (ph.compareTo(phr(ki)) < 0) phr(ki) = ph
+                }
+              }
+            }
+            ki += 1
+          }
+          buf.removeHead()
+          if (lq.nonEmpty) lq.removeHead()
+          if (source.hasNext) {
+            val w = source.next()
+            lq += lcp(buf.last, w)
+            buf += w
+          }
+          i += 1
+        }
+        (0 until nk).iterator.filter(best(_) >= 1L).map(ki =>
+          Row(ksArr(ki).toLong, best(ki), cnt(ki), phr(ki)))
+      }
+    }
+    val pschema = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("len", LongType, nullable = false),
+      StructField("cnt", LongType, nullable = false),
+      StructField("phrase", StringType, nullable = false)))
+    val partial = spark.createDataFrame(partials, pschema)
+    val mx = partial.groupBy("k").agg(max(col("len")).as("max_len"))
+    val top = partial.join(mx, Seq("k"))
+      .filter(col("len") === col("max_len"))
+      .groupBy("k", "max_len")
+      .agg(sum(col("cnt")).as("n_max"), min(col("phrase")).as("phrase"))
+    ksArr.map(_.toLong).toSeq.toDF("k")
+      .join(top, Seq("k"), "left")
+      .select(col("k"),
+        coalesce(col("max_len"), lit(0L)).as("max_len"),
+        coalesce(col("n_max"), lit(0L)).as("n_max"),
+        coalesce(col("phrase"), lit("")).as("phrase"))
   }
 
   /** `(doc_id, pos, g)` — for EVERY word position, the length (capped at

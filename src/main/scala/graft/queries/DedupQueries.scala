@@ -2506,7 +2506,71 @@ object DedupQueries {
       GROUP BY doc_id ORDER BY doc_id""")
   )
 
+  /** Repeat-count sweep — the boilerplate-length profile: for each
+    * repetition tier k ∈ {2,4,8,16}, the longest phrase (≤31 words)
+    * occurring at ≥ k corpus positions, the number of suffix-order
+    * windows achieving that length (an occurrence-overlap count), and
+    * the lexicographically smallest achieving phrase — the table a
+    * curation pass reads to decide how aggressive template/boilerplate
+    * excision must be per tier. Fixed-L shingle counts (q26/q38/q140)
+    * can't answer this: the sweep reports the LENGTH frontier at every
+    * tier with no width chosen in advance; k=2 cross-laws with q157's
+    * corpus max. See [[graft.operators.SuffixArray.repeatSweep]] for the
+    * sliding-window-min-over-adjacent-LCP identity and the plan shape
+    * (one capped-window range exchange + a bounded boundary-extension
+    * stats job + ≤|ks| partial rows per partition). */
+  val q161 = Q(
+    "q161_repeat_sweep",
+    (s, dir) => {
+      graft.operators.SuffixArray.repeatSweep(documents(s, dir))
+        .orderBy("k")
+    },
+    Some(raw"""
+      WITH toks AS (
+        SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+      posx AS (
+        SELECT doc_id, unnest(generate_series(1, len(w))) AS i, w FROM toks),
+      suf AS (
+        SELECT doc_id, i - 1 AS pos,
+               w[i:least(i + 30, len(w))] AS cap,
+               array_to_string(w[i:], chr(1)) AS s
+        FROM posx),
+      sa AS (
+        SELECT row_number() OVER (ORDER BY s, doc_id, pos) AS sidx, cap,
+               lead(cap) OVER (ORDER BY s, doc_id, pos) AS ncap
+        FROM suf),
+      ll AS (
+        SELECT sidx, cap,
+               CAST(CASE WHEN ncap IS NULL THEN 0
+                    ELSE coalesce(
+                      nullif(list_position(
+                        list_transform(list_zip(cap, ncap),
+                          p -> p[1] IS NOT DISTINCT FROM p[2]), false), 0) - 1,
+                      least(len(cap), len(ncap)))
+               END AS BIGINT) AS ln
+        FROM sa),
+      ks AS (SELECT CAST(unnest([2, 4, 8, 16]) AS BIGINT) AS k),
+      sw AS (
+        SELECT ks.k, a.sidx, a.cap, min(b.ln) AS wmin
+        FROM ks CROSS JOIN ll a
+        JOIN ll b ON b.sidx >= a.sidx AND b.sidx <= a.sidx + ks.k - 2
+        GROUP BY ks.k, a.sidx, a.cap
+        HAVING count(*) = ks.k - 1 AND min(b.ln) >= 1),
+      mx AS (SELECT k, max(wmin) AS max_len FROM sw GROUP BY k),
+      top AS (
+        SELECT sw.k, mx.max_len, CAST(count(*) AS BIGINT) AS n_max,
+               min(array_to_string(sw.cap[1:CAST(mx.max_len AS INT)], ' '))
+                 AS phrase
+        FROM sw JOIN mx ON sw.k = mx.k AND sw.wmin = mx.max_len
+        GROUP BY sw.k, mx.max_len)
+      SELECT ks.k, coalesce(top.max_len, 0) AS max_len,
+             coalesce(top.n_max, 0) AS n_max,
+             coalesce(top.phrase, '') AS phrase
+      FROM ks LEFT JOIN top ON ks.k = top.k
+      ORDER BY ks.k""")
+  )
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q26, q38, q71, q74, q76,
     q82, q88, q90, q91, q95, q101, q103, q114, q115, q130, q133, q134,
-    q141, q143, q144, q155, q156, q157, q158, q160)
+    q141, q143, q144, q155, q156, q157, q158, q160, q161)
 }

@@ -131,6 +131,63 @@ class SuffixArraySpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  /** Brute-force repeat sweep from an exhaustive phrase-occurrence map:
+    * longest(k) = max length among capped phrases with count ≥ k;
+    * achieving suffix-order windows per L-phrase run = count - k + 1
+    * (runs of distinct max-length phrases are disjoint in suffix order);
+    * phrase = min string. Independent of the LCP identity under test. */
+  private def bruteSweep(docs: Seq[(Long, String)], ks: Seq[Int], cap: Int)
+      : Seq[(Long, Long, Long, String)] = {
+    val occ = scala.collection.mutable.Map.empty[Seq[String], Long]
+      .withDefaultValue(0L)
+    for {
+      (_, t) <- docs
+      w = t.split("\\s+").toVector
+      p <- w.indices
+      l <- 1 to math.min(cap, w.length - p)
+    } occ(w.slice(p, p + l)) += 1L
+    ks.sorted.map { k =>
+      val cands = occ.filter(_._2 >= k)
+      if (cands.isEmpty) (k.toLong, 0L, 0L, "")
+      else {
+        val maxLen = cands.keys.map(_.length).max
+        val at = cands.filter(_._1.length == maxLen)
+        (k.toLong, maxLen.toLong, at.values.map(_ - k + 1).sum,
+          at.keys.map(_.mkString(" ")).min)
+      }
+    }
+  }
+
+  test("∀ corpora: repeatSweep ≡ brute-force phrase-occurrence counting") {
+    val prop = Prop.forAll(corpusGen) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = SuffixArray.repeatSweep(
+          docs.toDF("doc_id", "text"), ks = Seq(2, 3, 5), cap = 5)
+        .orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toSeq
+      got == bruteSweep(docs, Seq(2, 3, 5), cap = 5)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("q161 ⋈ q157 law: k=2 frontier equals the corpus lrs max") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.queries.Tables.documents(spark, sf)
+    val sweep = SuffixArray.repeatSweep(docs).orderBy("k").collect()
+    val lrsMax = SuffixArray.lrsPerDoc(docs)
+      .agg(org.apache.spark.sql.functions.max("lrs_words")).head().getLong(0)
+    assert(sweep.head.getLong(0) == 2L)
+    assert(sweep.head.getLong(1) == lrsMax,
+      s"k=2 ${sweep.head.getLong(1)} vs lrs max $lrsMax")
+    // the frontier can only shrink as the tier rises
+    sweep.sliding(2).foreach {
+      case Array(a, b) => assert(b.getLong(1) <= a.getLong(1), "not monotone")
+      case _ =>
+    }
+  }
+
   test("q158 ⋈ q157 laws: sweep agrees with the per-doc profile; monotone in L") {
     val sf = "/root/testdata/sf0.001"
     val sweep = SparkEntry.queries("q158_excision_sweep")(spark, sf)
