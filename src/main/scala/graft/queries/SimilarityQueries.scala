@@ -1643,6 +1643,110 @@ object SimilarityQueries {
       ORDER BY train_id""")
   )
 
+  /** Prefix-dimension two-stage retrieval audit — the Matryoshka /
+    * dimension-truncation trade (Kusupati et al. 2022): stage 1 ranks by
+    * cosine over only the FIRST 16 of 64 dims (4× less dot-product work
+    * and memory bandwidth — at production scale this is what the coarse
+    * index stores), keeps the top-25 candidates per query; stage 2
+    * reranks those 25 by full-dimension cosine; the audit reports
+    * recall@5 against the exact full-dimension top-5 (q40's ground
+    * truth). Every dot runs through the fixed-point expression, so both
+    * stages are bit-identical in DuckDB.
+    *
+    * Scale shape: queries broadcast (tiny), candidates stream by — the
+    * Q×N stage-1 scan touches 16 floats/vector instead of 64, and the
+    * full-width vectors are only read for the ≤25·Q rerank rows; the
+    * recall join is per-query-bounded (5 rows a side). The same
+    * prefix-filter composes under q43's IVF routing when N outgrows the
+    * brute scan. */
+  val q162 = Q(
+    "q162_prefix_rerank",
+    (s, dir) => {
+      val emb = embeddings(s, dir)
+      val pd = 16
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          sqrt(dotDec(col("embedding"), col("embedding"))).as("qn"),
+          slice(col("embedding"), 1, pd).as("qp"))
+        .withColumn("qpn", sqrt(dotDec(col("qp"), col("qp"))))
+      val cands = emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ce"),
+        sqrt(dotDec(col("embedding"), col("embedding"))).as("cn"),
+        slice(col("embedding"), 1, pd).as("cp"))
+        .withColumn("cpn", sqrt(dotDec(col("cp"), col("cp"))))
+      val pairs = cands.join(broadcast(queries),
+        col("query_id") =!= col("neighbor_id"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      val exactTop = pairs
+        .select(col("query_id"), col("neighbor_id"),
+          (dotDec(col("qe"), col("ce")) / (col("qn") * col("cn")))
+            .as("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("query_id", "neighbor_id")
+      val wp = Window.partitionBy(col("query_id"))
+        .orderBy(col("pcos").desc, col("neighbor_id"))
+      val twoStage = pairs
+        .select(col("query_id"), col("neighbor_id"),
+          col("qe"), col("ce"), col("qn"), col("cn"),
+          (dotDec(col("qp"), col("cp")) / (col("qpn") * col("cpn")))
+            .as("pcos"))
+        .withColumn("prank", row_number().over(wp))
+        .filter(col("prank") <= 25)
+        .select(col("query_id"), col("neighbor_id"),
+          (dotDec(col("qe"), col("ce")) / (col("qn") * col("cn")))
+            .as("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("query_id", "neighbor_id")
+      val hits = exactTop
+        .join(twoStage, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("h"))
+      queries.select(col("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), coalesce(col("h"), lit(0L)).as("hits"))
+        .withColumn("recall_bp", col("hits") * 2000)
+        .orderBy("query_id")
+    },
+    Some(s"""
+      WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qe, embedding[1:16] AS qp
+        FROM embeddings WHERE vec_id < 8),
+      c AS (
+        SELECT vec_id AS neighbor_id, embedding AS ce, embedding[1:16] AS cp
+        FROM embeddings),
+      pairs AS (SELECT * FROM q, c WHERE query_id <> neighbor_id),
+      exact_top AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+                   ${dotDecSql("qe", "ce")} /
+                   (sqrt(${dotDecSql("qe", "qe")}) * sqrt(${dotDecSql("ce", "ce")}))
+                   DESC, neighbor_id) AS r
+          FROM pairs) WHERE r <= 5),
+      cand AS (
+        SELECT query_id, neighbor_id, qe, ce FROM (
+          SELECT query_id, neighbor_id, qe, ce,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+                   ${dotDecSql("qp", "cp")} /
+                   (sqrt(${dotDecSql("qp", "qp")}) * sqrt(${dotDecSql("cp", "cp")}))
+                   DESC, neighbor_id) AS r
+          FROM pairs) WHERE r <= 25),
+      two_top AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+                   ${dotDecSql("qe", "ce")} /
+                   (sqrt(${dotDecSql("qe", "qe")}) * sqrt(${dotDecSql("ce", "ce")}))
+                   DESC, neighbor_id) AS r
+          FROM cand) WHERE r <= 5)
+      SELECT e.query_id, CAST(COUNT(t.neighbor_id) AS BIGINT) AS hits,
+             CAST(COUNT(t.neighbor_id) AS BIGINT) * 2000 AS recall_bp
+      FROM exact_top e LEFT JOIN two_top t USING (query_id, neighbor_id)
+      GROUP BY e.query_id ORDER BY e.query_id""")
+  )
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q45, q47, q48, q49, q77, q79,
-    q80, q92, q94, q120, q136, q152)
+    q80, q92, q94, q120, q136, q152, q162)
 }
