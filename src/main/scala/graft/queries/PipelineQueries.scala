@@ -1936,7 +1936,78 @@ object PipelineQueries {
       FROM d ORDER BY source""")
   )
 
+  /** Cluster-atomic train/val/test split — the near-dup-leakage-free
+    * split discipline: documents are grouped by their NORMALIZED-text
+    * digest (q95's cluster key), and the whole cluster is assigned to
+    * one split by a deterministic ppm bucket of the cluster id (1% val,
+    * 1% test by bucket), so two near-identical documents can never land
+    * on opposite sides of the train/eval boundary — the structural
+    * guarantee q115 audits after the fact, enforced at assignment time.
+    * Output is the split datasheet: clusters, docs, tokens, and the
+    * realized token share (×1e6) per split — the deviation from the
+    * 10000/10000 ppm targets is the honest cost of cluster atomicity.
+    *
+    * Scale shape: one projection (digest + ppm bucket, both map-side),
+    * one 3-group aggregate with map-side combine (COUNT DISTINCT over
+    * cluster digests is the only shuffle, keyed by 32-byte hashes), a
+    * 1-row broadcast total; the ×1e6 share rides DECIMAL(38,0) so
+    * corpus-scale token counts cannot overflow under ANSI mode. */
+  val q163 = Q(
+    "q163_cluster_split",
+    (s, dir) => {
+      val norm = trim(regexp_replace(regexp_replace(regexp_replace(
+        lower(col("text")),
+        "[0-9]", "0"),
+        "[^a-z0 ]", " "),
+        " +", " "))
+      val h = documents(s, dir).select(col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tok"),
+        md5(norm).as("cl"))
+      val bucket = conv(substring(col("cl"), 1, 12), 16, 10)
+        .cast("long") % 1000000L
+      val tot = h.agg(sum(col("n_tok")).as("t_all"))
+      h.withColumn("split",
+          when(bucket < 10000L, "val")
+            .when(bucket < 20000L, "test")
+            .otherwise("train"))
+        .groupBy("split")
+        .agg(countDistinct(col("cl")).as("n_clusters"),
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"))
+        .crossJoin(broadcast(tot))
+        .select(col("split"), col("n_clusters"), col("n_docs"),
+          col("n_tokens"),
+          expr("""cast(cast(n_tokens as decimal(38,0)) * 1000000 div t_all
+                  as bigint)""").as("tok_ppm"))
+        .orderBy("split")
+    },
+    Some(raw"""
+      WITH h AS (
+        SELECT doc_id, len(string_split_regex(text, '\s+')) AS n_tok,
+               md5(trim(regexp_replace(regexp_replace(regexp_replace(
+                 lower(text),
+                 '[0-9]', '0', 'g'),
+                 '[^a-z0 ]', ' ', 'g'),
+                 ' +', ' ', 'g'))) AS cl
+        FROM documents),
+      b AS (
+        SELECT cl, n_tok,
+               CASE WHEN CAST('0x' || substr(cl, 1, 12) AS BIGINT) % 1000000
+                      < 10000 THEN 'val'
+                    WHEN CAST('0x' || substr(cl, 1, 12) AS BIGINT) % 1000000
+                      < 20000 THEN 'test'
+                    ELSE 'train' END AS split
+        FROM h),
+      t AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS t_all FROM h)
+      SELECT split, CAST(COUNT(DISTINCT cl) AS BIGINT) AS n_clusters,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+             CAST(CAST(SUM(n_tok) AS HUGEINT) * 1000000 // t_all AS BIGINT)
+               AS tok_ppm
+      FROM b, t GROUP BY split, t_all ORDER BY split""")
+  )
+
   val all: Seq[Q] = Seq(q33, q34, q35, q37, q46, q53, q54, q55, q56, q57,
     q65, q66, q67, q69, q72, q83, q86, q96, q104, q108, q116, q117, q121,
-    q131, q137, q139, q142, q145, q146, q148, q149, q151)
+    q131, q137, q139, q142, q145, q146, q148, q149, q151, q163)
 }

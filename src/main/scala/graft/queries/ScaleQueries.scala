@@ -1412,6 +1412,69 @@ object ScaleQueries {
       ORDER BY old_shard, new_shard""")
   )
 
+  /** One-pass corpus datasheet — the governance snapshot a dataset card
+    * needs (docs, tokens, chars, sources, languages, exact-duplicate
+    * count, length extremes), computed in a SINGLE scan of the corpus:
+    * every figure is an aggregate of the same projection, so the job
+    * reads each document once, not once per metric. The alternative — a
+    * dashboard issuing one query per figure — rescans 100 TB eight
+    * times; this is the fused form. Output is long-form (metric, value)
+    * so new figures append without a schema change.
+    *
+    * Scale shape: one map-side projection (token count, char length,
+    * text digest), one global aggregate whose only distinct-heavy terms
+    * are hash-keyed (COUNT DISTINCT over 32-byte digests / low-cardinality
+    * source+lang), then an 8-row unpivot. No joins, no windows. */
+  val q164 = Q(
+    "q164_datasheet",
+    (s, dir) => {
+      val one = documents(s, dir)
+        .select(
+          size(split(col("text"), "\\s+")).cast("long").as("n_tok"),
+          length(col("text")).cast("long").as("n_chr"),
+          md5(col("text")).as("h"), col("source"), col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          sum(col("n_chr")).as("n_chars"),
+          countDistinct(col("source")).as("n_sources"),
+          countDistinct(col("lang")).as("n_langs"),
+          (count(lit(1)) - countDistinct(col("h"))).as("n_exact_dups"),
+          max(col("n_tok")).as("max_tokens"),
+          min(col("n_tok")).as("min_tokens"))
+      one.select(expr(
+        """stack(8,
+             'n_docs', n_docs, 'n_tokens', n_tokens, 'n_chars', n_chars,
+             'n_sources', n_sources, 'n_langs', n_langs,
+             'n_exact_dups', n_exact_dups,
+             'max_tokens', max_tokens, 'min_tokens', min_tokens)
+           as (metric, value)"""))
+        .orderBy("metric")
+    },
+    Some(raw"""
+      WITH p AS (
+        SELECT len(string_split_regex(text, '\s+')) AS n_tok,
+               length(text) AS n_chr, md5(text) AS h, source, lang
+        FROM documents),
+      a AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+               CAST(SUM(n_chr) AS BIGINT) AS n_chars,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS n_exact_dups,
+               CAST(MAX(n_tok) AS BIGINT) AS max_tokens,
+               CAST(MIN(n_tok) AS BIGINT) AS min_tokens
+        FROM p)
+      SELECT u.metric, u.value FROM a,
+      LATERAL (VALUES ('n_docs', n_docs), ('n_tokens', n_tokens),
+                      ('n_chars', n_chars), ('n_sources', n_sources),
+                      ('n_langs', n_langs), ('n_exact_dups', n_exact_dups),
+                      ('max_tokens', max_tokens), ('min_tokens', min_tokens))
+        AS u(metric, value)
+      ORDER BY u.metric""")
+  )
+
   val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q73, q84, q85, q89, q99,
-    q106, q110, q118, q123, q125, q127, q128, q129, q138)
+    q106, q110, q118, q123, q125, q127, q128, q129, q138, q164)
 }
