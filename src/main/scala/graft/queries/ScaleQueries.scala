@@ -56,8 +56,8 @@ object ScaleQueries {
     * (the two md5 halves). 32-bit masks keep `1 << bit` positive, which
     * matters because DuckDB's BIGINT shift overflow THROWS at bit 63 while
     * Java wraps — 0..31 is the shared safe range. */
-  private val BloomBits = 4096L
-  private val WordBits = 32L
+  private[graft] val BloomBits = 4096L
+  private[graft] val WordBits = 32L
 
   /** Benchmark-contamination **pre-filter** with a tiny broadcast Bloom
     * filter — the scale path in front of q38's exact digest join. q38
