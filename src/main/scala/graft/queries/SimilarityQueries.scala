@@ -1747,6 +1747,111 @@ object SimilarityQueries {
       GROUP BY e.query_id ORDER BY e.query_id""")
   )
 
+  /** Greedy k-center coreset selection (Gonzalez farthest-point
+    * traversal — the 2-approximation behind coreset data pruning, Sener
+    * & Savarese 2018): per label group, seed with the min vec_id, then
+    * 4 more rounds each pick the point FARTHEST from the selected set
+    * (max over remaining of min squared distance to any selected, ties
+    * to the smaller vec_id). Distances are exact longs — d²(a,b) =
+    * fpd(a,a) + fpd(b,b) − 2·fpd(a,b) over the fixed-point dot — so
+    * selection is bit-deterministic and the DuckDB oracle replays the
+    * identical greedy trajectory (any float drift would cascade through
+    * every later round; integers make the trajectory checkable at all).
+    *
+    * Scale shape: each round is one per-label join of the remaining
+    * points against the ≤round-sized selected set (broadcast — 10s of
+    * rows), a min-aggregate, and a per-label top-1 window: k·N distance
+    * evaluations total, the textbook greedy cost, with nothing ever
+    * pairwise-materialized on the big side. Labels are the unit of
+    * parallelism — in a 100 TB pipeline they are q47's cluster ids, so
+    * per-group cardinality is bounded by clustering granularity. */
+  val q165 = Q(
+    "q165_kcenter_coreset",
+    (s, dir) => {
+      val fpd = (a: Column, b: Column) =>
+        graft.functions.FixedPointDot.fixed_point_dot(a, b)
+      val pts = embeddings(s, dir)
+        .select(col("label").cast("long").as("label"), col("vec_id"),
+          col("embedding"))
+        .withColumn("nn", fpd(col("embedding"), col("embedding")))
+        .materialized // 5 greedy rounds re-scan the same projection
+      var sel = pts.groupBy("label").agg(min(col("vec_id")).as("vec_id"))
+        .join(pts, Seq("label", "vec_id"))
+        .select(col("label"), col("vec_id"), col("embedding"), col("nn"),
+          lit(1L).as("sel_rank"), lit(0L).as("min_d2"))
+        .materialized
+      val w = Window.partitionBy("label")
+        .orderBy(col("min_d2").desc, col("vec_id"))
+      for (round <- 2 to 5) {
+        val selV = sel.select(col("label"), col("vec_id").as("sid"),
+          col("embedding").as("se"), col("nn").as("sn"))
+        val next = pts
+          .join(sel.select("label", "vec_id"), Seq("label", "vec_id"),
+            "left_anti")
+          .join(broadcast(selV), Seq("label"))
+          .select(col("label"), col("vec_id"),
+            (col("nn") + col("sn") - fpd(col("embedding"), col("se")) * 2)
+              .as("d2"))
+          .groupBy("label", "vec_id")
+          .agg(min(col("d2")).as("min_d2"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .join(pts, Seq("label", "vec_id"))
+          .select(col("label"), col("vec_id"), col("embedding"), col("nn"),
+            lit(round.toLong).as("sel_rank"), col("min_d2"))
+        sel = sel.unionByName(next).materialized
+      }
+      sel.select(col("label"), col("sel_rank"), col("vec_id"), col("min_d2"))
+        .orderBy("label", "sel_rank")
+    },
+    Some {
+      def fp(a: String, b: String) =
+        s"""(SELECT CAST(SUM(CAST(FLOOR(CAST(ua.x AS DOUBLE) * ub.x * 1e15)
+              AS BIGINT)) AS BIGINT)
+            FROM (SELECT unnest($a) AS x, generate_subscripts($a, 1) AS i) ua
+            JOIN (SELECT unnest($b) AS x, generate_subscripts($b, 1) AS i) ub
+              USING (i))"""
+      def step(n: Int) = s"""
+      c$n AS (
+        SELECT p.label, p.i AS vec_id, MIN(p.d2) AS min_d2
+        FROM p JOIN a${n - 1} s ON p.label = s.label AND p.j = s.vec_id
+        WHERE NOT EXISTS (SELECT 1 FROM a${n - 1} x
+                          WHERE x.label = p.label AND x.vec_id = p.i)
+        GROUP BY p.label, p.i),
+      s$n AS (
+        SELECT label, vec_id, $n AS sel_rank, min_d2 FROM (
+          SELECT label, vec_id, min_d2,
+                 ROW_NUMBER() OVER (PARTITION BY label
+                   ORDER BY min_d2 DESC, vec_id) AS r
+          FROM c$n) WHERE r = 1),
+      a$n AS (SELECT label, vec_id FROM a${n - 1}
+              UNION ALL SELECT label, vec_id FROM s$n)"""
+      s"""
+      WITH e AS (
+        SELECT CAST(label AS BIGINT) AS label, vec_id, embedding
+        FROM embeddings),
+      n AS (
+        SELECT label, vec_id, ${fp("embedding", "embedding")} AS nn FROM e),
+      p AS (
+        SELECT a.label, a.vec_id AS i, b.vec_id AS j,
+               na.nn + nb.nn - 2 * ${fp("a.embedding", "b.embedding")} AS d2
+        FROM e a JOIN e b ON a.label = b.label
+        JOIN n na ON na.label = a.label AND na.vec_id = a.vec_id
+        JOIN n nb ON nb.label = b.label AND nb.vec_id = b.vec_id),
+      s1 AS (
+        SELECT label, MIN(vec_id) AS vec_id, 1 AS sel_rank,
+               CAST(0 AS BIGINT) AS min_d2
+        FROM e GROUP BY label),
+      a1 AS (SELECT label, vec_id FROM s1),
+      ${step(2)}, ${step(3)}, ${step(4)}, ${step(5)}
+      SELECT label, CAST(sel_rank AS BIGINT) AS sel_rank, vec_id, min_d2
+      FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+            UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+            UNION ALL SELECT * FROM s5)
+      ORDER BY label, sel_rank"""
+    }
+  )
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q45, q47, q48, q49, q77, q79,
-    q80, q92, q94, q120, q136, q152, q162)
+    q80, q92, q94, q120, q136, q152, q162, q165)
 }
