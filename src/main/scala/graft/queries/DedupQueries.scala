@@ -2570,7 +2570,149 @@ object DedupQueries {
       ORDER BY ks.k""")
   )
 
+  /** LSH band-geometry tuning audit — the S-curve question every
+    * MinHash deployment answers before committing a config: over the
+    * SAME 64-permutation signatures as q22, sweep (bands × rows/band) ∈
+    * {32×2, 16×4, 8×8} and measure each geometry's candidate volume,
+    * true positives, misses, recall and precision against the EXACT
+    * shingle-Jaccard ≥ 0.5 ground truth. More rows/band slides the
+    * collision S-curve right (fewer, higher-precision candidates); the
+    * audit prices that trade with measured counts instead of the
+    * analytic 1-(1-j^r)^b curve. The production bucket cap (≤64, q23's
+    * guard) is INCLUDED — the audit scores the pipeline as deployed,
+    * cap-induced misses and all.
+    *
+    * Ground truth is complete without an all-pairs scan: J > 0 requires
+    * a shared shingle, so the inverted-index join (posting-list bounded,
+    * q21's shape) enumerates every pair that could pass the threshold.
+    * Scale shape: signatures and band digests shuffle, never text; each
+    * geometry is one explode + self-join on capped buckets; the roll-up
+    * is 3 rows; ×1e6 ratios ride DECIMAL(38,0)/HUGEINT. */
+  val q166 = Q(
+    "q166_lsh_tuning",
+    (s, dir) => {
+      val docs = documents(s, dir)
+      val sigs = minhashSignatures(docs).materialized
+      val sh = shingles(docs, dedup = false)
+        .select(col("doc_id"), md5(col("sh")).as("h")).distinct()
+        .materialized // truth needs postings AND per-doc sizes
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val truth = sh.as("a")
+        .join(sh.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(count(lit(1)).as("ix"))
+        .join(sz.select(col("doc_id").as("da"), col("n").as("na")), "da")
+        .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+        .filter(col("ix") * 2 >= col("na") + col("nb") - col("ix"))
+        .select("da", "db")
+        .materialized // compared against every geometry
+      val perConfig = Seq((32, 2), (16, 4), (8, 8)).map { case (b, r) =>
+        val bands = sigs.select(col("doc_id"),
+          explode(array((0 until b).map { bi =>
+            struct(lit(bi).as("band"),
+              md5(concat_ws(",",
+                (0 until r).map(ri =>
+                  element_at(col("sig"), bi * r + ri + 1)): _*)).as("bh"))
+          }: _*)).as("bb"))
+          .select(col("doc_id"), col("bb.band").as("band"),
+            col("bb.bh").as("bh"))
+        val ok = bands.groupBy("band", "bh")
+          .agg(count(lit(1)).as("bsz"))
+          .filter(col("bsz") <= BucketCap && col("bsz") > 1)
+          .select("band", "bh")
+        val bounded = bands.join(ok, Seq("band", "bh"))
+        val cand = bounded.as("x")
+          .join(bounded.as("y"),
+            col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+          .distinct()
+          .materialized // counted twice: volume + tp semi-join
+        cand.agg(count(lit(1)).as("n_cand"))
+          .crossJoin(cand.join(truth, Seq("da", "db"), "left_semi")
+            .agg(count(lit(1)).as("tp")))
+          .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+          .select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+            col("n_cand"), col("tp"),
+            (col("n_truth") - col("tp")).as("fn"),
+            expr("""case when n_truth = 0 then 1000000
+                    else cast(cast(tp as decimal(38,0)) * 1000000 div n_truth
+                         as bigint) end""").as("recall_ppm"),
+            expr("""case when n_cand = 0 then 1000000
+                    else cast(cast(tp as decimal(38,0)) * 1000000 div n_cand
+                         as bigint) end""").as("precision_ppm"))
+      }
+      perConfig.reduce(_ unionByName _).orderBy(col("rows_per_band"))
+    },
+    Some {
+      def geom(b: Int, r: Int) = {
+        val slots = (1 to r).map(k => s"sig[b*$r+$k]").mkString(", ")
+        s"""
+      bands_$b AS (
+        SELECT doc_id, b, md5(concat_ws(',', $slots)) AS bh
+        FROM sig CROSS JOIN (SELECT unnest(range(0, $b)) AS b)),
+      ok_$b AS (SELECT b, bh FROM bands_$b GROUP BY b, bh
+                HAVING COUNT(*) <= $BucketCap AND COUNT(*) > 1),
+      bnd_$b AS (SELECT bands_$b.* FROM bands_$b JOIN ok_$b USING (b, bh)),
+      cand_$b AS (
+        SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+        FROM bnd_$b x JOIN bnd_$b y
+          ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id),
+      stat_$b AS (
+        SELECT CAST($b AS BIGINT) AS bands, CAST($r AS BIGINT) AS rows_per_band,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM cand_$b) AS n_cand,
+               (SELECT CAST(COUNT(*) AS BIGINT)
+                FROM cand_$b JOIN truth USING (da, db)) AS tp)"""
+      }
+      s"""
+      WITH words AS (
+        SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents),
+      idx AS (
+        SELECT doc_id, w, unnest(range(1, greatest(len(w) - 4, 1) + 1)) AS i
+        FROM words),
+      shd AS (
+        SELECT DISTINCT doc_id, md5(array_to_string(w[i:i+4], ' ')) AS h
+        FROM idx),
+      hh AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(sh2), 1, 8))::BIGINT AS lo,
+               ('0x' || substr(md5(sh2), 9, 8))::BIGINT AS hi
+        FROM (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS sh2
+              FROM idx)),
+      consts AS (
+        SELECT unnest(range(0, $MinhashK)) AS i,
+               unnest(${sqlList(PermA)}) AS pa,
+               unnest(${sqlList(PermB)}) AS pb,
+               unnest(${sqlList(PermC)}) AS pc),
+      perm AS (
+        SELECT doc_id, i, MIN((pa*lo + pb*hi + pc) % $P61) AS v
+        FROM hh CROSS JOIN consts GROUP BY doc_id, i),
+      sig AS (SELECT doc_id, list(v ORDER BY i) AS sig FROM perm GROUP BY doc_id),
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+      truth AS (
+        SELECT da, db FROM (
+          SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS ix
+          FROM shd a JOIN shd b ON a.h = b.h AND a.doc_id < b.doc_id
+          GROUP BY da, db) i
+        JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+        WHERE ix * 2 >= sa.n + sb.n - ix),
+      nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+      ${geom(32, 2)}, ${geom(16, 4)}, ${geom(8, 8)}
+      SELECT bands, rows_per_band, n_cand, tp, n_truth - tp AS fn,
+             CASE WHEN n_truth = 0 THEN 1000000
+                  ELSE CAST(CAST(tp AS HUGEINT) * 1000000 // n_truth AS BIGINT)
+             END AS recall_ppm,
+             CASE WHEN n_cand = 0 THEN 1000000
+                  ELSE CAST(CAST(tp AS HUGEINT) * 1000000 // n_cand AS BIGINT)
+             END AS precision_ppm
+      FROM (SELECT * FROM stat_32 UNION ALL SELECT * FROM stat_16
+            UNION ALL SELECT * FROM stat_8), nt
+      ORDER BY rows_per_band"""
+    }
+  )
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q26, q38, q71, q74, q76,
     q82, q88, q90, q91, q95, q101, q103, q114, q115, q130, q133, q134,
-    q141, q143, q144, q155, q156, q157, q158, q160, q161)
+    q141, q143, q144, q155, q156, q157, q158, q160, q161, q166)
 }
