@@ -2712,7 +2712,70 @@ object DedupQueries {
     }
   )
 
+  /** Phrase spectrum — distinct-phrase counts at EVERY length 1..31 in
+    * one pass: for each ℓ, the number of ℓ-word positions, the number of
+    * DISTINCT ℓ-word phrases, and the distinct share (×1e6) — the
+    * diversity profile that q140 answers for one fixed n, for all n at
+    * once. The suffix-array identity: sorted by capped window, equal
+    * ℓ-prefixes are contiguous, so
+    * `distinct(ℓ) = positions(ℓ) − #{adjacent pairs with LCP ≥ ℓ}` —
+    * the whole spectrum falls out of the adjacent-LCP HISTOGRAM, one
+    * range exchange instead of 31 separate shingle wordcounts (the
+    * oracle counts each length's distinct set DIRECTLY, so the identity
+    * itself is hash-checked, not assumed).
+    *
+    * Scale shape: [[graft.operators.SuffixArray.adjacentLcp]]'s single
+    * capped-window exchange + a ≤cap-row LCP histogram (map-side
+    * combined) + a doc-length histogram (bounded by max doc length);
+    * the per-ℓ roll-up is a 31×maxlen literal cross of TINY aggregates
+    * — no corpus-sized work after the exchange. */
+  val q167 = Q(
+    "q167_phrase_spectrum",
+    (s, dir) => {
+      val docs = documents(s, dir)
+      val cap = 31
+      // LCP histogram: tiny (values 0..cap)
+      val hist = graft.operators.SuffixArray.adjacentLcp(docs, cap)
+        .groupBy(col("l")).agg(count(lit(1)).as("c"))
+      // doc-length histogram: bounded by max doc length
+      val dl = docs
+        .select(size(split(col("text"), "\\s+")).cast("long").as("dlen"))
+        .groupBy("dlen").agg(count(lit(1)).as("d"))
+      val lsDf = s.range(1, cap + 1).select(col("id").as("len"))
+      val a = lsDf.join(dl, col("dlen") >= col("len"))
+        .groupBy("len")
+        .agg(sum((col("dlen") - col("len") + 1L) * col("d"))
+          .as("n_positions"))
+      val b = lsDf.join(hist, col("l") >= col("len"), "left")
+        .groupBy("len")
+        .agg(coalesce(sum(col("c")), lit(0L)).as("n_dup_adj"))
+      a.join(b, Seq("len"))
+        .select(col("len"),
+          col("n_positions"),
+          (col("n_positions") - col("n_dup_adj")).as("n_distinct"),
+          expr("""cast(cast(n_positions - n_dup_adj as decimal(38,0))
+                  * 1000000 div n_positions as bigint)""")
+            .as("distinct_ppm"))
+        .orderBy("len")
+    },
+    Some(raw"""
+      WITH toks AS (
+        SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+      ls AS (SELECT CAST(unnest(range(1, 32)) AS BIGINT) AS len),
+      posx AS (
+        SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM toks),
+      grams AS (
+        SELECT ls.len, md5(array_to_string(w[i:i+CAST(len AS INT)-1], ' '))
+          AS h
+        FROM posx JOIN ls ON len(w) - i + 1 >= ls.len)
+      SELECT len, CAST(COUNT(*) AS BIGINT) AS n_positions,
+             CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct,
+             CAST(CAST(COUNT(DISTINCT h) AS HUGEINT) * 1000000 // COUNT(*)
+               AS BIGINT) AS distinct_ppm
+      FROM grams GROUP BY len ORDER BY len""")
+  )
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q26, q38, q71, q74, q76,
     q82, q88, q90, q91, q95, q101, q103, q114, q115, q130, q133, q134,
-    q141, q143, q144, q155, q156, q157, q158, q160, q161, q166)
+    q141, q143, q144, q155, q156, q157, q158, q160, q161, q166, q167)
 }
