@@ -2775,7 +2775,75 @@ object DedupQueries {
       FROM grams GROUP BY len ORDER BY len""")
   )
 
+  /** Containment (overlap-coefficient) dedup — the asymmetric-duplication
+    * catch Jaccard structurally misses (Broder 1997 distinguishes
+    * resemblance from containment): a short document fully embedded in a
+    * long one has |A∩B|/|A| ≈ 1 but Jaccard ≈ |A|/|B|, far below any
+    * resemblance threshold. Pairs with overlap coefficient
+    * |A∩B|/min(|A|,|B|) ≥ 0.8 are flagged, with both ratios reported and
+    * a `jaccard_missed` marker for the pairs a 0.5-Jaccard pipeline
+    * (q21/q22's threshold) would have let through — the measured
+    * coverage gap that motivates running both filters.
+    *
+    * Scale shape: q21's posting-list-bounded inverted-index join (only
+    * pairs sharing a shingle digest are ever materialized; digests
+    * shuffle, text never), two broadcast-sized size-table joins, ×1e6
+    * ratios in DECIMAL(38,0)/HUGEINT. */
+  val q168 = Q(
+    "q168_containment_dedup",
+    (s, dir) => {
+      val docs = documents(s, dir)
+      val sh = shingles(docs, dedup = false)
+        .select(col("doc_id"), md5(col("sh")).as("h")).distinct()
+        .materialized // postings + per-doc set sizes
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      sh.as("a")
+        .join(sh.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(count(lit(1)).as("ix"))
+        .join(sz.select(col("doc_id").as("da"), col("n").as("na")), "da")
+        .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+        .withColumn("cont_ppm", expr(
+          """cast(cast(ix as decimal(38,0)) * 1000000 div least(na, nb)
+             as bigint)"""))
+        .withColumn("jac_ppm", expr(
+          """cast(cast(ix as decimal(38,0)) * 1000000 div (na + nb - ix)
+             as bigint)"""))
+        .filter(col("cont_ppm") >= 800000L)
+        .withColumn("jaccard_missed", (col("jac_ppm") < 500000L).cast("int"))
+        .select("da", "db", "na", "nb", "ix", "cont_ppm", "jac_ppm",
+          "jaccard_missed")
+        .orderBy("da", "db")
+    },
+    Some(raw"""
+      WITH words AS (
+        SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+      idx AS (
+        SELECT doc_id, w, unnest(range(1, greatest(len(w) - 4, 1) + 1)) AS i
+        FROM words),
+      sh AS (
+        SELECT DISTINCT doc_id, md5(array_to_string(w[i:i+4], ' ')) AS h
+        FROM idx),
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      pairs AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS ix
+        FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY da, db),
+      scored AS (
+        SELECT da, db, sa.n AS na, sb.n AS nb, ix,
+               CAST(CAST(ix AS HUGEINT) * 1000000 // least(sa.n, sb.n)
+                 AS BIGINT) AS cont_ppm,
+               CAST(CAST(ix AS HUGEINT) * 1000000 // (sa.n + sb.n - ix)
+                 AS BIGINT) AS jac_ppm
+        FROM pairs JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db)
+      SELECT da, db, na, nb, ix, cont_ppm, jac_ppm,
+             CAST(jac_ppm < 500000 AS INT) AS jaccard_missed
+      FROM scored WHERE cont_ppm >= 800000
+      ORDER BY da, db""")
+  )
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q26, q38, q71, q74, q76,
     q82, q88, q90, q91, q95, q101, q103, q114, q115, q130, q133, q134,
-    q141, q143, q144, q155, q156, q157, q158, q160, q161, q166, q167)
+    q141, q143, q144, q155, q156, q157, q158, q160, q161, q166, q167, q168)
 }
