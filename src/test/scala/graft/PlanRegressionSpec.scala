@@ -277,7 +277,22 @@ class PlanRegressionSpec extends SparkSpec {
       // q158: the corpus token total is a ONE-ROW scalar frame cross
       // joined onto the ≤|thresholds|-row sweep — case (a); the
       // corpus-sized path is the q156 suffix-array machinery
-      "q158_excision_sweep")
+      "q158_excision_sweep",
+      // q162: both retrieval stages are q40's broadcast probe panel
+      // (8 rows) scored against the streaming candidates — case (b);
+      // the audit's ground truth REQUIRES the exact brute pass
+      "q162_prefix_rerank",
+      // q163: the corpus token total is a ONE-ROW scalar frame cross
+      // joined onto the 3-row split datasheet — case (a)
+      "q163_cluster_split",
+      // q166: the per-geometry count assembly cross joins ONE-ROW count
+      // frames (n_cand, tp, n_truth) — case (a); every corpus-sized path
+      // is a capped-bucket or posting-list equi-join
+      "q166_lsh_tuning",
+      // q167: the 31-row length literal range joins the LCP histogram
+      // (≤cap rows) and the doc-length histogram (≤max-doc-length rows)
+      // — both sides FIXED-size at any corpus scale, q83's shape
+      "q167_phrase_spectrum")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")
