@@ -2843,7 +2843,77 @@ object DedupQueries {
       ORDER BY da, db""")
   )
 
+  /** Normalization-ladder dedup audit — how much each normalization
+    * stage actually buys: cluster counts under three keys (raw text;
+    * lowercase + collapsed whitespace; q95's aggressive digits→0 /
+    * punctuation-strip form), with per-tier duplicate mass and the
+    * MARGINAL merges each stage adds over the previous one — the
+    * evidence for (or against) running the aggressive normalizer at all.
+    * All three digests are computed in ONE corpus scan and reduced by
+    * one aggregate (three hash-keyed COUNT DISTINCTs + a count), then a
+    * 3-row unpivot — the ladder costs one pass, not one pass per tier.
+    *
+    * Scale shape: map-side projection of three md5s, one global
+    * aggregate whose partial state is the distinct-digest sets (32-byte
+    * keys, map-side combined), constant-size output. */
+  val q170 = Q(
+    "q170_norm_ladder",
+    (s, dir) => {
+      val t1 = trim(regexp_replace(lower(col("text")), " +", " "))
+      val t2 = trim(regexp_replace(regexp_replace(regexp_replace(
+        lower(col("text")),
+        "[0-9]", "0"),
+        "[^a-z0 ]", " "),
+        " +", " "))
+      documents(s, dir)
+        .select(md5(col("text")).as("h0"), md5(t1).as("h1"),
+          md5(t2).as("h2"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("h0")).as("c0"),
+          countDistinct(col("h1")).as("c1"),
+          countDistinct(col("h2")).as("c2"))
+        .select(expr(
+          """stack(3,
+               CAST(0 AS BIGINT), 'raw', c0, n_docs - c0, n_docs - c0,
+               CAST(1 AS BIGINT), 'case_ws', c1, n_docs - c1, c0 - c1,
+               CAST(2 AS BIGINT), 'aggressive', c2, n_docs - c2, c1 - c2)
+             as (tier, norm, n_clusters, dup_docs, marginal_merges)"""),
+          col("n_docs"))
+        .select(col("tier"), col("norm"), col("n_clusters"),
+          col("dup_docs"), col("marginal_merges"),
+          expr("""cast(cast(dup_docs as decimal(38,0)) * 1000000
+                  div n_docs as bigint)""").as("dup_ppm"))
+        .orderBy("tier")
+    },
+    Some(raw"""
+      WITH h AS (
+        SELECT md5(text) AS h0,
+               md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS h1,
+               md5(trim(regexp_replace(regexp_replace(regexp_replace(
+                 lower(text),
+                 '[0-9]', '0', 'g'),
+                 '[^a-z0 ]', ' ', 'g'),
+                 ' +', ' ', 'g'))) AS h2
+        FROM documents),
+      a AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT h0) AS BIGINT) AS c0,
+               CAST(COUNT(DISTINCT h1) AS BIGINT) AS c1,
+               CAST(COUNT(DISTINCT h2) AS BIGINT) AS c2
+        FROM h)
+      SELECT u.tier, u.norm, u.n_clusters, u.dup_docs, u.marginal_merges,
+             CAST(CAST(u.dup_docs AS HUGEINT) * 1000000 // n_docs AS BIGINT)
+               AS dup_ppm
+      FROM a, LATERAL (VALUES
+        (CAST(0 AS BIGINT), 'raw', c0, n_docs - c0, n_docs - c0),
+        (CAST(1 AS BIGINT), 'case_ws', c1, n_docs - c1, c0 - c1),
+        (CAST(2 AS BIGINT), 'aggressive', c2, n_docs - c2, c1 - c2))
+        AS u(tier, norm, n_clusters, dup_docs, marginal_merges)
+      ORDER BY u.tier""")
+  )
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q26, q38, q71, q74, q76,
     q82, q88, q90, q91, q95, q101, q103, q114, q115, q130, q133, q134,
-    q141, q143, q144, q155, q156, q157, q158, q160, q161, q166, q167, q168)
+    q141, q143, q144, q155, q156, q157, q158, q160, q161, q166, q167, q168,
+    q170)
 }

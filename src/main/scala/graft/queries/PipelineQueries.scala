@@ -2007,7 +2007,86 @@ object PipelineQueries {
       FROM b, t GROUP BY split, t_all ORDER BY split""")
   )
 
+  /** Quality-filter ensemble yield — the rules-ensemble knob every
+    * Gopher/FineWeb-style pipeline tunes: three cheap per-document
+    * signals (length ≥ 30 tokens; lexical diversity — distinct words ≥
+    * half the tokens; stopword ratio ≥ 4%) combined under three
+    * policies (strict = all 3, majority ≥ 2, lenient ≥ 1), with
+    * docs/tokens retained and the doc-retention ppm PER SOURCE — the
+    * table that shows which sources a stricter ensemble starves before
+    * anyone commits to a policy. All three signals are integer
+    * comparisons (count×k vs count — no float thresholds), so the sweep
+    * is engine-exact.
+    *
+    * Scale shape: one map-side projection computes all three signals
+    * (array ops on the token vector, no shuffle), a ×3 literal policy
+    * explode, one (source × policy)-keyed aggregate with map-side
+    * combine, and a broadcast join against the 20-row per-source
+    * totals; ppm rides DECIMAL(38,0). */
+  val q169 = Q(
+    "q169_filter_ensemble",
+    (s, dir) => {
+      val stop = array(Seq("a", "the", "of", "to", "and").map(lit): _*)
+      val sig = documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          split(col("text"), "\\s+").as("w"))
+        .select(col("doc_id"), col("source"),
+          size(col("w")).cast("long").as("n_tok"),
+          size(array_distinct(col("w"))).cast("long").as("n_dis"),
+          size(filter(col("w"), x => array_contains(stop, x)))
+            .cast("long").as("n_stop"))
+        .select(col("source"), col("n_tok"),
+          ((col("n_tok") >= 30L).cast("int") +
+            (col("n_dis") * 2 >= col("n_tok")).cast("int") +
+            (col("n_stop") * 100 >= col("n_tok") * 4).cast("int"))
+            .as("votes"))
+      val tot = sig.groupBy("source")
+        .agg(count(lit(1)).as("src_docs"))
+      sig
+        .select(col("source"), col("n_tok"), col("votes"),
+          explode(array(lit(3), lit(2), lit(1))).as("need"))
+        .filter(col("votes") >= col("need"))
+        .groupBy("source", "need")
+        .agg(count(lit(1)).as("n_docs_kept"),
+          sum(col("n_tok")).as("n_tokens_kept"))
+        .join(broadcast(tot), Seq("source"))
+        .select(col("source"),
+          when(col("need") === 3, "strict")
+            .when(col("need") === 2, "majority")
+            .otherwise("lenient").as("policy"),
+          col("n_docs_kept"), col("n_tokens_kept"),
+          expr("""cast(cast(n_docs_kept as decimal(38,0)) * 1000000
+                  div src_docs as bigint)""").as("keep_ppm"))
+        .orderBy("source", "policy")
+    },
+    Some(raw"""
+      WITH sig AS (
+        SELECT source, len(w) AS n_tok,
+               CAST(len(w) >= 30 AS INT)
+               + CAST(len(list_distinct(w)) * 2 >= len(w) AS INT)
+               + CAST(len(list_filter(w,
+                   x -> x IN ('a','the','of','to','and'))) * 100
+                   >= len(w) * 4 AS INT) AS votes
+        FROM (SELECT source, string_split_regex(text, '\s+') AS w
+              FROM documents)),
+      tot AS (SELECT source, COUNT(*) AS src_docs FROM sig GROUP BY source),
+      pol AS (SELECT unnest([3, 2, 1]) AS need),
+      kept AS (
+        SELECT source, need,
+               CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens_kept
+        FROM sig, pol WHERE votes >= need GROUP BY source, need)
+      SELECT kept.source,
+             CASE need WHEN 3 THEN 'strict' WHEN 2 THEN 'majority'
+                       ELSE 'lenient' END AS policy,
+             n_docs_kept, n_tokens_kept,
+             CAST(CAST(n_docs_kept AS HUGEINT) * 1000000 // src_docs
+               AS BIGINT) AS keep_ppm
+      FROM kept JOIN tot ON kept.source = tot.source
+      ORDER BY kept.source, policy""")
+  )
+
   val all: Seq[Q] = Seq(q33, q34, q35, q37, q46, q53, q54, q55, q56, q57,
     q65, q66, q67, q69, q72, q83, q86, q96, q104, q108, q116, q117, q121,
-    q131, q137, q139, q142, q145, q146, q148, q149, q151, q163)
+    q131, q137, q139, q142, q145, q146, q148, q149, q151, q163, q169)
 }
