@@ -2912,8 +2912,88 @@ object DedupQueries {
       ORDER BY u.tier""")
   )
 
+  /** Per-benchmark-item containment decontamination — the eval-centric
+    * leak report: for EACH benchmark document (doc_id % 17 = 0, q160's
+    * panel), how many training documents share any 8-word shingle with
+    * it, how many CONTAIN ≥ 80% of its shingle set (the "eval answer
+    * embedded in a training doc" case — a short eval item inside a long
+    * page barely moves the page's contaminated-fraction score q96
+    * computes, but kills the benchmark), and the worst containment seen.
+    * Denominators are the BENCHMARK side's shingle counts — the
+    * direction fraction-of-train scoring cannot express.
+    *
+    * Scale shape: the benchmark side is a fixed panel (corpus-fraction
+    * independent at deployment — eval suites don't grow with the crawl),
+    * so the postings join broadcasts it under AQE; digests shuffle,
+    * text never; one (bench × train)-pair aggregate bounded by shared
+    * postings, one bench-keyed roll-up (panel-sized output); ppm in
+    * DECIMAL(38,0)/HUGEINT. */
+  val q171 = Q(
+    "q171_bench_containment",
+    (s, dir) => {
+      val docs = documents(s, dir)
+      val sh = shingles(docs, nWords = 8, dedup = false)
+        .select(col("doc_id"), md5(col("sh")).as("h")).distinct()
+        .materialized // split into both sides of the postings join
+      val bench = sh.filter(col("doc_id") % 17 === 0)
+      val bsz = bench.groupBy(col("doc_id").as("bdoc"))
+        .agg(count(lit(1)).as("nb"))
+      val per = sh.filter(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id").as("tdoc"), col("h"))
+        .join(bench.select(col("doc_id").as("bdoc"), col("h")), Seq("h"))
+        .groupBy("bdoc", "tdoc").agg(count(lit(1)).as("ix"))
+        .join(bsz, Seq("bdoc"))
+        .withColumn("cont_ppm", expr(
+          "cast(cast(ix as decimal(38,0)) * 1000000 div nb as bigint)"))
+        .groupBy("bdoc")
+        .agg(count(lit(1)).as("n_train_sharing"),
+          sum((col("ix") * 5 >= col("nb") * 4).cast("long"))
+            .as("n_train_containing"),
+          max(col("cont_ppm")).as("max_cont_ppm"))
+      bsz.join(per, Seq("bdoc"), "left")
+        .select(col("bdoc"), col("nb"),
+          coalesce(col("n_train_sharing"), lit(0L)).as("n_train_sharing"),
+          coalesce(col("n_train_containing"), lit(0L))
+            .as("n_train_containing"),
+          coalesce(col("max_cont_ppm"), lit(0L)).as("max_cont_ppm"))
+        .orderBy("bdoc")
+    },
+    Some(raw"""
+      WITH words AS (
+        SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+      idx AS (
+        SELECT doc_id, w, unnest(range(1, greatest(len(w) - 7, 1) + 1)) AS i
+        FROM words),
+      sh8 AS (
+        SELECT DISTINCT doc_id, md5(array_to_string(w[i:i+7], ' ')) AS h
+        FROM idx),
+      bsz AS (
+        SELECT doc_id AS bdoc, COUNT(*) AS nb FROM sh8
+        WHERE doc_id % 17 = 0 GROUP BY doc_id),
+      pairs AS (
+        SELECT b.doc_id AS bdoc, t.doc_id AS tdoc, COUNT(*) AS ix
+        FROM sh8 b JOIN sh8 t ON b.h = t.h
+        WHERE b.doc_id % 17 = 0 AND t.doc_id % 17 <> 0
+        GROUP BY bdoc, tdoc),
+      per AS (
+        SELECT pairs.bdoc,
+               CAST(COUNT(*) AS BIGINT) AS n_train_sharing,
+               CAST(SUM(CASE WHEN ix * 5 >= nb * 4 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_train_containing,
+               MAX(CAST(CAST(ix AS HUGEINT) * 1000000 // nb AS BIGINT))
+                 AS max_cont_ppm
+        FROM pairs JOIN bsz ON pairs.bdoc = bsz.bdoc
+        GROUP BY pairs.bdoc)
+      SELECT bsz.bdoc, CAST(nb AS BIGINT) AS nb,
+             COALESCE(n_train_sharing, 0) AS n_train_sharing,
+             COALESCE(n_train_containing, 0) AS n_train_containing,
+             COALESCE(max_cont_ppm, 0) AS max_cont_ppm
+      FROM bsz LEFT JOIN per ON bsz.bdoc = per.bdoc
+      ORDER BY bsz.bdoc""")
+  )
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q26, q38, q71, q74, q76,
     q82, q88, q90, q91, q95, q101, q103, q114, q115, q130, q133, q134,
     q141, q143, q144, q155, q156, q157, q158, q160, q161, q166, q167, q168,
-    q170)
+    q170, q171)
 }

@@ -1852,6 +1852,156 @@ object SimilarityQueries {
     }
   )
 
+  /** Maximal-marginal-relevance diversified retrieval (Carbonell &
+    * Goldstein 1998) — the anti-redundancy selection a training-data
+    * sampler or RAG reranker runs after top-k: per query (vec_id < 4),
+    * take the top-12 by cosine, then greedily pick 5 where each step
+    * maximizes `2·rel(c) − max_{s∈selected} sim(c, s)` (λ = ½ scaled
+    * out; ties to the smaller neighbor_id; step 1 is plain top-1).
+    * Every relevance and similarity is a fixed-point-dot cosine, so the
+    * greedy trajectory is engine-exact and the oracle replays it.
+    *
+    * Scale shape: queries broadcast, candidates stream by (q40's
+    * audit-grade brute stage — production swaps in q43/q41 candidate
+    * generation); everything after the top-12 cut is per-query
+    * constant-size: one 12×12 pairwise-sim table per query and four
+    * greedy rounds of ≤12-row joins + a per-query top-1 window. */
+  /** MMR core over an `(vec_id, embedding)` frame — package-visible so
+    * the spec can plant adversarial geometries (a near-duplicate of the
+    * top hit that greedy-by-relevance would take and MMR must skip). */
+  private[graft] def mmrDiversify(emb: DataFrame): DataFrame = {
+      val queries = emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          sqrt(dotDec(col("embedding"), col("embedding"))).as("qn"))
+      val cands = emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ce"),
+        sqrt(dotDec(col("embedding"), col("embedding"))).as("cn"))
+      val wRel = Window.partitionBy(col("query_id"))
+        .orderBy(col("rel").desc, col("neighbor_id"))
+      val cand12 = cands.join(broadcast(queries),
+          col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"), col("ce"), col("cn"),
+          (dotDec(col("qe"), col("ce")) / (col("qn") * col("cn")))
+            .as("rel"))
+        .withColumn("rr", row_number().over(wRel))
+        .filter(col("rr") <= 12)
+        .drop("rr")
+        .materialized // pairwise sims + 4 greedy rounds re-read it
+      val ps = cand12.select(col("query_id"), col("neighbor_id").as("a"),
+          col("ce").as("ae"), col("cn").as("an"))
+        .join(cand12.select(col("query_id"), col("neighbor_id").as("b"),
+          col("ce").as("be"), col("cn").as("bn")), Seq("query_id"))
+        .filter(col("a") =!= col("b"))
+        .select(col("query_id"), col("a"), col("b"),
+          (dotDec(col("ae"), col("be")) / (col("an") * col("bn")))
+            .as("sim"))
+        .materialized // ≤12·11 rows per query at any corpus size
+      var sel = cand12
+        .withColumn("rk", row_number().over(wRel))
+        .filter(col("rk") === 1)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("mmr_rank"))
+        .materialized
+      for (step <- 2 to 5) {
+        val wScore = Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("neighbor_id"))
+        val next = cand12
+          .join(sel.select("query_id", "neighbor_id"),
+            Seq("query_id", "neighbor_id"), "left_anti")
+          .join(ps.join(sel.select(col("query_id"),
+              col("neighbor_id").as("b")), Seq("query_id", "b"))
+            .groupBy(col("query_id"), col("a").as("neighbor_id"))
+            .agg(max(col("sim")).as("maxsim")),
+            Seq("query_id", "neighbor_id"))
+          .withColumn("score", col("rel") * 2 - col("maxsim"))
+          .withColumn("rk", row_number().over(wScore))
+          .filter(col("rk") === 1)
+          .select(col("query_id"), col("neighbor_id"),
+            lit(step.toLong).as("mmr_rank"))
+        sel = sel.unionByName(next).materialized
+      }
+      sel.orderBy("query_id", "mmr_rank")
+  }
+
+  val q172 = Q(
+    "q172_mmr_diversify",
+    (s, dir) => mmrDiversify(embeddings(s, dir)),
+    Some {
+      def cos(a: String, b: String) =
+        s"""(${dotDecSql(a, b)} /
+             (sqrt(${dotDecSql(a, a)}) * sqrt(${dotDecSql(b, b)})))"""
+      def step(n: Int) = s"""
+      c$n AS (
+        SELECT cand.query_id, cand.neighbor_id, cand.rel,
+               MAX(ps.sim) AS maxsim
+        FROM cand
+        JOIN ps ON ps.query_id = cand.query_id AND ps.a = cand.neighbor_id
+        JOIN a${n - 1} s ON s.query_id = ps.query_id
+                        AND s.neighbor_id = ps.b
+        WHERE NOT EXISTS (SELECT 1 FROM a${n - 1} x
+                          WHERE x.query_id = cand.query_id
+                            AND x.neighbor_id = cand.neighbor_id)
+        GROUP BY cand.query_id, cand.neighbor_id, cand.rel),
+      s$n AS (
+        SELECT query_id, neighbor_id, CAST($n AS BIGINT) AS mmr_rank FROM (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY rel * 2 - maxsim DESC, neighbor_id) AS r
+          FROM c$n) WHERE r = 1),
+      a$n AS (SELECT query_id, neighbor_id FROM a${n - 1}
+              UNION ALL SELECT query_id, neighbor_id FROM s$n)"""
+      s"""
+      WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+        WHERE vec_id < 4),
+      c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+      cand AS MATERIALIZED (
+        SELECT query_id, neighbor_id, ce, rel FROM (
+          SELECT query_id, neighbor_id, ce, ${cos("qe", "ce")} AS rel,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY ${cos("qe", "ce")} DESC, neighbor_id) AS r
+          FROM q, c WHERE query_id <> neighbor_id) WHERE r <= 12),
+      cu AS (
+        -- exploded candidate components: DuckDB cannot decorrelate an
+        -- UNNEST subquery over a CTE-to-CTE join, so the pairwise dot
+        -- becomes a position-aligned join + SUM (same floor'd terms)
+        SELECT query_id, neighbor_id, unnest(ce) AS x,
+               generate_subscripts(ce, 1) AS i
+        FROM cand),
+      nrm AS (
+        SELECT query_id, neighbor_id,
+               SUM(CAST(FLOOR(CAST(x AS DOUBLE) * x * 1e15) AS BIGINT)) AS nn
+        FROM cu GROUP BY query_id, neighbor_id),
+      dots AS (
+        SELECT ca.query_id, ca.neighbor_id AS a, cb.neighbor_id AS b,
+               SUM(CAST(FLOOR(CAST(ca.x AS DOUBLE) * cb.x * 1e15) AS BIGINT))
+                 AS dotl
+        FROM cu ca JOIN cu cb ON ca.query_id = cb.query_id AND ca.i = cb.i
+          AND ca.neighbor_id <> cb.neighbor_id
+        GROUP BY ca.query_id, ca.neighbor_id, cb.neighbor_id),
+      ps AS MATERIALIZED (
+        SELECT dots.query_id, a, b,
+               (CAST(dotl AS DOUBLE) / 1e15) /
+               (sqrt(CAST(na.nn AS DOUBLE) / 1e15)
+                * sqrt(CAST(nb.nn AS DOUBLE) / 1e15)) AS sim
+        FROM dots
+        JOIN nrm na ON na.query_id = dots.query_id AND na.neighbor_id = a
+        JOIN nrm nb ON nb.query_id = dots.query_id AND nb.neighbor_id = b),
+      s1 AS (
+        SELECT query_id, neighbor_id, CAST(1 AS BIGINT) AS mmr_rank FROM (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY rel DESC, neighbor_id) AS r
+          FROM cand) WHERE r = 1),
+      a1 AS (SELECT query_id, neighbor_id FROM s1),
+      ${step(2)}, ${step(3)}, ${step(4)}, ${step(5)}
+      SELECT query_id, neighbor_id, mmr_rank
+      FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+            UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+            UNION ALL SELECT * FROM s5)
+      ORDER BY query_id, mmr_rank"""
+    }
+  )
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q45, q47, q48, q49, q77, q79,
-    q80, q92, q94, q120, q136, q152, q162, q165)
+    q80, q92, q94, q120, q136, q152, q162, q165, q172)
 }

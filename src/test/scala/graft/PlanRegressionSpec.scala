@@ -292,7 +292,11 @@ class PlanRegressionSpec extends SparkSpec {
       // q167: the 31-row length literal range joins the LCP histogram
       // (≤cap rows) and the doc-length histogram (≤max-doc-length rows)
       // — both sides FIXED-size at any corpus scale, q83's shape
-      "q167_phrase_spectrum")
+      "q167_phrase_spectrum",
+      // q172: the 4-row query panel broadcast against the streaming
+      // candidates — case (b); after the top-12 cut everything is
+      // per-query constant-size equi-joins
+      "q172_mmr_diversify")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")
