@@ -29,20 +29,20 @@ class Round9LawsSpec extends SparkSpec {
   }
 
   test("q172 law: MMR skips the near-duplicate of the top hit") {
-    // q=(1,0): c10 and c11 are near-duplicates of each other (both rel
-    // ≈ 0.9), c12 mirrors c10 across the query axis (same rel, sim to
-    // c10 only ≈ 0.62). Greedy-by-relevance would pick {10, 11};
-    // MMR must pick c12 second and demote the near-dup c11 to third.
+    // q=(1,0): c10 and c11 are EXACT duplicates (rel ≈ 0.9 each, mutual
+    // sim = 1), c12 mirrors them across the query axis (same rel, sim to
+    // the selected c10 only ≈ 0.62). Greedy-by-relevance would pick
+    // {10, 11}; MMR must pick c12 second and demote the dup c11 to third.
     def v(a: Float, b: Float) = Array(a, b) ++ Array.fill(62)(0.0f)
     val emb = Seq(
       (0L, v(1.0f, 0.0f), 0),
       (10L, v(0.9f, 0.436f), 0),
-      (11L, v(0.9f, 0.435f), 0),
+      (11L, v(0.9f, 0.436f), 0),
       (12L, v(0.9f, -0.436f), 0)).toDF("vec_id", "embedding", "label")
     val got = queries.SimilarityQueries.mmrDiversify(emb)
       .collect().map(r => (r.getLong(2), r.getLong(1))).toMap // rank -> nb
     assert(got(1L) == 10L, s"rank1 ${got(1L)}")
-    assert(got(2L) == 12L, s"rank2 ${got(2L)} — near-dup not demoted")
+    assert(got(2L) == 12L, s"rank2 ${got(2L)} — duplicate not demoted")
     assert(got(3L) == 11L, s"rank3 ${got(3L)}")
   }
 
