@@ -70,7 +70,17 @@ object Audit {
     // q156: round 0 exchanges single bounded-width words; every later
     // doubling round exchanges (doc_id, pos, rank) integer rows — the
     // PLANS claim "a suffix is never materialized", metered
-    "q156_suffix_rank")
+    "q156_suffix_rank",
+    // round 9: split datasheet (32-byte cluster digests), ensemble
+    // yield (source×policy counts), norm ladder (per-digest expand rows)
+    "q163_cluster_split", "q169_filter_ensemble", "q170_norm_ladder")
+
+  /** Queries whose ONE text-bearing exchange is the 31-word capped
+    * suffix window (PLANS: "text shuffles only inside the 31-word LCP
+    * windows") — metered against a window-grain ceiling instead of the
+    * digest-grain one. */
+  val CappedWindowQueries: Seq[String] = Seq(
+    "q157_phrase_lrs", "q161_repeat_sweep", "q167_phrase_spectrum")
 
   def shuffleAudit(spark: SparkSession, sfDir: String): Seq[String] = {
     DigestShuffleQueries.map { name =>
