@@ -46,6 +46,25 @@ class Round9LawsSpec extends SparkSpec {
     assert(got(3L) == 11L, s"rank3 ${got(3L)}")
   }
 
+  test("q167 ⋈ q164 ⋈ q161 cross-laws: spectrum ties out against the datasheet and the sweep") {
+    val sf = "/root/testdata/sf0.001"
+    val spectrum = SparkEntry.queries("q167_phrase_spectrum")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val datasheet = SparkEntry.queries("q164_datasheet")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // length-1 positions ARE the corpus token count
+    assert(spectrum(1L)._1 == datasheet("n_tokens"),
+      s"${spectrum(1L)._1} vs ${datasheet("n_tokens")}")
+    // some word repeats ⟺ the k=2 repeat frontier is non-empty
+    val sweep2 = SparkEntry.queries("q161_repeat_sweep")(spark, sf)
+      .filter(col("k") === 2).head().getLong(1)
+    val hasRepeatWord = spectrum(1L)._2 < spectrum(1L)._1
+    assert((sweep2 >= 1L) == hasRepeatWord,
+      s"longest(2)=$sweep2 vs distinct(1)=${spectrum(1L)._2}/${spectrum(1L)._1}")
+    // distinct counts never exceed positions; both fall with length
+    spectrum.foreach { case (l, (np, nd)) => assert(nd <= np, s"len $l") }
+  }
+
   test("q159 decoders: empty codebook degrades to the singles fold") {
     val out = Seq("abcd", "x").toDF("word")
       .select(col("word"),
