@@ -14,7 +14,9 @@ import org.apache.spark.sql.SparkSession
   *
   * Extension table parity (`main.py:147-165`):
   *  - `.xlsx .xls .xlsb .odf .ods .odt` → Excel-family ([[ExcelImporter]];
-  *    binary `.xls`/`.xlsb` are documented gaps inside it)
+  *    all six formats fully parsed — `.xlsx`/`.ods` via zip+StAX, binary
+  *    `.xls` via the CFB+BIFF8 reader, `.xlsb` via the binary-OOXML
+  *    reader with a DSv2 big-file road)
   *  - `.xml` → MS SpreadsheetML ([[XmlImporter]])
   *  - `.txt .csv .ini` → sniffed text ([[TextImporter]])
   *  - `.ant` → text with fixed delimiter `~~@~~` (`main.py:153-154`)

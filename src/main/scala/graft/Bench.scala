@@ -51,7 +51,11 @@ object Bench {
     * ground truth for their scale-shaped twins (q42 ⇄ q94/q41/q43/q45).
     * Reported in their own subtotal so the suite total that tracks the
     * 100 TB-shaped tier is not dominated by a query that is documented to
-    * never run at scale. */
+    * never run at scale. At the sf1 scale tier the quadratic passenger is
+    * skipped outright (`SPARK_GRAFT_SKIP_EXACT_PROOF=1`): a full O(n²)
+    * pass re-proves nothing the sf0.01 oracle hash + BallCoverSpec's
+    * bit-identity pin don't already prove every run, and at sf1 it was
+    * 18% of total bench wall (VERDICT r9). */
   private val ExactProofTier = Set("q42_dedup_embedding")
 
   def main(args: Array[String]): Unit = {
@@ -69,8 +73,11 @@ object Bench {
     // optional arg: comma-separated query-name filter (local profiling)
     val only: Option[Set[String]] =
       if (args.nonEmpty) Some(args(0).split(",").toSet) else None
+    val skipExactProof =
+      sys.env.get("SPARK_GRAFT_SKIP_EXACT_PROOF").contains("1")
     val suite = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filterNot { case (name, _) => skipExactProof && ExactProofTier(name) }
 
     def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Boolean = {
       val ok =

@@ -2,9 +2,13 @@ package graft.operators
 
 import graft.operators.Materialize.MaterializeOps
 import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{JoinedRow, SpecificInternalRow, UnsafeProjection}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.graft.SqlShims
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Distributed word-level suffix arrays by Manber–Myers prefix doubling —
   * the machinery behind exact substring-level corpus dedup ("find every
@@ -49,6 +53,84 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   */
 object SuffixArray {
 
+  /** Key access over (possibly buffer-reused) `InternalRow`s — the
+    * Tungsten lane of [[denseRank]]. `read` returns a self-contained
+    * boxed copy, safe to retain across `next()` calls and to ship to the
+    * driver; `matches` compares a row against such a copy without
+    * deserializing or allocating (beyond primitive unboxing). The
+    * all-`LongType` lane (every doubling round: keys `(r, r2)`) reads
+    * primitives straight out of the `UnsafeRow`; the generic lane (round
+    * 0's word key) clones `UTF8String`s on class boundaries only. */
+  private sealed trait KeyOps extends Serializable {
+    def read(r: InternalRow): Seq[Any]
+    def matches(r: InternalRow, k: Seq[Any]): Boolean
+  }
+
+  private def keyOpsFor(keyIdx: Array[Int], keyTypes: Array[DataType]): KeyOps = {
+    val nk = keyIdx.length
+    if (keyTypes.forall(_ == LongType)) new KeyOps {
+      def read(r: InternalRow): Seq[Any] = {
+        val a = new Array[Any](nk)
+        var i = 0
+        while (i < nk) { a(i) = r.getLong(keyIdx(i)); i += 1 }
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(a)
+      }
+      def matches(r: InternalRow, k: Seq[Any]): Boolean = {
+        var i = 0
+        while (i < nk) {
+          if (r.getLong(keyIdx(i)) != k(i).asInstanceOf[Long]) return false
+          i += 1
+        }
+        true
+      }
+    } else new KeyOps {
+      def read(r: InternalRow): Seq[Any] = {
+        val a = new Array[Any](nk)
+        var i = 0
+        while (i < nk) {
+          a(i) = r.get(keyIdx(i), keyTypes(i)) match {
+            case s: UTF8String => s.clone()
+            case v => v
+          }
+          i += 1
+        }
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(a)
+      }
+      def matches(r: InternalRow, k: Seq[Any]): Boolean = {
+        var i = 0
+        while (i < nk) {
+          val v = r.get(keyIdx(i), keyTypes(i))
+          val kv = k(i)
+          val eq = if (v == null) kv == null else v.equals(kv)
+          if (!eq) return false
+          i += 1
+        }
+        true
+      }
+    }
+  }
+
+  /** Wrap a stamp-job iterator so exhaustion checks the consumed-row
+    * count against the stats job's count for the same partition. Both
+    * jobs re-read the range exchange's shuffle files (skipped stages)
+    * and the in-partition sort is a total order, so the sequences are
+    * identical — this turns a violated assumption (nondeterministic
+    * upstream recompute) into a loud error instead of silently
+    * misaligned offsets. */
+  private def countGuard[T](
+      it: Iterator[T], pid: Int, expected: Long, op: String): Iterator[T] =
+    new Iterator[T] {
+      private var n = 0L
+      def hasNext: Boolean = {
+        val h = it.hasNext
+        if (!h) require(n == expected,
+          s"$op: partition $pid stamped $n rows but the stats job counted " +
+            s"$expected — nondeterministic recompute between the two jobs")
+        h
+      }
+      def next(): T = { n += 1; it.next() }
+    }
+
   /** In-place two-phase dense rank: append to `df` an order-preserving
     * dense 1-based ordinal `out` of its `keys` columns, plus the total
     * distinct-key count. Shape: range-partition + sort by `keys`; one
@@ -58,58 +140,74 @@ object SuffixArray {
     * one range partition, but the offset arithmetic still reconciles a
     * key straddling a partition boundary (defensive — costs nothing).
     * No join back, no single-partition window, no corpus-sized driver
-    * state. */
+    * state.
+    *
+    * Execution tier: both jobs run on `RDD[InternalRow]` (`SqlShims
+    * .toRdd`) — keys are compared as primitives straight out of the
+    * sorted `UnsafeRow`s and the stamped ordinal is appended through a
+    * reused `UnsafeProjection`, so no row is ever deserialized to a
+    * `GenericRow` and the only per-row allocation on the doubling-round
+    * lane is the projection's output buffer. */
   private[graft] def denseRank(
       df: DataFrame, keys: Seq[String], out: String): (DataFrame, Long) = {
     val spark = df.sparkSession
     val kc = keys.map(col)
     val sorted = df.repartitionByRange(kc: _*).sortWithinPartitions(kc: _*)
-    val keyIdx = keys.map(sorted.schema.fieldIndex)
-    val sortedRdd = sorted.rdd
-    def keyOf(r: Row): Seq[Any] = keyIdx.map(r.get)
-    // Job 1 (bounded): per-partition (firstKey, lastKey, nDistinct).
-    val stats = sortedRdd.mapPartitionsWithIndex { (pid, it) =>
+    val schema = sorted.schema
+    val keyIdx = keys.map(schema.fieldIndex).toArray
+    val keyTypes = keyIdx.map(i => schema.fields(i).dataType)
+    val ops = keyOpsFor(keyIdx, keyTypes)
+    val rdd = SqlShims.toRdd(sorted)
+    val nParts = rdd.getNumPartitions
+    // Job 1 (bounded): per-partition (firstKey, lastKey, nDistinct, nRows).
+    val stats = rdd.mapPartitionsWithIndex { (pid, it) =>
       if (!it.hasNext) Iterator.empty
       else {
-        val first = it.next()
-        var prev = keyOf(first)
-        val firstKey = prev
+        val first = ops.read(it.next())
+        var prev = first
         var n = 1L
+        var rows = 1L
         while (it.hasNext) {
-          val k = keyOf(it.next())
-          if (k != prev) { n += 1; prev = k }
+          val r = it.next()
+          rows += 1
+          if (!ops.matches(r, prev)) { n += 1; prev = ops.read(r) }
         }
-        Iterator.single((pid, firstKey, prev, n))
+        Iterator.single((pid, first, prev, n, rows))
       }
     }.collect().sortBy(_._1)
     // Driver-side offsets: distinct keys strictly before each partition,
     // discounting a first key that continues the previous partition's
     // last key (cannot happen under range partitioning; kept defensive).
-    val offsets = new Array[Long](sortedRdd.getNumPartitions)
-    val carries = new Array[Seq[Any]](sortedRdd.getNumPartitions)
+    val offsets = new Array[Long](nParts)
+    val carries = new Array[Seq[Any]](nParts)
+    val expectRows = new Array[Long](nParts)
     var acc = 0L
     var carry: Seq[Any] = null
-    stats.foreach { case (pid, firstKey, lastKey, n) =>
+    stats.foreach { case (pid, firstKey, lastKey, n, rows) =>
       offsets(pid) = acc
       carries(pid) = carry
+      expectRows(pid) = rows
       acc += (if (carry != null && firstKey == carry) n - 1 else n)
       carry = lastKey
     }
     val total = acc
-    val schema = StructType(
-      sorted.schema.fields :+ StructField(out, LongType, nullable = false))
+    val outSchema = StructType(
+      schema.fields :+ StructField(out, LongType, nullable = false))
     // Job 2 (deferred): stamp the ordinal in one scan per task. Re-reads
     // the already-written shuffle output; nothing upstream recomputes.
-    val stamped = sortedRdd.mapPartitionsWithIndex { (pid, it) =>
-      var r = offsets(pid)
+    val stamped = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val proj = UnsafeProjection.create(outSchema)
+      val cell = new SpecificInternalRow(Seq(LongType))
+      val joined = new JoinedRow
+      var rk = offsets(pid)
       var prev: Seq[Any] = carries(pid)
-      it.map { row =>
-        val k = keyOf(row)
-        if (k != prev) { r += 1; prev = k }
-        Row.fromSeq(row.toSeq :+ r)
+      countGuard(it, pid, expectRows(pid), "denseRank").map { r =>
+        if (prev == null || !ops.matches(r, prev)) { rk += 1; prev = ops.read(r) }
+        cell.setLong(0, rk)
+        proj(joined(r, cell)): InternalRow
       }
     }
-    (spark.createDataFrame(stamped, schema), total)
+    (SqlShims.internalCreateDataFrame(spark, stamped, outSchema), total)
   }
 
   /** `(doc_id, pos, suffix_rank)` — the dense global lexicographic rank of
@@ -186,71 +284,115 @@ object SuffixArray {
     val sorted = wins
       .repartitionByRange(col("win"), col("doc_id"), col("pos"))
       .sortWithinPartitions("win", "doc_id", "pos")
-    val rdd = sorted.rdd
+    val rdd = SqlShims.toRdd(sorted)
     val nParts = rdd.getNumPartitions
-    // One bounded job: per-partition row count + boundary windows.
+    // One bounded job: per-partition row count + boundary windows. No
+    // per-row copies: the first window is extracted before the second
+    // `next()` invalidates its buffer, and the running `cur` reference is
+    // only read (for the last window) after the final `next()`.
     val stats = rdd.mapPartitionsWithIndex { (pid, it) =>
       if (!it.hasNext) Iterator.empty
       else {
-        val first = it.next()
-        var last = first
+        var cur = it.next()
+        val firstWin = winStrings(cur)
         var n = 1L
-        while (it.hasNext) { last = it.next(); n += 1 }
-        Iterator.single(
-          (pid, n, first.getSeq[String](2), last.getSeq[String](2)))
+        while (it.hasNext) { cur = it.next(); n += 1 }
+        Iterator.single((pid, n, firstWin, winStrings(cur)))
       }
     }.collect().sortBy(_._1)
     val offsets = new Array[Long](nParts)
-    val nextHead = new Array[Seq[String]](nParts)
-    val prevTail = new Array[Seq[String]](nParts)
+    val expectRows = new Array[Long](nParts)
+    val nextHead = new Array[Array[String]](nParts)
+    val prevTail = new Array[Array[String]](nParts)
     var acc = 0L
-    var tail: Seq[String] = null
+    var tail: Array[String] = null
     stats.foreach { case (pid, n, _, lastWin) =>
-      offsets(pid) = acc; prevTail(pid) = tail
+      offsets(pid) = acc; prevTail(pid) = tail; expectRows(pid) = n
       acc += n; tail = lastWin
     }
-    var head: Seq[String] = null
+    var head: Array[String] = null
     stats.reverseIterator.foreach { case (pid, _, firstWin, _) =>
       nextHead(pid) = head; head = firstWin
     }
-    def lcp(a: Seq[String], b: Seq[String]): Long =
-      if (a == null || b == null) 0L
-      else {
-        val n = math.min(a.length, b.length)
-        var i = 0
-        while (i < n && a(i) == b(i)) i += 1
-        i.toLong
-      }
-    val schema = StructType(Seq(
+    val outSchema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("pos", LongType, nullable = false),
       StructField("sidx", LongType, nullable = false),
       StructField("l", LongType, nullable = false),
       StructField("g", LongType, nullable = false)))
+    // Stamp scan on InternalRow: each row is copied ONCE when pulled
+    // (single buffer memcpy — it must outlive the lookahead pull), LCPs
+    // compare UTF8String bytes in place, and output rows go through a
+    // reused UnsafeProjection — no GenericRow deserialization anywhere.
     val stamped = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val proj = UnsafeProjection.create(outSchema)
+      val outRow = new SpecificInternalRow(outSchema.map(_.dataType))
+      val pt = toU8(prevTail(pid))
+      val nh = toU8(nextHead(pid))
+      val guarded = countGuard(it, pid, expectRows(pid), "adjacentLcp")
       var sidx = offsets(pid)
       var prevL = 0L
-      new Iterator[Row] {
-        private var cur: Row = if (it.hasNext) it.next() else null
+      new Iterator[InternalRow] {
+        private var cur: InternalRow =
+          if (guarded.hasNext) guarded.next().copy() else null
         private var first = true
         def hasNext: Boolean = cur != null
-        def next(): Row = {
-          val nxt = if (it.hasNext) it.next() else null
-          val w = cur.getSeq[String](2)
-          if (first) { prevL = lcp(prevTail(pid), w); first = false }
-          val l = lcp(w,
-            if (nxt != null) nxt.getSeq[String](2) else nextHead(pid))
+        def next(): InternalRow = {
+          val nxt: InternalRow =
+            if (guarded.hasNext) guarded.next().copy() else null
+          if (first) { prevL = lcpBound(cur, pt); first = false }
+          val l = if (nxt != null) lcpRows(cur, nxt) else lcpBound(cur, nh)
           sidx += 1
-          val out = Row(cur.getLong(0), cur.getLong(1), sidx, l,
-            math.max(prevL, l))
+          outRow.setLong(0, cur.getLong(0))
+          outRow.setLong(1, cur.getLong(1))
+          outRow.setLong(2, sidx)
+          outRow.setLong(3, l)
+          outRow.setLong(4, math.max(prevL, l))
           prevL = l
           cur = nxt
-          out
+          proj(outRow)
         }
       }
     }
-    spark.createDataFrame(stamped, schema)
+    SqlShims.internalCreateDataFrame(spark, stamped, outSchema)
   }
+
+  /** The `win` column (ordinal 2) of a window row as a self-contained
+    * `Array[String]` — safe to retain, buffer, or ship to the driver. */
+  private def winStrings(r: InternalRow): Array[String] = {
+    val a = r.getArray(2)
+    val n = a.numElements()
+    val out = new Array[String](n)
+    var i = 0
+    while (i < n) { out(i) = a.getUTF8String(i).toString; i += 1 }
+    out
+  }
+
+  private def toU8(a: Array[String]): Array[UTF8String] =
+    if (a == null) null else a.map(UTF8String.fromString)
+
+  /** LCP of the `win` arrays (ordinal 2) of two window rows — UTF8String
+    * byte comparison in place, no materialization. */
+  private def lcpRows(a: InternalRow, b: InternalRow): Long = {
+    val aa = a.getArray(2)
+    val ba = b.getArray(2)
+    val n = math.min(aa.numElements(), ba.numElements())
+    var i = 0
+    while (i < n && aa.getUTF8String(i) == ba.getUTF8String(i)) i += 1
+    i.toLong
+  }
+
+  /** LCP of a window row's `win` against a boundary window (null = no
+    * neighbor partition → 0, matching suffix-order edge semantics). */
+  private def lcpBound(a: InternalRow, b: Array[UTF8String]): Long =
+    if (b == null) 0L
+    else {
+      val aa = a.getArray(2)
+      val n = math.min(aa.numElements(), b.length)
+      var i = 0
+      while (i < n && aa.getUTF8String(i) == b(i)) i += 1
+      i.toLong
+    }
 
   /** Repeat-count sweep: for each k in `ks`, the length (capped at
     * `cap` words) of the LONGEST phrase occurring at ≥ k positions
@@ -296,14 +438,14 @@ object SuffixArray {
     val sorted = wins
       .repartitionByRange(col("win"), col("doc_id"), col("pos"))
       .sortWithinPartitions("win", "doc_id", "pos")
-    val rdd = sorted.rdd
+    val rdd = SqlShims.toRdd(sorted)
     // Bounded stats job: per-partition row count + first maxM windows.
     val stats = rdd.mapPartitionsWithIndex { (pid, it) =>
-      val head = new scala.collection.mutable.ArrayBuffer[Seq[String]](maxM)
+      val head = new scala.collection.mutable.ArrayBuffer[Array[String]](maxM)
       var n = 0L
       while (it.hasNext) {
         val r = it.next()
-        if (n < maxM) head += r.getSeq[String](2)
+        if (n < maxM) head += winStrings(r)
         n += 1
       }
       if (n == 0L) Iterator.empty else Iterator.single((pid, n, head.toSeq))
@@ -311,14 +453,14 @@ object SuffixArray {
     val nByPid = stats.map(s => s._1 -> s._2).toMap
     // Each partition's boundary extension: the next maxM windows in
     // global order, chained across short/empty following partitions.
-    val exts: Map[Int, Seq[Seq[String]]] = stats.indices.map { i =>
+    val exts: Map[Int, Seq[Array[String]]] = stats.indices.map { i =>
       stats(i)._1 ->
         stats.view.slice(i + 1, stats.length).flatMap(_._3).take(maxM).toSeq
     }.toMap
     val sc = spark.sparkContext
     val extB = sc.broadcast(exts)
     val nB = sc.broadcast(nByPid)
-    def lcp(a: Seq[String], b: Seq[String]): Long = {
+    def lcp(a: Array[String], b: Array[String]): Long = {
       val n = math.min(a.length, b.length)
       var i = 0
       while (i < n && a(i) == b(i)) i += 1
@@ -329,9 +471,13 @@ object SuffixArray {
       val nOwn = nB.value.getOrElse(pid, 0L)
       if (nOwn == 0L) Iterator.empty
       else {
-        val source =
-          it.map(_.getSeq[String](2)) ++ extB.value.getOrElse(pid, Nil).iterator
-        val buf = scala.collection.mutable.ArrayDeque.empty[Seq[String]]
+        // countGuard fires when the partition's own rows drain (the sweep
+        // always pulls past them into the boundary extension) — a count
+        // drift vs the stats job dies loudly instead of misattributing
+        // windows across the partition boundary.
+        val source = countGuard(it, pid, nOwn, "repeatSweep")
+          .map(winStrings) ++ extB.value.getOrElse(pid, Nil).iterator
+        val buf = scala.collection.mutable.ArrayDeque.empty[Array[String]]
         val lq = scala.collection.mutable.ArrayDeque.empty[Long]
         while (buf.size < maxM + 1 && source.hasNext) {
           val w = source.next()
@@ -418,25 +564,35 @@ object SuffixArray {
     val spark = df.sparkSession
     val sorted = df.repartitionByRange(col(orderCol))
       .sortWithinPartitions(orderCol)
-    val fi = sorted.schema.fieldIndex(flagCol)
-    val sortedRdd = sorted.rdd
-    val counts = sortedRdd.mapPartitionsWithIndex { (pid, it) =>
+    val schema = sorted.schema
+    val fi = schema.fieldIndex(flagCol)
+    val rdd = SqlShims.toRdd(sorted)
+    val counts = rdd.mapPartitionsWithIndex { (pid, it) =>
       var n = 0L
-      it.foreach(r => if (r.getBoolean(fi)) n += 1)
-      Iterator.single((pid, n))
-    }.collect().sortBy(_._1).map(_._2)
-    val offsets = counts.scanLeft(0L)(_ + _)
+      var rows = 0L
+      while (it.hasNext) {
+        if (it.next().getBoolean(fi)) n += 1
+        rows += 1
+      }
+      Iterator.single((pid, n, rows))
+    }.collect().sortBy(_._1)
+    val offsets = counts.map(_._2).scanLeft(0L)(_ + _)
+    val expectRows = counts.map(_._3)
     val total = offsets.last
-    val schema = StructType(
-      sorted.schema.fields :+ StructField(out, LongType, nullable = false))
-    val stamped = sortedRdd.mapPartitionsWithIndex { (pid, it) =>
+    val outSchema = StructType(
+      schema.fields :+ StructField(out, LongType, nullable = false))
+    val stamped = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val proj = UnsafeProjection.create(outSchema)
+      val cell = new SpecificInternalRow(Seq(LongType))
+      val joined = new JoinedRow
       var c = offsets(pid)
-      it.map { r =>
+      countGuard(it, pid, expectRows(pid), "withPrefixCount").map { r =>
         if (r.getBoolean(fi)) c += 1
-        Row.fromSeq(r.toSeq :+ c)
+        cell.setLong(0, c)
+        proj(joined(r, cell)): InternalRow
       }
     }
-    (spark.createDataFrame(stamped, schema), total)
+    (SqlShims.internalCreateDataFrame(spark, stamped, outSchema), total)
   }
 
   /** Benchmark decontamination at ANY phrase length: for every document

@@ -2584,7 +2584,13 @@ object DedupQueries {
     *
     * Ground truth is complete without an all-pairs scan: J > 0 requires
     * a shared shingle, so the inverted-index join (posting-list bounded,
-    * q21's shape) enumerates every pair that could pass the threshold.
+    * q21's shape) enumerates every pair that could pass the threshold —
+    * and only SHARED shingles (posting length > 1) can contribute to an
+    * intersection, so the self-join input is pre-filtered to those: on
+    * real text the overwhelming majority of shingles are unique, so the
+    * truth join reads a small fraction of the postings (per-doc sizes
+    * `sz` still count ALL shingles — the Jaccard denominator is
+    * unchanged, and so is every emitted pair).
     * Scale shape: signatures and band digests shuffle, never text; each
     * geometry is one explode + self-join on capped buckets; the roll-up
     * is 3 rows; ×1e6 ratios ride DECIMAL(38,0)/HUGEINT. */
@@ -2597,8 +2603,11 @@ object DedupQueries {
         .select(col("doc_id"), md5(col("sh")).as("h")).distinct()
         .materialized // truth needs postings AND per-doc sizes
       val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val truth = sh.as("a")
-        .join(sh.as("b"),
+      val shared = sh.groupBy("h").agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).select("h")
+      val pf = sh.join(shared, Seq("h"))
+      val truth = pf.as("a")
+        .join(pf.as("b"),
           col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
         .agg(count(lit(1)).as("ix"))
@@ -2690,10 +2699,12 @@ object DedupQueries {
         FROM hh CROSS JOIN consts GROUP BY doc_id, i),
       sig AS (SELECT doc_id, list(v ORDER BY i) AS sig FROM perm GROUP BY doc_id),
       sz AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+      shared AS (SELECT h FROM shd GROUP BY h HAVING COUNT(*) > 1),
+      pf AS (SELECT shd.* FROM shd JOIN shared USING (h)),
       truth AS (
         SELECT da, db FROM (
           SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS ix
-          FROM shd a JOIN shd b ON a.h = b.h AND a.doc_id < b.doc_id
+          FROM pf a JOIN pf b ON a.h = b.h AND a.doc_id < b.doc_id
           GROUP BY da, db) i
         JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
         WHERE ix * 2 >= sa.n + sb.n - ix),

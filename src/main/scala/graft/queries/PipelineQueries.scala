@@ -2014,15 +2014,20 @@ object PipelineQueries {
     * policies (strict = all 3, majority ≥ 2, lenient ≥ 1), with
     * docs/tokens retained and the doc-retention ppm PER SOURCE — the
     * table that shows which sources a stricter ensemble starves before
-    * anyone commits to a policy. All three signals are integer
+    * anyone commits to a policy. The report covers the FULL source ×
+    * policy grid: a source every doc of which fails a policy still gets
+    * its row, with zeros — the fully-starved source is exactly the row
+    * the table exists to show. All three signals are integer
     * comparisons (count×k vs count — no float thresholds), so the sweep
     * is engine-exact.
     *
     * Scale shape: one map-side projection computes all three signals
-    * (array ops on the token vector, no shuffle), a ×3 literal policy
+    * (array ops on the token vector, no shuffle) and is `materialized`
+    * so the per-source totals and the policy aggregate both read the cut
+    * instead of re-scanning the corpus; then a ×3 literal policy
     * explode, one (source × policy)-keyed aggregate with map-side
-    * combine, and a broadcast join against the 20-row per-source
-    * totals; ppm rides DECIMAL(38,0). */
+    * combine, and a broadcast left join of that (≤ sources×3)-row
+    * aggregate onto the grid; ppm rides DECIMAL(38,0). */
   val q169 = Q(
     "q169_filter_ensemble",
     (s, dir) => {
@@ -2040,27 +2045,31 @@ object PipelineQueries {
             (col("n_dis") * 2 >= col("n_tok")).cast("int") +
             (col("n_stop") * 100 >= col("n_tok") * 4).cast("int"))
             .as("votes"))
-      val tot = sig.groupBy("source")
+        .materialized
+      val grid = sig.groupBy("source")
         .agg(count(lit(1)).as("src_docs"))
-      sig
+        .select(col("source"), col("src_docs"),
+          explode(array(lit(3), lit(2), lit(1))).as("need"))
+      val kept = sig
         .select(col("source"), col("n_tok"), col("votes"),
           explode(array(lit(3), lit(2), lit(1))).as("need"))
         .filter(col("votes") >= col("need"))
         .groupBy("source", "need")
         .agg(count(lit(1)).as("n_docs_kept"),
           sum(col("n_tok")).as("n_tokens_kept"))
-        .join(broadcast(tot), Seq("source"))
+      grid.join(broadcast(kept), Seq("source", "need"), "left")
         .select(col("source"),
           when(col("need") === 3, "strict")
             .when(col("need") === 2, "majority")
             .otherwise("lenient").as("policy"),
-          col("n_docs_kept"), col("n_tokens_kept"),
-          expr("""cast(cast(n_docs_kept as decimal(38,0)) * 1000000
-                  div src_docs as bigint)""").as("keep_ppm"))
+          coalesce(col("n_docs_kept"), lit(0L)).as("n_docs_kept"),
+          coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"),
+          expr("""cast(cast(coalesce(n_docs_kept, 0) as decimal(38,0))
+                  * 1000000 div src_docs as bigint)""").as("keep_ppm"))
         .orderBy("source", "policy")
     },
     Some(raw"""
-      WITH sig AS (
+      WITH sig AS MATERIALIZED (
         SELECT source, len(w) AS n_tok,
                CAST(len(w) >= 30 AS INT)
                + CAST(len(list_distinct(w)) * 2 >= len(w) AS INT)
@@ -2069,21 +2078,25 @@ object PipelineQueries {
                    >= len(w) * 4 AS INT) AS votes
         FROM (SELECT source, string_split_regex(text, '\s+') AS w
               FROM documents)),
-      tot AS (SELECT source, COUNT(*) AS src_docs FROM sig GROUP BY source),
       pol AS (SELECT unnest([3, 2, 1]) AS need),
+      grid AS (
+        SELECT source, COUNT(*) AS src_docs, need
+        FROM sig, pol GROUP BY source, need),
       kept AS (
         SELECT source, need,
                CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
                CAST(SUM(n_tok) AS BIGINT) AS n_tokens_kept
         FROM sig, pol WHERE votes >= need GROUP BY source, need)
-      SELECT kept.source,
-             CASE need WHEN 3 THEN 'strict' WHEN 2 THEN 'majority'
+      SELECT grid.source,
+             CASE grid.need WHEN 3 THEN 'strict' WHEN 2 THEN 'majority'
                        ELSE 'lenient' END AS policy,
-             n_docs_kept, n_tokens_kept,
-             CAST(CAST(n_docs_kept AS HUGEINT) * 1000000 // src_docs
-               AS BIGINT) AS keep_ppm
-      FROM kept JOIN tot ON kept.source = tot.source
-      ORDER BY kept.source, policy""")
+             COALESCE(n_docs_kept, 0) AS n_docs_kept,
+             COALESCE(n_tokens_kept, 0) AS n_tokens_kept,
+             CAST(CAST(COALESCE(n_docs_kept, 0) AS HUGEINT) * 1000000
+               // src_docs AS BIGINT) AS keep_ppm
+      FROM grid LEFT JOIN kept
+        ON grid.source = kept.source AND grid.need = kept.need
+      ORDER BY grid.source, policy""")
   )
 
   val all: Seq[Q] = Seq(q33, q34, q35, q37, q46, q53, q54, q55, q56, q57,

@@ -1687,10 +1687,14 @@ object SimilarityQueries {
         .select("query_id", "neighbor_id")
       val wp = Window.partitionBy(col("query_id"))
         .orderBy(col("pcos").desc, col("neighbor_id"))
+      // Zero-norm guard: a vector whose first 16 dims are all zero has
+      // pcos undefined (0/0 → NaN, whose window ordering is engine lore);
+      // pin it to -1 — "worst candidate" — in both engines instead.
       val twoStage = pairs
         .select(col("query_id"), col("neighbor_id"),
           col("qe"), col("ce"), col("qn"), col("cn"),
-          (dotDec(col("qp"), col("cp")) / (col("qpn") * col("cpn")))
+          when(col("qpn") * col("cpn") === 0d, lit(-1d))
+            .otherwise(dotDec(col("qp"), col("cp")) / (col("qpn") * col("cpn")))
             .as("pcos"))
         .withColumn("prank", row_number().over(wp))
         .filter(col("prank") <= 25)
@@ -1729,8 +1733,11 @@ object SimilarityQueries {
         SELECT query_id, neighbor_id, qe, ce FROM (
           SELECT query_id, neighbor_id, qe, ce,
                  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
-                   ${dotDecSql("qp", "cp")} /
+                   CASE WHEN sqrt(${dotDecSql("qp", "qp")})
+                             * sqrt(${dotDecSql("cp", "cp")}) = 0 THEN -1
+                        ELSE ${dotDecSql("qp", "cp")} /
                    (sqrt(${dotDecSql("qp", "qp")}) * sqrt(${dotDecSql("cp", "cp")}))
+                   END
                    DESC, neighbor_id) AS r
           FROM pairs) WHERE r <= 25),
       two_top AS (
