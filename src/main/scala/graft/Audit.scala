@@ -83,15 +83,25 @@ object Audit {
     "q157_phrase_lrs", "q161_repeat_sweep", "q167_phrase_spectrum")
 
   def shuffleAudit(spark: SparkSession, sfDir: String): Seq[String] = {
-    DigestShuffleQueries.map { name =>
-      val fn = SparkEntry.queries(name)
-      val (bytes, records) = measureShuffle(spark) {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      }
-      val perRec = if (records == 0) 0.0 else bytes.toDouble / records
-      f"""{"audit":"shuffle","query":"$name","sf":"$sfDir","shuffle_bytes":$bytes,"shuffle_records":$records,"bytes_per_record":$perRec%.1f}"""
-    }
+    DigestShuffleQueries.map(shuffleAuditOne(spark, sfDir, _))
   }
+
+  private def shuffleAuditOne(
+      spark: SparkSession, sfDir: String, name: String): String = {
+    val fn = SparkEntry.queries(name)
+    val (bytes, records) = measureShuffle(spark) {
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    }
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    val perRec = if (records == 0) 0.0 else bytes.toDouble / records
+    f"""{"audit":"shuffle","query":"$name","sf":"$sfDir","shuffle_bytes":$bytes,"shuffle_records":$records,"bytes_per_record":$perRec%.1f}"""
+  }
+
+  /** Meter EVERY declared query — the raw material for the suite-wide
+    * shuffle-grain budget in ShuffleAuditSpec. */
+  def shuffleAuditAll(spark: SparkSession, sfDir: String): Seq[String] =
+    SparkEntry.queries.keys.toSeq.sorted.map(shuffleAuditOne(spark, sfDir, _))
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = SparkSession.builder()
@@ -103,6 +113,12 @@ object Audit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (args.length > 1 && args(1) == "all") {
+      // meter every declared query and stop — budget-derivation mode
+      shuffleAuditAll(spark, sfDir).foreach(println)
+      spark.stop()
+      return
+    }
     val emb = graft.queries.Tables.embeddings(spark, sfDir)
     val n = emb.count()
     val allPairs = n * (n - 1) / 2

@@ -142,6 +142,92 @@ object Multimodal {
       }
       DecodedRow(row.doc_id, n, w, h, fmt, ss, features)
     }
+
+    /** Offset of the container body behind the header the public specs
+      * mandate: PNG = 33 (8-byte signature + 25-byte IHDR chunk), GIF = 13
+      * (GIF89a header + logical screen descriptor, no global color table
+      * when the packed byte is 0), JPEG = end of its SOFn segment (marker
+      * scan, same walk as the dimension parse), WAV/other = -1 (no image
+      * body). */
+    private[graft] def bodyOffset(b: Array[Byte], fmt: String): Int = fmt match {
+      case "png" => if (b.length > 33) 33 else -1
+      case "gif" => if (b.length > 13) 13 else -1
+      case "jpeg" =>
+        var i = 2
+        while (i + 3 < b.length) {
+          if ((b(i) & 0xff) != 0xff) return -1
+          val m = b(i + 1) & 0xff
+          if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2
+          else if ((m >= 0xc0 && m <= 0xcf) && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+            val end = i + 2 + be16(b, i + 2)
+            return if (end < b.length) end else -1
+          } else {
+            if (i + 3 >= b.length) return -1
+            i += 2 + be16(b, i + 2)
+          }
+        }
+        -1
+      case _ => -1
+    }
+
+    /** dHash — the classic perceptual image fingerprint (Krawetz's public
+      * difference-hash formulation): average-pool the image down to a 9×8
+      * grayscale grid, emit one gradient bit per horizontally-adjacent
+      * cell pair (64 bits). The pixel source is the deterministic
+      * stand-in of this offline container — the decoded body's bytes act
+      * as the grayscale buffer, grid cell j pooling the exact integer
+      * mean of bytes [⌊j·n/72⌋, ⌊(j+1)·n/72⌋); a real pipeline swaps only
+      * that pooling for a resize over decoded pixels and keeps every
+      * downstream band/bucket shape. Bodies under 72 bytes are too small
+      * for the 9×8 grid → None, as are audio/corrupt containers.
+      *
+      * `dither = true` brightens cells j ≡ 0 (mod 7) by one gray level
+      * before hashing — the deterministic stand-in for re-encode/dither
+      * noise, used by the q173 fixture to plant near-duplicate twins
+      * whose Hamming distance is small but (at gradient ties) nonzero.
+      *
+      * Returns the 64 bits as 4 × 16-bit non-negative band values — the
+      * Hamming-bucket join keys: two hashes within Hamming distance 3
+      * share at least one equal band by pigeonhole, so a band-equality
+      * join enumerates every candidate pair without an all-pairs pass. */
+    def dhashBands(
+        payload: Array[Byte], dither: Boolean = false): Option[Array[Int]] = {
+      val (_, _, fmt) = parseHeader(payload)
+      if (fmt != "png" && fmt != "jpeg" && fmt != "gif") None
+      else {
+        val off = bodyOffset(payload, fmt)
+        val n = payload.length - off
+        if (off < 0 || n < 72) None
+        else {
+          val p = new Array[Int](72)
+          var j = 0
+          while (j < 72) {
+            val lo = (j.toLong * n / 72).toInt
+            val hi = ((j + 1).toLong * n / 72).toInt
+            var s = 0L
+            var i = lo
+            while (i < hi) { s += payload(off + i) & 0xff; i += 1 }
+            p(j) = (s / (hi - lo)).toInt +
+              (if (dither && j % 7 == 0) 1 else 0)
+            j += 1
+          }
+          val bands = new Array[Int](4)
+          var r = 0
+          while (r < 8) {
+            var c = 0
+            while (c < 8) {
+              if (p(r * 9 + c + 1) > p(r * 9 + c)) {
+                val bit = r * 8 + c
+                bands(bit / 16) |= 1 << (bit % 16)
+              }
+              c += 1
+            }
+            r += 1
+          }
+          Some(bands)
+        }
+      }
+    }
   }
 
   /** Real container builders — each writes the public-spec header around an

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.operators.Multimodal
+import graft.operators.Materialize.MaterializeOps
 
 /** Multimodal suite — binary payload columns with a REAL container-header
   * decode (see [[graft.operators.Multimodal]]: PNG/JPEG/GIF/WAV headers
@@ -280,5 +281,146 @@ object MultimodalQueries {
       FROM tok GROUP BY format ORDER BY format""")
   )
 
-  val all: Seq[Q] = Seq(q50, q51, q70, q126, q150)
+  /** Image perceptual-hash near-dup — the multimodal twin of the text
+    * near-dup family (q22 MinHash / q80 sign-ANN): every image container
+    * decodes to a 64-bit dHash ([[Multimodal.MediaCodec.dhashBands]] —
+    * 8×8 gradient bits over a 9×8 average-pooled downsample of the
+    * decoded body), candidate pairs come from a Hamming-BUCKET equi-join
+    * (4 × 16-bit bands; Hamming ≤ 3 ⇒ some band equal by pigeonhole —
+    * never all-pairs), and survivors are scored by exact Hamming
+    * distance via XOR+popcount. Audio containers (wav), corrupt payloads
+    * and sub-grid bodies are excluded by the decoder itself.
+    *
+    * The catalog is the container fixture PLUS a planted near-duplicate
+    * twin for every 5th image (img_id = doc_id + 10⁷): the same body
+    * hashed under the deterministic re-encode dither (+1 gray on cells
+    * j ≡ 0 mod 7), so twins land at Hamming 0–5 of their originals while
+    * unrelated images measure ≥ ~17 — the query's report is dominated by
+    * exactly the planted near-dups, with both engines replaying the same
+    * integer pooling bit-for-bit.
+    *
+    * As-deployed semantics like q22/q166: band buckets are capped at 256
+    * members (a degenerate hash shared by thousands of images — solid
+    * borders, test cards — would otherwise quadratically explode one
+    * bucket); cap-induced misses are the documented production trade and
+    * the oracle applies the identical cap.
+    *
+    * Scale shape: the dHash is a per-row map (decode stays executor-side,
+    * payload bytes never shuffle — only (img_id, 4×int16) signatures do);
+    * the bucket join is an equi-join on (band, value) with the >1 and
+    * ≤cap bucket filter; the rerank join touches only candidate pairs.
+    * At 100 TB this is exactly the text-LSH layout with an 8-byte
+    * signature instead of a 64-long MinHash. */
+  val q173 = Q(
+    "q173_image_phash_dedup",
+    (s, dir) => {
+      import s.implicits._
+      val sig = Multimodal.containerTable(s, dir).mapPartitions { rows =>
+        rows.flatMap { r =>
+          val base = Multimodal.MediaCodec.dhashBands(r.payload)
+            .map(b => (r.doc_id, b(0), b(1), b(2), b(3)))
+          val twin =
+            if (r.doc_id % 5 == 0)
+              Multimodal.MediaCodec.dhashBands(r.payload, dither = true)
+                .map(b => (r.doc_id + 10000000L, b(0), b(1), b(2), b(3)))
+            else None
+          base.iterator ++ twin.iterator
+        }
+      }.toDF("img_id", "b0", "b1", "b2", "b3")
+        .materialized // consumers: band explode + both rerank sides
+      val bands = sig.select(col("img_id"),
+        posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+          .as(Seq("band", "bv")))
+      val ok = bands.groupBy("band", "bv")
+        .agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") > 1 && col("bsz") <= 256)
+        .select("band", "bv")
+      val bounded = bands.join(ok, Seq("band", "bv"))
+      val cand = bounded.as("x")
+        .join(bounded.as("y"),
+          col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+            col("x.img_id") < col("y.img_id"))
+        .select(col("x.img_id").as("da"), col("y.img_id").as("db"))
+        .distinct()
+      cand
+        .join(sig.select(col("img_id").as("da"), col("b0").as("a0"),
+          col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3")), "da")
+        .join(sig.select(col("img_id").as("db"), col("b0").as("c0"),
+          col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3")), "db")
+        .withColumn("hamming",
+          expr("""CAST(bit_count(a0 ^ c0) + bit_count(a1 ^ c1)
+                  + bit_count(a2 ^ c2) + bit_count(a3 ^ c3) AS BIGINT)"""))
+        .filter(col("hamming") <= 3)
+        .select("da", "db", "hamming")
+        .orderBy("da", "db")
+    },
+    // The oracle rebuilds the dHash from documents.text directly: the
+    // container body IS the document's UTF-8 bytes (builders append it
+    // verbatim after the public-spec header), image formats are
+    // doc_id % 4 ∈ {0,1,2}, byte i of the body is hex-sliced out of
+    // encode(text), and cell j pools bytes [⌊jn/72⌋, ⌊(j+1)n/72⌋) via the
+    // exact inverse j = (72(i+1)−1) // n — bit-for-bit the executor-side
+    // pooling.
+    Some("""
+      WITH img AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               CAST(strlen(text) AS BIGINT) AS n
+        FROM documents WHERE doc_id % 4 < 3 AND strlen(text) >= 72),
+      px AS (
+        SELECT doc_id, (72 * (i + 1) - 1) // n AS j,
+               SUM(('0x' || substr(hx, CAST(2 * i + 1 AS BIGINT),
+                                   2))::BIGINT) // COUNT(*) AS p
+        FROM (SELECT doc_id, hx, n,
+                     CAST(unnest(range(0, n)) AS BIGINT) AS i
+              FROM img)
+        GROUP BY doc_id, j),
+      cat AS (
+        SELECT doc_id AS img_id, j, p FROM px
+        UNION ALL
+        SELECT doc_id + 10000000, j,
+               p + CASE WHEN j % 7 = 0 THEN 1 ELSE 0 END
+        FROM px WHERE doc_id % 5 = 0),
+      bitvals AS (
+        SELECT a.img_id, a.j // 9 * 8 + a.j % 9 AS bit,
+               CASE WHEN b.p > a.p THEN 1 ELSE 0 END AS v
+        FROM cat a JOIN cat b ON a.img_id = b.img_id AND b.j = a.j + 1
+        WHERE a.j % 9 < 8),
+      sig AS (
+        SELECT img_id,
+               CAST(SUM(CASE WHEN bit // 16 = 0
+                 THEN v * (1::BIGINT << CAST(bit % 16 AS INT)) ELSE 0 END)
+                 AS BIGINT) AS b0,
+               CAST(SUM(CASE WHEN bit // 16 = 1
+                 THEN v * (1::BIGINT << CAST(bit % 16 AS INT)) ELSE 0 END)
+                 AS BIGINT) AS b1,
+               CAST(SUM(CASE WHEN bit // 16 = 2
+                 THEN v * (1::BIGINT << CAST(bit % 16 AS INT)) ELSE 0 END)
+                 AS BIGINT) AS b2,
+               CAST(SUM(CASE WHEN bit // 16 = 3
+                 THEN v * (1::BIGINT << CAST(bit % 16 AS INT)) ELSE 0 END)
+                 AS BIGINT) AS b3
+        FROM bitvals GROUP BY img_id),
+      bands AS (
+        SELECT img_id, unnest([b0, b1, b2, b3]) AS bv,
+               generate_subscripts([b0, b1, b2, b3], 1) AS band
+        FROM sig),
+      ok AS (SELECT band, bv FROM bands GROUP BY band, bv
+             HAVING COUNT(*) > 1 AND COUNT(*) <= 256),
+      bnd AS (SELECT bands.* FROM bands JOIN ok USING (band, bv)),
+      cand AS (
+        SELECT DISTINCT x.img_id AS da, y.img_id AS db
+        FROM bnd x JOIN bnd y
+          ON x.band = y.band AND x.bv = y.bv AND x.img_id < y.img_id),
+      ham AS (
+        SELECT da, db,
+               CAST(bit_count(xor(sa.b0, sb.b0)) + bit_count(xor(sa.b1, sb.b1))
+                  + bit_count(xor(sa.b2, sb.b2)) + bit_count(xor(sa.b3, sb.b3))
+                 AS BIGINT) AS hamming
+        FROM cand
+        JOIN sig sa ON sa.img_id = da
+        JOIN sig sb ON sb.img_id = db)
+      SELECT da, db, hamming FROM ham WHERE hamming <= 3 ORDER BY da, db""")
+  )
+
+  val all: Seq[Q] = Seq(q50, q51, q70, q126, q150, q173)
 }
