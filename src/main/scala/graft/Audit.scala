@@ -115,7 +115,12 @@ object Audit {
     spark.sparkContext.setLogLevel("WARN")
     if (args.length > 1 && args(1) == "all") {
       // meter every declared query and stop — budget-derivation mode
-      shuffleAuditAll(spark, sfDir).foreach(println)
+      val lines = shuffleAuditAll(spark, sfDir)
+      lines.foreach(println)
+      args.drop(2).headOption.foreach { f =>
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(f), lines.mkString("", "\n", "\n"))
+      }
       spark.stop()
       return
     }
