@@ -22,7 +22,10 @@ def main(sf_dir, out_dir, artifact, label):
     for line in proc.stdout.splitlines():
         parts = line.split(None, 1)
         if len(parts) == 2 and parts[0].startswith("q"):
-            queries[parts[0]] = parts[1]
+            # a subset Verify run leaves the other queries MISSING-RESULT;
+            # the artifact records only what actually ran
+            if parts[1] != "MISSING-RESULT":
+                queries[parts[0]] = parts[1]
     npass = sum(1 for v in queries.values()
                 if v.startswith(("OK", "rows-only")))
     out = {
