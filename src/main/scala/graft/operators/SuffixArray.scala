@@ -27,7 +27,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *    `(rank[pos], rank[pos + 2^k])`, so after round 0 every exchange
   *    carries (doc_id, pos, rank) rows — ≤ 32 bytes — never text. Round 0
   *    is the only word-keyed exchange, and what it ranks is the corpus
-  *    position table keyed by SINGLE words (bounded-width keys), not
+  *    position table keyed by adjacent WORD PAIRS (bounded-width keys,
+  *    the classic wider-initial-alphabet start — it buys 2-word prefix
+  *    order up front, so the k=1 doubling round never runs), not
   *    suffixes.
   *  - Global dense ranking is in-place and two-phase, with no
   *    single-partition stage and no join-back: range-partition + sort by
@@ -218,18 +220,28 @@ object SuffixArray {
     * rank is `DENSE_RANK` over suffix order. */
   def suffixRanks(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"), split(col("text"), "\\s+").as("w"))
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    // 2-word start (the classic wider-initial-alphabet cut): round 0
+    // ranks each position by its (word, next word) pair instead of the
+    // single word, so the ranks already encode 2-word prefix order and
+    // the k=1 integer doubling round — a full corpus-sized range
+    // exchange + sort + two jobs — never runs. A suffix ending at the
+    // position has NO next word: the NULL sorts FIRST (Spark's ASC
+    // default), which is exactly the shorter-is-smaller suffix rule the
+    // k=1 round encoded as r2 = -1. NULL cannot collide with data:
+    // split() never yields null tokens.
     val pos = toks.select(col("doc_id"),
       posexplode(col("w")).as(Seq("pos", "word")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("word"))
-    val (ranked, classes0) = denseRank(pos, Seq("word"), "r")
+      .withColumn("word2", lead(col("word"), 1).over(byDoc))
+    val (ranked, classes0) = denseRank(pos, Seq("word", "word2"), "r")
     var classes = classes0
     var cur = ranked.select(col("doc_id"), col("pos"), col("r"))
     // Bounded scalar: the longest document's word count caps the rounds.
     // max() over an empty corpus is NULL — 0 short-circuits the loop.
     val maxLen = Option(toks.agg(max(size(col("w")))).head().get(0))
       .map(_.asInstanceOf[Int].toLong).getOrElse(0L)
-    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
-    var k = 1L
+    var k = 2L
     var fixed = false
     while (k < maxLen && !fixed) {
       // Suffix shorter than pos+2^k sorts before any continuation: -1.
