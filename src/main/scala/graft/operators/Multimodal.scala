@@ -228,6 +228,58 @@ object Multimodal {
         }
       }
     }
+
+    /** Audio frame-energy sign fingerprint — the 1-D audio twin of
+      * [[dhashBands]] (Haitsma–Kalker-style energy-gradient hashing,
+      * reduced to its sign-of-frame-delta core): the RIFF data chunk is
+      * split into 65 equal time frames, each pooled to its exact integer
+      * mean (the deterministic stand-in for per-frame PCM energy in this
+      * offline container — a real pipeline swaps only the pooling for an
+      * RMS over decoded samples and keeps every downstream band/bucket
+      * shape), and bit i of the 64-bit fingerprint is frame(i+1) >
+      * frame(i). Sign-of-delta makes the fingerprint GAIN-INVARIANT by
+      * construction: adding a constant to every frame flips no bit.
+      *
+      * `dither = true` models a re-encoded copy: +2 on every frame (a
+      * uniform gain step — provably invisible to the fingerprint) plus
+      * +1 on frames j ≡ 0 (mod 7) (dither noise — perturbs only
+      * gradient ties), so planted twins land at small-but-often-nonzero
+      * Hamming distance, exactly the q173 image-twin construction.
+      *
+      * Non-wav containers and data chunks under 65 bytes (too short for
+      * 65 non-empty frames) → None. Returns 4 × 16-bit bands: Hamming
+      * ≤ 3 ⇒ some band equal by pigeonhole (the bucket-join keys). */
+    def audioBands(
+        payload: Array[Byte], dither: Boolean = false): Option[Array[Int]] = {
+      val (_, _, fmt) = parseHeader(payload)
+      if (fmt != "wav") None
+      else {
+        val off = 44 // canonical RIFF/WAVE header (Containers.wav)
+        val n = payload.length - off
+        if (n < 65) None
+        else {
+          val p = new Array[Long](65)
+          var j = 0
+          while (j < 65) {
+            val lo = (j.toLong * n / 65).toInt
+            val hi = ((j + 1).toLong * n / 65).toInt
+            var s = 0L
+            var i = lo
+            while (i < hi) { s += payload(off + i) & 0xff; i += 1 }
+            p(j) = s / (hi - lo) +
+              (if (dither) 2 + (if (j % 7 == 0) 1 else 0) else 0)
+            j += 1
+          }
+          val bands = new Array[Int](4)
+          var bit = 0
+          while (bit < 64) {
+            if (p(bit + 1) > p(bit)) bands(bit / 16) |= 1 << (bit % 16)
+            bit += 1
+          }
+          Some(bands)
+        }
+      }
+    }
   }
 
   /** Real container builders — each writes the public-spec header around an

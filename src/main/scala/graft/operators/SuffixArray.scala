@@ -237,12 +237,21 @@ object SuffixArray {
     val (ranked, classes0) = denseRank(pos, Seq("word", "word2"), "r")
     var classes = classes0
     var cur = ranked.select(col("doc_id"), col("pos"), col("r"))
-    // Bounded scalar: the longest document's word count caps the rounds.
-    // max() over an empty corpus is NULL — 0 short-circuits the loop.
-    val maxLen = Option(toks.agg(max(size(col("w")))).head().get(0))
+    // Bounded scalars, one agg job: the longest document's word count
+    // caps the rounds, and the total position count detects an
+    // already-saturated round 0. max()/sum() over an empty corpus are
+    // NULL — 0 short-circuits the loop.
+    val lenStats = toks.agg(max(size(col("w"))), sum(size(col("w")))).head()
+    val maxLen = Option(lenStats.get(0))
       .map(_.asInstanceOf[Int].toLong).getOrElse(0L)
+    val totalPos = Option(lenStats.get(1))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
     var k = 2L
-    var fixed = false
+    // Saturation skip: when every 2-word prefix is already distinct
+    // (classes0 == position count — common on real text), the ranks are
+    // final and the k=2 corpus-sized range exchange would run once just
+    // to discover nothing changed.
+    var fixed = classes0 == totalPos
     while (k < maxLen && !fixed) {
       // Suffix shorter than pos+2^k sorts before any continuation: -1.
       val withR2 = cur.select(col("doc_id"), col("pos"), col("r"),

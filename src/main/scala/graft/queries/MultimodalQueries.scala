@@ -422,5 +422,137 @@ object MultimodalQueries {
       SELECT da, db, hamming FROM ham WHERE hamming <= 3 ORDER BY da, db""")
   )
 
-  val all: Seq[Q] = Seq(q50, q51, q70, q126, q150, q173)
+  /** Audio perceptual near-dup — completes the text + image + audio
+    * near-dup triad (q22 MinHash / q173 dHash / this): every WAV
+    * container decodes to a 64-bit frame-energy sign fingerprint
+    * ([[Multimodal.MediaCodec.audioBands]] — 65 pooled time frames, one
+    * gradient bit per adjacent pair; gain-invariant by construction),
+    * candidate pairs come from the SAME Hamming-bucket layout as q173
+    * (4 × 16-bit bands, pigeonhole-complete at radius 3, buckets capped
+    * at 256), survivors scored by exact XOR+popcount Hamming.
+    *
+    * The catalog is the q173 container fixture's audio quarter
+    * (doc_id ≡ 3 mod 4) PLUS a planted re-encode twin for every audio
+    * doc with doc_id ≡ 0 mod 3 (aud_id = doc_id + 10⁷): the same data
+    * chunk fingerprinted under a +2 uniform gain (invisible — the
+    * fingerprint is sign-of-delta) plus +1 dither on frames j ≡ 0 mod 7,
+    * so twins land at Hamming 0–5 while unrelated audio measures far
+    * outside the radius.
+    *
+    * Scale shape: identical to q173 — the fingerprint is a per-row map
+    * (PCM bytes never shuffle, only (aud_id, 4×int16) signatures), the
+    * bucket join is a capped (band, value) equi-join, the rerank join
+    * touches only candidate pairs. At 100 TB this is the text-LSH
+    * layout with an 8-byte audio signature. */
+  val q174 = Q(
+    "q174_audio_fingerprint_dedup",
+    (s, dir) => {
+      import s.implicits._
+      val sig = Multimodal.containerTable(s, dir).mapPartitions { rows =>
+        rows.flatMap { r =>
+          val base = Multimodal.MediaCodec.audioBands(r.payload)
+            .map(b => (r.doc_id, b(0), b(1), b(2), b(3)))
+          val twin =
+            if (r.doc_id % 3 == 0)
+              Multimodal.MediaCodec.audioBands(r.payload, dither = true)
+                .map(b => (r.doc_id + 10000000L, b(0), b(1), b(2), b(3)))
+            else None
+          base.iterator ++ twin.iterator
+        }
+      }.toDF("aud_id", "b0", "b1", "b2", "b3")
+        .materialized // consumers: band explode + both rerank sides
+      val bands = sig.select(col("aud_id"),
+        posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+          .as(Seq("band", "bv")))
+      val ok = bands.groupBy("band", "bv")
+        .agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") > 1 && col("bsz") <= 256)
+        .select("band", "bv")
+      val bounded = bands.join(ok, Seq("band", "bv"))
+      val cand = bounded.as("x")
+        .join(bounded.as("y"),
+          col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+            col("x.aud_id") < col("y.aud_id"))
+        .select(col("x.aud_id").as("da"), col("y.aud_id").as("db"))
+        .distinct()
+      cand
+        .join(sig.select(col("aud_id").as("da"), col("b0").as("a0"),
+          col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3")), "da")
+        .join(sig.select(col("aud_id").as("db"), col("b0").as("c0"),
+          col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3")), "db")
+        .withColumn("hamming",
+          expr("""CAST(bit_count(a0 ^ c0) + bit_count(a1 ^ c1)
+                  + bit_count(a2 ^ c2) + bit_count(a3 ^ c3) AS BIGINT)"""))
+        .filter(col("hamming") <= 3)
+        .select("da", "db", "hamming")
+        .orderBy("da", "db")
+    },
+    // The oracle rebuilds the fingerprint from documents.text directly
+    // (q173 discipline): the WAV data chunk IS the document's UTF-8
+    // bytes, audio format is doc_id % 4 = 3, byte i is hex-sliced out of
+    // encode(text), frame j pools bytes [⌊jn/65⌋, ⌊(j+1)n/65⌋) via the
+    // exact inverse j = (65(i+1)−1) // n, twins add the +2 gain and the
+    // j%7 dither at the frame level — bit-for-bit the executor pooling.
+    Some("""
+      WITH aud AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               CAST(strlen(text) AS BIGINT) AS n
+        FROM documents WHERE doc_id % 4 = 3 AND strlen(text) >= 65),
+      fr AS (
+        SELECT doc_id, (65 * (i + 1) - 1) // n AS j,
+               SUM(('0x' || substr(hx, CAST(2 * i + 1 AS BIGINT),
+                                   2))::BIGINT) // COUNT(*) AS p
+        FROM (SELECT doc_id, hx, n,
+                     CAST(unnest(range(0, n)) AS BIGINT) AS i
+              FROM aud)
+        GROUP BY doc_id, j),
+      cat AS (
+        SELECT doc_id AS aud_id, j, p FROM fr
+        UNION ALL
+        SELECT doc_id + 10000000, j,
+               p + 2 + CASE WHEN j % 7 = 0 THEN 1 ELSE 0 END
+        FROM fr WHERE doc_id % 3 = 0),
+      bitvals AS (
+        SELECT a.aud_id, a.j AS bit,
+               CASE WHEN b.p > a.p THEN 1 ELSE 0 END AS v
+        FROM cat a JOIN cat b ON a.aud_id = b.aud_id AND b.j = a.j + 1
+        WHERE a.j < 64),
+      sig AS (
+        SELECT aud_id,
+               CAST(SUM(CASE WHEN bit // 16 = 0
+                 THEN v * (1::BIGINT << CAST(bit % 16 AS INT)) ELSE 0 END)
+                 AS BIGINT) AS b0,
+               CAST(SUM(CASE WHEN bit // 16 = 1
+                 THEN v * (1::BIGINT << CAST(bit % 16 AS INT)) ELSE 0 END)
+                 AS BIGINT) AS b1,
+               CAST(SUM(CASE WHEN bit // 16 = 2
+                 THEN v * (1::BIGINT << CAST(bit % 16 AS INT)) ELSE 0 END)
+                 AS BIGINT) AS b2,
+               CAST(SUM(CASE WHEN bit // 16 = 3
+                 THEN v * (1::BIGINT << CAST(bit % 16 AS INT)) ELSE 0 END)
+                 AS BIGINT) AS b3
+        FROM bitvals GROUP BY aud_id),
+      bands AS (
+        SELECT aud_id, unnest([b0, b1, b2, b3]) AS bv,
+               generate_subscripts([b0, b1, b2, b3], 1) AS band
+        FROM sig),
+      ok AS (SELECT band, bv FROM bands GROUP BY band, bv
+             HAVING COUNT(*) > 1 AND COUNT(*) <= 256),
+      bnd AS (SELECT bands.* FROM bands JOIN ok USING (band, bv)),
+      cand AS (
+        SELECT DISTINCT x.aud_id AS da, y.aud_id AS db
+        FROM bnd x JOIN bnd y
+          ON x.band = y.band AND x.bv = y.bv AND x.aud_id < y.aud_id),
+      ham AS (
+        SELECT da, db,
+               CAST(bit_count(xor(sa.b0, sb.b0)) + bit_count(xor(sa.b1, sb.b1))
+                  + bit_count(xor(sa.b2, sb.b2)) + bit_count(xor(sa.b3, sb.b3))
+                 AS BIGINT) AS hamming
+        FROM cand
+        JOIN sig sa ON sa.aud_id = da
+        JOIN sig sb ON sb.aud_id = db)
+      SELECT da, db, hamming FROM ham WHERE hamming <= 3 ORDER BY da, db""")
+  )
+
+  val all: Seq[Q] = Seq(q50, q51, q70, q126, q150, q173, q174)
 }

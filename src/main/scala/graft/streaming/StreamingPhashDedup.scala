@@ -10,7 +10,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * `Multimodal.MediaCodec.dhashBands` — payload bytes never enter the
   * stream, only 8-byte signatures), each exploded upstream into its 4
   * band keys; state per band bucket holds the signatures seen in that
-  * bucket so far, and every arrival probes its bucket BEFORE joining it.
+  * bucket so far (first `cap` arrivals), and every arrival probes its
+  * bucket BEFORE joining it.
   * A near-dup (Hamming ≤ `maxHamming`) is emitted when the LATER image
   * arrives — the ingest-time question ("is today's image a re-encode of
   * anything ingested before?") that no windowed aggregation can express,
@@ -18,8 +19,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * Completeness mirrors the batch operator's pigeonhole: Hamming ≤ 3 over
   * 64 bits forces at least one of the 4 bands equal, so probing the 4
-  * band buckets sees every qualifying prior image (up to the same bucket
-  * cap the batch join applies). Emission is exactly once per (band,
+  * band buckets sees every qualifying prior image — up to the bucket
+  * cap, whose degenerate-bucket semantics intentionally DIVERGE from
+  * the batch join's: q173 drops an over-cap bucket ENTIRELY (its
+  * `bsz <= 256` filter yields no pairs there), while the stream keeps
+  * probing against the first `cap` signatures held (keep-first-cap vs
+  * drop-whole-bucket), so on a degenerate bucket the stream still
+  * reports dups against its earliest members where the batch reports
+  * none. Emission is exactly once per (band,
   * pair); a pair within radius in SEVERAL bands emits once per colliding
   * band — downstream takes the per-pair min/distinct exactly as q173's
   * batch join distincts its band hits. Within a micro-batch, arrivals are

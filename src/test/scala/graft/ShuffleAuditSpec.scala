@@ -71,4 +71,20 @@ class ShuffleAuditSpec extends SparkSpec {
       } else info(s"$name: no exchange at all (map-side / broadcast only)")
     }
   }
+
+  // Listener canary: a broken ShuffleTally would report 0 records for
+  // every query, which the budget above treats as "no exchange at all" —
+  // silently green-lighting the whole suite. q21's n-gram posting join
+  // MUST shuffle; if it meters zero records the listener is dead.
+  test("canary: q21_ngram_jaccard meters shuffled records > 0 (listener alive)") {
+    val (_, records) = Audit.measureShuffle(spark) {
+      SparkEntry.queries("q21_ngram_jaccard")(spark, sf)
+        .write.format("noop").mode("overwrite").save()
+    }
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    assert(records > 0,
+      "q21 metered zero shuffled records — the shuffle listener is broken " +
+        "and every budget test above is passing vacuously")
+  }
 }

@@ -18,6 +18,12 @@ def main(sf_dir, out_dir, artifact, label):
     proc = subprocess.run(
         [sys.executable, "tools/check_oracle.py", sf_dir, out_dir],
         capture_output=True, text=True)
+    if proc.returncode not in (0, 1):
+        # check_oracle exits 0 (all pass) or 1 (some mismatch); anything else
+        # is a crash — fail loudly instead of emitting an empty artifact
+        sys.stderr.write(proc.stderr)
+        print(f"check_oracle.py crashed (exit {proc.returncode}); no artifact written")
+        return 2
     queries = {}
     for line in proc.stdout.splitlines():
         parts = line.split(None, 1)
@@ -26,6 +32,10 @@ def main(sf_dir, out_dir, artifact, label):
             # the artifact records only what actually ran
             if parts[1] != "MISSING-RESULT":
                 queries[parts[0]] = parts[1]
+    if not queries:
+        sys.stderr.write(proc.stderr)
+        print("check_oracle.py produced no query lines; no artifact written")
+        return 2
     npass = sum(1 for v in queries.values()
                 if v.startswith(("OK", "rows-only")))
     out = {
