@@ -3003,8 +3003,106 @@ object DedupQueries {
       ORDER BY bsz.bdoc""")
   )
 
+  /** Cross-document repeated-LINE boilerplate removal — the C4/CCNet
+    * line-grain cleaning step (Raffel et al. 2020 drop repeated spans;
+    * CCNet's per-shard line dedup kills headers, nav bars, cookie
+    * banners — the single most common real-world web-corpus cleaning
+    * pass), closing the grain ladder between doc-level (q20/q95),
+    * chunk-level keep-first (q101) and span-level excision (q134):
+    * a LINE is boilerplate iff its exact content occurs in MORE THAN ONE
+    * DISTINCT document (within-doc repetition alone is legit prose —
+    * cross-doc recurrence is the boilerplate signal), and ALL of its
+    * occurrences are dropped (C4's rule; deliberately different from
+    * q101's first-occurrence-survives — a nav bar's first sighting is
+    * just as much boilerplate as its millionth).
+    *
+    * This corpus has no newline structure, so the line stand-in is the
+    * 6-token non-overlapping window (a real pipeline swaps only the
+    * splitter — `split(text, '\n')` — and keeps every downstream shape);
+    * 6 ≠ q101's 8 keeps the two operators' chunk artifacts independent.
+    *
+    * Per doc: line count, dropped count, tokens kept, the Gopher-style
+    * duplicate-line fraction in basis points (the quality-filter signal
+    * MassiveText thresholds at 30%), and the reassembled clean text.
+    *
+    * Scale shape: the doc-frequency aggregate shuffles (digest, doc_id)
+    * only; line text crosses two exchanges — the digest-keyed flag join
+    * and the doc_id-keyed reassembly (the same exchange that writes the
+    * cleaned corpus out) — both linear at line grain, the q101
+    * discipline. No window over corpus-wide partitions, no driver
+    * state. */
+  val q175 = Q(
+    "q175_line_dedup",
+    (s, dir) => {
+      val lineLen = 6
+      val toks = documents(s, dir)
+        .select(col("doc_id"),
+          filter(split(col("text"), "\\s+"), x => length(x) > 0).as("ws"))
+        .filter(size(col("ws")) > 0)
+      val lines = toks
+        .select(col("doc_id"),
+          explode(transform(
+            sequence(lit(0),
+              ((size(col("ws")) + lit(lineLen - 1)) / lit(lineLen))
+                .cast("int") - 1),
+            k => struct(k.as("line_idx"),
+              concat_ws(" ", slice(col("ws"), k * lineLen + 1, lit(lineLen)))
+                .as("ltext")))).as("l"))
+        .select(col("doc_id"), col("l.line_idx").as("line_idx"),
+          col("l.ltext").as("ltext"))
+        .withColumn("lh", md5(col("ltext")))
+      // doc frequency at digest grain: (32-byte hex digest, doc_id) rows
+      val dfTab = lines.groupBy("lh")
+        .agg(countDistinct(col("doc_id")).as("df"))
+      lines.join(dfTab, Seq("lh"))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_lines"),
+          sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_dropped"),
+          sum(when(col("df") === 1, size(split(col("ltext"), " ")))
+            .otherwise(0)).cast("long").as("tokens_kept"),
+          concat_ws(" ", transform(
+            array_sort(collect_list(
+              when(col("df") === 1,
+                struct(col("line_idx"), col("ltext"))))),
+            x => x.getField("ltext"))).as("clean_text"))
+        .withColumn("dup_line_bp",
+          expr("n_dropped * 10000 div n_lines"))
+        .select("doc_id", "n_lines", "n_dropped", "tokens_kept",
+          "dup_line_bp", "clean_text")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+                                   x -> length(x) > 0) AS ws
+        FROM documents),
+      lines AS (
+        SELECT doc_id, k AS line_idx,
+               array_to_string(ws[k * 6 + 1 : k * 6 + 6], ' ') AS ltext
+        FROM (SELECT doc_id, ws,
+                     unnest(range(0, CAST((len(ws) + 5) // 6 AS INT))) AS k
+              FROM toks WHERE len(ws) > 0)),
+      df AS (
+        SELECT ltext, COUNT(DISTINCT doc_id) AS df
+        FROM lines GROUP BY ltext)
+      SELECT l.doc_id,
+             COUNT(*) AS n_lines,
+             CAST(SUM(CASE WHEN df.df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped,
+             CAST(SUM(CASE WHEN df.df = 1
+                           THEN len(string_split(ltext, ' '))
+                           ELSE 0 END) AS BIGINT) AS tokens_kept,
+             CAST(SUM(CASE WHEN df.df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               * 10000 // COUNT(*) AS dup_line_bp,
+             COALESCE(string_agg(CASE WHEN df.df = 1 THEN ltext END, ' '
+                                 ORDER BY line_idx), '') AS clean_text
+      FROM lines l JOIN df USING (ltext)
+      GROUP BY l.doc_id ORDER BY l.doc_id""")
+  )
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q26, q38, q71, q74, q76,
     q82, q88, q90, q91, q95, q101, q103, q114, q115, q130, q133, q134,
     q141, q143, q144, q155, q156, q157, q158, q160, q161, q166, q167, q168,
-    q170, q171)
+    q170, q171, q175)
 }
