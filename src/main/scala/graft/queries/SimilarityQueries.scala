@@ -722,6 +722,19 @@ object SimilarityQueries {
       : org.apache.spark.sql.DataFrame =
     ballCoverImpl(embIn, t, exact = false)
 
+  /** Prefix width of the ball-cover Cauchy–Schwarz prune. 48 of 64, NOT
+    * q162's 16/48 Matryoshka split, and the difference is load-bearing:
+    * the prune can only fire when the suffix bound alone cannot reach
+    * the threshold, i.e. ‖a_suf‖·‖b_suf‖ < t. On isotropic data
+    * ‖suf‖/‖x‖ ≈ √(sufDims/64), so a 16-dim prefix leaves a 0.75 bound
+    * — above t = 0.4, zero prune power (measured: +13% sf1 wall, pure
+    * overhead); a 48-dim prefix leaves 0.25 < t, and the partial-48
+    * must clear t − 0.25 ≈ 1.4σ of the partial-dot distribution —
+    * pruning the overwhelming mass of orthogonal pairs after 48 of 64
+    * element reads. Prefix width must exceed 64·(1−t) for ANY prune
+    * power on isotropic corpora. */
+  private val BallPrefixDims = 48
+
   private def ballCoverImpl(
       embIn: org.apache.spark.sql.DataFrame,
       t: Double,
@@ -733,6 +746,20 @@ object SimilarityQueries {
         .select(col("vec_id").as("cid"), col("embedding").as("ce"),
           sqrt(dotDec(col("embedding"), col("embedding"))).as("cn"))
         .materialized // assignment + the K×K cell-pair bound
+      // Cauchy–Schwarz prefix split (round-11 tightening): dot(a,b) =
+      // dot_pre(48) + dot_suf, and dot_suf ≤ ‖a_suf‖·‖b_suf‖ — so a pair
+      // whose 48-term partial plus suffix-norm product already falls
+      // short of t provably fails the exact verify, and its last 16
+      // elements are never read (FixedPointDotGated aborts in-loop).
+      // The fixed-point sum splits EXACTLY at any prefix (each term
+      // floors independently), and nsu is an upper bound on the REAL
+      // suffix norm: ‖a_suf‖² ≤ (fixed_suffix_self + #dims)/1e15 — the
+      // 1e-13 slack covers ≤100 suffix dims' floor loss, and only ever
+      // ADMITS pairs.
+      val dotPreL = graft.functions.FixedPointDot
+        .fixed_point_dot_prefix(col("embedding"), col("embedding"), BallPrefixDims)
+      val fullSelfL = graft.functions.FixedPointDot
+        .fixed_point_dot(col("embedding"), col("embedding"))
       val assigned = emb
         .crossJoin(broadcast(cb))
         .groupBy("vec_id")
@@ -742,9 +769,11 @@ object SimilarityQueries {
             (-col("cid")).as("negc"))).as("best"),
           first(col("embedding")).as("embedding"))
         .withColumn("nrm", sqrt(dotDec(col("embedding"), col("embedding"))))
+        .withColumn("nsu", sqrt(
+          (fullSelfL - dotPreL).cast("double") / lit(Scale) + lit(1e-13)))
         .select(col("vec_id"), (-col("best.negc")).as("cell"),
           (col("best.s") / col("nrm")).as("ccos"), // cos(x̂, nearest ĉ)
-          col("embedding"), col("nrm"))
+          col("embedding"), col("nrm"), col("nsu"))
         .materialized // radii + both pair-join sides
       val radii = assigned.groupBy("cell")
         .agg(sqrt(greatest(lit(0.0),
@@ -769,10 +798,10 @@ object SimilarityQueries {
       val dx = sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) * col("ccos")))
       val a = assigned.select(col("cell").as("cell_a"),
         col("vec_id").as("ida"), col("embedding").as("ea"),
-        col("nrm").as("na"), dx.as("dxa"))
+        col("nrm").as("na"), dx.as("dxa"), col("nsu").as("nsa"))
       val b = assigned.select(col("cell").as("cell_b"),
         col("vec_id").as("idb"), col("embedding").as("eb"),
-        col("nrm").as("nb"), dx.as("dxb"))
+        col("nrm").as("nb"), dx.as("dxb"), col("nsu").as("nsb"))
       // Residual bounds (strictly tighter than the radius bound, still
       // conservative — slack only ever ADDS candidates):
       //  a-side (before the big shuffle join): x in cell ca can reach
@@ -793,9 +822,20 @@ object SimilarityQueries {
           .select(
             least(col("ida"), col("idb")).as("id_a"),
             greatest(col("ida"), col("idb")).as("id_b"))
-      else fanout
-        .join(b, pairBound &&
-          dotDec(col("ea"), col("eb")) / (col("na") * col("nb")) >= t)
+      else {
+        // One gated kernel per pair: partial-48, in-loop CS abort, full
+        // dot only for survivors — returned Pruned sentinel fails the
+        // cosine compare, so the output is bit-identical with or
+        // without the gate (the 1e-9 slack means a pruned pair provably
+        // fails the exact compare; BallCoverSpec pins q94 ≡ q42).
+        val cut = ((lit(t) - lit(1e-9)) * col("na") * col("nb") -
+          col("nsa") * col("nsb")) * lit(Scale)
+        val gated = graft.functions.FixedPointDot
+          .fixed_point_dot_gated(col("ea"), col("eb"), cut, BallPrefixDims)
+        fanout
+          .join(b, pairBound &&
+            gated.cast("double") / lit(Scale) / (col("na") * col("nb")) >= t)
+      }
         .select(
           least(col("ida"), col("idb")).as("id_a"),
           greatest(col("ida"), col("idb")).as("id_b"),
