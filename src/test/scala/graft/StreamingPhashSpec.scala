@@ -104,4 +104,63 @@ class StreamingPhashSpec extends SparkSpec {
       s"no cross-batch pair (split=$split)")
     assert(got.forall(_._4 <= MaxHamming))
   }
+
+  test("audio fingerprints ride the SAME probe: stream equals batch replay") {
+    import spark.implicits._
+    // the operator is signature-agnostic — any 64-bit banded signature
+    // source composes with the (band, value)-keyed state machine. Feed
+    // it the q174 audio catalog (base fingerprints + gain+dither twins).
+    val sigs: Array[(Long, Array[Int])] =
+      Multimodal.containerTable(spark, sf).collect().flatMap { r =>
+        val base = MediaCodec.audioBands(r.payload).map(r.doc_id -> _)
+        val twin =
+          if (r.doc_id % 3 == 0)
+            MediaCodec.audioBands(r.payload, dither = true)
+              .map((r.doc_id + 10000000L) -> _)
+          else None
+        base.iterator ++ twin.iterator
+      }.sortBy(_._1)
+    val rows: Array[BandedImage] =
+      sigs.flatMap { case (id, b) => StreamingPhashDedup.banded(id, b) }
+
+    val expect = scala.collection.mutable.Set.empty[(Long, Long, Int, Int)]
+    val buckets =
+      scala.collection.mutable.Map.empty[(Int, Int), List[(Long, Array[Int])]]
+    def ham(a: Array[Int], b: Array[Int]): Int =
+      (0 until 4).map(i => Integer.bitCount(a(i) ^ b(i))).sum
+    rows.sortBy(r => (r.img_id, r.band)).foreach { r =>
+      val key = (r.band, r.bv)
+      val sig = Array(r.b0, r.b1, r.b2, r.b3)
+      val held = buckets.getOrElse(key, Nil)
+      held.foreach { case (oid, osig) =>
+        val h = ham(osig, sig)
+        if (h <= MaxHamming) expect += ((r.img_id, oid, r.band, h))
+      }
+      if (held.lengthCompare(Cap) < 0) buckets(key) = held :+ (r.img_id -> sig)
+    }
+
+    val dir = tmpDir("audio_stream")
+    rows.toSeq.toDS().coalesce(1)
+      .write.mode("overwrite").parquet(dir.toString)
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[BandedImage]].schema)
+      .parquet(dir.toString)
+      .as[BandedImage]
+    val q = StreamingPhashDedup.probe(stream, Cap, MaxHamming)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("audio_stream")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("audio_stream").as[PhashHit].collect()
+      .map(h => (h.img_new, h.img_old, h.band, h.hamming)).toSet
+    assert(got == expect.toSet, s"stream ${got.size} vs batch ${expect.size}")
+    val pairs = got.map { case (nw, old, _, _) => (old, nw) }
+    assert(pairs.exists { case (old, nw) => nw == old + 10000000L },
+      "no planted audio twin pair surfaced")
+  }
 }
