@@ -17,7 +17,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * and level k at position i is `md5(hex_{k-1}(i) ++ hex_{k-1}(i+2^(k-1)))`
   * — one digest per (level, position), each covering a 2^k-token span,
   * k ≤ 6. Returns `array<struct<span: long, d: string>>` over every
-  * level, ready to explode.
+  * level, ready to explode — with two emit-side reductions the q91
+  * consumer previously paid a whole corpus-sized exchange for:
+  *
+  *  - the EMITTED digest is the first 16 hex chars (64-bit entropy —
+  *    the shuffle key the consumer used anyway); the digest CHAINS stay
+  *    full-width internally, so level-k composition is unchanged;
+  *  - duplicate (span, digest) pairs WITHIN one document are dropped at
+  *    emit (a per-row hash set): the consumer's contract is distinct
+  *    (doc, span, digest) — "appears elsewhere" counts documents, not
+  *    occurrences — and doing it here makes the downstream explode
+  *    already-distinct, eliminating q91's dedup exchange entirely.
   *
   * Why an expression and not seven chained `transform` columns: each
   * level's lambda references the previous level TWICE (`h[i]`, `h[i+off]`),
@@ -88,10 +98,15 @@ object SpanDigests {
       i += 1
     }
     val rows = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    val seen = new java.util.HashSet[String]()
     def emit(span: Long, level: Array[String]): Unit = {
       var j = 0
       while (j < level.length) {
-        rows += InternalRow(span, UTF8String.fromString(level(j)))
+        val d16 = level(j).substring(0, 16)
+        // span is part of the key: the same 16-hex prefix at two levels
+        // is two distinct digests
+        if (seen.add(span + ":" + d16))
+          rows += InternalRow(span, UTF8String.fromString(d16))
         j += 1
       }
     }

@@ -622,11 +622,20 @@ object DedupQueries {
     * don't shard; this is ONE per-row codegen'd expression
     * ([[graft.functions.SpanDigests]] — all seven levels in a linear
     * loop; the chained-`transform` formulation exploded exponentially
-    * under projection collapse, see its scaladoc) + ONE wordcount-shaped
-    * groupBy on 32-byte digests + a narrow join back. Doubling redundancy
-    * vs a suffix array is len × 7 digests — the price of embarrassing
-    * parallelism, and the factor-2 length resolution is exactly what a
-    * log-bucketed filter needs. */
+    * under projection collapse, see its scaladoc) + ONE digest-keyed
+    * exchange. Doubling redundancy vs a suffix array is len × 7 digests
+    * — the price of embarrassing parallelism, and the factor-2 length
+    * resolution is exactly what a log-bucketed filter needs.
+    *
+    * Round-11 plan cut (4 corpus-sized exchanges → 1 + a filtered tail):
+    * the expression now emits per-document-DISTINCT truncated digests
+    * (the `.distinct()` exchange was pure overhead — "appears elsewhere"
+    * counts documents, and the dedup is a per-row hash set at emit), and
+    * the dup-set groupBy + join-back pair collapses into ONE
+    * count-over-window on the (span, d) partition: every occurrence row
+    * learns its document count in the same exchange that would have fed
+    * the groupBy, and only rows with n ≥ 2 (the duplicated sliver)
+    * continue to the per-doc max aggregate. */
   val q91 = Q(
     "q91_max_dup_span",
     (s, dir) => {
@@ -634,17 +643,12 @@ object DedupQueries {
       val spans = docs.select(col("doc_id"),
         explode(graft.functions.SpanDigests.span_digests(
           filter(split(col("text"), "\\s+"), x => length(x) > 0))).as("sd"))
-        // digest CHAINS stay full-width inside span_digests; only the
-        // emitted shuffle key truncates to 16 hex chars (64-bit entropy)
-        .select(col("doc_id"), col("sd.span").as("span"),
-          substring(col("sd.d"), 1, 16).as("d"))
-        .distinct()
-        .materialized // consumers: dup set + per-doc join
-      val dup = spans.groupBy("span", "d")
-        .agg(count(lit(1)).as("n"))
+        .select(col("doc_id"), col("sd.span").as("span"), col("sd.d").as("d"))
+      // rows are distinct per (doc, span, d) by construction, so the
+      // per-(span, d) count IS the document count
+      val perDoc = spans
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("span", "d")))
         .filter(col("n") >= 2)
-        .select("span", "d")
-      val perDoc = spans.join(dup, Seq("span", "d"))
         .groupBy("doc_id").agg(max(col("span")).as("max_dup_span"))
       docs.select(col("doc_id"))
         .join(perDoc, Seq("doc_id"), "left")
