@@ -595,6 +595,13 @@ object SimilarityQueries {
       val cb = emb.filter(col("vec_id") < k)
         .select(col("vec_id").as("cid"), col("embedding").as("ce"),
           sqrt(dotDec(col("embedding"), col("embedding"))).as("cn"))
+      // suffix-norm bound for the same Cauchy–Schwarz gated verify q94
+      // runs (see ballCoverImpl — the kernel and its soundness law are
+      // shared; the gate cannot change the output)
+      val pre45 = graft.functions.FixedPointDot
+        .fixed_point_dot_prefix(col("embedding"), col("embedding"), BallPrefixDims)
+      val self45 = graft.functions.FixedPointDot
+        .fixed_point_dot(col("embedding"), col("embedding"))
       val assigned = emb
         .crossJoin(broadcast(cb))
         .groupBy("vec_id")
@@ -604,15 +611,21 @@ object SimilarityQueries {
             (-col("cid")).as("negc"))).getField("negc")).as("cell"),
           first(col("embedding")).as("embedding"))
         .withColumn("nrm", sqrt(dotDec(col("embedding"), col("embedding"))))
+        .withColumn("nsu", sqrt(
+          (self45 - pre45).cast("double") / lit(Scale) + lit(1e-13)))
         .materialized // 2 branches of the pair self-join
       val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
-        col("embedding").as("ea"), col("nrm").as("na"))
+        col("embedding").as("ea"), col("nrm").as("na"), col("nsu").as("nsa"))
       val b = assigned.select(col("cell"), col("vec_id").as("id_b"),
-        col("embedding").as("eb"), col("nrm").as("nb"))
+        col("embedding").as("eb"), col("nrm").as("nb"), col("nsu").as("nsb"))
+      val cut45 = ((lit(0.4) - lit(1e-9)) * col("na") * col("nb") -
+        col("nsa") * col("nsb")) * lit(Scale)
+      val gated45 = graft.functions.FixedPointDot
+        .fixed_point_dot_gated(col("ea"), col("eb"), cut45, BallPrefixDims)
       a.as("a").join(b.as("b"),
           col("a.cell") === col("b.cell") &&
             col("id_a") < col("id_b") &&
-            dotDec(col("ea"), col("eb")) / (col("na") * col("nb")) >= 0.4)
+            gated45.cast("double") / lit(Scale) / (col("na") * col("nb")) >= 0.4)
         .select(col("a.cell").as("cell"), col("id_a"), col("id_b"),
           (dotDec(col("ea"), col("eb")) / (col("na") * col("nb")))
             .as("cosine"),
