@@ -105,6 +105,25 @@ object Multimodal {
       None
     }
 
+    /** Locate the RIFF `data` chunk by the same chunk walk [[parseWav]]
+      * runs for `fmt ` — returns (payload offset, byte length), the length
+      * clamped to the bytes actually present so a truncated file
+      * fingerprints what it carries. RIFF permits extra or reordered
+      * chunks before `data` (LIST/INFO, fact, cue), so the offset is NOT
+      * assumed to be the canonical 44. None when the container is not
+      * RIFF/WAVE or carries no data chunk. */
+    private[graft] def dataChunk(b: Array[Byte]): Option[(Int, Int)] = {
+      if (b.length < 12 || !(b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
+      var i = 12
+      while (i + 8 <= b.length) {
+        val size = le32(b, i + 4)
+        if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' && b(i + 3) == 'a')
+          return Some((i + 8, math.min(size.toLong, (b.length - i - 8).toLong).toInt))
+        i += 8 + size + (size & 1) // chunks are word-aligned
+      }
+      None
+    }
+
     /** Parse (width, height, format) from the container header. For audio
       * the spatial slots carry (sample_rate, channels) — the catalog treats
       * both as "media extent" metadata. */
@@ -231,8 +250,10 @@ object Multimodal {
 
     /** Audio frame-energy sign fingerprint — the 1-D audio twin of
       * [[dhashBands]] (Haitsma–Kalker-style energy-gradient hashing,
-      * reduced to its sign-of-frame-delta core): the RIFF data chunk is
-      * split into 65 equal time frames, each pooled to its exact integer
+      * reduced to its sign-of-frame-delta core): the RIFF data chunk —
+      * located by the chunk walk ([[dataChunk]]), so non-canonical
+      * layouts with extra/reordered chunks fingerprint their actual PCM
+      * payload — is split into 65 equal time frames, each pooled to its exact integer
       * mean (the deterministic stand-in for per-frame PCM energy in this
       * offline container — a real pipeline swaps only the pooling for an
       * RMS over decoded samples and keeps every downstream band/bucket
@@ -253,11 +274,11 @@ object Multimodal {
         payload: Array[Byte], dither: Boolean = false): Option[Array[Int]] = {
       val (_, _, fmt) = parseHeader(payload)
       if (fmt != "wav") None
-      else {
-        val off = 44 // canonical RIFF/WAVE header (Containers.wav)
-        val n = payload.length - off
-        if (n < 65) None
-        else {
+      else dataChunk(payload) match {
+        case None => None
+        case Some((off, n)) if n < 65 => None
+        case Some((off, n)) =>
+        {
           val p = new Array[Long](65)
           var j = 0
           while (j < 65) {

@@ -70,28 +70,13 @@ class Round11LawsSpec extends SparkSpec {
       (1L, shared), (2L, shared), (3L, shared),
       (4L, (1 to 12).map(i => s"only$i").mkString(" ")))
       .toDF("doc_id", "text")
-    val lineLen = 6
-    // replay q175's engine inline on the fixture frame
-    val toks = docs.select($"doc_id",
-      org.apache.spark.sql.functions.split($"text", "\\s+").as("ws"))
-    import org.apache.spark.sql.functions._
-    val lines = toks.select($"doc_id",
-      explode(transform(
-        sequence(lit(0),
-          ((size($"ws") + lit(lineLen - 1)) / lit(lineLen)).cast("int") - 1),
-        k => struct(k.as("line_idx"),
-          concat_ws(" ", slice($"ws", k * lineLen + 1, lit(lineLen)))
-            .as("ltext")))).as("l"))
-      .select($"doc_id", $"l.line_idx", $"l.ltext")
-    val dfTab = lines.groupBy("ltext").agg(countDistinct($"doc_id").as("df"))
-    val out = lines.join(dfTab, "ltext")
-      .groupBy("doc_id")
-      .agg(sum(when($"df" > 1, 1L).otherwise(0L)).as("n_dropped"),
-        sum(when($"df" === 1, size(split($"ltext", " "))).otherwise(0))
-          .cast("long").as("tokens_kept"),
-        concat_ws(" ", transform(array_sort(collect_list(
-          when($"df" === 1, struct($"line_idx", $"ltext")))),
-          x => x.getField("ltext"))).as("clean_text"))
+    // run the REGISTERED query against a temp table dir, so the law pins
+    // the shipped q175 pipeline itself (not an inline replica that could
+    // drift from it)
+    val dir = java.nio.file.Files.createTempDirectory("q175law").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q175_line_dedup")(spark, dir)
+      .select("doc_id", "n_dropped", "tokens_kept", "clean_text")
       .collect().map(r => r.getLong(0) ->
         (r.getLong(1), r.getLong(2), r.getString(3))).toMap
     (1L to 3L).foreach { id =>
