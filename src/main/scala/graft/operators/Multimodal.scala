@@ -124,6 +124,60 @@ object Multimodal {
       None
     }
 
+    /** AVI: RIFF/'AVI ', chunk walk to LIST/hdrl, then the avih main
+      * header — AVIMAINHEADER per the public OpenDML/VfW spec: a 56-byte
+      * body with dwWidth/dwHeight at LE32 offsets 32/36. */
+    private def parseAvi(b: Array[Byte]): Option[(Int, Int)] = {
+      var i = 12
+      while (i + 12 <= b.length) {
+        val size = le32(b, i + 4)
+        if (b(i) == 'L' && b(i + 1) == 'I' && b(i + 2) == 'S' && b(i + 3) == 'T' &&
+          b(i + 8) == 'h' && b(i + 9) == 'd' && b(i + 10) == 'r' && b(i + 11) == 'l') {
+          var j = i + 12
+          val end = math.min(i + 8 + size, b.length)
+          while (j + 8 <= end) {
+            val s2 = le32(b, j + 4)
+            if (b(j) == 'a' && b(j + 1) == 'v' && b(j + 2) == 'i' && b(j + 3) == 'h')
+              return if (j + 8 + 40 <= b.length)
+                Some((le32(b, j + 8 + 32), le32(b, j + 8 + 36)))
+              else None
+            j += 8 + s2 + (s2 & 1)
+          }
+          return None
+        }
+        i += 8 + size + (size & 1)
+      }
+      None
+    }
+
+    /** Frame records of an AVI: chunk walk to LIST/movi, then every
+      * `00db` (uncompressed frame) chunk as (payload offset, byte length),
+      * lengths clamped to the bytes present — the [[dataChunk]] discipline
+      * applied to the video container. */
+    private[graft] def moviFrames(b: Array[Byte]): Option[Seq[(Int, Int)]] = {
+      if (b.length < 12 || !(b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' '))
+        return None
+      var i = 12
+      while (i + 12 <= b.length) {
+        val size = le32(b, i + 4)
+        if (b(i) == 'L' && b(i + 1) == 'I' && b(i + 2) == 'S' && b(i + 3) == 'T' &&
+          b(i + 8) == 'm' && b(i + 9) == 'o' && b(i + 10) == 'v' && b(i + 11) == 'i') {
+          val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+          var j = i + 12
+          val end = math.min(i + 8 + size, b.length)
+          while (j + 8 <= end) {
+            val s2 = le32(b, j + 4)
+            if (b(j) == '0' && b(j + 1) == '0' && b(j + 2) == 'd' && b(j + 3) == 'b')
+              frames += ((j + 8, math.min(s2.toLong, (b.length - j - 8).toLong).toInt))
+            j += 8 + s2 + (s2 & 1)
+          }
+          return Some(frames.toSeq)
+        }
+        i += 8 + size + (size & 1)
+      }
+      None
+    }
+
     /** Parse (width, height, format) from the container header. For audio
       * the spatial slots carry (sample_rate, channels) — the catalog treats
       * both as "media extent" metadata. */
@@ -135,6 +189,9 @@ object Multimodal {
       else if (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
         (b(4) == '7' || b(4) == '9') && b(5) == 'a')
         Some((le16(b, 6), le16(b, 8))).map { case (w, h) => (w, h, "gif") }.getOrElse((0, 0, "corrupt"))
+      else if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' ')
+        parseAvi(b).map { case (w, h) => (w, h, "avi") }.getOrElse((0, 0, "corrupt"))
       else if (b.length >= 4 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F')
         parseWav(b).map { case (w, h) => (w, h, "wav") }.getOrElse((0, 0, "corrupt"))
       else (0, 0, if (b.isEmpty) "empty" else "unknown")
@@ -301,6 +358,69 @@ object Multimodal {
         }
       }
     }
+
+    /** Video sequence fingerprint — completes the modality ladder
+      * (q22 text / q173 image / q174 audio / this): every `00db` frame of
+      * the AVI movi list runs the [[dhashBands]] 9×8 pooling + gradient
+      * kernel (the frame body's bytes act as the grayscale buffer, the
+      * same deterministic stand-in; a real pipeline swaps only the
+      * pooling for decoded pixels), and the SEQUENCE fingerprint is the
+      * per-bit MAJORITY over valid frames (2·count > F) — the classic
+      * temporal pooling that makes the hash robust to any single
+      * re-encoded / dropped frame while per-frame dHash alone is not.
+      *
+      * `dither = true` models a re-encoded copy frame-by-frame: +1 gray
+      * on cells j ≡ 0 (mod 7) of EVERY frame (q173's construction), so
+      * planted twins land at small-but-often-nonzero Hamming distance.
+      *
+      * Frames under 72 bytes can't fill the 9×8 grid and are skipped; a
+      * payload with fewer than 2 valid frames is not a sequence → None
+      * (as are non-AVI containers). Returns 4 × 16-bit bands — the
+      * Hamming-bucket join keys, pigeonhole-complete at radius 3. */
+    def videoBands(
+        payload: Array[Byte], dither: Boolean = false): Option[Array[Int]] = {
+      val (_, _, fmt) = parseHeader(payload)
+      if (fmt != "avi") None
+      else moviFrames(payload) match {
+        case None => None
+        case Some(frames) =>
+          val valid = frames.filter(_._2 >= 72)
+          if (valid.length < 2) None
+          else {
+            val cnt = new Array[Int](64)
+            valid.foreach { case (off, m) =>
+              val p = new Array[Int](72)
+              var j = 0
+              while (j < 72) {
+                val lo = (j.toLong * m / 72).toInt
+                val hi = ((j + 1).toLong * m / 72).toInt
+                var s = 0L
+                var i = lo
+                while (i < hi) { s += payload(off + i) & 0xff; i += 1 }
+                p(j) = (s / (hi - lo)).toInt +
+                  (if (dither && j % 7 == 0) 1 else 0)
+                j += 1
+              }
+              var r = 0
+              while (r < 8) {
+                var c = 0
+                while (c < 8) {
+                  if (p(r * 9 + c + 1) > p(r * 9 + c)) cnt(r * 8 + c) += 1
+                  c += 1
+                }
+                r += 1
+              }
+            }
+            val bands = new Array[Int](4)
+            var bit = 0
+            while (bit < 64) {
+              if (2 * cnt(bit) > valid.length) bands(bit / 16) |= 1 << (bit % 16)
+              bit += 1
+            }
+            Some(bands)
+          }
+      }
+    }
   }
 
   /** Real container builders — each writes the public-spec header around an
@@ -374,6 +494,33 @@ object Multimodal {
       out
     }
 
+    /** RIFF/'AVI ' with a real LIST('hdrl' avih) main header (56-byte
+      * AVIMAINHEADER, dwWidth/dwHeight at body offsets 32/36) and a
+      * LIST('movi') of word-aligned `00db` frame chunks. */
+    def avi(width: Int, height: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+      val hdrlBody = 4 + 8 + 56
+      val moviBody = 4 + frames.map(f => 8 + f.length + (f.length & 1)).sum
+      val total = 12 + 8 + hdrlBody + 8 + moviBody
+      val out = new Array[Byte](total)
+      putTag(out, 0, "RIFF"); putLE32(out, 4, total - 8); putTag(out, 8, "AVI ")
+      putTag(out, 12, "LIST"); putLE32(out, 16, hdrlBody); putTag(out, 20, "hdrl")
+      putTag(out, 24, "avih"); putLE32(out, 28, 56)
+      putLE32(out, 32, 33333) // dwMicroSecPerFrame (~30 fps)
+      putLE32(out, 32 + 16, frames.length) // dwTotalFrames
+      putLE32(out, 32 + 24, 1) // dwStreams
+      putLE32(out, 32 + 32, width)
+      putLE32(out, 32 + 36, height)
+      var p = 32 + 56
+      putTag(out, p, "LIST"); putLE32(out, p + 4, moviBody); putTag(out, p + 8, "movi")
+      p += 12
+      frames.foreach { f =>
+        putTag(out, p, "00db"); putLE32(out, p + 4, f.length)
+        System.arraycopy(f, 0, out, p + 8, f.length)
+        p += 8 + f.length + (f.length & 1)
+      }
+      out
+    }
+
     private def putBE32(b: Array[Byte], i: Int, v: Int): Unit = {
       b(i) = ((v >> 24) & 0xff).toByte; b(i + 1) = ((v >> 16) & 0xff).toByte
       b(i + 2) = ((v >> 8) & 0xff).toByte; b(i + 3) = (v & 0xff).toByte
@@ -421,6 +568,30 @@ object Multimodal {
           case 2 => MediaRow(id, Containers.gif(w, h, r.payload), "image")
           case _ => MediaRow(id, Containers.wav(rate, chans, r.payload), "audio")
         }
+      }
+    }
+  }
+
+  /** AVI fixture corpus: each document's UTF-8 bytes split into 4 equal
+    * frame slices (frame f = body bytes [⌊f·n/4⌋, ⌊(f+1)·n/4⌋) — the
+    * q70 even-spacing arithmetic) inside a REAL RIFF/AVI container
+    * (hdrl/avih main header + movi/00db frame list), header dimensions
+    * from the q50 doc_id recurrences so the parse is oracle-checkable.
+    * Executor-side per partition; payload bytes never visit the driver. */
+  def videoTable(s: SparkSession, dir: String): Dataset[MediaRow] = {
+    import s.implicits._
+    mediaTable(s, dir).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.doc_id
+        val w = (16 + math.floorMod(id * 31 + 7, 2048L)).toInt
+        val h = (16 + math.floorMod(id * 17 + 3, 2048L)).toInt
+        val n = r.payload.length
+        val frames = (0 until 4).map { f =>
+          val lo = (f.toLong * n / 4).toInt
+          val hi = ((f + 1).toLong * n / 4).toInt
+          java.util.Arrays.copyOfRange(r.payload, lo, hi)
+        }
+        MediaRow(id, Containers.avi(w, h, frames), "video")
       }
     }
   }

@@ -554,5 +554,157 @@ object MultimodalQueries {
       SELECT da, db, hamming FROM ham WHERE hamming <= 3 ORDER BY da, db""")
   )
 
-  val all: Seq[Q] = Seq(q50, q51, q70, q126, q150, q173, q174)
+  /** Video sequence near-dup — completes the modality ladder (q22 text /
+    * q173 image / q174 audio / this): every AVI container decodes to a
+    * 64-bit sequence fingerprint ([[Multimodal.MediaCodec.videoBands]] —
+    * q173's 9×8 dHash kernel per `00db` frame, then per-bit MAJORITY over
+    * valid frames, the temporal pooling that survives any single
+    * re-encoded/dropped frame), candidate pairs come from the SAME
+    * Hamming-bucket layout as q173/q174 (4 × 16-bit bands,
+    * pigeonhole-complete at radius 3, buckets capped at 256), survivors
+    * scored by exact XOR+popcount Hamming.
+    *
+    * The catalog is the 4-frame AVI fixture ([[Multimodal.videoTable]])
+    * PLUS a planted re-encode twin for every doc_id ≡ 0 mod 3
+    * (vid_id = doc_id + 10⁷): the same frames fingerprinted under the
+    * per-frame +1 dither on cells j ≡ 0 mod 7 (q173's construction), so
+    * twins land at Hamming 0–5 while unrelated videos measure far outside
+    * the radius. Payloads with fewer than 2 valid (≥72-byte) frames are
+    * excluded by the decoder itself.
+    *
+    * Scale shape: identical to q173/q174 — the fingerprint is a per-row
+    * map (frame bytes never shuffle, only (vid_id, 4×int16) signatures),
+    * the bucket join is a capped (band, value) equi-join, the rerank join
+    * touches only candidate pairs. At 100 TB this is the text-LSH layout
+    * with an 8-byte video signature. */
+  val q177 = Q(
+    "q177_video_phash_dedup",
+    (s, dir) => {
+      import s.implicits._
+      val sig = Multimodal.videoTable(s, dir).mapPartitions { rows =>
+        rows.flatMap { r =>
+          val base = Multimodal.MediaCodec.videoBands(r.payload)
+            .map(b => (r.doc_id, b(0), b(1), b(2), b(3)))
+          val twin =
+            if (r.doc_id % 3 == 0)
+              Multimodal.MediaCodec.videoBands(r.payload, dither = true)
+                .map(b => (r.doc_id + 10000000L, b(0), b(1), b(2), b(3)))
+            else None
+          base.iterator ++ twin.iterator
+        }
+      }.toDF("vid_id", "b0", "b1", "b2", "b3")
+        .materialized // consumers: band explode + both rerank sides
+      val bands = sig.select(col("vid_id"),
+        posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+          .as(Seq("band", "bv")))
+      val ok = bands.groupBy("band", "bv")
+        .agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") > 1 && col("bsz") <= 256)
+        .select("band", "bv")
+      val bounded = bands.join(ok, Seq("band", "bv"))
+      val cand = bounded.as("x")
+        .join(bounded.as("y"),
+          col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+            col("x.vid_id") < col("y.vid_id"))
+        .select(col("x.vid_id").as("da"), col("y.vid_id").as("db"))
+        .distinct()
+      cand
+        .join(sig.select(col("vid_id").as("da"), col("b0").as("a0"),
+          col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3")), "da")
+        .join(sig.select(col("vid_id").as("db"), col("b0").as("c0"),
+          col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3")), "db")
+        .withColumn("hamming",
+          expr("""CAST(bit_count(a0 ^ c0) + bit_count(a1 ^ c1)
+                  + bit_count(a2 ^ c2) + bit_count(a3 ^ c3) AS BIGINT)"""))
+        .filter(col("hamming") <= 3)
+        .select("da", "db", "hamming")
+        .orderBy("da", "db")
+    },
+    // The oracle rebuilds the fingerprint from documents.text (q173/q174
+    // discipline): frame f of the AVI IS body bytes [⌊fn/4⌋, ⌊(f+1)n/4⌋)
+    // (builders slice verbatim), byte i is hex-sliced out of encode(text),
+    // its frame via the exact inverse f = (4(i+1)−1) // n, its cell via
+    // j = (72(iw+1)−1) // m within the frame; frames shorter than 72
+    // bytes drop out, docs with < 2 valid frames drop out, and the
+    // sequence bit is the majority over valid frames — bit-for-bit the
+    // executor pooling.
+    Some("""
+      WITH vid AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               CAST(strlen(text) AS BIGINT) AS n
+        FROM documents WHERE strlen(text) >= 1),
+      fb AS (
+        SELECT doc_id, i, byte,
+               (4 * (i + 1) - 1) // n AS f,
+               (((4 * (i + 1) - 1) // n) * n) // 4 AS flo,
+               ((((4 * (i + 1) - 1) // n) + 1) * n) // 4 AS fhi
+        FROM (SELECT doc_id, n, i,
+                     ('0x' || substr(hx, CAST(2 * i + 1 AS BIGINT),
+                                     2))::BIGINT AS byte
+              FROM (SELECT doc_id, hx, n,
+                           CAST(unnest(range(0, n)) AS BIGINT) AS i
+                    FROM vid))),
+      px AS (
+        SELECT doc_id, f, (72 * (i - flo + 1) - 1) // (fhi - flo) AS j,
+               SUM(byte) // COUNT(*) AS p
+        FROM fb WHERE fhi - flo >= 72
+        GROUP BY doc_id, f, j),
+      fc AS (
+        SELECT doc_id FROM (SELECT doc_id, COUNT(DISTINCT f) AS nf
+                            FROM px GROUP BY doc_id)
+        WHERE nf >= 2),
+      cat AS (
+        SELECT doc_id AS vid_id, f, j, p FROM px JOIN fc USING (doc_id)
+        UNION ALL
+        SELECT doc_id + 10000000, f, j,
+               p + CASE WHEN j % 7 = 0 THEN 1 ELSE 0 END
+        FROM px JOIN fc USING (doc_id) WHERE doc_id % 3 = 0),
+      bitv AS (
+        SELECT a.vid_id, a.f, a.j // 9 * 8 + a.j % 9 AS bit,
+               CASE WHEN b.p > a.p THEN 1 ELSE 0 END AS v
+        FROM cat a JOIN cat b
+          ON a.vid_id = b.vid_id AND a.f = b.f AND b.j = a.j + 1
+        WHERE a.j % 9 < 8),
+      seqbit AS (
+        SELECT vid_id, bit,
+               CASE WHEN 2 * SUM(v) > COUNT(*) THEN 1 ELSE 0 END AS v
+        FROM bitv GROUP BY vid_id, bit),
+      sig AS (
+        SELECT vid_id,
+               CAST(SUM(CASE WHEN bit // 16 = 0
+                 THEN v * (1::BIGINT << CAST(bit % 16 AS INT)) ELSE 0 END)
+                 AS BIGINT) AS b0,
+               CAST(SUM(CASE WHEN bit // 16 = 1
+                 THEN v * (1::BIGINT << CAST(bit % 16 AS INT)) ELSE 0 END)
+                 AS BIGINT) AS b1,
+               CAST(SUM(CASE WHEN bit // 16 = 2
+                 THEN v * (1::BIGINT << CAST(bit % 16 AS INT)) ELSE 0 END)
+                 AS BIGINT) AS b2,
+               CAST(SUM(CASE WHEN bit // 16 = 3
+                 THEN v * (1::BIGINT << CAST(bit % 16 AS INT)) ELSE 0 END)
+                 AS BIGINT) AS b3
+        FROM seqbit GROUP BY vid_id),
+      bands AS (
+        SELECT vid_id, unnest([b0, b1, b2, b3]) AS bv,
+               generate_subscripts([b0, b1, b2, b3], 1) AS band
+        FROM sig),
+      ok AS (SELECT band, bv FROM bands GROUP BY band, bv
+             HAVING COUNT(*) > 1 AND COUNT(*) <= 256),
+      bnd AS (SELECT bands.* FROM bands JOIN ok USING (band, bv)),
+      cand AS (
+        SELECT DISTINCT x.vid_id AS da, y.vid_id AS db
+        FROM bnd x JOIN bnd y
+          ON x.band = y.band AND x.bv = y.bv AND x.vid_id < y.vid_id),
+      ham AS (
+        SELECT da, db,
+               CAST(bit_count(xor(sa.b0, sb.b0)) + bit_count(xor(sa.b1, sb.b1))
+                  + bit_count(xor(sa.b2, sb.b2)) + bit_count(xor(sa.b3, sb.b3))
+                 AS BIGINT) AS hamming
+        FROM cand
+        JOIN sig sa ON sa.vid_id = da
+        JOIN sig sb ON sb.vid_id = db)
+      SELECT da, db, hamming FROM ham WHERE hamming <= 3 ORDER BY da, db""")
+  )
+
+  val all: Seq[Q] = Seq(q50, q51, q70, q126, q150, q173, q174, q177)
 }
