@@ -2099,7 +2099,100 @@ object PipelineQueries {
       ORDER BY grid.source, policy""")
   )
 
+  /** Interpolated Kneser–Ney bigram scoring — q53's count-ratio LM
+    * upgraded to the smoothing CCNet actually deploys for its quality
+    * signal (Heafield's KenLM lineage; Kneser & Ney 1995, Chen & Goodman
+    * 1998). Absolute discount D = 3/4 as an EXACT rational, so the whole
+    * model is integer arithmetic and hash-identical cross-engine (a libm
+    * `log`/float discount would not be):
+    *
+    *   P_KN(w|v) = max(c(vw) − D, 0)/c(v·) + D·N1+(v·)/c(v·) · P_cont(w)
+    *   P_cont(w) = N1+(·w)/N1+(··)
+    *
+    * over the common denominator 4·c(v·)·N1+(··):
+    *
+    *   p9 = (1e9 · (max(4·c(vw)−3, 0)·N11 + 3·N1+(v·)·N1+(·w)))
+    *        div (4·c(v·)·N11)
+    *
+    * — the numerator reaches ~1e25 at large SF, so the product rides
+    * DECIMAL(38,0) (Spark) / HUGEINT (DuckDB); the quotient is ≤ 1e9 and
+    * lands back in BIGINT. Per document: bigram count, the summed scaled
+    * probability mass, and its mean — the per-doc fluency score a KN-LM
+    * filter thresholds on.
+    *
+    * Scale shape (q53's argument): bigrams explode once map-side; the
+    * THREE count models are wordcount-shaped aggregates (bigram-type-,
+    * context-, and continuation-vocabulary-sized after combine); N11 is
+    * a 1-row broadcast; scoring re-joins on the bigram/word keys — AQE
+    * broadcasts the model tables while they fit, shuffles when they
+    * don't; the per-doc mean is one doc-keyed aggregate with map-side
+    * combine. */
+  val q180 = Q(
+    "q180_kneser_ney",
+    (s, dir) => {
+      val toks = documents(s, dir)
+        .select(col("doc_id"), split(col("text"), "\\s+").as("w"))
+      val bigrams = toks
+        .select(col("doc_id"),
+          explode(sequence(lit(1), greatest(size(col("w")) - 1, lit(1))))
+            .as("i"),
+          col("w"))
+        .select(col("doc_id"),
+          try_element_at(col("w"), col("i")).as("w1"),
+          try_element_at(col("w"), col("i") + 1).as("w2"))
+        .filter(col("w2").isNotNull)
+      val cbg = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c_bg"))
+      val cw = bigrams.groupBy("w1")
+        .agg(count(lit(1)).as("c_w1"), countDistinct(col("w2")).as("nv"))
+      val nwT = bigrams.groupBy("w2").agg(countDistinct(col("w1")).as("nw"))
+      val n11 = cbg.agg(count(lit(1)).as("n11"))
+      bigrams
+        .join(cbg, Seq("w1", "w2"))
+        .join(cw, Seq("w1"))
+        .join(nwT, Seq("w2"))
+        .crossJoin(broadcast(n11))
+        .select(col("doc_id"),
+          expr("""CAST(
+              (CAST(1000000000 AS DECIMAL(38,0)) *
+               (greatest(4 * c_bg - 3, 0) * n11 + 3 * nv * nw))
+              div (CAST(4 AS DECIMAL(38,0)) * c_w1 * n11) AS BIGINT)""")
+            .as("p9"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("p9")).cast("long").as("kn_sum"))
+        .withColumn("avg_p9",
+          col("kn_sum").cast("double") / col("n_bigrams"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH w AS (
+        SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+      bg AS (
+        SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+        FROM (SELECT doc_id, w,
+                     unnest(range(1, greatest(len(w) - 1, 1) + 1)) AS i
+              FROM w)
+        WHERE w[i + 1] IS NOT NULL),
+      cbg AS (SELECT w1, w2, COUNT(*) AS c_bg FROM bg GROUP BY w1, w2),
+      cw AS (SELECT w1, COUNT(*) AS c_w1, COUNT(DISTINCT w2) AS nv
+             FROM bg GROUP BY w1),
+      nw AS (SELECT w2, COUNT(DISTINCT w1) AS nw FROM bg GROUP BY w2),
+      n11 AS (SELECT COUNT(*) AS n11 FROM cbg),
+      scored AS (
+        SELECT doc_id,
+               CAST((1000000000::HUGEINT *
+                     (greatest(4 * c_bg - 3, 0)::HUGEINT * n11
+                      + 3::HUGEINT * nv * nw))
+                    // (4::HUGEINT * c_w1 * n11) AS BIGINT) AS p9
+        FROM bg JOIN cbg USING (w1, w2) JOIN cw USING (w1)
+                JOIN nw USING (w2) CROSS JOIN n11)
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+             CAST(SUM(p9) AS BIGINT) AS kn_sum,
+             CAST(SUM(p9) AS DOUBLE) / COUNT(*) AS avg_p9
+      FROM scored GROUP BY doc_id ORDER BY doc_id""")
+  )
+
   val all: Seq[Q] = Seq(q33, q34, q35, q37, q46, q53, q54, q55, q56, q57,
     q65, q66, q67, q69, q72, q83, q86, q96, q104, q108, q116, q117, q121,
-    q131, q137, q139, q142, q145, q146, q148, q149, q151, q163, q169)
+    q131, q137, q139, q142, q145, q146, q148, q149, q151, q163, q169, q180)
 }
