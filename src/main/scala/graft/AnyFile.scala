@@ -22,6 +22,9 @@ import org.apache.spark.sql.SparkSession
   *  - `.ant` → text with fixed delimiter `~~@~~` (`main.py:153-154`)
   *  - `.pdf` → [[PdfImporter]] (hand-rolled ISO 32000 reader: lenient
   *    object scan + FlateDecode + text-operator table reconstruction)
+  *  - `.html .htm` → [[HtmlImporter]] (beyond the reference's table —
+  *    the LLM-corpus entry format: lenient WHATWG-lineage tag reader,
+  *    `<table>` frames or boilerplate-classified main content)
   *  - `.parquet` → [[ParquetImporter]]
   *  - `.json` → [[JsonImporter]]
   *  - `.pk1` and `.pickle` → [[PickleImporter]] (documented gap). The
@@ -62,6 +65,7 @@ object AnyFile {
       case ".txt" | ".csv" | ".ini" => new TextImporter(spark, path)
       case ".ant" =>
         new TextImporter(spark, path, Some(TextImporter.AntDelimiter))
+      case ".html" | ".htm" => new HtmlImporter(spark, path)
       case ".pdf"     => new PdfImporter(spark, path, concat = true)
       case ".parquet" => new ParquetImporter(spark, path)
       case ".json"    => new JsonImporter(spark, path)

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{DedupQueries, MultimodalQueries, PipelineQueries, Q, RelationalQueries, ScaleQueries, SimilarityQueries, SketchQueries, TextQueries}
+import graft.queries.{DedupQueries, MultimodalQueries, PipelineQueries, Q, RelationalQueries, ScaleQueries, SimilarityQueries, SketchQueries, TextQueries, WebQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,7 +16,7 @@ object SparkEntry {
   private def suites: Seq[Q] =
     RelationalQueries.all ++ DedupQueries.all ++ TextQueries.all ++
       SimilarityQueries.all ++ MultimodalQueries.all ++ PipelineQueries.all ++
-      SketchQueries.all ++ ScaleQueries.all
+      SketchQueries.all ++ ScaleQueries.all ++ WebQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -390,6 +390,8 @@ object BulkIngest {
         case ".ant" =>
           text(path, Some(graft.sources.TextImporter.AntDelimiter))
         case ".pdf" => pdf(path)
+        case ".html" | ".htm" => html(path)
+        case ".warc" => warc(path)
         case ".parquet" =>
           Seq(CellRow(path, "ImportParquet", "Parquet file content",
             "Native", -1L, Seq.empty))
@@ -407,6 +409,8 @@ object BulkIngest {
     case ".xml" => "ImportXML"
     case ".txt" | ".csv" | ".ini" | ".ant" => "ImportText"
     case ".pdf" => "ImportPDF"
+    case ".html" | ".htm" => "ImportHTML"
+    case ".warc" => "ImportWARC"
     case _ => ""
   }
 
@@ -503,6 +507,44 @@ object BulkIngest {
     cells.zipWithIndex.map { case (r, i) =>
       CellRow(path, "ImportText", "Text file content", "OK", i.toLong,
         r.padTo(arity, ""))
+    }
+  }
+
+  /** HTML: `<table>` frames when present (the read_html shape), else
+    * boilerplate-classified main-content blocks, one per row — the same
+    * two roads as the driver-side [[graft.sources.HtmlImporter]]. */
+  private def html(path: String): Seq[CellRow] = {
+    import graft.sources.html.HtmlParser
+    val doc = new String(FsIO.readAllBytes(path), StandardCharsets.UTF_8)
+    val tables = HtmlParser.tables(doc)
+    if (tables.nonEmpty)
+      tables.zipWithIndex.flatMap { case (rows, t) =>
+        sheetRows(path, "ImportHTML", s"table$t", rows)
+      }
+    else {
+      val main = HtmlParser.blocks(doc).filterNot(HtmlParser.isBoiler(_))
+      if (main.isEmpty)
+        Seq(CellRow(path, "ImportHTML", "None", "Failed", -1L, Seq.empty))
+      else main.zipWithIndex.map { case (b, i) =>
+        CellRow(path, "ImportHTML", "HTML main content", "OK", i.toLong,
+          Seq(b.text))
+      }
+    }
+  }
+
+  /** WARC (ISO 28500): one row per record — target URI, record type,
+    * block length — the CommonCrawl catalog pass; payload decoding is the
+    * consumer's job (q179 runs the HTML extraction on response blocks). */
+  private def warc(path: String): Seq[CellRow] = {
+    import graft.sources.warc.WarcReader
+    val recs = WarcReader.records(FsIO.readAllBytes(path))
+    if (recs.isEmpty)
+      Seq(CellRow(path, "ImportWARC", "None", "Failed", -1L, Seq.empty))
+    else recs.zipWithIndex.map { case (r, i) =>
+      CellRow(path, "ImportWARC", "WARC records", "OK", i.toLong,
+        Seq(r.header("warc-target-uri").getOrElse(""),
+          r.header("warc-type").getOrElse(""),
+          r.payload.length.toString))
     }
   }
 

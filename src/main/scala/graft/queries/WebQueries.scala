@@ -1,0 +1,189 @@
+package graft.queries
+
+import java.nio.charset.StandardCharsets
+
+import graft.operators.WebCorpus
+import graft.sources.html.HtmlParser
+import graft.sources.warc.WarcReader
+import org.apache.spark.sql.functions._
+
+/** Web-corpus ingestion suite — the curation steps EVERY web-scale LLM
+  * pipeline runs first: HTML → main content (q176, jusText/Readability
+  * lineage) and WARC record-level ingestion feeding it (q179, the
+  * CommonCrawl entry path). Both run the REAL lenient readers
+  * ([[graft.sources.html.HtmlParser]], [[graft.sources.warc.WarcReader]])
+  * over fixture bytes whose every byte the DuckDB oracle reconstructs from
+  * documents.text + doc_id (the q50/q173 discipline) — a one-byte parse or
+  * framing error diverges the hash. */
+object WebQueries {
+
+  /** Main-content (boilerplate) extraction — the single most common
+    * real-world LLM-ingestion step: wrap each document in a synthetic page
+    * with planted nav/sidebar/footer boilerplate
+    * ([[WebCorpus.page]]), parse it back with the lenient tag reader,
+    * segment into blocks, and classify each block with the jusText-lite
+    * integer gate (boilerplate iff < 5 words or link density ≥ 3000 bp).
+    * Per document: block accounting, word mass on each side of the gate,
+    * boilerplate ppm, and the md5 of the extracted main text — the md5
+    * pins the EXTRACTION byte-exactly, not just its statistics.
+    *
+    * Scale shape: the whole pipeline is one partition-wise map over the
+    * document scan (build → tokenize → segment → classify stay inside the
+    * scan task; no HTML ever shuffles — only the per-doc stat row leaves),
+    * then the presentation sort. At 100 TB this runs at scan speed. */
+  val q176 = Q(
+    "q176_html_extract",
+    (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions { rows =>
+          rows.map { case (id, text) =>
+            val html = WebCorpus.page(id, WebCorpus.tokens(text))
+            val bs = HtmlParser.blocks(html)
+            val (boiler, main) = bs.partition(HtmlParser.isBoiler(_))
+            val mw = main.foldLeft(0L)(_ + _.words)
+            val bw = boiler.foldLeft(0L)(_ + _.words)
+            (id, bs.length.toLong, boiler.length.toLong, mw, bw,
+              1000000L * bw / (mw + bw), main.map(_.text).mkString(" "))
+          }
+        }
+        .toDF("doc_id", "n_blocks", "n_boiler", "main_words",
+          "boiler_words", "boiler_ppm", "main_text")
+        .withColumn("main_md5", md5(col("main_text")))
+        .drop("main_text")
+        .orderBy("doc_id")
+    },
+    // The oracle replays the generative arithmetic: blocks are nav + side
+    // + footer (4+5+4 words, all boilerplate by construction) plus
+    // ⌈nw/20⌉ paragraphs; only a 1–4-word trailing chunk fails the
+    // min-words gate, so main text = the first nw − tail tokens.
+    Some("""
+      WITH d AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+                                   x -> length(x) > 0) AS ws
+        FROM documents),
+      s AS (
+        SELECT doc_id, ws, len(ws) AS nw, (len(ws) + 19) // 20 AS nchunks,
+               CASE WHEN len(ws) % 20 BETWEEN 1 AND 4
+                    THEN len(ws) % 20 ELSE 0 END AS tail_drop
+        FROM d)
+      SELECT doc_id,
+             CAST(3 + nchunks AS BIGINT) AS n_blocks,
+             CAST(3 + CASE WHEN tail_drop > 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS n_boiler,
+             CAST(nw - tail_drop AS BIGINT) AS main_words,
+             CAST(13 + tail_drop AS BIGINT) AS boiler_words,
+             1000000 * CAST(13 + tail_drop AS BIGINT)
+               // CAST(nw + 13 AS BIGINT) AS boiler_ppm,
+             md5(array_to_string(ws[1 : CAST(nw - tail_drop AS INT)], ' '))
+               AS main_md5
+      FROM s ORDER BY doc_id""")
+  )
+
+  /** WARC record ingestion end-to-end — the CommonCrawl entry path: the
+    * corpus is assembled into REAL ISO 28500 WARC shards (8 response
+    * records each, [[WebCorpus.warcRecord]]), the shards are split back
+    * with the record-level reader ([[WarcReader.records]] — version line,
+    * case-insensitive headers, Content-Length framing), and every
+    * recovered record runs q176's main-content extraction. Per record:
+    * shard/position accounting, the doc_id parsed back out of
+    * WARC-Target-URI, the framed Content-Length, the payload md5 (a
+    * one-byte framing error shifts the slice and diverges it), and the
+    * extracted main-word mass.
+    *
+    * Scale shape: shard assembly is ONE doc_id-keyed exchange (the same
+    * exchange that writes a corpus out — linear, 8-doc groups, no skew);
+    * the split + parse + extraction run inside the consuming task;
+    * payloads never shuffle again (only stat rows + 32-char digests
+    * leave). At 100 TB the fixture assembly is replaced by reading real
+    * WARC files ([[graft.operators.BulkIngest]]'s catalog road) and the
+    * operator is a pure scan-speed map. */
+  val q179 = Q(
+    "q179_warc_ingest",
+    (s, dir) => {
+      import s.implicits._
+      val recs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .groupByKey(_._1 / WebCorpus.ShardDocs)
+        .mapGroups { (shard, it) =>
+          val docs = it.toSeq.sortBy(_._1)
+          val bytes = docs.iterator.map { case (id, text) =>
+            WebCorpus.warcRecord(id, WebCorpus.page(id, WebCorpus.tokens(text)))
+          }.toArray
+          val total = bytes.foldLeft(0)(_ + _.length)
+          val warc = new Array[Byte](total)
+          var off = 0
+          bytes.foreach { b =>
+            System.arraycopy(b, 0, warc, off, b.length); off += b.length
+          }
+          (shard, warc)
+        }
+        .flatMap { case (shard, warc) =>
+          WarcReader.records(warc).zipWithIndex.map { case (r, idx) =>
+            val uri = r.header("warc-target-uri").getOrElse("")
+            val docId = uri.substring(uri.lastIndexOf('/') + 1).toLong
+            val html = new String(r.payload, StandardCharsets.UTF_8)
+            val mainWords = HtmlParser.blocks(html)
+              .filterNot(HtmlParser.isBoiler(_)).foldLeft(0L)(_ + _.words)
+            (shard, idx.toLong, docId, r.payload.length.toLong, r.payload,
+              mainWords)
+          }
+        }
+        .toDF("shard_id", "rec_idx", "doc_id", "content_length", "payload",
+          "main_words")
+      recs
+        .withColumn("payload_md5", md5(col("payload")))
+        .drop("payload")
+        .select("shard_id", "rec_idx", "doc_id", "content_length",
+          "payload_md5", "main_words")
+        .orderBy("shard_id", "rec_idx")
+    },
+    // The oracle reconstructs each record's EXACT page bytes from
+    // documents.text (template concatenation mirrors WebCorpus.page
+    // byte-for-byte), so payload_md5/content_length pin the WARC framing
+    // and the page builder at once.
+    Some("""
+      WITH d AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+                                   x -> length(x) > 0) AS ws
+        FROM documents),
+      s AS (
+        SELECT doc_id, ws, len(ws) AS nw,
+               CAST((len(ws) + 19) // 20 AS INT) AS nchunks
+        FROM d),
+      page AS (
+        SELECT doc_id, nw,
+               '<html><head><title>Doc ' || doc_id ||
+               '</title></head><body>' || chr(10) ||
+               '<nav class="menu"><a href="/">home</a> ' ||
+               '<a href="/about">about us</a> ' ||
+               '<a href="/contact">contact</a></nav>' || chr(10) ||
+               array_to_string(list_transform(range(0, nchunks), k ->
+                 '<p>' || array_to_string(
+                   ws[CAST(k * 20 + 1 AS INT) :
+                      least(CAST(k * 20 + 20 AS INT), CAST(nw AS INT))],
+                   ' ') || '</p>' || chr(10) ||
+                 CASE WHEN k = 0
+                      THEN '<div class="side">related reading ' ||
+                           '<a href="/more">more stories here</a></div>'
+                           || chr(10)
+                      ELSE '' END), '') ||
+               '<footer>copyright <a href="/terms">terms</a> ' ||
+               '<a href="/privacy">privacy</a> ' ||
+               '<a href="/imprint">imprint</a></footer>' || chr(10) ||
+               '</body></html>' || chr(10) AS html
+        FROM s)
+      SELECT doc_id // 8 AS shard_id,
+             ROW_NUMBER() OVER (PARTITION BY doc_id // 8 ORDER BY doc_id)
+               - 1 AS rec_idx,
+             doc_id,
+             CAST(strlen(html) AS BIGINT) AS content_length,
+             md5(html) AS payload_md5,
+             CAST(nw - CASE WHEN nw % 20 BETWEEN 1 AND 4
+                            THEN nw % 20 ELSE 0 END AS BIGINT) AS main_words
+      FROM page ORDER BY shard_id, rec_idx""")
+  )
+
+  val all: Seq[Q] = Seq(q176, q179)
+}
