@@ -1277,6 +1277,241 @@ object TextQueries {
       GROUP BY 1 ORDER BY wlen""")
   )
 
+  /** Unigram-LM tokenizer TRAINING (SentencePiece's other half next to
+    * q135's BPE; Kudo ACL'18) — seed a piece vocabulary, run Viterbi-EM,
+    * prune, re-estimate:
+    *
+    *  1. SEED: q159's codebook machinery — top-64 2..4-char substrings of
+    *     the corpus vocabulary by frequency-weighted occurrence (ties
+    *     lexicographic) plus every single character (required chars,
+    *     never pruned), each scored by its occurrence mass;
+    *  2. E-STEP: decode every vocabulary word with the integer-cost
+    *     Viterbi kernel ([[graft.operators.UnigramLm]] — costs are
+    *     bitlen(T div t)+1, the exact ⌈log₂⌉ quantization both engines
+    *     replay; backtrack takes the LONGEST piece on ties), expected
+    *     count = word-frequency-weighted piece occurrences on the
+    *     canonical path;
+    *  3. M-STEP + PRUNE: drop the 16 multi-char pieces with the smallest
+    *     expected count (ties lexicographic — SentencePiece's
+    *     lowest-likelihood-loss pruning, count-quantized), floor
+    *     surviving counts at 1 (Laplace), recompute costs;
+    *  4. final E-step under the pruned model → the trained table.
+    *
+    * Scale shape (q97/q159's argument): the corpus collapses to the
+    * DISTINCT-WORD vocabulary at the first aggregate; substring stats are
+    * vocab-sized; the piece table is ≤ 64+Σchars collected rows
+    * (corpus-size-independent driver syncs, the IVF/PQ codebook
+    * discipline); each E-step is one partition-wise flatMap over the
+    * vocabulary + a piece-keyed ≤90-group aggregate. Nothing scales with
+    * corpus bytes. */
+  val q178 = Q(
+    "q178_unigram_train",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.UnigramLm
+      val vocab = documents(s, dir)
+        .select(explode(filter(split(col("text"), "\\s+"),
+          x => x.rlike("^[a-z]+$"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .as[(String, Long)]
+        .materialized // consumers: two seed collects + two E-step passes
+      val multi: Seq[(String, Long)] = vocab.toDF("word", "freq")
+        .select(col("word"), col("freq"),
+          explode(sequence(lit(1), length(col("word")))).as("i"))
+        .select(col("word"), col("freq"), col("i"),
+          explode(array(lit(2), lit(3), lit(4))).as("l"))
+        .filter(col("i") + col("l") - 1 <= length(col("word")))
+        .select(col("word").substr(col("i"), col("l")).as("piece"),
+          col("freq"))
+        .groupBy("piece").agg(sum(col("freq")).as("t"))
+        .orderBy(col("t").desc, col("piece")).limit(64)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val singles: Seq[(String, Long)] = vocab.toDF("word", "freq")
+        .select(col("word"), col("freq"),
+          explode(sequence(lit(1), length(col("word")))).as("i"))
+        .select(col("word").substr(col("i"), lit(1)).as("piece"),
+          col("freq"))
+        .groupBy("piece").agg(sum(col("freq")).as("t"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      def result(rows: Seq[(String, Long, Long, Long, Long)]) =
+        s.createDataFrame(rows)
+          .toDF("piece", "plen", "seed_t", "em1", "em2")
+          .orderBy("piece")
+      if (singles.isEmpty) result(Seq.empty)
+      else {
+        def estep(cost: Map[String, Long]): Map[String, Long] =
+          vocab.mapPartitions { it =>
+            it.flatMap { case (w, f) =>
+              UnigramLm.viterbiPieces(w, cost).map(p => (p, f))
+            }
+          }.toDF("piece", "freq")
+            .groupBy("piece").agg(sum(col("freq")).as("e"))
+            .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+        val e1 = estep(UnigramLm.costs((multi ++ singles).toMap))
+        val dropped = multi.map { case (p, _) => (p, e1.getOrElse(p, 0L)) }
+          .sortBy { case (p, e) => (e, p) }.take(16).map(_._1).toSet
+        val survivors = multi.filterNot(c => dropped(c._1)) ++ singles
+        val t1 = survivors
+          .map { case (p, _) => p -> math.max(e1.getOrElse(p, 0L), 1L) }
+          .toMap
+        val e2 = estep(UnigramLm.costs(t1))
+        result(survivors.map { case (p, t0) =>
+          (p, p.length.toLong, t0, e1.getOrElse(p, 0L), e2.getOrElse(p, 0L))
+        })
+      }
+    },
+    Some(raw"""
+      WITH RECURSIVE
+      words AS (
+        SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+          SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+            x -> regexp_matches(x, '^[a-z]+$$'))) AS w
+          FROM documents)
+        GROUP BY w),
+      occ AS (
+        SELECT substr(word, i, l) AS piece, freq
+        FROM (SELECT word, freq, unnest(range(1, length(word) + 1)) AS i
+              FROM words),
+             (SELECT unnest([2, 3, 4]) AS l)
+        WHERE i + l - 1 <= length(word)),
+      multi AS (
+        SELECT piece, t FROM (
+          SELECT piece, CAST(SUM(freq) AS BIGINT) AS t,
+                 ROW_NUMBER() OVER (ORDER BY SUM(freq) DESC, piece) AS rn
+          FROM occ GROUP BY piece)
+        WHERE rn <= 64),
+      singles AS (
+        SELECT piece, CAST(SUM(freq) AS BIGINT) AS t FROM (
+          SELECT word[i:i] AS piece, freq
+          FROM (SELECT word, freq, unnest(range(1, length(word) + 1)) AS i
+                FROM words))
+        GROUP BY piece),
+      seed AS (SELECT piece, t FROM multi UNION ALL SELECT piece, t FROM singles),
+      tot0 AS (SELECT CAST(SUM(t) AS BIGINT) AS tt FROM seed),
+      cost0 AS (SELECT piece, CAST(length(bin(tt // t)) + 1 AS BIGINT) AS cost
+                FROM seed, tot0),
+      cl0 AS (SELECT list(piece ORDER BY piece) AS ps,
+                     list(cost ORDER BY piece) AS cs FROM cost0),
+      dp1 AS (
+        SELECT word, freq, 0 AS i, [CAST(0 AS BIGINT)] AS b FROM words
+        UNION ALL
+        SELECT d.word, d.freq, d.i + 1,
+          list_append(d.b, least(
+            CASE WHEN list_position(ps, substr(d.word, d.i + 1, 1)) IS NOT NULL
+                 THEN d.b[d.i + 1] + cs[list_position(ps, substr(d.word, d.i + 1, 1))]
+                 ELSE 1000000000 END,
+            CASE WHEN d.i + 1 >= 2
+                   AND list_position(ps, substr(d.word, d.i, 2)) IS NOT NULL
+                 THEN d.b[d.i] + cs[list_position(ps, substr(d.word, d.i, 2))]
+                 ELSE 1000000000 END,
+            CASE WHEN d.i + 1 >= 3
+                   AND list_position(ps, substr(d.word, d.i - 1, 3)) IS NOT NULL
+                 THEN d.b[d.i - 1] + cs[list_position(ps, substr(d.word, d.i - 1, 3))]
+                 ELSE 1000000000 END,
+            CASE WHEN d.i + 1 >= 4
+                   AND list_position(ps, substr(d.word, d.i - 2, 4)) IS NOT NULL
+                 THEN d.b[d.i - 2] + cs[list_position(ps, substr(d.word, d.i - 2, 4))]
+                 ELSE 1000000000 END))
+        FROM dp1 d, cl0 WHERE d.i < length(d.word)),
+      dpf1 AS (SELECT word, freq, b FROM dp1 WHERE i = length(word)),
+      bt1 AS (
+        SELECT word, freq, length(word) AS pos, b, CAST(NULL AS VARCHAR) AS piece
+        FROM dpf1
+        UNION ALL
+        SELECT word, freq, pos - l, b, substr(word, pos - l + 1, l)
+        FROM (
+          SELECT t.word, t.freq, t.pos, t.b,
+            CASE WHEN t.pos >= 4
+                   AND list_position(ps, substr(t.word, t.pos - 3, 4)) IS NOT NULL
+                   AND t.b[t.pos - 3]
+                       + cs[list_position(ps, substr(t.word, t.pos - 3, 4))]
+                       = t.b[t.pos + 1] THEN 4
+                 WHEN t.pos >= 3
+                   AND list_position(ps, substr(t.word, t.pos - 2, 3)) IS NOT NULL
+                   AND t.b[t.pos - 2]
+                       + cs[list_position(ps, substr(t.word, t.pos - 2, 3))]
+                       = t.b[t.pos + 1] THEN 3
+                 WHEN t.pos >= 2
+                   AND list_position(ps, substr(t.word, t.pos - 1, 2)) IS NOT NULL
+                   AND t.b[t.pos - 1]
+                       + cs[list_position(ps, substr(t.word, t.pos - 1, 2))]
+                       = t.b[t.pos + 1] THEN 2
+                 ELSE 1 END AS l
+          FROM bt1 t, cl0 WHERE t.pos > 0)),
+      e1 AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS e
+             FROM bt1 WHERE piece IS NOT NULL GROUP BY piece),
+      me1 AS (
+        SELECT m.piece, m.t, COALESCE(e1.e, 0) AS e,
+               ROW_NUMBER() OVER (ORDER BY COALESCE(e1.e, 0) ASC, m.piece ASC)
+                 AS prn
+        FROM multi m LEFT JOIN e1 ON m.piece = e1.piece),
+      surv AS (
+        SELECT piece, t FROM me1 WHERE prn > 16
+        UNION ALL SELECT piece, t FROM singles),
+      t1 AS (
+        SELECT s.piece, s.t AS seed_t,
+               greatest(COALESCE(e1.e, 0), 1) AS t,
+               COALESCE(e1.e, 0) AS em1
+        FROM surv s LEFT JOIN e1 ON s.piece = e1.piece),
+      tot1 AS (SELECT CAST(SUM(t) AS BIGINT) AS tt FROM t1),
+      cost1 AS (SELECT piece, CAST(length(bin(tt // t)) + 1 AS BIGINT) AS cost
+                FROM t1, tot1),
+      cl1 AS (SELECT list(piece ORDER BY piece) AS ps,
+                     list(cost ORDER BY piece) AS cs FROM cost1),
+      dp2 AS (
+        SELECT word, freq, 0 AS i, [CAST(0 AS BIGINT)] AS b FROM words
+        UNION ALL
+        SELECT d.word, d.freq, d.i + 1,
+          list_append(d.b, least(
+            CASE WHEN list_position(ps, substr(d.word, d.i + 1, 1)) IS NOT NULL
+                 THEN d.b[d.i + 1] + cs[list_position(ps, substr(d.word, d.i + 1, 1))]
+                 ELSE 1000000000 END,
+            CASE WHEN d.i + 1 >= 2
+                   AND list_position(ps, substr(d.word, d.i, 2)) IS NOT NULL
+                 THEN d.b[d.i] + cs[list_position(ps, substr(d.word, d.i, 2))]
+                 ELSE 1000000000 END,
+            CASE WHEN d.i + 1 >= 3
+                   AND list_position(ps, substr(d.word, d.i - 1, 3)) IS NOT NULL
+                 THEN d.b[d.i - 1] + cs[list_position(ps, substr(d.word, d.i - 1, 3))]
+                 ELSE 1000000000 END,
+            CASE WHEN d.i + 1 >= 4
+                   AND list_position(ps, substr(d.word, d.i - 2, 4)) IS NOT NULL
+                 THEN d.b[d.i - 2] + cs[list_position(ps, substr(d.word, d.i - 2, 4))]
+                 ELSE 1000000000 END))
+        FROM dp2 d, cl1 WHERE d.i < length(d.word)),
+      dpf2 AS (SELECT word, freq, b FROM dp2 WHERE i = length(word)),
+      bt2 AS (
+        SELECT word, freq, length(word) AS pos, b, CAST(NULL AS VARCHAR) AS piece
+        FROM dpf2
+        UNION ALL
+        SELECT word, freq, pos - l, b, substr(word, pos - l + 1, l)
+        FROM (
+          SELECT t.word, t.freq, t.pos, t.b,
+            CASE WHEN t.pos >= 4
+                   AND list_position(ps, substr(t.word, t.pos - 3, 4)) IS NOT NULL
+                   AND t.b[t.pos - 3]
+                       + cs[list_position(ps, substr(t.word, t.pos - 3, 4))]
+                       = t.b[t.pos + 1] THEN 4
+                 WHEN t.pos >= 3
+                   AND list_position(ps, substr(t.word, t.pos - 2, 3)) IS NOT NULL
+                   AND t.b[t.pos - 2]
+                       + cs[list_position(ps, substr(t.word, t.pos - 2, 3))]
+                       = t.b[t.pos + 1] THEN 3
+                 WHEN t.pos >= 2
+                   AND list_position(ps, substr(t.word, t.pos - 1, 2)) IS NOT NULL
+                   AND t.b[t.pos - 1]
+                       + cs[list_position(ps, substr(t.word, t.pos - 1, 2))]
+                       = t.b[t.pos + 1] THEN 2
+                 ELSE 1 END AS l
+          FROM bt2 t, cl1 WHERE t.pos > 0)),
+      e2 AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS e
+             FROM bt2 WHERE piece IS NOT NULL GROUP BY piece)
+      SELECT t1.piece, CAST(length(t1.piece) AS BIGINT) AS plen,
+             t1.seed_t, t1.em1, COALESCE(e2.e, 0) AS em2
+      FROM t1 LEFT JOIN e2 ON t1.piece = e2.piece
+      ORDER BY t1.piece""")
+  )
+
   val all: Seq[Q] = Seq(q25, q30, q31, q32, q36, q78, q87, q97, q100, q124,
-    q135, q140, q147, q153, q154, q159)
+    q135, q140, q147, q153, q154, q159, q178)
 }

@@ -190,4 +190,89 @@ class TrainingOpsSpec extends SparkSpec {
     // every doc appears exactly once — it IS a permutation
     assert(got.map(_._1).sorted.toSeq == d.map(_._1).sorted.toSeq)
   }
+
+  test("q178: matches a from-scratch Viterbi-EM recompute (seed, prune, re-estimate)") {
+    // independent reimplementation — deliberately NOT graft.operators
+    // .UnigramLm, so a drift in the shipped kernel fails here
+    val freq = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach { case (_, _, text) =>
+      words(text).foreach { w =>
+        if (w.matches("^[a-z]+$"))
+          freq(w) = freq.getOrElse(w, 0L) + 1L
+      }
+    }
+    val multi = scala.collection.mutable.Map.empty[String, Long]
+    val singles = scala.collection.mutable.Map.empty[String, Long]
+    freq.foreach { case (w, f) =>
+      (0 until w.length).foreach { i =>
+        singles(w.substring(i, i + 1)) =
+          singles.getOrElse(w.substring(i, i + 1), 0L) + f
+        Seq(2, 3, 4).foreach { l =>
+          if (i + l <= w.length) {
+            val p = w.substring(i, i + l)
+            multi(p) = multi.getOrElse(p, 0L) + f
+          }
+        }
+      }
+    }
+    val top = multi.toSeq.sortBy { case (p, t) => (-t, p) }.take(64)
+    def costs(t: Map[String, Long]): Map[String, Long] = {
+      val tot = t.values.sum
+      t.map { case (p, c) =>
+        p -> (java.lang.Long.toBinaryString(tot / c).length.toLong + 1L)
+      }
+    }
+    def decode(w: String, cost: Map[String, Long]): Seq[String] = {
+      val n = w.length
+      val best = Array.fill(n + 1)(Long.MaxValue / 2)
+      best(0) = 0L
+      (1 to n).foreach { i =>
+        (1 to math.min(4, i)).foreach { l =>
+          cost.get(w.substring(i - l, i)).foreach { c =>
+            if (best(i - l) + c < best(i)) best(i) = best(i - l) + c
+          }
+        }
+      }
+      var pos = n
+      var out = List.empty[String]
+      while (pos > 0) {
+        val l = (math.min(4, pos) to 2 by -1).find { l =>
+          cost.get(w.substring(pos - l, pos))
+            .exists(c => best(pos - l) + c == best(pos))
+        }.getOrElse(1)
+        out = w.substring(pos - l, pos) :: out
+        pos -= l
+      }
+      out
+    }
+    def estep(cost: Map[String, Long]): Map[String, Long] = {
+      val e = scala.collection.mutable.Map.empty[String, Long]
+      freq.foreach { case (w, f) =>
+        decode(w, cost).foreach(p => e(p) = e.getOrElse(p, 0L) + f)
+      }
+      e.toMap
+    }
+    val e1 = estep(costs((top ++ singles).toMap))
+    val dropped = top.map { case (p, _) => (p, e1.getOrElse(p, 0L)) }
+      .sortBy { case (p, e) => (e, p) }.take(16).map(_._1).toSet
+    val surv = top.filterNot(c => dropped(c._1)) ++ singles.toSeq
+    val e2 = estep(costs(
+      surv.map { case (p, _) => p -> math.max(e1.getOrElse(p, 0L), 1L) }.toMap))
+    val expect = surv.map { case (p, t) =>
+      (p, p.length.toLong, t, e1.getOrElse(p, 0L), e2.getOrElse(p, 0L))
+    }.sortBy(_._1)
+    val got = TextQueries.q178.spark(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expect, s"got ${got.take(3)}… expect ${expect.take(3)}…")
+    // structural laws: singles never pruned; every decode covers its word
+    assert(singles.keySet.subsetOf(got.map(_._1).toSet))
+    val cost2 = costs(
+      surv.map { case (p, _) => p -> math.max(e1.getOrElse(p, 0L), 1L) }.toMap)
+    freq.keys.foreach { w =>
+      assert(decode(w, cost2).mkString("") == w, s"decode must cover '$w'")
+    }
+    // pruning actually removed pieces (the law isn't vacuous)
+    assert(dropped.size == math.min(16, top.size))
+  }
 }
