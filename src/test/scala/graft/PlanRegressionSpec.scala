@@ -296,7 +296,11 @@ class PlanRegressionSpec extends SparkSpec {
       // q172: the 4-row query panel broadcast against the streaming
       // candidates — case (b); after the top-12 cut everything is
       // per-query constant-size equi-joins
-      "q172_mmr_diversify")
+      "q172_mmr_diversify",
+      // q180: the bigram-type total N1+(··) is a ONE-ROW scalar frame
+      // cross joined over the scoring join — case (a); the three count
+      // models are vocabulary-sized equi-joins
+      "q180_kneser_ney")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")

@@ -52,7 +52,9 @@ class ShuffleAuditSpec extends SparkSpec {
     "q118_range_layout" -> ((512.0, "assembly: 17 range-boundary audit rows")),
     "q122_robust_anomaly" -> ((2048.0, "assembly: 25 per-source rows with median/MAD quantile structs")),
     // record-grain by contract
-    "q111_cdc_merge" -> ((256.0, "record: a CDC upsert's JOB is to move the record's columns")))
+    "q111_cdc_merge" -> ((256.0, "record: a CDC upsert's JOB is to move the record's columns")),
+    "q179_warc_ingest" -> ((1024.0,
+      "record: WARC shard assembly IS the corpus-write exchange — each page moves to its shard exactly once")))
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     val (ceiling, why) = ceilingOverrides.getOrElse(name, (DefaultCeiling, "digest-grain default"))
