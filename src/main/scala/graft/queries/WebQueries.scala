@@ -122,7 +122,10 @@ object WebQueries {
         .flatMap { case (shard, warc) =>
           WarcReader.records(warc).zipWithIndex.map { case (r, idx) =>
             val uri = r.header("warc-target-uri").getOrElse("")
-            val docId = uri.substring(uri.lastIndexOf('/') + 1).toLong
+            // -1 on a malformed URI: a framing bug then diverges the hash
+            // loudly instead of crashing the task
+            val docId = uri.substring(uri.lastIndexOf('/') + 1)
+              .toLongOption.getOrElse(-1L)
             val html = new String(r.payload, StandardCharsets.UTF_8)
             val mainWords = HtmlParser.blocks(html)
               .filterNot(HtmlParser.isBoiler(_)).foldLeft(0L)(_ + _.words)

@@ -40,8 +40,17 @@ class HtmlImporter(val spark: SparkSession, val filePath: String)
   def work(): Seq[ParserAnswer] = {
     try {
       val bytes = FsIO.readAllBytes(filePath)
-      val encoding = Sniffers.detectEncoding(filePath).getOrElse("utf-8")
-      val html = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      // HTML declares its own charset: honor <meta charset=...> /
+      // <meta http-equiv Content-Type ... charset=...> from the byte
+      // prefix (the WHATWG prescan), fall back to the byte sniffer, then
+      // UTF-8 (which subsumes ASCII and survives stray bytes)
+      val encoding = HtmlImporter.metaCharset(bytes)
+        .orElse(Sniffers.detectEncoding(filePath))
+        .getOrElse("utf-8")
+      val cs =
+        try java.nio.charset.Charset.forName(encoding)
+        catch { case _: Exception => java.nio.charset.StandardCharsets.UTF_8 }
+      val html = new String(bytes, cs)
       val tables = HtmlParser.tables(html)
       if (tables.nonEmpty) {
         tables.zipWithIndex.map { case (rows, idx) =>
@@ -67,5 +76,20 @@ class HtmlImporter(val spark: SparkSession, val filePath: String)
           engine = engineName, knownRowCount = Some(main.length.toLong)))
       }
     } catch { case _: Exception => failedAnswer() }
+  }
+}
+
+object HtmlImporter {
+  /** WHATWG-style charset prescan over the first 1024 bytes: the value of
+    * the first `charset=` attribute inside a `<meta ...>` tag (covers both
+    * the HTML5 `<meta charset="x">` and the legacy http-equiv
+    * `content="text/html; charset=x"` spellings — the attribute text is
+    * ASCII either way). */
+  private[graft] def metaCharset(bytes: Array[Byte]): Option[String] = {
+    val n = math.min(bytes.length, 1024)
+    val prefix = new String(bytes, 0, n,
+      java.nio.charset.StandardCharsets.US_ASCII).toLowerCase
+    val meta = "<meta\\s[^>]*charset\\s*=\\s*[\"']?([a-z0-9_\\-]+)".r
+    meta.findFirstMatchIn(prefix).map(_.group(1))
   }
 }

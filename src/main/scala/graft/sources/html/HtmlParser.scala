@@ -45,7 +45,9 @@ object HtmlParser {
     "blockquote", "pre", "br", "hr", "form", "body", "html", "head",
     "title", "dl", "dt", "dd", "figure", "figcaption", "address")
 
-  private val RawTextTags: Set[String] = Set("script", "style")
+  // script/style are RAWTEXT per spec; textarea is RCDATA but its content
+  // is form INPUT, not document content — a boilerplate extractor drops it
+  private val RawTextTags: Set[String] = Set("script", "style", "textarea")
 
   private sealed trait Event
   private final case class TextEv(s: String) extends Event

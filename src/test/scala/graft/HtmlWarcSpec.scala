@@ -44,6 +44,36 @@ class HtmlWarcSpec extends SparkSpec {
     assert(HtmlParser.mainText(short) == (1 to 20).map(i => s"v$i").mkString(" "))
   }
 
+  test("textarea is form input, not content: body dropped even when it holds markup") {
+    val html = "<p>real words here live on</p>" +
+      "<textarea><p>typed draft</p> not content</textarea><p>more real words follow here</p>"
+    val bs = HtmlParser.blocks(html)
+    assert(bs.map(_.text) == Vector("real words here live on", "more real words follow here"), bs)
+  }
+
+  test("meta-charset prescan: declared cp1251 body decodes, attribute spellings covered") {
+    val dir = tmpDir("charset")
+    // Cyrillic "да" in windows-1251 is 0xE4 0xE0 — invalid as UTF-8
+    val body = ("<html><head><meta charset=\"windows-1251\"></head><body>" +
+      "<p>answer was XX plus five more words</p></body></html>")
+      .getBytes("US-ASCII")
+    val i = new String(body, "US-ASCII").indexOf("XX")
+    body(i) = 0xE4.toByte; body(i + 1) = 0xE0.toByte
+    val p = dir.resolve("cyr.html")
+    java.nio.file.Files.write(p, body)
+    val ans = AnyFile.parse(spark, p.toString)
+    assert(ans.head.encoding == "windows-1251")
+    val text = ans.head.data.collect().map(_.getString(0)).mkString(" ")
+    assert(text.contains("да"), text) // да decoded correctly
+    // legacy http-equiv spelling reaches the same prescan
+    assert(graft.sources.HtmlImporter.metaCharset(
+      ("<meta http-equiv=\"Content-Type\" " +
+        "content=\"text/html; charset=koi8-r\">").getBytes("US-ASCII"))
+      .contains("koi8-r"))
+    assert(graft.sources.HtmlImporter.metaCharset(
+      "<html><body>no declaration</body></html>".getBytes("US-ASCII")).isEmpty)
+  }
+
   test("tables: ragged rows, th cells, implicit closes, unclosed at EOF") {
     val html =
       """<table><tr><th>h1</th><th>h2</th><th>h3</th>
