@@ -25,6 +25,10 @@ import org.apache.spark.sql.SparkSession
   *  - `.html .htm` → [[HtmlImporter]] (beyond the reference's table —
   *    the LLM-corpus entry format: lenient WHATWG-lineage tag reader,
   *    `<table>` frames or boilerplate-classified main content)
+  *  - `.docx` → [[DocxImporter]] (beyond the reference's table — OPC zip +
+  *    WordprocessingML; `<w:tbl>` frames or one row per body paragraph)
+  *  - `.sqlite .sqlite3 .db` → [[SqliteImporter]] (beyond the reference's
+  *    table — from-spec page/B-tree reader, one answer per user table)
   *  - `.parquet` → [[ParquetImporter]]
   *  - `.json` → [[JsonImporter]]
   *  - `.pk1` and `.pickle` → [[PickleImporter]] (documented gap). The
@@ -66,6 +70,8 @@ object AnyFile {
       case ".ant" =>
         new TextImporter(spark, path, Some(TextImporter.AntDelimiter))
       case ".html" | ".htm" => new HtmlImporter(spark, path)
+      case ".docx" => new DocxImporter(spark, path)
+      case ".sqlite" | ".sqlite3" | ".db" => new SqliteImporter(spark, path)
       case ".pdf"     => new PdfImporter(spark, path, concat = true)
       case ".parquet" => new ParquetImporter(spark, path)
       case ".json"    => new JsonImporter(spark, path)

@@ -47,8 +47,25 @@ object Demo {
         | </ss:Table></ss:Worksheet>
         |</Workbook>""".stripMargin)
 
+    // WordprocessingML document, one table
+    val docx = dir.resolve("memo.docx")
+    locally {
+      val out = new java.util.zip.ZipOutputStream(
+        Files.newOutputStream(docx))
+      out.putNextEntry(new java.util.zip.ZipEntry("word/document.xml"))
+      out.write(
+        ("""<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">""" +
+          "<w:body><w:tbl>" +
+          "<w:tr><w:tc><w:p><w:r><w:t>name</w:t></w:r></w:p></w:tc>" +
+          "<w:tc><w:p><w:r><w:t>qty</w:t></w:r></w:p></w:tc></w:tr>" +
+          "<w:tr><w:tc><w:p><w:r><w:t>bolt</w:t></w:r></w:p></w:tc>" +
+          "<w:tc><w:p><w:r><w:t>42</w:t></w:r></w:p></w:tc></w:tr>" +
+          "</w:tbl></w:body></w:document>").getBytes("UTF-8"))
+      out.closeEntry(); out.close()
+    }
+
     val cases = Seq(
-      txt.toString, csv.toString, ant.toString, xml.toString,
+      txt.toString, csv.toString, ant.toString, xml.toString, docx.toString,
       "/root/testdata/sf0.001/lineitem.parquet",
       dir.resolve("missing.txt").toString, // not found → Failed
       txt.toString + ".xyz"                // unknown ext → Failed

@@ -391,7 +391,10 @@ object BulkIngest {
           text(path, Some(graft.sources.TextImporter.AntDelimiter))
         case ".pdf" => pdf(path)
         case ".html" | ".htm" => html(path)
+        case ".docx" => docx(path)
+        case ".sqlite" | ".sqlite3" | ".db" => sqlite(path)
         case ".warc" => warc(path)
+        case ".gz" if path.toLowerCase.endsWith(".warc.gz") => warc(path)
         case ".parquet" =>
           Seq(CellRow(path, "ImportParquet", "Parquet file content",
             "Native", -1L, Seq.empty))
@@ -410,7 +413,9 @@ object BulkIngest {
     case ".txt" | ".csv" | ".ini" | ".ant" => "ImportText"
     case ".pdf" => "ImportPDF"
     case ".html" | ".htm" => "ImportHTML"
-    case ".warc" => "ImportWARC"
+    case ".docx" => "ImportDocx"
+    case ".sqlite" | ".sqlite3" | ".db" => "ImportSqlite"
+    case ".warc" | ".gz" => "ImportWARC"
     case _ => ""
   }
 
@@ -532,12 +537,67 @@ object BulkIngest {
     }
   }
 
+  /** WordprocessingML: table frames when present (the AnyFile parity
+    * shape), else one row per body paragraph. */
+  private def docx(path: String): Seq[CellRow] = {
+    import graft.sources.docx.DocxParser
+    DocxParser.parse(path) match {
+      case None => Seq(CellRow(path, "ImportDocx", "None", "Failed", -1L, Seq.empty))
+      case Some(doc) if doc.tables.nonEmpty =>
+        doc.tables.zipWithIndex.flatMap { case (rows, t) =>
+          sheetRows(path, "ImportDocx", s"table$t", rows)
+        }
+      case Some(doc) if doc.paragraphs.nonEmpty =>
+        doc.paragraphs.zipWithIndex.map { case (p, i) =>
+          CellRow(path, "ImportDocx", "document text", "OK", i.toLong, Seq(p))
+        }
+      case _ =>
+        Seq(CellRow(path, "ImportDocx", "None", "Failed", -1L, Seq.empty))
+    }
+  }
+
+  /** SQLite: one row per table row, sheet = table name, values rendered
+    * like [[graft.sources.SqliteImporter]] (rowid substituted for the
+    * INTEGER PRIMARY KEY alias). Unreadable tables answer Failed rows.
+    * Page access is ranged, so the task heap holds one page at a time. */
+  private def sqlite(path: String): Seq[CellRow] = {
+    import graft.sources.sqlite.SqliteParser
+    SqliteParser.header(path) match {
+      case None => Seq(CellRow(path, "ImportSqlite", "None", "Failed", -1L, Seq.empty))
+      case Some(h) =>
+        val tables = SqliteParser.tables(path, h)
+        if (tables.isEmpty)
+          return Seq(CellRow(path, "ImportSqlite", "None", "Failed", -1L, Seq.empty))
+        tables.flatMap { t =>
+          def bad = Seq(CellRow(path, "ImportSqlite", t.name, "Failed", -1L, Seq.empty))
+          if (t.virtual || t.withoutRowid || t.rootPage < 1 || t.cols.isEmpty) bad
+          else try {
+            SqliteParser.leafPages(path, h, t.rootPage) match {
+              case None => bad
+              case Some(leaves) =>
+                var idx = -1L
+                leaves.flatMap(SqliteParser.leafRows(path, h, _)).map {
+                  case (rowid, cells) =>
+                    idx += 1
+                    val vals = (0 until t.cols.length).map { i =>
+                      val c = if (i < cells.length) cells(i) else SqliteParser.NullCell
+                      if (i == t.ipk && c == SqliteParser.NullCell) rowid.toString
+                      else SqliteParser.render(c)
+                    }
+                    CellRow(path, "ImportSqlite", t.name, "OK", idx, vals)
+                }
+            }
+          } catch { case _: Exception => bad }
+        }
+    }
+  }
+
   /** WARC (ISO 28500): one row per record — target URI, record type,
     * block length — the CommonCrawl catalog pass; payload decoding is the
     * consumer's job (q179 runs the HTML extraction on response blocks). */
   private def warc(path: String): Seq[CellRow] = {
     import graft.sources.warc.WarcReader
-    val recs = WarcReader.records(FsIO.readAllBytes(path))
+    val recs = WarcReader.records(WarcReader.gunzipIfNeeded(FsIO.readAllBytes(path)))
     if (recs.isEmpty)
       Seq(CellRow(path, "ImportWARC", "None", "Failed", -1L, Seq.empty))
     else recs.zipWithIndex.map { case (r, i) =>

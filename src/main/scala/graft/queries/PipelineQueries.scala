@@ -2192,7 +2192,114 @@ object PipelineQueries {
       FROM scored GROUP BY doc_id ORDER BY doc_id""")
   )
 
+  /** Naive-Bayes language classifier, TRAINED relationally — the
+    * count-based classifier family (fastText/CCNet-style quality and
+    * language gates) next to q54's apply-only hash classifier and q31's
+    * heuristic lang-id: even doc_ids train, odd doc_ids score. Costs are
+    * q178's bitlen-quantized integer negative log-likelihoods, so both
+    * engines derive identical scores from identical integer ratios:
+    *
+    *   cost(c,w)  = len(bin((tot_c + V) div (cnt_cw + 1))) + 1  (Laplace)
+    *   defc(c)    = len(bin(tot_c + V)) + 1                     (unseen w)
+    *   prior(c)   = len(bin((N + K) div (n_c + 1))) + 1
+    *   score(d,c) = prior(c) + Σ_{w ∈ d} cost(c,w);  pred = argmin(score, c)
+    *
+    * Scale shape: the model is wordcount-shaped (vocab × K classes after
+    * map-side combine); scoring fans each test token over the K-row class
+    * panel (explicit broadcast) and equi-joins the model on (cls, token) —
+    * AQE broadcasts it while it fits, shuffles when it doesn't; the
+    * per-(doc, class) sum is one map-side-combined aggregate and the
+    * argmin one per-doc window. Nothing driver-side scales with the
+    * corpus. */
+  val q181 = Q(
+    "q181_nb_langid",
+    (s, dir) => {
+      val docs = documents(s, dir)
+      val toks = docs
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), "\\s+")).as("token"))
+        .filter(length(col("token")) > 0)
+      val train = toks.filter(col("doc_id") % 2 === 0)
+      val test = toks.filter(col("doc_id") % 2 === 1).select("doc_id", "token")
+      val cnt = train.groupBy(col("lang").as("cls"), col("token"))
+        .agg(count(lit(1)).as("cnt"))
+      val tot = cnt.groupBy("cls").agg(sum(col("cnt")).as("tot"))
+      val vocab = cnt.select("token").distinct().agg(count(lit(1)).as("v"))
+      val classDocs = docs.filter(col("doc_id") % 2 === 0)
+        .groupBy(col("lang").as("cls")).agg(count(lit(1)).as("nc"))
+      val nk = classDocs.agg(sum(col("nc")).as("n"), count(lit(1)).as("k"))
+      val panel = tot.join(classDocs, "cls")
+        .crossJoin(broadcast(vocab)).crossJoin(broadcast(nk))
+        .select(col("cls"),
+          expr("cast(length(bin(tot + v)) + 1 as bigint)").as("cost_def"),
+          expr("cast(length(bin((n + k) div (nc + 1))) + 1 as bigint)")
+            .as("prior"))
+      val model = cnt.join(tot, "cls").crossJoin(broadcast(vocab))
+        .select(col("cls"), col("token"),
+          expr("cast(length(bin((tot + v) div (cnt + 1))) + 1 as bigint)")
+            .as("cost"))
+      test
+        .crossJoin(broadcast(panel))
+        .join(model, Seq("cls", "token"), "left")
+        .select(col("doc_id"), col("cls"), col("prior"),
+          coalesce(col("cost"), col("cost_def")).as("tc"))
+        .groupBy("doc_id", "cls")
+        .agg((sum(col("tc")) + max(col("prior"))).as("score"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("score"), col("cls"))))
+        .filter(col("rk") === 1)
+        .join(docs.select(col("doc_id"), col("lang").as("actual_lang")),
+          "doc_id")
+        .select(col("doc_id"), col("actual_lang"),
+          col("cls").as("pred_lang"), col("score"))
+        .orderBy("doc_id")
+    },
+    Some(raw"""
+      WITH toks AS (
+        SELECT doc_id, lang,
+               unnest(string_split_regex(text, '\s+')) AS token
+        FROM documents),
+      t2 AS (SELECT * FROM toks WHERE length(token) > 0),
+      train AS (SELECT * FROM t2 WHERE doc_id % 2 = 0),
+      test AS (SELECT doc_id, token FROM t2 WHERE doc_id % 2 = 1),
+      cnt AS (SELECT lang AS cls, token, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM train GROUP BY 1, 2),
+      tot AS (SELECT cls, CAST(SUM(cnt) AS BIGINT) AS tot FROM cnt
+              GROUP BY cls),
+      vocab AS (SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS v FROM cnt),
+      cd AS (SELECT lang AS cls, CAST(COUNT(*) AS BIGINT) AS nc
+             FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+      nk AS (SELECT CAST(SUM(nc) AS BIGINT) AS n,
+                    CAST(COUNT(*) AS BIGINT) AS k FROM cd),
+      panel AS (
+        SELECT cls, CAST(length(bin(tot + v)) + 1 AS BIGINT) AS cost_def,
+               CAST(length(bin((n + k) // (nc + 1))) + 1 AS BIGINT) AS prior
+        FROM tot JOIN cd USING (cls) CROSS JOIN vocab CROSS JOIN nk),
+      model AS (
+        SELECT cls, token,
+               CAST(length(bin((tot + v) // (cnt + 1))) + 1 AS BIGINT) AS cost
+        FROM cnt JOIN tot USING (cls) CROSS JOIN vocab),
+      scored AS (
+        SELECT t.doc_id, s.cls, s.prior,
+               COALESCE(m.cost, s.cost_def) AS tc
+        FROM test t CROSS JOIN panel s
+        LEFT JOIN model m ON m.cls = s.cls AND m.token = t.token),
+      agg AS (
+        SELECT doc_id, cls, CAST(SUM(tc) + MAX(prior) AS BIGINT) AS score
+        FROM scored GROUP BY doc_id, cls),
+      ranked AS (
+        SELECT doc_id, cls, score,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score, cls) AS rk
+        FROM agg)
+      SELECT r.doc_id, d.lang AS actual_lang, r.cls AS pred_lang, r.score
+      FROM ranked r JOIN documents d USING (doc_id)
+      WHERE r.rk = 1
+      ORDER BY r.doc_id""")
+  )
+
   val all: Seq[Q] = Seq(q33, q34, q35, q37, q46, q53, q54, q55, q56, q57,
     q65, q66, q67, q69, q72, q83, q86, q96, q104, q108, q116, q117, q121,
-    q131, q137, q139, q142, q145, q146, q148, q149, q151, q163, q169, q180)
+    q131, q137, q139, q142, q145, q146, q148, q149, q151, q163, q169, q180,
+    q181)
 }

@@ -27,6 +27,29 @@ object WarcReader {
     def header(name: String): Option[String] = headers.get(name.toLowerCase)
   }
 
+  /** Inflate a gzip container if the magic says so — `.warc.gz` is how
+    * CommonCrawl actually ships WARCs, one gzip MEMBER per record
+    * concatenated back-to-back (ISO 28500 annex; the member boundaries are
+    * also the record boundaries). `GZIPInputStream` consumes concatenated
+    * members natively, so the inflated stream is the plain WARC byte run
+    * `records` already parses. Non-gzip bytes pass through untouched. */
+  def gunzipIfNeeded(bytes: Array[Byte]): Array[Byte] = {
+    if (bytes.length < 2 || (bytes(0) & 0xff) != 0x1f || (bytes(1) & 0xff) != 0x8b)
+      return bytes
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
+    val buf = new Array[Byte](64 * 1024)
+    try {
+      var n = in.read(buf)
+      while (n >= 0) {
+        if (n > 0) out.write(buf, 0, n)
+        n = in.read(buf)
+      }
+    } finally in.close()
+    out.toByteArray
+  }
+
   private def lineEnd(b: Array[Byte], from: Int): Int = {
     var i = from
     while (i < b.length && b(i) != '\n') i += 1

@@ -173,4 +173,29 @@ class HtmlWarcSpec extends SparkSpec {
     assert(w(0)._6 == Seq("http://corpus.local/doc/1", "response", "25"))
     assert(w(1)._6 == Seq("http://corpus.local/doc/2", "response", "10"))
   }
+
+  test(".warc.gz: per-record gzip members (the CommonCrawl layout) inflate to the same records") {
+    def member(bytes: Array[Byte]): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bo)
+      gz.write(bytes); gz.close()
+      bo.toByteArray
+    }
+    val plain = WebCorpus.warcRecord(1L, "<p>one fine page here</p>") ++
+      WebCorpus.warcRecord(2L, "<p>two</p>")
+    // one member per record, concatenated — ISO 28500 annex layout
+    val gzBytes = member(WebCorpus.warcRecord(1L, "<p>one fine page here</p>")) ++
+      member(WebCorpus.warcRecord(2L, "<p>two</p>"))
+    assert(java.util.Arrays.equals(WarcReader.gunzipIfNeeded(gzBytes), plain))
+    assert(WarcReader.gunzipIfNeeded(plain) eq plain) // non-gzip passes through
+
+    val dir = tmpDir("warcgz")
+    java.nio.file.Files.write(dir.resolve("crawl.warc.gz"), gzBytes)
+    val rows = BulkIngest.parseTree(spark, dir.toString).collect()
+      .map(r => (r.getString(1), r.getString(3), r.getLong(4), r.getSeq[String](5)))
+      .sortBy(_._3)
+    assert(rows.length == 2 && rows.forall(r => r._1 == "ImportWARC" && r._2 == "OK"))
+    assert(rows(0)._4 == Seq("http://corpus.local/doc/1", "response", "25"))
+    assert(rows(1)._4 == Seq("http://corpus.local/doc/2", "response", "10"))
+  }
 }

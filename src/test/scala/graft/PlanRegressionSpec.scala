@@ -300,7 +300,13 @@ class PlanRegressionSpec extends SparkSpec {
       // q180: the bigram-type total N1+(··) is a ONE-ROW scalar frame
       // cross joined over the scoring join — case (a); the three count
       // models are vocabulary-sized equi-joins
-      "q180_kneser_ney")
+      "q180_kneser_ney",
+      // q181: two ONE-ROW scalar frames (train vocab size V, train doc
+      // total N + class count K) cross joined onto the K-row class
+      // panel — case (a) — and the panel itself (K = |langs| rows, fixed
+      // at any corpus scale) broadcast over the streaming test tokens —
+      // case (b); the model lookup is a (cls, token) equi-join
+      "q181_nb_langid")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")
