@@ -27,6 +27,8 @@ import org.apache.spark.sql.SparkSession
   *    `<table>` frames or boilerplate-classified main content)
   *  - `.docx` → [[DocxImporter]] (beyond the reference's table — OPC zip +
   *    WordprocessingML; `<w:tbl>` frames or one row per body paragraph)
+  *  - `.pptx` → [[PptxImporter]] (beyond the reference's table — OPC zip +
+  *    PresentationML; per-slide DrawingML table frames or text lines)
   *  - `.sqlite .sqlite3 .db` → [[SqliteImporter]] (beyond the reference's
   *    table — from-spec page/B-tree reader, one answer per user table)
   *  - `.parquet` → [[ParquetImporter]]
@@ -71,6 +73,7 @@ object AnyFile {
         new TextImporter(spark, path, Some(TextImporter.AntDelimiter))
       case ".html" | ".htm" => new HtmlImporter(spark, path)
       case ".docx" => new DocxImporter(spark, path)
+      case ".pptx" => new PptxImporter(spark, path)
       case ".sqlite" | ".sqlite3" | ".db" => new SqliteImporter(spark, path)
       case ".pdf"     => new PdfImporter(spark, path, concat = true)
       case ".parquet" => new ParquetImporter(spark, path)

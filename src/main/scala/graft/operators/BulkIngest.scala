@@ -392,6 +392,7 @@ object BulkIngest {
         case ".pdf" => pdf(path)
         case ".html" | ".htm" => html(path)
         case ".docx" => docx(path)
+        case ".pptx" => pptx(path)
         case ".sqlite" | ".sqlite3" | ".db" => sqlite(path)
         case ".warc" => warc(path)
         case ".gz" if path.toLowerCase.endsWith(".warc.gz") => warc(path)
@@ -414,6 +415,7 @@ object BulkIngest {
     case ".pdf" => "ImportPDF"
     case ".html" | ".htm" => "ImportHTML"
     case ".docx" => "ImportDocx"
+    case ".pptx" => "ImportPptx"
     case ".sqlite" | ".sqlite3" | ".db" => "ImportSqlite"
     case ".warc" | ".gz" => "ImportWARC"
     case _ => ""
@@ -553,6 +555,28 @@ object BulkIngest {
         }
       case _ =>
         Seq(CellRow(path, "ImportDocx", "None", "Failed", -1L, Seq.empty))
+    }
+  }
+
+  /** PresentationML: per slide, DrawingML table frames when present,
+    * else one row per text paragraph (sheet = slide part name). */
+  private def pptx(path: String): Seq[CellRow] = {
+    import graft.sources.pptx.PptxParser
+    PptxParser.parse(path) match {
+      case None => Seq(CellRow(path, "ImportPptx", "None", "Failed", -1L, Seq.empty))
+      case Some(slides) =>
+        val out = slides.flatMap { sl =>
+          if (sl.tables.nonEmpty)
+            sl.tables.zipWithIndex.flatMap { case (rows, t) =>
+              sheetRows(path, "ImportPptx", s"${sl.name}_table$t", rows)
+            }
+          else sl.paragraphs.zipWithIndex.map { case (p, i) =>
+            CellRow(path, "ImportPptx", sl.name, "OK", i.toLong, Seq(p))
+          }
+        }
+        if (out.isEmpty)
+          Seq(CellRow(path, "ImportPptx", "None", "Failed", -1L, Seq.empty))
+        else out
     }
   }
 

@@ -1,0 +1,99 @@
+package graft
+
+import java.io.FileOutputStream
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import org.apache.spark.sql.Row
+
+/** Hand-built minimal PresentationML containers (ECMA-376), the
+  * DocxImporterSpec discipline. */
+class PptxImporterSpec extends SparkSpec {
+
+  private val A = "http://schemas.openxmlformats.org/drawingml/2006/main"
+
+  private def writePptx(path: String, slides: (String, String)*): Unit = {
+    val out = new ZipOutputStream(new FileOutputStream(path))
+    slides.foreach { case (name, xml) =>
+      out.putNextEntry(new ZipEntry(name))
+      out.write(xml.getBytes("UTF-8"))
+      out.closeEntry()
+    }
+    out.close()
+  }
+
+  private def sp(text: String): String =
+    s"""<p:sp><p:txBody><a:p><a:r><a:t>$text</a:t></a:r></a:p></p:txBody></p:sp>"""
+
+  private def slide(body: String): String =
+    s"""<p:sld xmlns:a="$A" xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main">
+       |<p:cSld><p:spTree>$body</p:spTree></p:cSld></p:sld>""".stripMargin
+
+  test("text slides: one answer per slide, numeric part order, one row per paragraph") {
+    val dir = tmpDir("pptx")
+    val path = dir.resolve("deck.pptx").toString
+    writePptx(path,
+      // out-of-order entry names: slide10 written before slide2 — the
+      // reader must sort numerically (slide2 < slide10)
+      "ppt/slides/slide10.xml" -> slide(sp("ten")),
+      "ppt/slides/slide1.xml" -> slide(sp("Title line") + sp("Body line")),
+      "ppt/slides/slide2.xml" -> slide(sp("two")))
+    val answers = AnyFile.parse(spark, path)
+    assert(answers.map(_.sheetName) == Seq("slide1", "slide2", "slide10"))
+    assert(answers.forall(_.engine == "ImportPptx"))
+    assert(answers.head.data.collect().map(_.getString(0)).toSeq ==
+      Seq("Title line", "Body line"))
+    assert(answers(2).data.collect().map(_.getString(0)).toSeq == Seq("ten"))
+  }
+
+  test("DrawingML table becomes a frame; mixed deck keeps per-slide answers") {
+    val dir = tmpDir("pptx")
+    val path = dir.resolve("table.pptx").toString
+    val tbl =
+      """<p:graphicFrame><a:graphic><a:graphicData><a:tbl>
+        |<a:tr><a:tc><a:txBody><a:p><a:r><a:t>h1</a:t></a:r></a:p></a:txBody></a:tc>
+        |<a:tc><a:txBody><a:p><a:r><a:t>h2</a:t></a:r></a:p></a:txBody></a:tc></a:tr>
+        |<a:tr><a:tc><a:txBody><a:p><a:r><a:t>x</a:t></a:r></a:p></a:txBody></a:tc></a:tr>
+        |</a:tbl></a:graphicData></a:graphic></p:graphicFrame>""".stripMargin
+    writePptx(path,
+      "ppt/slides/slide1.xml" -> slide(tbl),
+      "ppt/slides/slide2.xml" -> slide(sp("just text")))
+    val answers = AnyFile.parse(spark, path)
+    assert(answers.map(_.sheetName) == Seq("slide1_table0", "slide2"))
+    assert(answers.head.data.collect().toSeq ==
+      Seq(Row("h1", "h2"), Row("x", null)))
+    assert(answers(1).data.collect().map(_.getString(0)).toSeq ==
+      Seq("just text"))
+  }
+
+  test("error answers: no slide parts, not a zip; empty slides skipped") {
+    val dir = tmpDir("pptx")
+    val noSlides = dir.resolve("empty.pptx").toString
+    writePptx(noSlides, "ppt/presentation.xml" -> "<p/>")
+    assert(AnyFile.parse(spark, noSlides).head.isFailed)
+
+    val notZip = dir.resolve("bad.pptx").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(notZip),
+      "nope".getBytes)
+    assert(AnyFile.parse(spark, notZip).head.isFailed)
+
+    val blank = dir.resolve("blank.pptx").toString
+    writePptx(blank, "ppt/slides/slide1.xml" -> slide(""))
+    assert(AnyFile.parse(spark, blank).head.isFailed)
+  }
+
+  test("BulkIngest catalogs .pptx with AnyFile-parity cells") {
+    val dir = tmpDir("bulkpptx")
+    val path = dir.resolve("deck.pptx").toString
+    writePptx(path,
+      "ppt/slides/slide1.xml" -> slide(sp("alpha") + sp("beta")))
+    val rows = graft.operators.BulkIngest.parseTree(spark, dir.toString)
+      .collect().sortBy(_.getLong(4))
+    assert(rows.length == 2)
+    assert(rows.forall(r => r.getString(1) == "ImportPptx" &&
+      r.getString(2) == "slide1" && r.getString(3) == "OK"))
+    assert(rows.map(_.getSeq[String](5).head).toSeq == Seq("alpha", "beta"))
+    val drv = AnyFile.parse(spark, path).head.data.collect()
+      .map(_.getString(0)).toSeq
+    assert(rows.map(_.getSeq[String](5).head).toSeq == drv)
+  }
+}
