@@ -79,6 +79,11 @@ object SqliteParser {
     Some(Header(pageSize, reserved, textEnc, nPages))
   }
 
+  /** Payloads larger than this fail the table instead of the task heap
+    * (the RangedZip MaxCdBytes sanity-cap discipline — a corrupt or
+    * pathological length field must not drive a giant allocation). */
+  private val MaxPayloadBytes = 256L << 20
+
   private def readPage(path: String, h: Header, n: Long): Array[Byte] = {
     require(n >= 1 && n <= h.nPages, s"page $n out of range")
     FsIO.readRange(path, (n - 1) * h.pageSize.toLong, h.pageSize)
@@ -131,6 +136,8 @@ object SqliteParser {
       var p = cp
       val (payloadLen, a) = varint(pg, p); p += a
       val (rowid, b) = varint(pg, p); p += b
+      require(payloadLen >= 0 && payloadLen <= MaxPayloadBytes,
+        s"payload length $payloadLen exceeds the sanity cap")
       val payload: Array[Byte] =
         if (payloadLen <= x) {
           java.util.Arrays.copyOfRange(pg, p, p + payloadLen.toInt)
