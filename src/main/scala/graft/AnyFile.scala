@@ -33,6 +33,12 @@ import org.apache.spark.sql.SparkSession
   *    table — from-spec page/B-tree reader, one answer per user table)
   *  - `.parquet` → [[ParquetImporter]]
   *  - `.json` → [[JsonImporter]]
+  *  - `.jsonl .ndjson` → [[JsonLinesImporter]] (beyond the reference's
+  *    table — the LLM-corpus interchange format; native splittable
+  *    line-delimited Spark json scan)
+  *  - `.tsv` → [[TextImporter]] with an explicit tab delimiter (beyond
+  *    the reference's table; skips the sniff vote — the extension IS the
+  *    declaration)
   *  - `.pk1` and `.pickle` → [[PickleImporter]] (documented gap). The
   *    reference matches the literal `"pickle"` without a dot, which
   *    `Path.suffix` can never produce (`main.py:161` bug); per SURVEY.md §7
@@ -78,6 +84,9 @@ object AnyFile {
       case ".pdf"     => new PdfImporter(spark, path, concat = true)
       case ".parquet" => new ParquetImporter(spark, path)
       case ".json"    => new JsonImporter(spark, path)
+      case ".jsonl" | ".ndjson" => new JsonLinesImporter(spark, path)
+      case ".tsv" =>
+        new TextImporter(spark, path, Some("\t"))
       case ".pk1" | ".pickle" => new PickleImporter(spark, path)
       case _ => return Seq(ParserAnswer.failed(spark, path))
     }

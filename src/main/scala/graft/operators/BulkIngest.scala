@@ -402,6 +402,10 @@ object BulkIngest {
         case ".json" =>
           Seq(CellRow(path, "ImportJSON", "JSON file content",
             "Native", -1L, Seq.empty))
+        case ".jsonl" | ".ndjson" =>
+          Seq(CellRow(path, "ImportJSONL", "JSON lines content",
+            "Native", -1L, Seq.empty))
+        case ".tsv" => text(path, Some("\t"))
         case ".pk1" | ".pickle" => failed("ImportPickle")
         case _ => failed("")
       }
@@ -411,7 +415,7 @@ object BulkIngest {
   private def engineFor(suffix: String): String = suffix match {
     case ".xlsx" | ".ods" | ".odf" | ".odt" | ".xls" | ".xlsb" => "ImportExcel"
     case ".xml" => "ImportXML"
-    case ".txt" | ".csv" | ".ini" | ".ant" => "ImportText"
+    case ".txt" | ".csv" | ".ini" | ".ant" | ".tsv" => "ImportText"
     case ".pdf" => "ImportPDF"
     case ".html" | ".htm" => "ImportHTML"
     case ".docx" => "ImportDocx"

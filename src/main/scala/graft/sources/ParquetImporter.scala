@@ -41,6 +41,31 @@ class ParquetImporter(val spark: SparkSession, val filePath: String)
   *    Columns-orient documents are driver-sized by construction in pandas
   *    too, so the driver pivot is not a scale regression.
   */
+/** JSON-lines importer — `.jsonl`/`.ndjson` (beyond the reference's
+  * extension table — THE LLM-corpus interchange format: one JSON object
+  * per line). Reads through Spark's NATIVE line-delimited json source, so
+  * unlike the whole-document `.json` orients (single-document by
+  * construction) the scan is splittable and fully distributed, schema
+  * inference and column pruning reach the reader, and a multi-TB corpus
+  * file parallelizes across executors with no custom code at all. A file
+  * with no parseable objects answers Failed (never throws). */
+class JsonLinesImporter(val spark: SparkSession, val filePath: String)
+    extends Importer {
+  override def engineName: String = "ImportJSONL"
+
+  def work(): Seq[ParserAnswer] = {
+    try {
+      val df = spark.read.json(filePath)
+      if (df.columns.isEmpty) failedAnswer()
+      else Seq(ParserAnswer(
+        data = df,
+        filePathRaw = filePath,
+        sheetName = "JSON lines content",
+        engine = engineName))
+    } catch { case _: Exception => failedAnswer() }
+  }
+}
+
 class JsonImporter(val spark: SparkSession, val filePath: String)
     extends Importer {
   override def engineName: String = "ImportJSON"
