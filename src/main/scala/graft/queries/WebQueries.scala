@@ -188,5 +188,84 @@ object WebQueries {
       FROM page ORDER BY shard_id, rec_idx""")
   )
 
-  val all: Seq[Q] = Seq(q176, q179)
+  /** SQLite ingestion end-to-end — the single-file-database twin of q179:
+    * the corpus is written into REAL SQLite databases executor-side
+    * (8-doc shards, [[graft.sources.sqlite.SqliteWriter]] — from-spec
+    * pages, serial types, the overflow split rule) and read back with the
+    * REAL reader ([[graft.sources.sqlite.SqliteParser]] — header, master
+    * schema parse, leaf walk, overflow chains, the INTEGER PRIMARY KEY
+    * rowid alias: the id column is STORED NULL and recovered from the
+    * cell rowid). The body column is the text repeated ×100, pushing most
+    * records past the 4 KiB page's local maximum so the overflow
+    * machinery is exercised on every shard, and multi-leaf trees with an
+    * interior root on the larger ones. Per row: shard/rowid accounting,
+    * the parsed schema's column count and ipk index (pins the CREATE
+    * TABLE round-trip), the recovered lang/n_chars values, and the body's
+    * md5 + length (a one-byte framing or chain error diverges them).
+    *
+    * Scale shape: q179's — ONE doc_id-keyed exchange assembles shards
+    * (the corpus-write exchange, linear, no skew); the write + read-back
+    * run inside the consuming task against a task-local temp file;
+    * bodies are reduced to md5/length BEFORE the presentation sort, so
+    * only stat rows and digests shuffle again. */
+  val q182 = Q(
+    "q182_sqlite_roundtrip",
+    (s, dir) => {
+      import s.implicits._
+      import graft.sources.sqlite.{SqliteParser, SqliteWriter}
+      import SqliteParser.{IntCell, NullCell, TextCell}
+      val rt = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+        .as[(Long, String, Long, String)]
+        .groupByKey(_._1 / WebCorpus.ShardDocs)
+        .flatMapGroups { (shard, it) =>
+          val docs = it.toSeq.sortBy(_._1)
+          val rows = docs.map { case (id, lang, nch, text) =>
+            id -> Seq[SqliteParser.Cell](NullCell, TextCell(lang),
+              IntCell(nch), TextCell(text * 100))
+          }
+          val bytes = SqliteWriter.build(
+            "docs", Seq("id", "lang", "n_chars", "body"), ipk = 0, rows)
+          val f = java.io.File.createTempFile(s"graft_q182_$shard", ".sqlite")
+          try {
+            java.nio.file.Files.write(f.toPath, bytes)
+            val path = f.getPath
+            val h = SqliteParser.header(path)
+              .getOrElse(sys.error("writer produced an unreadable header"))
+            val t = SqliteParser.tables(path, h).head
+            val leaves = SqliteParser.leafPages(path, h, t.rootPage)
+              .getOrElse(sys.error("writer produced a non-table tree"))
+            leaves.flatMap(pg => SqliteParser.leafRows(path, h, pg)).map {
+              case (rowid, cells) =>
+                val lang = cells(1) match { case TextCell(v) => v; case _ => "" }
+                val nch = cells(2) match { case IntCell(v) => v; case _ => -1L }
+                val body = cells(3) match { case TextCell(v) => v; case _ => "" }
+                (shard, rowid, t.cols.length.toLong, t.ipk.toLong,
+                  lang, nch, body)
+            }.iterator
+          } finally { f.delete(); () }
+        }
+        .toDF("shard_id", "doc_id", "n_cols", "ipk_col", "lang_rt",
+          "n_chars_rt", "body")
+      rt
+        .select(col("shard_id"), col("doc_id"), col("n_cols"),
+          col("ipk_col"), col("lang_rt"), col("n_chars_rt"),
+          md5(col("body")).as("body_md5"),
+          length(col("body")).cast("long").as("body_len"))
+        .orderBy("doc_id")
+    },
+    // the oracle recomputes every recovered field straight from
+    // documents — any divergence in the writer's framing, the reader's
+    // walk, the schema parse, or the rowid alias shows up as a value
+    // mismatch on some row
+    Some("""
+      SELECT doc_id // 8 AS shard_id, doc_id,
+             CAST(4 AS BIGINT) AS n_cols, CAST(0 AS BIGINT) AS ipk_col,
+             lang AS lang_rt, n_chars AS n_chars_rt,
+             md5(repeat(text, 100)) AS body_md5,
+             CAST(length(repeat(text, 100)) AS BIGINT) AS body_len
+      FROM documents ORDER BY doc_id""")
+  )
+
+  val all: Seq[Q] = Seq(q176, q179, q182)
 }

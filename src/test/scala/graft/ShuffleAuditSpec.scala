@@ -54,7 +54,9 @@ class ShuffleAuditSpec extends SparkSpec {
     // record-grain by contract
     "q111_cdc_merge" -> ((256.0, "record: a CDC upsert's JOB is to move the record's columns")),
     "q179_warc_ingest" -> ((1024.0,
-      "record: WARC shard assembly IS the corpus-write exchange — each page moves to its shard exactly once")))
+      "record: WARC shard assembly IS the corpus-write exchange — each page moves to its shard exactly once")),
+    "q182_sqlite_roundtrip" -> ((1024.0,
+      "record: SQLite shard assembly IS the corpus-write exchange (q179's shape) — each doc moves to its shard exactly once; bodies reduce to md5 before the presentation sort")))
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     val (ceiling, why) = ceilingOverrides.getOrElse(name, (DefaultCeiling, "digest-grain default"))
