@@ -590,21 +590,28 @@ object BulkIngest {
     * Page access is ranged, so the task heap holds one page at a time. */
   private def sqlite(path: String): Seq[CellRow] = {
     import graft.sources.sqlite.SqliteParser
-    SqliteParser.header(path) match {
+    // small files (the common catalog case) decode from one byte image;
+    // per-page FS opens on tiny files cost more than the decode itself
+    val fileLen = try FsIO.len(path) catch { case _: Exception => -1L }
+    val src: SqliteParser.Source =
+      if (fileLen >= 512 && fileLen <= (4L << 20))
+        SqliteParser.BytesSource(FsIO.readAllBytes(path))
+      else SqliteParser.PathSource(path)
+    SqliteParser.header(src) match {
       case None => Seq(CellRow(path, "ImportSqlite", "None", "Failed", -1L, Seq.empty))
       case Some(h) =>
-        val tables = SqliteParser.tables(path, h)
+        val tables = SqliteParser.tables(src, h)
         if (tables.isEmpty)
           return Seq(CellRow(path, "ImportSqlite", "None", "Failed", -1L, Seq.empty))
         tables.flatMap { t =>
           def bad = Seq(CellRow(path, "ImportSqlite", t.name, "Failed", -1L, Seq.empty))
           if (t.virtual || t.withoutRowid || t.rootPage < 1 || t.cols.isEmpty) bad
           else try {
-            SqliteParser.leafPages(path, h, t.rootPage) match {
+            SqliteParser.leafPages(src, h, t.rootPage) match {
               case None => bad
               case Some(leaves) =>
                 var idx = -1L
-                leaves.flatMap(SqliteParser.leafRows(path, h, _)).map {
+                leaves.flatMap(SqliteParser.leafRows(src, h, _)).map {
                   case (rowid, cells) =>
                     idx += 1
                     val vals = (0 until t.cols.length).map { i =>

@@ -226,24 +226,23 @@ object WebQueries {
           }
           val bytes = SqliteWriter.build(
             "docs", Seq("id", "lang", "n_chars", "body"), ipk = 0, rows)
-          val f = java.io.File.createTempFile(s"graft_q182_$shard", ".sqlite")
-          try {
-            java.nio.file.Files.write(f.toPath, bytes)
-            val path = f.getPath
-            val h = SqliteParser.header(path)
-              .getOrElse(sys.error("writer produced an unreadable header"))
-            val t = SqliteParser.tables(path, h).head
-            val leaves = SqliteParser.leafPages(path, h, t.rootPage)
-              .getOrElse(sys.error("writer produced a non-table tree"))
-            leaves.flatMap(pg => SqliteParser.leafRows(path, h, pg)).map {
-              case (rowid, cells) =>
-                val lang = cells(1) match { case TextCell(v) => v; case _ => "" }
-                val nch = cells(2) match { case IntCell(v) => v; case _ => -1L }
-                val body = cells(3) match { case TextCell(v) => v; case _ => "" }
-                (shard, rowid, t.cols.length.toLong, t.ipk.toLong,
-                  lang, nch, body)
-            }.iterator
-          } finally { f.delete(); () }
+          // the whole database round-trips in-task: the reader runs on the
+          // byte image directly (BytesSource) — no temp file, no per-page
+          // filesystem opens
+          val src = SqliteParser.BytesSource(bytes)
+          val h = SqliteParser.header(src)
+            .getOrElse(sys.error("writer produced an unreadable header"))
+          val t = SqliteParser.tables(src, h).head
+          val leaves = SqliteParser.leafPages(src, h, t.rootPage)
+            .getOrElse(sys.error("writer produced a non-table tree"))
+          leaves.flatMap(pg => SqliteParser.leafRows(src, h, pg)).map {
+            case (rowid, cells) =>
+              val lang = cells(1) match { case TextCell(v) => v; case _ => "" }
+              val nch = cells(2) match { case IntCell(v) => v; case _ => -1L }
+              val body = cells(3) match { case TextCell(v) => v; case _ => "" }
+              (shard, rowid, t.cols.length.toLong, t.ipk.toLong,
+                lang, nch, body)
+          }.iterator
         }
         .toDF("shard_id", "doc_id", "n_cols", "ipk_col", "lang_rt",
           "n_chars_rt", "body")

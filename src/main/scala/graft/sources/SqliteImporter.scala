@@ -40,12 +40,21 @@ class SqliteImporter(val spark: SparkSession, val filePath: String)
 
   def work(): Seq[ParserAnswer] = {
     try {
-      SqliteParser.header(filePath) match {
+      // small files: ONE whole read, then decode from the byte image —
+      // per-page FS opens on a tiny file cost more than the decode. Big
+      // files stay on the ranged road (and their leaf decode runs as a
+      // Spark job below).
+      val fileLen = try FsIO.len(filePath) catch { case _: Exception => -1L }
+      val driverSrc: SqliteParser.Source =
+        if (fileLen >= 512 && fileLen <= DriverDecodeBytes)
+          SqliteParser.BytesSource(FsIO.readAllBytes(filePath))
+        else SqliteParser.PathSource(filePath)
+      SqliteParser.header(driverSrc) match {
         case None => failedAnswer()
         case Some(h) =>
-          val tables = SqliteParser.tables(filePath, h)
+          val tables = SqliteParser.tables(driverSrc, h)
           if (tables.isEmpty) failedAnswer()
-          else tables.map(t => answerForTable(h, t))
+          else tables.map(t => answerForTable(driverSrc, h, t))
       }
     } catch { case _: Exception => failedAnswer() }
   }
@@ -54,11 +63,12 @@ class SqliteImporter(val spark: SparkSession, val filePath: String)
     ParserAnswer(spark.emptyDataFrame, filePath, sheetName = name,
       engine = engineName, knownRowCount = Some(0L))
 
-  private def answerForTable(h: Header, t: TableMeta): ParserAnswer = {
+  private def answerForTable(
+      driverSrc: SqliteParser.Source, h: Header, t: TableMeta): ParserAnswer = {
     if (t.virtual || t.withoutRowid || t.rootPage < 1 || t.cols.isEmpty)
       return failedTable(t.name)
     try {
-      val leaves = SqliteParser.leafPages(filePath, h, t.rootPage)
+      val leaves = SqliteParser.leafPages(driverSrc, h, t.rootPage)
         .getOrElse(return failedTable(t.name))
       val schema = StructType(dedupNames(t.cols).map(StructField(_, StringType, nullable = true)))
       val ncols = t.cols.length
@@ -86,7 +96,8 @@ class SqliteImporter(val spark: SparkSession, val filePath: String)
           knownRowCount = Some(0L))
       } else if (h.nPages * h.pageSize.toLong <= DriverDecodeBytes) {
         val rows = leaves.flatMap(pg =>
-          SqliteParser.leafRows(path, h, pg).map { case (rid, cs) => toRow(rid, cs) })
+          SqliteParser.leafRows(driverSrc, h, pg)
+            .map { case (rid, cs) => toRow(rid, cs) })
         ParserAnswer(spark.createDataFrame(rows.asJava, schema), filePath,
           sheetName = t.name, engine = engineName,
           knownRowCount = Some(rows.length.toLong))

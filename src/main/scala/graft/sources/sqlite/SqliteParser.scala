@@ -60,12 +60,35 @@ object SqliteParser {
 
   private val Magic = "SQLite format 3\u0000".getBytes("ISO-8859-1")
 
+  /** Page-access abstraction: a path read RANGED through the Hadoop FS
+    * layer (the big-file road — one bounded read per page, the container
+    * never whole in heap), or an in-memory byte image (small files read
+    * once, in-task round-trips like q182 — per-page FS opens on a tiny
+    * file cost more than the decode itself). */
+  sealed trait Source {
+    def len: Long
+    def read(off: Long, n: Int): Array[Byte]
+  }
+  final case class PathSource(path: String) extends Source {
+    lazy val len: Long = FsIO.len(path)
+    def read(off: Long, n: Int): Array[Byte] = FsIO.readRange(path, off, n)
+  }
+  final case class BytesSource(bytes: Array[Byte]) extends Source {
+    def len: Long = bytes.length.toLong
+    def read(off: Long, n: Int): Array[Byte] = {
+      val o = off.toInt
+      require(o >= 0 && o + n <= bytes.length, s"read past image end")
+      java.util.Arrays.copyOfRange(bytes, o, o + n)
+    }
+  }
+
   // ------------------------------------------------------------- header
 
-  def header(path: String): Option[Header] = {
-    val fileLen = try FsIO.len(path) catch { case _: Exception => return None }
+  def header(path: String): Option[Header] = header(PathSource(path))
+  def header(src: Source): Option[Header] = {
+    val fileLen = try src.len catch { case _: Exception => return None }
     if (fileLen < 512) return None
-    val h = FsIO.readRange(path, 0L, 100)
+    val h = src.read(0L, 100)
     var i = 0
     while (i < Magic.length) { if (h(i) != Magic(i)) return None; i += 1 }
     val rawPs = u16(h, 16)
@@ -84,16 +107,18 @@ object SqliteParser {
     * pathological length field must not drive a giant allocation). */
   private val MaxPayloadBytes = 256L << 20
 
-  private def readPage(path: String, h: Header, n: Long): Array[Byte] = {
+  private def readPage(src: Source, h: Header, n: Long): Array[Byte] = {
     require(n >= 1 && n <= h.nPages, s"page $n out of range")
-    FsIO.readRange(path, (n - 1) * h.pageSize.toLong, h.pageSize)
+    src.read((n - 1) * h.pageSize.toLong, h.pageSize)
   }
 
   // --------------------------------------------------------- tree walk
 
   /** Leaf pages of the table b-tree rooted at `root`, left-to-right.
     * None if the root is not a table b-tree (WITHOUT ROWID / index). */
-  def leafPages(path: String, h: Header, root: Long): Option[Seq[Long]] = {
+  def leafPages(path: String, h: Header, root: Long): Option[Seq[Long]] =
+    leafPages(PathSource(path), h, root)
+  def leafPages(src: Source, h: Header, root: Long): Option[Seq[Long]] = {
     val out = mutable.ArrayBuffer.empty[Long]
     val stack = mutable.Stack(root)
     val seen = mutable.HashSet.empty[Long] // cycle guard on corrupt files
@@ -101,7 +126,7 @@ object SqliteParser {
       val n = stack.pop()
       if (n < 1 || n > h.nPages || !seen.add(n))
         throw new IllegalStateException(s"bad page pointer $n")
-      val pg = readPage(path, h, n)
+      val pg = readPage(src, h, n)
       val off = if (n == 1L) 100 else 0
       (pg(off) & 0xff) match {
         case 0x0d => out += n
@@ -123,8 +148,10 @@ object SqliteParser {
 
   /** Decode every row on one table leaf page: (rowid, column values as
     * serial-typed raw cells). */
-  def leafRows(path: String, h: Header, page: Long): Seq[(Long, IndexedSeq[Cell])] = {
-    val pg = readPage(path, h, page)
+  def leafRows(path: String, h: Header, page: Long): Seq[(Long, IndexedSeq[Cell])] =
+    leafRows(PathSource(path), h, page)
+  def leafRows(src: Source, h: Header, page: Long): Seq[(Long, IndexedSeq[Cell])] = {
+    val pg = readPage(src, h, page)
     val off = if (page == 1L) 100 else 0
     require((pg(off) & 0xff) == 0x0d, s"page $page is not a table leaf")
     val ncells = u16(pg, off + 3)
@@ -149,7 +176,7 @@ object SqliteParser {
           var filled = local
           var next = u32(pg, p + local)
           while (filled < payloadLen && next != 0) {
-            val ov = readPage(path, h, next)
+            val ov = readPage(src, h, next)
             next = u32(ov, 0)
             val take = math.min(u - 4, payloadLen.toInt - filled)
             System.arraycopy(ov, 4, buf, filled, take)
@@ -234,11 +261,13 @@ object SqliteParser {
 
   // ----------------------------------------------------- sqlite_master
 
-  def masterObjects(path: String, h: Header): Seq[Master] = {
-    val leaves = leafPages(path, h, 1L)
+  def masterObjects(path: String, h: Header): Seq[Master] =
+    masterObjects(PathSource(path), h)
+  def masterObjects(src: Source, h: Header): Seq[Master] = {
+    val leaves = leafPages(src, h, 1L)
       .getOrElse(throw new IllegalStateException("page 1 is not a table tree"))
     leaves.flatMap { pg =>
-      leafRows(path, h, pg).flatMap { case (_, cells) =>
+      leafRows(src, h, pg).flatMap { case (_, cells) =>
         // sqlite_master: (type, name, tbl_name, rootpage, sql)
         if (cells.length < 5) None
         else {
@@ -253,7 +282,9 @@ object SqliteParser {
   }
 
   def tables(path: String, h: Header): Seq[TableMeta] =
-    masterObjects(path, h)
+    tables(PathSource(path), h)
+  def tables(src: Source, h: Header): Seq[TableMeta] =
+    masterObjects(src, h)
       .filter(m => m.objType == "table" && !m.name.startsWith("sqlite_"))
       .map { m =>
         val up = m.sql.toUpperCase(java.util.Locale.ROOT)
