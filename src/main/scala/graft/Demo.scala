@@ -64,8 +64,25 @@ object Demo {
       out.closeEntry(); out.close()
     }
 
+    // SQLite database, one table — written by the engine's own sink
+    val db = dir.resolve("mini.sqlite")
+    locally {
+      import graft.sources.sqlite.SqliteParser.{IntCell, NullCell, TextCell}
+      val bytes = graft.sources.sqlite.SqliteWriter.build(
+        "parts", Seq("id", "name", "qty"), ipk = 0,
+        Seq(1L -> Seq(NullCell, TextCell("bolt"), IntCell(42L)),
+          2L -> Seq(NullCell, TextCell("nut"), IntCell(7L))))
+      Files.write(db, bytes)
+    }
+
+    // JSON-lines corpus file
+    val jsonl = dir.resolve("corpus.jsonl")
+    Files.writeString(jsonl,
+      "{\"doc_id\":1,\"text\":\"hello\"}\n{\"doc_id\":2,\"text\":\"world\"}\n")
+
     val cases = Seq(
       txt.toString, csv.toString, ant.toString, xml.toString, docx.toString,
+      db.toString, jsonl.toString,
       "/root/testdata/sf0.001/lineitem.parquet",
       dir.resolve("missing.txt").toString, // not found → Failed
       txt.toString + ".xyz"                // unknown ext → Failed
