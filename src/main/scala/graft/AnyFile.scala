@@ -39,6 +39,11 @@ import org.apache.spark.sql.SparkSession
   *  - `.tsv` → [[TextImporter]] with an explicit tab delimiter (beyond
   *    the reference's table; skips the sniff vote — the extension IS the
   *    declaration)
+  *  - `.warc .warc.gz` → [[WarcImporter]] (beyond the reference's table —
+  *    ISO 28500 record catalog, the BulkIngest route's one-file twin)
+  *  - `.gz .bz2` over a stream-decodable inner extension (`.jsonl.gz`,
+  *    `.csv.gz`, `.tsv.gz`, …) → the inner format's importer; the Hadoop
+  *    codec layer decompresses inline for scans and sniffers alike
   *  - `.pk1` and `.pickle` → [[PickleImporter]] (documented gap). The
   *    reference matches the literal `"pickle"` without a dot, which
   *    `Path.suffix` can never produce (`main.py:161` bug); per SURVEY.md §7
@@ -48,9 +53,26 @@ object AnyFile {
 
   def parse(spark: SparkSession, path: String): Seq[ParserAnswer] = {
     val extension = {
-      val name = graft.sources.FsIO.fileName(path)
-      val dot = name.lastIndexOf('.')
-      if (dot <= 0) "" else name.substring(dot).toLowerCase
+      val name = graft.sources.FsIO.fileName(path).toLowerCase
+      def extOf(n: String): String = {
+        val dot = n.lastIndexOf('.')
+        if (dot <= 0) "" else n.substring(dot)
+      }
+      val last = extOf(name)
+      // Compression-suffix peel: `.gz`/`.bz2` route on the INNER extension
+      // for the stream-decodable regimes — Spark's text/json scans and the
+      // byte readers here all decompress through the Hadoop codec layer,
+      // so `corpus.jsonl.gz` and `table.csv.gz` (the daily-hit LLM corpus
+      // forms) parse like their plain twins. Container formats that need
+      // random access (.xlsx, .sqlite, …) have no streaming road — their
+      // compressed forms stay unknown → Failed, never mis-parsed.
+      if (last == ".gz" || last == ".bz2") {
+        extOf(name.dropRight(last.length)) match {
+          case inner @ (".txt" | ".csv" | ".ini" | ".tsv" | ".ant" |
+              ".jsonl" | ".ndjson" | ".json" | ".warc") => inner
+          case _ => last
+        }
+      } else last
     }
 
     // Check file (present, readable) — main.py:136-144. Unlike the
@@ -81,6 +103,7 @@ object AnyFile {
       case ".docx" => new DocxImporter(spark, path)
       case ".pptx" => new PptxImporter(spark, path)
       case ".sqlite" | ".sqlite3" | ".db" => new SqliteImporter(spark, path)
+      case ".warc" => new WarcImporter(spark, path)
       case ".pdf"     => new PdfImporter(spark, path, concat = true)
       case ".parquet" => new ParquetImporter(spark, path)
       case ".json"    => new JsonImporter(spark, path)

@@ -142,7 +142,8 @@ object BulkIngest {
       val l = p.toLowerCase
       len >= bigBytes &&
         (l.endsWith(".xlsx") || l.endsWith(".xlsb") || l.endsWith(".xml") ||
-          l.endsWith(".ods") || l.endsWith(".odf") || l.endsWith(".odt"))
+          l.endsWith(".ods") || l.endsWith(".odf") || l.endsWith(".odt") ||
+          l.endsWith(".warc.gz"))
     }
 
     // Distributed listing with lengths: one listStatus on the driver
@@ -166,7 +167,8 @@ object BulkIngest {
       .filter((e: (String, Long)) => isBig(e._1, e._2))
       .map(_._1)(Encoders.STRING)
       .collect().toSeq.sorted
-    val (bigXlsx, rest0) = big.partition(_.toLowerCase.endsWith(".xlsx"))
+    val (bigWarcGz, restW) = big.partition(_.toLowerCase.endsWith(".warc.gz"))
+    val (bigXlsx, rest0) = restW.partition(_.toLowerCase.endsWith(".xlsx"))
     val (bigXlsb, rest1) = rest0.partition(_.toLowerCase.endsWith(".xlsb"))
     val (bigXml, bigOds) = rest1.partition(_.toLowerCase.endsWith(".xml"))
 
@@ -314,7 +316,52 @@ object BulkIngest {
         }
       }
     }
-    (bigDfs ++ xmlDfs ++ odsDfs).foldLeft(base)(_ union _)
+    // big .warc.gz archives: gzip has no random access, so the split road
+    // runs a one-pass executor-batched MEMBER-INDEX job (inflate-and-
+    // discard, O(1) memory — WarcReader.gzMemberBatches), then each batch
+    // of whole members is a ranged task: read its compressed slice,
+    // inflate (concatenated members inflate natively), frame records.
+    // Member boundaries are record boundaries (ISO 28500 annex), so
+    // row_idx = firstMember + i reproduces the whole-file numbering on
+    // conforming archives; a corrupt index answers one Failed row.
+    val warcBatches: Map[String, Option[Seq[graft.sources.warc.WarcReader.GzBatch]]] =
+      if (bigWarcGz.isEmpty) Map.empty
+      else spark.sparkContext
+        .parallelize(bigWarcGz, batched(bigWarcGz.length))
+        .map { p =>
+          FsIO.install(props)
+          val r =
+            try Some(graft.sources.warc.WarcReader.gzMemberBatches(p))
+            catch { case _: Exception => None }
+          (p, r)
+        }
+        .collect().toMap
+    val warcDfs: Seq[DataFrame] = bigWarcGz.map { p =>
+      warcBatches(p) match {
+        case None | Some(Seq()) => failedRow(p, "ImportWARC")
+        case Some(batches) =>
+          implicit val e3 = Encoders.product[(Long, Long, Long)]
+          val units = batches.map(b => (b.offset, b.length, b.firstMember))
+          spark.createDataset(units)
+            .repartition(math.max(1, math.min(units.length, parts)))
+            .mapPartitions { it =>
+              FsIO.install(props)
+              import graft.sources.warc.WarcReader
+              it.flatMap { case (off, len, firstMember) =>
+                val recs = WarcReader.records(WarcReader.gunzipIfNeeded(
+                  FsIO.readRange(p, off, len.toInt)))
+                recs.zipWithIndex.map { case (r, i) =>
+                  CellRow(p, "ImportWARC", "WARC records", "OK",
+                    firstMember + i,
+                    Seq(r.header("warc-target-uri").getOrElse(""),
+                      r.header("warc-type").getOrElse(""),
+                      r.payload.length.toString))
+                }
+              }
+            }.toDF()
+      }
+    }
+    (bigDfs ++ xmlDfs ++ odsDfs ++ warcDfs).foldLeft(base)(_ union _)
   }
 
   def parseFiles(spark: SparkSession, paths: Seq[String], partitions: Int = 0): DataFrame = {
@@ -372,9 +419,22 @@ object BulkIngest {
     * the per-format parity tests against `AnyFile.parse`. */
   private[graft] def parseOne(path: String): Seq[CellRow] = {
     val suffix = {
-      val name = FsIO.fileName(path)
-      val dot = name.lastIndexOf('.')
-      if (dot < 0) "" else name.substring(dot).toLowerCase
+      val name = FsIO.fileName(path).toLowerCase
+      def extOf(n: String): String = {
+        val dot = n.lastIndexOf('.')
+        if (dot < 0) "" else n.substring(dot)
+      }
+      val last = extOf(name)
+      // AnyFile's compression-suffix peel: `.gz`/`.bz2` route on the inner
+      // extension for the stream-decodable regimes (Hadoop codec layer);
+      // compressed container formats stay unknown → Failed.
+      if (last == ".gz" || last == ".bz2") {
+        extOf(name.dropRight(last.length)) match {
+          case inner @ (".txt" | ".csv" | ".ini" | ".tsv" | ".ant" |
+              ".jsonl" | ".ndjson" | ".json" | ".warc") => inner
+          case _ => last
+        }
+      } else last
     }
     def failed(engine: String) =
       Seq(CellRow(path, engine, "None", "Failed", -1L, Seq.empty))
@@ -395,7 +455,6 @@ object BulkIngest {
         case ".pptx" => pptx(path)
         case ".sqlite" | ".sqlite3" | ".db" => sqlite(path)
         case ".warc" => warc(path)
-        case ".gz" if path.toLowerCase.endsWith(".warc.gz") => warc(path)
         case ".parquet" =>
           Seq(CellRow(path, "ImportParquet", "Parquet file content",
             "Native", -1L, Seq.empty))
@@ -421,7 +480,7 @@ object BulkIngest {
     case ".docx" => "ImportDocx"
     case ".pptx" => "ImportPptx"
     case ".sqlite" | ".sqlite3" | ".db" => "ImportSqlite"
-    case ".warc" | ".gz" => "ImportWARC"
+    case ".warc" => "ImportWARC"
     case _ => ""
   }
 
@@ -500,8 +559,10 @@ object BulkIngest {
     val delim = fixedDelim.getOrElse(Sniffers.detectDelimiter(path))
     // UTF-8 explicitly: the driver-side TextImporter twin reads through
     // spark.read.text (always UTF-8); decoding with the executor JVM's
-    // default charset would silently diverge on non-UTF-8 locales
-    val raw = new String(FsIO.readAllBytes(path), StandardCharsets.UTF_8)
+    // default charset would silently diverge on non-UTF-8 locales.
+    // Decoded read: codec-suffixed files (x.csv.gz) inflate inline, the
+    // same bytes the Spark text scan would see.
+    val raw = new String(FsIO.readAllBytesDecoded(path), StandardCharsets.UTF_8)
     val lines = raw.split("\n", -1).toSeq match {
       case init :+ "" => init // trailing newline: no phantom last row
       case ls => ls
@@ -632,7 +693,10 @@ object BulkIngest {
     * consumer's job (q179 runs the HTML extraction on response blocks). */
   private def warc(path: String): Seq[CellRow] = {
     import graft.sources.warc.WarcReader
-    val recs = WarcReader.records(WarcReader.gunzipIfNeeded(FsIO.readAllBytes(path)))
+    // decoded read handles any codec suffix (.warc.gz, .warc.bz2);
+    // gunzipIfNeeded stays as the net for gzip bytes behind a plain name
+    val recs = WarcReader.records(WarcReader.gunzipIfNeeded(
+      FsIO.readAllBytesDecoded(path)))
     if (recs.isEmpty)
       Seq(CellRow(path, "ImportWARC", "None", "Failed", -1L, Seq.empty))
     else recs.zipWithIndex.map { case (r, i) =>

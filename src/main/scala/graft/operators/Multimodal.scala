@@ -246,14 +246,175 @@ object Multimodal {
       case _ => -1
     }
 
+    /** REAL PNG pixel decode (ISO 15948): chunk walk (IHDR → PLTE/IDAT →
+      * IEND), zlib inflate of the concatenated IDAT stream
+      * (`java.util.zip.Inflater`), per-scanline unfilter of all five
+      * filter types (None/Sub/Up/Average/Paeth, §9), then 8-bit grayscale
+      * luminance — integer (299·R + 587·G + 114·B)/1000 for color types
+      * 2/6, the gray channel for 0/4 (16-bit samples take the high byte,
+      * sub-byte depths left-bit-packed per §7.2 are expanded by
+      * max-value scaling), PLTE lookup for type 3. Returns
+      * (width, height, row-major gray bytes); None for anything the
+      * decoder can't prove it read right — truncated/garbage chunks, a
+      * non-zlib IDAT, interlaced (Adam7) images, inflate length mismatch,
+      * spec-invalid depth/type combos, or dimensions past the 64 MPix
+      * sanity cap (a corrupt header must not drive a giant allocation —
+      * the RangedZip MaxCdBytes discipline). */
+    private[graft] def pngGray(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+      if (!startsWith(b, PngSig)) return None
+      var i = 8
+      var w = 0; var h = 0; var depth = 0; var ctype = 0; var interlace = 0
+      var seenIhdr = false; var seenIend = false
+      var plte: Array[Byte] = null
+      val idat = new java.io.ByteArrayOutputStream()
+      while (i + 8 <= b.length && !seenIend) {
+        val len = be32(b, i)
+        if (len < 0 || i + 12 + len.toLong > b.length) return None
+        val t0 = b(i + 4); val t1 = b(i + 5); val t2 = b(i + 6); val t3 = b(i + 7)
+        if (t0 == 'I' && t1 == 'H' && t2 == 'D' && t3 == 'R') {
+          if (seenIhdr || len != 13) return None
+          w = be32(b, i + 8); h = be32(b, i + 12)
+          depth = b(i + 16) & 0xff; ctype = b(i + 17) & 0xff
+          if ((b(i + 18) & 0xff) != 0 || (b(i + 19) & 0xff) != 0) return None
+          interlace = b(i + 20) & 0xff
+          seenIhdr = true
+        } else if (t0 == 'P' && t1 == 'L' && t2 == 'T' && t3 == 'E') {
+          if (len % 3 != 0 || len > 768) return None
+          plte = java.util.Arrays.copyOfRange(b, i + 8, i + 8 + len)
+        } else if (t0 == 'I' && t1 == 'D' && t2 == 'A' && t3 == 'T') {
+          idat.write(b, i + 8, len)
+        } else if (t0 == 'I' && t1 == 'E' && t2 == 'N' && t3 == 'D') {
+          seenIend = true
+        }
+        i += 12 + len
+      }
+      if (!seenIhdr || !seenIend || idat.size() == 0 || interlace != 0)
+        return None
+      if (w <= 0 || h <= 0 || w.toLong * h > (64L << 20)) return None
+      val channels = ctype match {
+        case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+        case _ => return None
+      }
+      val depthOk = ctype match {
+        case 0 => Set(1, 2, 4, 8, 16)(depth)
+        case 3 => Set(1, 2, 4, 8)(depth)
+        case _ => depth == 8 || depth == 16
+      }
+      if (!depthOk) return None
+      if (ctype == 3 && plte == null) return None
+      val bitsPerPixel = channels * depth
+      val rowBytes = (w.toLong * bitsPerPixel + 7) / 8
+      val expected = h * (1L + rowBytes)
+      if (expected > (512L << 20)) return None
+      val raw = new Array[Byte](expected.toInt)
+      val inf = new java.util.zip.Inflater()
+      try {
+        inf.setInput(idat.toByteArray)
+        var off = 0
+        while (off < raw.length && !inf.finished()) {
+          val k = inf.inflate(raw, off, raw.length - off)
+          if (k == 0 && inf.needsInput()) return None // truncated stream
+          off += k
+        }
+        if (off != raw.length) return None
+      } catch {
+        case _: java.util.zip.DataFormatException => return None
+      } finally inf.end()
+      // unfilter in place, scanline by scanline (§9: Recon mod 256)
+      val bpp = math.max(1, bitsPerPixel / 8)
+      val rb = rowBytes.toInt
+      val px = new Array[Byte](h * rb) // filtered-out raw sample rows
+      var y = 0
+      while (y < h) {
+        val f = raw(y * (rb + 1)) & 0xff
+        if (f > 4) return None
+        val src = y * (rb + 1) + 1
+        val dst = y * rb
+        var x0 = 0
+        while (x0 < rb) {
+          val ft = raw(src + x0) & 0xff
+          val a = if (x0 >= bpp) px(dst + x0 - bpp) & 0xff else 0
+          val up = if (y > 0) px(dst - rb + x0) & 0xff else 0
+          val ul = if (y > 0 && x0 >= bpp) px(dst - rb + x0 - bpp) & 0xff else 0
+          val recon = f match {
+            case 0 => ft
+            case 1 => ft + a
+            case 2 => ft + up
+            case 3 => ft + ((a + up) >> 1)
+            case 4 =>
+              val pp = a + up - ul
+              val pa = math.abs(pp - a); val pb = math.abs(pp - up)
+              val pc = math.abs(pp - ul)
+              ft + (if (pa <= pb && pa <= pc) a else if (pb <= pc) up else ul)
+          }
+          px(dst + x0) = (recon & 0xff).toByte
+          x0 += 1
+        }
+        y += 1
+      }
+      // samples → 8-bit grayscale
+      val gray = new Array[Byte](w * h)
+      val maxv = (1 << math.min(depth, 8)) - 1
+      def luma(r: Int, g: Int, bl: Int): Int = (299 * r + 587 * g + 114 * bl) / 1000
+      y = 0
+      while (y < h) {
+        val dst = y * rb
+        var x = 0
+        while (x < w) {
+          val g8 = (ctype, depth) match {
+            case (0, d) if d < 8 =>
+              val bit = x * d
+              val v = (px(dst + (bit >> 3)) >> (8 - d - (bit & 7))) & maxv
+              v * 255 / maxv
+            case (0, 8) => px(dst + x) & 0xff
+            case (0, 16) => px(dst + 2 * x) & 0xff
+            case (2, d) =>
+              val s = if (d == 8) 1 else 2
+              luma(px(dst + 3 * s * x) & 0xff, px(dst + 3 * s * x + s) & 0xff,
+                px(dst + 3 * s * x + 2 * s) & 0xff)
+            case (3, d) =>
+              val idx = if (d == 8) px(dst + x) & 0xff
+                else { val bit = x * d; (px(dst + (bit >> 3)) >> (8 - d - (bit & 7))) & maxv }
+              if (3 * idx + 2 >= plte.length) return None
+              luma(plte(3 * idx) & 0xff, plte(3 * idx + 1) & 0xff,
+                plte(3 * idx + 2) & 0xff)
+            case (4, d) =>
+              val s = if (d == 8) 1 else 2
+              px(dst + 2 * s * x) & 0xff
+            case (6, d) =>
+              val s = if (d == 8) 1 else 2
+              luma(px(dst + 4 * s * x) & 0xff, px(dst + 4 * s * x + s) & 0xff,
+                px(dst + 4 * s * x + 2 * s) & 0xff)
+            case _ => return None
+          }
+          gray(y * w + x) = g8.toByte
+          x += 1
+        }
+        y += 1
+      }
+      Some((w, h, gray))
+    }
+
     /** dHash — the classic perceptual image fingerprint (Krawetz's public
       * difference-hash formulation): average-pool the image down to a 9×8
       * grayscale grid, emit one gradient bit per horizontally-adjacent
-      * cell pair (64 bits). The pixel source is the deterministic
-      * stand-in of this offline container — the decoded body's bytes act
-      * as the grayscale buffer, grid cell j pooling the exact integer
+      * cell pair (64 bits).
+      *
+      * For PNG payloads the pixel source is REAL whenever [[pngGray]] can
+      * decode the image (zlib IDAT + unfilter + luminance, w ≥ 9 and
+      * h ≥ 8 so every grid cell pools ≥ 1 pixel): cell (r,c) pools the
+      * exact integer mean of the pixel rectangle rows [⌊r·h/8⌋,
+      * ⌊(r+1)·h/8⌋) × cols [⌊c·w/9⌋, ⌊(c+1)·w/9⌋) — so two PNGs with the
+      * same pixels hash identically no matter the zlib level or filter
+      * choices (the recompression-invariance law, Round13PngSpec).
+      *
+      * For formats without a from-spec decoder in this offline container
+      * (JPEG/GIF — their entropy coding is a documented gap) and for
+      * PNGs the decoder rejects, the pixel source falls back to the
+      * deterministic stand-in — the container body's bytes act as the
+      * grayscale buffer, grid cell j pooling the exact integer
       * mean of bytes [⌊j·n/72⌋, ⌊(j+1)·n/72⌋); a real pipeline swaps only
-      * that pooling for a resize over decoded pixels and keeps every
+      * that pooling for a decoded resize and keeps every
       * downstream band/bucket shape. Bodies under 72 bytes are too small
       * for the 9×8 grid → None, as are audio/corrupt containers.
       *
@@ -271,21 +432,57 @@ object Multimodal {
       val (_, _, fmt) = parseHeader(payload)
       if (fmt != "png" && fmt != "jpeg" && fmt != "gif") None
       else {
-        val off = bodyOffset(payload, fmt)
-        val n = payload.length - off
-        if (off < 0 || n < 72) None
-        else {
-          val p = new Array[Int](72)
-          var j = 0
-          while (j < 72) {
-            val lo = (j.toLong * n / 72).toInt
-            val hi = ((j + 1).toLong * n / 72).toInt
-            var s = 0L
-            var i = lo
-            while (i < hi) { s += payload(off + i) & 0xff; i += 1 }
-            p(j) = (s / (hi - lo)).toInt +
-              (if (dither && j % 7 == 0) 1 else 0)
-            j += 1
+        // real-pixel road: a decodable PNG pools true luminance rectangles
+        val real: Option[Array[Int]] =
+          if (fmt != "png") None
+          else pngGray(payload).collect {
+            case (w, h, gray) if w >= 9 && h >= 8 =>
+              val p = new Array[Int](72)
+              var r = 0
+              while (r < 8) {
+                val y0 = (r.toLong * h / 8).toInt
+                val y1 = ((r + 1).toLong * h / 8).toInt
+                var c = 0
+                while (c < 9) {
+                  val x0 = (c.toLong * w / 9).toInt
+                  val x1 = ((c + 1).toLong * w / 9).toInt
+                  var s = 0L
+                  var y = y0
+                  while (y < y1) {
+                    var x = x0
+                    while (x < x1) { s += gray(y * w + x) & 0xff; x += 1 }
+                    y += 1
+                  }
+                  p(r * 9 + c) = (s / ((y1 - y0).toLong * (x1 - x0))).toInt
+                  c += 1
+                }
+                r += 1
+              }
+              p
+          }
+        val cells: Option[Array[Int]] = real.orElse {
+          val off = bodyOffset(payload, fmt)
+          val n = payload.length - off
+          if (off < 0 || n < 72) None
+          else {
+            val p = new Array[Int](72)
+            var j = 0
+            while (j < 72) {
+              val lo = (j.toLong * n / 72).toInt
+              val hi = ((j + 1).toLong * n / 72).toInt
+              var s = 0L
+              var i = lo
+              while (i < hi) { s += payload(off + i) & 0xff; i += 1 }
+              p(j) = (s / (hi - lo)).toInt
+              j += 1
+            }
+            Some(p)
+          }
+        }
+        cells.map { p =>
+          if (dither) {
+            var j = 0
+            while (j < 72) { if (j % 7 == 0) p(j) += 1; j += 7 }
           }
           val bands = new Array[Int](4)
           var r = 0
@@ -300,7 +497,7 @@ object Multimodal {
             }
             r += 1
           }
-          Some(bands)
+          bands
         }
       }
     }

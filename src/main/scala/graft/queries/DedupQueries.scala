@@ -2534,14 +2534,19 @@ object DedupQueries {
         SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
       posx AS (
         SELECT doc_id, unnest(generate_series(1, len(w))) AS i, w FROM toks),
+      -- Suffixes sort by their 31-token cap, not the full suffix string:
+      -- building array_to_string(w[i:], chr(1)) is O(corpus²) bytes. The
+      -- orders agree wherever it matters — caps that differ compare like
+      -- the full suffixes (token-wise, prefix-is-less), and entries whose
+      -- caps are fully EQUAL carry identical (cap, ln=len(cap)) payloads,
+      -- so permuting them permutes identical rows.
       suf AS (
         SELECT doc_id, i - 1 AS pos,
-               w[i:least(i + 30, len(w))] AS cap,
-               array_to_string(w[i:], chr(1)) AS s
+               w[i:least(i + 30, len(w))] AS cap
         FROM posx),
       sa AS (
-        SELECT row_number() OVER (ORDER BY s, doc_id, pos) AS sidx, cap,
-               lead(cap) OVER (ORDER BY s, doc_id, pos) AS ncap
+        SELECT row_number() OVER (ORDER BY cap, doc_id, pos) AS sidx, cap,
+               lead(cap) OVER (ORDER BY cap, doc_id, pos) AS ncap
         FROM suf),
       ll AS (
         SELECT sidx, cap,

@@ -1766,40 +1766,68 @@ object SimilarityQueries {
         .withColumn("recall_bp", col("hits") * 2000)
         .orderBy("query_id")
     },
-    Some(s"""
-      WITH q AS (
-        SELECT vec_id AS query_id, embedding AS qe, embedding[1:16] AS qp
-        FROM embeddings WHERE vec_id < 8),
-      c AS (
-        SELECT vec_id AS neighbor_id, embedding AS ce, embedding[1:16] AS cp
+    // Dots/norms come from ONE position-aligned unnest join, not a
+    // correlated dotDecSql per pair — DuckDB replays an undecorrelated
+    // UNNEST subquery per row (the q172/q165 finding; ~14 s at sf0.01 vs
+    // 0.1 s like this). dpre sums the i ≤ 16 terms of the SAME floor'd
+    // products that slicing embedding[1:16] would produce, and the
+    // cosine/pcos expression trees over these integer sums are the old
+    // oracle's exactly — identical doubles, identical ordering.
+    Some("""
+      WITH cu AS MATERIALIZED (
+        SELECT vec_id, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
         FROM embeddings),
-      pairs AS (SELECT * FROM q, c WHERE query_id <> neighbor_id),
+      nn AS MATERIALIZED (
+        SELECT vec_id, CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * x * 1e15)
+                 AS BIGINT)) AS BIGINT) AS n
+        FROM cu GROUP BY vec_id),
+      pn AS MATERIALIZED (
+        SELECT vec_id, CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * x * 1e15)
+                 AS BIGINT)) AS BIGINT) AS n
+        FROM cu WHERE i <= 16 GROUP BY vec_id),
+      qd AS MATERIALIZED (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               CAST(SUM(CAST(FLOOR(CAST(a.x AS DOUBLE) * b.x * 1e15)
+                 AS BIGINT)) AS BIGINT) AS dfull,
+               CAST(SUM(CASE WHEN a.i <= 16
+                 THEN CAST(FLOOR(CAST(a.x AS DOUBLE) * b.x * 1e15) AS BIGINT)
+                 ELSE 0 END) AS BIGINT) AS dpre
+        FROM cu a JOIN cu b ON a.i = b.i
+          AND a.vec_id < 8 AND a.vec_id <> b.vec_id
+        GROUP BY a.vec_id, b.vec_id),
+      pairs AS MATERIALIZED (
+        SELECT query_id, neighbor_id,
+               (CAST(dfull AS DOUBLE) / 1e15) /
+               (sqrt(CAST(nq.n AS DOUBLE) / 1e15)
+                * sqrt(CAST(nc.n AS DOUBLE) / 1e15)) AS cosine,
+               CASE WHEN sqrt(CAST(pq.n AS DOUBLE) / 1e15)
+                         * sqrt(CAST(pc.n AS DOUBLE) / 1e15) = 0 THEN -1
+                    ELSE (CAST(dpre AS DOUBLE) / 1e15) /
+                         (sqrt(CAST(pq.n AS DOUBLE) / 1e15)
+                          * sqrt(CAST(pc.n AS DOUBLE) / 1e15)) END AS pcos
+        FROM qd
+        JOIN nn nq ON nq.vec_id = query_id
+        JOIN nn nc ON nc.vec_id = neighbor_id
+        JOIN pn pq ON pq.vec_id = query_id
+        JOIN pn pc ON pc.vec_id = neighbor_id),
       exact_top AS (
         SELECT query_id, neighbor_id FROM (
           SELECT query_id, neighbor_id,
-                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
-                   ${dotDecSql("qe", "ce")} /
-                   (sqrt(${dotDecSql("qe", "qe")}) * sqrt(${dotDecSql("ce", "ce")}))
-                   DESC, neighbor_id) AS r
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id) AS r
           FROM pairs) WHERE r <= 5),
       cand AS (
-        SELECT query_id, neighbor_id, qe, ce FROM (
-          SELECT query_id, neighbor_id, qe, ce,
-                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
-                   CASE WHEN sqrt(${dotDecSql("qp", "qp")})
-                             * sqrt(${dotDecSql("cp", "cp")}) = 0 THEN -1
-                        ELSE ${dotDecSql("qp", "cp")} /
-                   (sqrt(${dotDecSql("qp", "qp")}) * sqrt(${dotDecSql("cp", "cp")}))
-                   END
-                   DESC, neighbor_id) AS r
+        SELECT query_id, neighbor_id, cosine FROM (
+          SELECT query_id, neighbor_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY pcos DESC, neighbor_id) AS r
           FROM pairs) WHERE r <= 25),
       two_top AS (
         SELECT query_id, neighbor_id FROM (
           SELECT query_id, neighbor_id,
-                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
-                   ${dotDecSql("qe", "ce")} /
-                   (sqrt(${dotDecSql("qe", "qe")}) * sqrt(${dotDecSql("ce", "ce")}))
-                   DESC, neighbor_id) AS r
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id) AS r
           FROM cand) WHERE r <= 5)
       SELECT e.query_id, CAST(COUNT(t.neighbor_id) AS BIGINT) AS hits,
              CAST(COUNT(t.neighbor_id) AS BIGINT) * 2000 AS recall_bp
@@ -1865,39 +1893,52 @@ object SimilarityQueries {
         .orderBy("label", "sel_rank")
     },
     Some {
-      def fp(a: String, b: String) =
-        s"""(SELECT CAST(SUM(CAST(FLOOR(CAST(ua.x AS DOUBLE) * ub.x * 1e15)
-              AS BIGINT)) AS BIGINT)
-            FROM (SELECT unnest($a) AS x, generate_subscripts($a, 1) AS i) ua
-            JOIN (SELECT unnest($b) AS x, generate_subscripts($b, 1) AS i) ub
-              USING (i))"""
+      // The pairwise fixed-point dot is a position-aligned unnest join +
+      // SUM of the identical floor'd terms, NOT a correlated scalar
+      // subquery per pair: DuckDB cannot decorrelate an UNNEST subquery
+      // over a CTE-to-CTE join (the q172 finding) and replays it
+      // per-pair — 300+ s at sf0.01 vs ~1 s for this formulation. Every
+      // CTE a later round re-reads is MATERIALIZED so the greedy rounds
+      // never re-run their upstream.
       def step(n: Int) = s"""
-      c$n AS (
+      c$n AS MATERIALIZED (
         SELECT p.label, p.i AS vec_id, MIN(p.d2) AS min_d2
         FROM p JOIN a${n - 1} s ON p.label = s.label AND p.j = s.vec_id
         WHERE NOT EXISTS (SELECT 1 FROM a${n - 1} x
                           WHERE x.label = p.label AND x.vec_id = p.i)
         GROUP BY p.label, p.i),
-      s$n AS (
+      s$n AS MATERIALIZED (
         SELECT label, vec_id, $n AS sel_rank, min_d2 FROM (
           SELECT label, vec_id, min_d2,
                  ROW_NUMBER() OVER (PARTITION BY label
                    ORDER BY min_d2 DESC, vec_id) AS r
           FROM c$n) WHERE r = 1),
-      a$n AS (SELECT label, vec_id FROM a${n - 1}
+      a$n AS MATERIALIZED (SELECT label, vec_id FROM a${n - 1}
               UNION ALL SELECT label, vec_id FROM s$n)"""
       s"""
       WITH e AS (
         SELECT CAST(label AS BIGINT) AS label, vec_id, embedding
         FROM embeddings),
-      n AS (
-        SELECT label, vec_id, ${fp("embedding", "embedding")} AS nn FROM e),
-      p AS (
+      eu AS MATERIALIZED (
+        SELECT label, vec_id, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM e),
+      n AS MATERIALIZED (
+        SELECT label, vec_id,
+               CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * x * 1e15)
+                 AS BIGINT)) AS BIGINT) AS nn
+        FROM eu GROUP BY label, vec_id),
+      dots AS MATERIALIZED (
         SELECT a.label, a.vec_id AS i, b.vec_id AS j,
-               na.nn + nb.nn - 2 * ${fp("a.embedding", "b.embedding")} AS d2
-        FROM e a JOIN e b ON a.label = b.label
-        JOIN n na ON na.label = a.label AND na.vec_id = a.vec_id
-        JOIN n nb ON nb.label = b.label AND nb.vec_id = b.vec_id),
+               CAST(SUM(CAST(FLOOR(CAST(a.x AS DOUBLE) * b.x * 1e15)
+                 AS BIGINT)) AS BIGINT) AS d
+        FROM eu a JOIN eu b ON a.label = b.label AND a.i = b.i
+        GROUP BY a.label, a.vec_id, b.vec_id),
+      p AS MATERIALIZED (
+        SELECT d.label, d.i, d.j, na.nn + nb.nn - 2 * d.d AS d2
+        FROM dots d
+        JOIN n na ON na.label = d.label AND na.vec_id = d.i
+        JOIN n nb ON nb.label = d.label AND nb.vec_id = d.j),
       s1 AS (
         SELECT label, MIN(vec_id) AS vec_id, 1 AS sel_rank,
                CAST(0 AS BIGINT) AS min_d2

@@ -1362,35 +1362,35 @@ object TextQueries {
     },
     Some(raw"""
       WITH RECURSIVE
-      words AS (
+      words AS MATERIALIZED (
         SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
           SELECT unnest(list_filter(string_split_regex(text, '\s+'),
             x -> regexp_matches(x, '^[a-z]+$$'))) AS w
           FROM documents)
         GROUP BY w),
-      occ AS (
+      occ AS MATERIALIZED (
         SELECT substr(word, i, l) AS piece, freq
         FROM (SELECT word, freq, unnest(range(1, length(word) + 1)) AS i
               FROM words),
              (SELECT unnest([2, 3, 4]) AS l)
         WHERE i + l - 1 <= length(word)),
-      multi AS (
+      multi AS MATERIALIZED (
         SELECT piece, t FROM (
           SELECT piece, CAST(SUM(freq) AS BIGINT) AS t,
                  ROW_NUMBER() OVER (ORDER BY SUM(freq) DESC, piece) AS rn
           FROM occ GROUP BY piece)
         WHERE rn <= 64),
-      singles AS (
+      singles AS MATERIALIZED (
         SELECT piece, CAST(SUM(freq) AS BIGINT) AS t FROM (
           SELECT word[i:i] AS piece, freq
           FROM (SELECT word, freq, unnest(range(1, length(word) + 1)) AS i
                 FROM words))
         GROUP BY piece),
-      seed AS (SELECT piece, t FROM multi UNION ALL SELECT piece, t FROM singles),
+      seed AS MATERIALIZED (SELECT piece, t FROM multi UNION ALL SELECT piece, t FROM singles),
       tot0 AS (SELECT CAST(SUM(t) AS BIGINT) AS tt FROM seed),
-      cost0 AS (SELECT piece, CAST(length(bin(tt // t)) + 1 AS BIGINT) AS cost
+      cost0 AS MATERIALIZED (SELECT piece, CAST(length(bin(tt // t)) + 1 AS BIGINT) AS cost
                 FROM seed, tot0),
-      cl0 AS (SELECT list(piece ORDER BY piece) AS ps,
+      cl0 AS MATERIALIZED (SELECT list(piece ORDER BY piece) AS ps,
                      list(cost ORDER BY piece) AS cs FROM cost0),
       dp1 AS (
         SELECT word, freq, 0 AS i, [CAST(0 AS BIGINT)] AS b FROM words
@@ -1413,7 +1413,7 @@ object TextQueries {
                  THEN d.b[d.i - 2] + cs[list_position(ps, substr(d.word, d.i - 2, 4))]
                  ELSE 1000000000 END))
         FROM dp1 d, cl0 WHERE d.i < length(d.word)),
-      dpf1 AS (SELECT word, freq, b FROM dp1 WHERE i = length(word)),
+      dpf1 AS MATERIALIZED (SELECT word, freq, b FROM dp1 WHERE i = length(word)),
       bt1 AS (
         SELECT word, freq, length(word) AS pos, b, CAST(NULL AS VARCHAR) AS piece
         FROM dpf1
@@ -1438,25 +1438,25 @@ object TextQueries {
                        = t.b[t.pos + 1] THEN 2
                  ELSE 1 END AS l
           FROM bt1 t, cl0 WHERE t.pos > 0)),
-      e1 AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS e
+      e1 AS MATERIALIZED (SELECT piece, CAST(SUM(freq) AS BIGINT) AS e
              FROM bt1 WHERE piece IS NOT NULL GROUP BY piece),
-      me1 AS (
+      me1 AS MATERIALIZED (
         SELECT m.piece, m.t, COALESCE(e1.e, 0) AS e,
                ROW_NUMBER() OVER (ORDER BY COALESCE(e1.e, 0) ASC, m.piece ASC)
                  AS prn
         FROM multi m LEFT JOIN e1 ON m.piece = e1.piece),
-      surv AS (
+      surv AS MATERIALIZED (
         SELECT piece, t FROM me1 WHERE prn > 16
         UNION ALL SELECT piece, t FROM singles),
-      t1 AS (
+      t1 AS MATERIALIZED (
         SELECT s.piece, s.t AS seed_t,
                greatest(COALESCE(e1.e, 0), 1) AS t,
                COALESCE(e1.e, 0) AS em1
         FROM surv s LEFT JOIN e1 ON s.piece = e1.piece),
       tot1 AS (SELECT CAST(SUM(t) AS BIGINT) AS tt FROM t1),
-      cost1 AS (SELECT piece, CAST(length(bin(tt // t)) + 1 AS BIGINT) AS cost
+      cost1 AS MATERIALIZED (SELECT piece, CAST(length(bin(tt // t)) + 1 AS BIGINT) AS cost
                 FROM t1, tot1),
-      cl1 AS (SELECT list(piece ORDER BY piece) AS ps,
+      cl1 AS MATERIALIZED (SELECT list(piece ORDER BY piece) AS ps,
                      list(cost ORDER BY piece) AS cs FROM cost1),
       dp2 AS (
         SELECT word, freq, 0 AS i, [CAST(0 AS BIGINT)] AS b FROM words
@@ -1479,7 +1479,7 @@ object TextQueries {
                  THEN d.b[d.i - 2] + cs[list_position(ps, substr(d.word, d.i - 2, 4))]
                  ELSE 1000000000 END))
         FROM dp2 d, cl1 WHERE d.i < length(d.word)),
-      dpf2 AS (SELECT word, freq, b FROM dp2 WHERE i = length(word)),
+      dpf2 AS MATERIALIZED (SELECT word, freq, b FROM dp2 WHERE i = length(word)),
       bt2 AS (
         SELECT word, freq, length(word) AS pos, b, CAST(NULL AS VARCHAR) AS piece
         FROM dpf2

@@ -175,6 +175,32 @@ object FsIO {
     finally in.close()
   }
 
+  /** Open with inline decompression when the file name carries a codec
+    * suffix the Hadoop codec layer knows (`.gz`, `.bz2`, …) — the same
+    * layer Spark's text/json scans decompress through, so a sniff or a
+    * byte-level parse over `x.csv.gz` sees the same decoded bytes the
+    * scan will. Plain [[open]] when no codec claims the suffix. */
+  def openDecoded(path: String): InputStream = {
+    val codec =
+      new org.apache.hadoop.io.compress.CompressionCodecFactory(conf())
+        .getCodec(hpath(path))
+    if (codec == null) open(path) else codec.createInputStream(open(path))
+  }
+
+  /** [[readAllBytes]] through [[openDecoded]]. */
+  def readAllBytesDecoded(path: String): Array[Byte] = {
+    val in = openDecoded(path)
+    try in.readAllBytes()
+    finally in.close()
+  }
+
+  /** [[readHead]] through [[openDecoded]] — at most `limit` DECODED bytes. */
+  def readHeadDecoded(path: String, limit: Int): Array[Byte] = {
+    val in = openDecoded(path)
+    try in.readNBytes(limit)
+    finally in.close()
+  }
+
   /** Every regular file under `root`, via the Hadoop recursive remote
     * iterator — streamed, never materializing the tree server-side the way
     * a `Files.walk` driver array would. Callers needing determinism sort

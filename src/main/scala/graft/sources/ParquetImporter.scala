@@ -56,7 +56,13 @@ class JsonLinesImporter(val spark: SparkSession, val filePath: String)
   def work(): Seq[ParserAnswer] = {
     try {
       val df = spark.read.json(filePath)
-      if (df.columns.isEmpty) failedAnswer()
+      // PERMISSIVE mode turns a file of entirely-unparseable lines into a
+      // lone corrupt-record column, not an empty schema — that is "no
+      // parseable objects" too and must answer Failed, not raw garbage.
+      val corruptCol =
+        spark.conf.get("spark.sql.columnNameOfCorruptRecord", "_corrupt_record")
+      if (df.columns.isEmpty || df.columns.sameElements(Array(corruptCol)))
+        failedAnswer()
       else Seq(ParserAnswer(
         data = df,
         filePathRaw = filePath,
@@ -92,7 +98,8 @@ class JsonImporter(val spark: SparkSession, val filePath: String)
 
   private def firstStructuralChar(path: String): Option[Char] = {
     val in = new java.io.BufferedReader(new java.io.InputStreamReader(
-      graft.sources.FsIO.open(path), java.nio.charset.StandardCharsets.UTF_8))
+      graft.sources.FsIO.openDecoded(path),
+      java.nio.charset.StandardCharsets.UTF_8))
     try {
       var c = in.read()
       while (c != -1 && Character.isWhitespace(c)) c = in.read()
@@ -107,7 +114,7 @@ class JsonImporter(val spark: SparkSession, val filePath: String)
     import com.fasterxml.jackson.databind.ObjectMapper
     import scala.jdk.CollectionConverters._
     val mapper = new ObjectMapper()
-    val root = mapper.readTree(graft.sources.FsIO.open(filePath))
+    val root = mapper.readTree(graft.sources.FsIO.openDecoded(filePath))
     require(root.isObject, "columns-orient JSON must be an object")
     val cols = root.fieldNames().asScala.toSeq
     // row index keys in first-appearance order across columns

@@ -403,7 +403,9 @@ object Sniffers {
   }
 
   /** Read at most `limit` bytes from the head of the file (Hadoop-FS:
-    * local paths and hdfs:/s3a: URIs alike). */
+    * local paths and hdfs:/s3a: URIs alike). Codec-suffixed files
+    * (`x.csv.gz`) sniff their DECODED head — the compressed bytes would
+    * vote garbage delimiters and fake encodings. */
   private def readPrefix(path: String, limit: Int): Array[Byte] =
-    FsIO.readHead(path, limit)
+    FsIO.readHeadDecoded(path, limit)
 }

@@ -96,8 +96,19 @@ object SqliteParser {
     if (pageSize < 512 || (pageSize & (pageSize - 1)) != 0) return None
     val reserved = h(20) & 0xff
     val textEnc = u32(h, 56).toInt
+    // Per fileformat2 the in-header database size (offset 28) is only
+    // valid when the change counter (24) matches version-valid-for (92);
+    // a db last written by a pre-3.7.0 library carries a stale value, so
+    // trusting it would make valid page pointers fail range checks and a
+    // readable table answer Failed. Fall back to the file-derived count
+    // (and never below it) when the validity pair disagrees.
     val declared = u32(h, 28)
-    val nPages = if (declared > 0) declared else fileLen / pageSize
+    val changeCtr = u32(h, 24)
+    val validFor = u32(h, 92)
+    val fromFile = fileLen / pageSize
+    val nPages =
+      if (declared > 0 && changeCtr == validFor) declared
+      else math.max(declared, fromFile)
     if (textEnc < 1 || textEnc > 3) return None
     Some(Header(pageSize, reserved, textEnc, nPages))
   }
@@ -350,9 +361,13 @@ object SqliteParser {
     val names = mutable.ArrayBuffer.empty[String]
     var ipk = -1
     defs.map(_.trim).filter(_.nonEmpty).foreach { d =>
-      val (name, rest) = leadingIdentifier(d)
+      val (name, rest, quoted) = leadingIdentifier(d)
       val headWord = name.toUpperCase(java.util.Locale.ROOT)
-      if (!constraintHead.contains(headWord)) {
+      // Constraint-head detection applies to BARE identifiers only: a
+      // quoted/bracketed `"check"` or `[primary]` is a legitimate column
+      // name per SQL quoting rules, and skipping it would shift every
+      // later column's values left — silently wrong data.
+      if (quoted || !constraintHead.contains(headWord)) {
         val restUp = rest.toUpperCase(java.util.Locale.ROOT)
         if (restUp.contains("INTEGER") && restUp.contains("PRIMARY KEY") &&
           ipk < 0) ipk = names.length
@@ -363,9 +378,11 @@ object SqliteParser {
   }
 
   /** First identifier of a column def: quoted (`"x"` doubled-quote escape,
-    * `[x]`, `` `x` ``) or bare (to whitespace/`(`). Returns (name, rest). */
-  private def leadingIdentifier(d: String): (String, String) = {
-    if (d.isEmpty) return ("", "")
+    * `[x]`, `` `x` ``) or bare (to whitespace/`(`). Returns (name, rest,
+    * wasQuoted) — quoting matters because a quoted identifier is ALWAYS a
+    * column name, even when it spells a constraint keyword. */
+  private def leadingIdentifier(d: String): (String, String, Boolean) = {
+    if (d.isEmpty) return ("", "", false)
     d.charAt(0) match {
       case q @ ('"' | '`' | '\'') =>
         val sb = new java.lang.StringBuilder
@@ -378,16 +395,16 @@ object SqliteParser {
             else { done = true; i += 1 }
           } else { sb.append(c); i += 1 }
         }
-        (sb.toString, d.substring(math.min(i, d.length)))
+        (sb.toString, d.substring(math.min(i, d.length)), true)
       case '[' =>
         val close = d.indexOf(']')
-        if (close < 0) (d.substring(1), "")
-        else (d.substring(1, close), d.substring(close + 1))
+        if (close < 0) (d.substring(1), "", true)
+        else (d.substring(1, close), d.substring(close + 1), true)
       case _ =>
         var i = 0
         while (i < d.length && !d.charAt(i).isWhitespace && d.charAt(i) != '(')
           i += 1
-        (d.substring(0, i), d.substring(i))
+        (d.substring(0, i), d.substring(i), false)
     }
   }
 

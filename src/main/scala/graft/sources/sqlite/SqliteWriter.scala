@@ -180,6 +180,10 @@ object SqliteWriter {
         System.arraycopy(b, 0, p, contentEnd, b.length)
         put16(p, headerAt + 8 + 2 * i, contentEnd)
       }
+      // cell content must never reach down into the page/db headers or
+      // the pointer array — belt-and-braces behind the packing math
+      assert(contentEnd >= headerAt + 8 + 2 * cells.length,
+        s"leaf $pageNo cell content ($contentEnd) collides with headers")
       put16(p, headerAt + 5, if (contentEnd == 65536) 0 else contentEnd)
     }
 
@@ -222,6 +226,13 @@ object SqliteWriter {
     val masterPlanned = plan(1L, masterRec)
     require(masterPlanned.local == masterRec.length,
       "schema SQL too large for one page") // keep master overflow-free
+    // Page 1 has only pageSize-110 bytes of cell room (100-byte db header
+    // + 8-byte leaf page header + one 2-byte pointer) — strictly tighter
+    // than the overflow threshold X = U-35 checked above. A schema SQL in
+    // the gap would pass the overflow check and then be overwritten by
+    // the headers: refuse instead of corrupting.
+    require(masterPlanned.cellSize + 2 <= pageSize - 100 - 8,
+      "schema SQL too large for page 1's cell area")
     writeLeaf(1, Seq(masterPlanned), headerAt = 100)
 
     // ---- header + assembly
@@ -249,7 +260,10 @@ object SqliteWriter {
   }
 
   private def varint(v0: Long): Array[Byte] = {
-    if (v0 >>> 63 == 1) {
+    // 9-byte form whenever the value needs more than 8 seven-bit groups —
+    // any v with bits above position 55 (negatives included): the 9th
+    // byte carries all 8 low bits, matching SqliteParser.varint.
+    if ((v0 >>> 56) != 0) {
       val out = new Array[Byte](9)
       var v = v0
       out(8) = (v & 0xff).toByte

@@ -19,8 +19,9 @@ object SqliteFixture {
 
   def varint(v0: Long): Array[Byte] = {
     // 1-9 bytes, big-endian 7-bit groups, high-bit continuation
-    if (v0 >>> 63 == 1) {
-      // 9-byte form: 8 continuation bytes + full low byte
+    if ((v0 >>> 56) != 0) {
+      // 9-byte form (any value with bits above position 55, negatives
+      // included): 8 continuation bytes + full low byte
       val out = new Array[Byte](9)
       var v = v0
       out(8) = (v & 0xff).toByte

@@ -13,6 +13,15 @@ import hashlib
 import json
 import os
 import sys
+import time
+
+# Soft per-oracle runtime ceiling (seconds). A slow DuckDB oracle silently
+# eats the driver's session budget (round 12: one 69.6 s recursive-CTE
+# oracle was ~40% of a whole-gate pass and the driver artifact came back
+# empty) — so every oracle's wall time is printed and anything over the
+# ceiling is flagged SLOW-ORACLE. SLOW does not fail the gate (the values
+# still match) but it must be fixed before the next round.
+ORACLE_SOFT_CEILING_SEC = 5.0
 
 import duckdb
 import pandas as pd
@@ -48,6 +57,7 @@ def main(sf_dir: str, out_dir: str) -> int:
         oracles = json.load(f)
 
     results = {}
+    oracle_secs = {}
     for d in sorted(glob.glob(os.path.join(out_dir, "*"))):
         if not os.path.isdir(d):
             continue
@@ -63,10 +73,18 @@ def main(sf_dir: str, out_dir: str) -> int:
             results[name] = f"rows-only rows={len(got)}"
             continue
         try:
+            if os.environ.get("ORACLE_VERBOSE"):
+                print(f"... running {name}", flush=True)
+            t0 = time.time()
             exp = con.sql(oracles[name]).df()
+            oracle_sec = time.time() - t0
         except Exception as e:
             results[name] = f"ORACLE-FAIL {type(e).__name__} {e}"
             continue
+        oracle_secs[name] = oracle_sec
+        if oracle_sec > ORACLE_SOFT_CEILING_SEC:
+            print(f"... {name}: oracle took {oracle_sec:.1f}s (SLOW)",
+                  flush=True)
         got_c, exp_c = canon(got), canon(exp)
         problems = []
         if list(got_c.columns) != list(exp_c.columns):
@@ -94,12 +112,24 @@ def main(sf_dir: str, out_dir: str) -> int:
         if k not in results:
             results[k] = "MISSING-RESULT"
     fails = 0
+    slow = []
     for k in sorted(results):
         status = results[k]
         if not status.startswith(("OK", "rows-only")):
             fails += 1
-        print(f"{k:32s} {status}")
-    print(f"\n{len(results) - fails}/{len(results)} pass")
+        sec = oracle_secs.get(k)
+        tick = "" if sec is None else f" oracle={sec:6.2f}s"
+        if sec is not None and sec > ORACLE_SOFT_CEILING_SEC:
+            tick += " SLOW-ORACLE"
+            slow.append((sec, k))
+        print(f"{k:32s} {status}{tick}")
+    total_oracle = sum(oracle_secs.values())
+    print(f"\n{len(results) - fails}/{len(results)} pass; "
+          f"oracle wall total {total_oracle:.1f}s over {len(oracle_secs)} oracles")
+    if slow:
+        print(f"SLOW oracles (> {ORACLE_SOFT_CEILING_SEC:.0f}s soft ceiling):")
+        for sec, k in sorted(slow, reverse=True):
+            print(f"  {k:32s} {sec:6.2f}s")
     return 1 if fails else 0
 
 
