@@ -77,15 +77,34 @@ object SimilarityQueries {
         .select("query_id", "rank", "neighbor_id", "cosine")
         .orderBy("query_id", "rank")
     },
-    Some(s"""
-      WITH queries AS (
-        SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
-      cands AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+    // One position-aligned unnest join for all dots/norms (the
+    // q162/q165/q172 finding: a correlated dotDecSql per pair replays
+    // undecorrelated in DuckDB); identical floor'd-integer sums and the
+    // identical cosine expression tree → identical doubles.
+    Some("""
+      WITH eu AS MATERIALIZED (
+        SELECT vec_id, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings),
+      nn AS MATERIALIZED (
+        SELECT vec_id, CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * x * 1e15)
+                 AS BIGINT)) AS BIGINT) AS n
+        FROM eu GROUP BY vec_id),
+      qd AS MATERIALIZED (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               CAST(SUM(CAST(FLOOR(CAST(a.x AS DOUBLE) * b.x * 1e15)
+                 AS BIGINT)) AS BIGINT) AS d
+        FROM eu a JOIN eu b ON a.i = b.i
+          AND a.vec_id < 8 AND a.vec_id <> b.vec_id
+        GROUP BY a.vec_id, b.vec_id),
       scored AS (
         SELECT query_id, neighbor_id,
-               ${dotDecSql("qe", "ce")} /
-               (sqrt(${dotDecSql("qe", "qe")}) * sqrt(${dotDecSql("ce", "ce")})) AS cosine
-        FROM queries, cands WHERE query_id <> neighbor_id),
+               (CAST(d AS DOUBLE) / 1e15) /
+               (sqrt(CAST(nq.n AS DOUBLE) / 1e15)
+                * sqrt(CAST(nc.n AS DOUBLE) / 1e15)) AS cosine
+        FROM qd
+        JOIN nn nq ON nq.vec_id = query_id
+        JOIN nn nc ON nc.vec_id = neighbor_id),
       ranked AS (
         SELECT query_id, neighbor_id, cosine,
                ROW_NUMBER() OVER (PARTITION BY query_id
@@ -2027,9 +2046,6 @@ object SimilarityQueries {
     "q172_mmr_diversify",
     (s, dir) => mmrDiversify(embeddings(s, dir)),
     Some {
-      def cos(a: String, b: String) =
-        s"""(${dotDecSql(a, b)} /
-             (sqrt(${dotDecSql(a, a)}) * sqrt(${dotDecSql(b, b)})))"""
       def step(n: Int) = s"""
       c$n AS (
         SELECT cand.query_id, cand.neighbor_id, cand.rel,
@@ -2051,27 +2067,45 @@ object SimilarityQueries {
       a$n AS (SELECT query_id, neighbor_id FROM a${n - 1}
               UNION ALL SELECT query_id, neighbor_id FROM s$n)"""
       s"""
-      WITH q AS (
-        SELECT vec_id AS query_id, embedding AS qe FROM embeddings
-        WHERE vec_id < 4),
-      c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
-      cand AS MATERIALIZED (
-        SELECT query_id, neighbor_id, ce, rel FROM (
-          SELECT query_id, neighbor_id, ce, ${cos("qe", "ce")} AS rel,
-                 ROW_NUMBER() OVER (PARTITION BY query_id
-                   ORDER BY ${cos("qe", "ce")} DESC, neighbor_id) AS r
-          FROM q, c WHERE query_id <> neighbor_id) WHERE r <= 12),
-      cu AS (
-        -- exploded candidate components: DuckDB cannot decorrelate an
-        -- UNNEST subquery over a CTE-to-CTE join, so the pairwise dot
-        -- becomes a position-aligned join + SUM (same floor'd terms)
-        SELECT query_id, neighbor_id, unnest(ce) AS x,
-               generate_subscripts(ce, 1) AS i
-        FROM cand),
-      nrm AS (
+      WITH eu AS MATERIALIZED (
+        -- exploded components ONCE for relevance and pairwise sims alike:
+        -- DuckDB cannot decorrelate an UNNEST subquery over a CTE-to-CTE
+        -- join (it replays per pair), so every dot is a position-aligned
+        -- join + SUM of the identical floor'd terms
+        SELECT vec_id, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings),
+      nv AS MATERIALIZED (
+        SELECT vec_id, CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * x * 1e15)
+                 AS BIGINT)) AS BIGINT) AS n
+        FROM eu GROUP BY vec_id),
+      qd AS MATERIALIZED (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               CAST(SUM(CAST(FLOOR(CAST(a.x AS DOUBLE) * b.x * 1e15)
+                 AS BIGINT)) AS BIGINT) AS d
+        FROM eu a JOIN eu b ON a.i = b.i
+          AND a.vec_id < 4 AND a.vec_id <> b.vec_id
+        GROUP BY a.vec_id, b.vec_id),
+      rels AS (
         SELECT query_id, neighbor_id,
-               SUM(CAST(FLOOR(CAST(x AS DOUBLE) * x * 1e15) AS BIGINT)) AS nn
-        FROM cu GROUP BY query_id, neighbor_id),
+               (CAST(d AS DOUBLE) / 1e15) /
+               (sqrt(CAST(nq.n AS DOUBLE) / 1e15)
+                * sqrt(CAST(nc.n AS DOUBLE) / 1e15)) AS rel
+        FROM qd
+        JOIN nv nq ON nq.vec_id = query_id
+        JOIN nv nc ON nc.vec_id = neighbor_id),
+      cand AS MATERIALIZED (
+        SELECT query_id, neighbor_id, rel FROM (
+          SELECT query_id, neighbor_id, rel,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY rel DESC, neighbor_id) AS r
+          FROM rels) WHERE r <= 12),
+      cu AS (
+        SELECT c.query_id, c.neighbor_id, e.x, e.i
+        FROM cand c JOIN eu e ON e.vec_id = c.neighbor_id),
+      nrm AS (
+        SELECT c.query_id, c.neighbor_id, nv.n AS nn
+        FROM cand c JOIN nv ON nv.vec_id = c.neighbor_id),
       dots AS (
         SELECT ca.query_id, ca.neighbor_id AS a, cb.neighbor_id AS b,
                SUM(CAST(FLOOR(CAST(ca.x AS DOUBLE) * cb.x * 1e15) AS BIGINT))

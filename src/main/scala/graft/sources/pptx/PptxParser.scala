@@ -16,13 +16,15 @@ import graft.sources.zip.RangedZip
   *  - text paragraphs (`<a:p>`, runs' `<a:t>` concatenated, `<a:br>` a
   *    line break) outside any table become the slide's text lines.
   *
-  * Slide order is the numeric sort of `slideN.xml` names — the honest
-  * lenient shortcut (the authoritative order lives in
-  * `ppt/presentation.xml` + rels; packages in the wild number slides in
-  * presentation order, and a reader that dereferenced rels would still
-  * need this fallback for packages with damaged rels). Only slide parts
-  * are pulled from the container (ranged-zip road) — masters, layouts,
-  * notes and media are never read.
+  * Slide order is AUTHORITATIVE: `ppt/presentation.xml`'s `p:sldIdLst`
+  * dereferenced through `ppt/_rels/presentation.xml.rels` (the same
+  * two-part metadata walk the xlsx sheet list runs) — a deck whose part
+  * numbers disagree with the presentation order still answers in the
+  * order the user sees. Parts the list doesn't reference append in
+  * numeric-name order; a missing/damaged presentation.xml or rels falls
+  * back to the numeric sort of `slideN.xml` names. Only metadata and
+  * slide parts are pulled from the container (ranged-zip road) —
+  * masters, layouts, notes and media are never read.
   */
 object PptxParser {
 
@@ -32,6 +34,51 @@ object PptxParser {
       paragraphs: Seq[String])
 
   private val SlideName = "^ppt/slides/slide([0-9]+)\\.xml$".r
+
+  /** Presentation order of the slide parts: `p:sldIdLst`'s `r:id`s in
+    * document order, each dereferenced through the presentation rels to
+    * its part name. Unreferenced parts append in numeric-name order;
+    * None when either metadata part is absent/corrupt or references no
+    * known slide — callers keep the numeric-sort fallback. Both parts
+    * are few-hundred-byte metadata, so DOM loads are fine (the xlsx
+    * sheet-list discipline). */
+  private def orderedByPresentation(
+      open: String => Option[java.io.InputStream],
+      slideEntries: Seq[(Int, String)]): Option[Seq[(Int, String)]] = {
+    def loadXml(name: String): Option[scala.xml.Elem] =
+      open(name).flatMap { in =>
+        try Some(scala.xml.XML.load(in))
+        catch { case _: Exception => None }
+        finally in.close()
+      }
+    val RelNs = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    for {
+      pres <- loadXml("ppt/presentation.xml")
+      rels <- loadXml("ppt/_rels/presentation.xml.rels")
+    } yield {
+      val rid2part: Map[String, String] = (rels \\ "Relationship").flatMap { r =>
+        for {
+          id <- r.attribute("Id").map(_.text)
+          t <- r.attribute("Target").map(_.text)
+        } yield id -> (if (t.startsWith("/")) t.substring(1) else s"ppt/$t")
+      }.toMap
+      val orderedParts: Seq[String] = (pres \ "sldIdLst" \ "sldId")
+        .flatMap(_.attribute(RelNs, "id")).map(_.text)
+        .flatMap(rid2part.get)
+      val byName = slideEntries.map(e => e._2 -> e).toMap
+      val inOrder = orderedParts.flatMap(byName.get)
+      val rest = slideEntries.filterNot(inOrder.contains)
+      if (inOrder.isEmpty) return None
+      inOrder ++ rest
+    }
+  }
+
+  /** Numeric-name entries reordered by the presentation metadata when it
+    * resolves, numeric fallback otherwise. */
+  private def slideSequence(
+      open: String => Option[java.io.InputStream],
+      slideEntries: Seq[(Int, String)]): Seq[(Int, String)] =
+    orderedByPresentation(open, slideEntries).getOrElse(slideEntries)
 
   /** Parse every slide part. None = not a pptx we can read (no slide
     * parts, unreadable container). */
@@ -43,7 +90,8 @@ object PptxParser {
       .flatMap { n => SlideName.findFirstMatchIn(n).map(m => (m.group(1).toInt, n)) }
       .sortBy(_._1)
     if (slideEntries.isEmpty) return None
-    val slides = slideEntries.map { case (idx, entry) =>
+    val sequenced = slideSequence(n => view.open(n), slideEntries)
+    val slides = sequenced.map { case (idx, entry) =>
       val in = view.open(entry).getOrElse(return None)
       try {
         val (tables, paras) = readSlide(in)
@@ -65,8 +113,10 @@ object PptxParser {
           val slideEntries = zip.entries().asScala.map(_.getName).toSeq
             .flatMap { n => SlideName.findFirstMatchIn(n).map(m => (m.group(1).toInt, n)) }
             .sortBy(_._1)
+          def openEntry(n: String): Option[java.io.InputStream] =
+            Option(zip.getEntry(n)).map(zip.getInputStream)
           if (slideEntries.isEmpty) None
-          else Some(slideEntries.map { case (idx, entry) =>
+          else Some(slideSequence(openEntry, slideEntries).map { case (idx, entry) =>
             val in = zip.getInputStream(zip.getEntry(entry))
             try {
               val (tables, paras) = readSlide(in)

@@ -81,6 +81,61 @@ class PptxImporterSpec extends SparkSpec {
     assert(AnyFile.parse(spark, blank).head.isFailed)
   }
 
+  test("p:sldIdLst → rels order wins over numeric part names") {
+    val dir = tmpDir("pptxorder")
+    val path = dir.resolve("reordered.pptx").toString
+    val presNs = "http://schemas.openxmlformats.org/presentationml/2006/main"
+    val relNs = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    // presentation order: slide3, slide1, slide2 — disagreeing with the
+    // numeric part names; the authoritative list must win
+    val pres =
+      s"""<p:presentation xmlns:p="$presNs" xmlns:r="$relNs">
+         |<p:sldIdLst>
+         |<p:sldId id="256" r:id="rId3"/>
+         |<p:sldId id="257" r:id="rId1"/>
+         |<p:sldId id="258" r:id="rId2"/>
+         |</p:sldIdLst></p:presentation>""".stripMargin
+    val rels =
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="t" Target="slides/slide1.xml"/>
+        |<Relationship Id="rId2" Type="t" Target="slides/slide2.xml"/>
+        |<Relationship Id="rId3" Type="t" Target="slides/slide3.xml"/>
+        |</Relationships>""".stripMargin
+    writePptx(path,
+      "ppt/presentation.xml" -> pres,
+      "ppt/_rels/presentation.xml.rels" -> rels,
+      "ppt/slides/slide1.xml" -> slide(sp("one")),
+      "ppt/slides/slide2.xml" -> slide(sp("two")),
+      "ppt/slides/slide3.xml" -> slide(sp("three")))
+    val answers = AnyFile.parse(spark, path)
+    assert(answers.map(_.sheetName) == Seq("slide3", "slide1", "slide2"))
+    assert(answers.map(_.data.collect().head.getString(0)) ==
+      Seq("three", "one", "two"))
+
+    // a part the list doesn't reference appends in numeric order
+    val extra = dir.resolve("extra.pptx").toString
+    writePptx(extra,
+      "ppt/presentation.xml" ->
+        s"""<p:presentation xmlns:p="$presNs" xmlns:r="$relNs">
+           |<p:sldIdLst><p:sldId id="256" r:id="rId2"/></p:sldIdLst>
+           |</p:presentation>""".stripMargin,
+      "ppt/_rels/presentation.xml.rels" -> rels,
+      "ppt/slides/slide1.xml" -> slide(sp("one")),
+      "ppt/slides/slide2.xml" -> slide(sp("two")))
+    assert(AnyFile.parse(spark, extra).map(_.sheetName) ==
+      Seq("slide2", "slide1"))
+
+    // damaged rels → numeric fallback, never a throw
+    val broken = dir.resolve("broken.pptx").toString
+    writePptx(broken,
+      "ppt/presentation.xml" -> pres,
+      "ppt/_rels/presentation.xml.rels" -> "<not-xml",
+      "ppt/slides/slide2.xml" -> slide(sp("two")),
+      "ppt/slides/slide1.xml" -> slide(sp("one")))
+    assert(AnyFile.parse(spark, broken).map(_.sheetName) ==
+      Seq("slide1", "slide2"))
+  }
+
   test("BulkIngest catalogs .pptx with AnyFile-parity cells") {
     val dir = tmpDir("bulkpptx")
     val path = dir.resolve("deck.pptx").toString
