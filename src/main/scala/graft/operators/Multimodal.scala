@@ -643,6 +643,76 @@ object Multimodal {
       out
     }
 
+    /** REAL PNG encoder (ISO 15948) — the write complement of
+      * [[MediaCodec.pngGray]]: gray-8 row-major pixels become signature +
+      * IHDR + IDAT (zlib at `level` over FORWARD-filtered scanlines, §9
+      * filter type per row from `filterOf`) + IEND, each chunk with its
+      * real CRC32. Different (level, filter) choices give different BYTE
+      * STREAMS for the same pixels — exactly the degree of freedom the
+      * recompression-invariance law (Round13PngSpec) and q183's
+      * distributed twin construction exercise. */
+    def pngGray8(
+        w: Int, h: Int, pixels: Array[Byte],
+        level: Int, filterOf: Int => Int): Array[Byte] = {
+      require(pixels.length == w * h, "bad pixel buffer")
+      val raw = new Array[Byte](h * (w + 1))
+      var y = 0
+      while (y < h) {
+        val f = filterOf(y)
+        raw(y * (w + 1)) = f.toByte
+        var x = 0
+        while (x < w) {
+          val orig = pixels(y * w + x) & 0xff
+          val a = if (x >= 1) pixels(y * w + x - 1) & 0xff else 0
+          val up = if (y > 0) pixels((y - 1) * w + x) & 0xff else 0
+          val ul = if (y > 0 && x >= 1) pixels((y - 1) * w + x - 1) & 0xff else 0
+          val pred = f match {
+            case 0 => 0
+            case 1 => a
+            case 2 => up
+            case 3 => (a + up) >> 1
+            case 4 =>
+              val pp = a + up - ul
+              val pa = math.abs(pp - a); val pb = math.abs(pp - up)
+              val pc = math.abs(pp - ul)
+              if (pa <= pb && pa <= pc) a else if (pb <= pc) up else ul
+            case other => throw new IllegalArgumentException(s"filter $other")
+          }
+          raw(y * (w + 1) + 1 + x) = ((orig - pred) & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      val deflater = new java.util.zip.Deflater(level)
+      deflater.setInput(raw); deflater.finish()
+      val zbuf = new Array[Byte](raw.length + 1024)
+      val zn = deflater.deflate(zbuf)
+      require(deflater.finished(), "deflate buffer too small")
+      deflater.end()
+      def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+        val out = new Array[Byte](12 + data.length)
+        putBE32(out, 0, data.length)
+        var i = 0
+        while (i < 4) { out(4 + i) = typ.charAt(i).toByte; i += 1 }
+        System.arraycopy(data, 0, out, 8, data.length)
+        val crc = new CRC32
+        crc.update(out, 4, 4 + data.length)
+        putBE32(out, 8 + data.length, crc.getValue.toInt)
+        out
+      }
+      val ihdr = new Array[Byte](13)
+      putBE32(ihdr, 0, w); putBE32(ihdr, 4, h)
+      ihdr(8) = 8 // bit depth
+      ihdr(9) = 0 // color type: grayscale
+      val bos = new java.io.ByteArrayOutputStream()
+      val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      sig.foreach(b => bos.write(b))
+      bos.write(chunk("IHDR", ihdr))
+      bos.write(chunk("IDAT", java.util.Arrays.copyOf(zbuf, zn)))
+      bos.write(chunk("IEND", Array.emptyByteArray))
+      bos.toByteArray
+    }
+
     /** SOI + 17-byte SOF0 segment (3 components) = 21-byte header. */
     def jpeg(width: Int, height: Int, body: Array[Byte]): Array[Byte] = {
       val out = new Array[Byte](21 + body.length)

@@ -706,5 +706,158 @@ object MultimodalQueries {
       SELECT da, db, hamming FROM ham WHERE hamming <= 3 ORDER BY da, db""")
   )
 
-  val all: Seq[Q] = Seq(q50, q51, q70, q126, q150, q173, q174, q177)
+  /** Real-pixel PNG near-dup — q173's join over REAL zlib images: every
+    * document becomes an actual PNG (executor-side
+    * [[Multimodal.Containers.pngGray8]] — forward-filtered scanlines,
+    * real deflate, dimensions and a linear pixel field (x·a + y·b + c)
+    * mod 256 derived from doc_id), decoded back through the REAL road
+    * ([[Multimodal.MediaCodec.pngGray]]: inflate + unfilter + 2-D pool —
+    * never the byte stand-in), and every 5th image gets a twin that is
+    * the SAME pixels recompressed under a different zlib level AND
+    * different per-row filter types. The law the query carries: twins'
+    * byte streams differ, their dHash is IDENTICAL (Hamming 0) — the
+    * recompression invariance that is impossible under byte pooling —
+    * while the oracle computes every hash from the PIXEL ARITHMETIC
+    * alone, never seeing a PNG byte: the whole compress→decompress→
+    * unfilter→pool pipeline must be lossless and exact or the gate
+    * hashes diverge. Candidates come from the same 4×16-bit
+    * Hamming-band capped-bucket equi-join as q173/q174/q177.
+    *
+    * Scale shape: encode+decode is per-row map work (payload bytes never
+    * shuffle — only 8-byte signatures do); the band join is the q173
+    * layout unchanged. */
+  val q183 = Q(
+    "q183_png_pixel_dedup",
+    (s, dir) => {
+      import s.implicits._
+      import Multimodal.{Containers, MediaCodec}
+      val sig = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.flatMap { id =>
+            val w = (16 + math.floorMod(id * 31 + 7, 48L)).toInt
+            val h = (16 + math.floorMod(id * 17 + 3, 32L)).toInt
+            val a = (1 + math.floorMod(id, 7L)).toInt
+            val b = (1 + math.floorMod(id, 11L)).toInt
+            val c = math.floorMod(id, 256L).toInt
+            val px = new Array[Byte](w * h)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                px(y * w + x) = ((x * a + y * b + c) % 256).toByte
+                x += 1
+              }
+              y += 1
+            }
+            val lvl = (id % 3).toInt * 4 + 1 // 1 / 5 / 9
+            val base = Containers.pngGray8(w, h, px, lvl,
+              y0 => ((id + y0) % 5).toInt)
+            // a decode failure here is a codec bug — fail the task loudly,
+            // never silently diverge from the oracle
+            val bb = MediaCodec.dhashBands(base).get
+            val rows = Seq((id, bb(0), bb(1), bb(2), bb(3)))
+            if (id % 5 == 0) {
+              val twin = Containers.pngGray8(w, h, px, 10 - lvl,
+                y0 => ((id + y0 + 1) % 5).toInt)
+              val tb = MediaCodec.dhashBands(twin).get
+              rows :+ ((id + 10000000L, tb(0), tb(1), tb(2), tb(3)))
+            } else rows
+          }
+        }.toDF("img_id", "b0", "b1", "b2", "b3")
+        .materialized // consumers: band explode + both rerank sides
+      val bands = sig.select(col("img_id"),
+        posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+          .as(Seq("band", "bv")))
+      val ok = bands.groupBy("band", "bv")
+        .agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") > 1 && col("bsz") <= 256)
+        .select("band", "bv")
+      val bounded = bands.join(ok, Seq("band", "bv"))
+      val cand = bounded.as("x")
+        .join(bounded.as("y"),
+          col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+            col("x.img_id") < col("y.img_id"))
+        .select(col("x.img_id").as("da"), col("y.img_id").as("db"))
+        .distinct()
+      cand
+        .join(sig.select(col("img_id").as("da"), col("b0").as("a0"),
+          col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3")), "da")
+        .join(sig.select(col("img_id").as("db"), col("b0").as("c0"),
+          col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3")), "db")
+        .withColumn("hamming",
+          expr("""CAST(bit_count(a0 ^ c0) + bit_count(a1 ^ c1)
+                  + bit_count(a2 ^ c2) + bit_count(a3 ^ c3) AS BIGINT)"""))
+        .filter(col("hamming") <= 3)
+        .select("da", "db", "hamming")
+        .orderBy("da", "db")
+    },
+    // The oracle derives every cell mean straight from the pixel formula
+    // (x·a + y·b + c) mod 256 over the exact 9×8 pool rectangles (cell
+    // ownership via the q173 inverse (K(i+1)−1)//n); twins reuse the SAME
+    // cells — recompression must be invisible. Not one PNG byte exists on
+    // this side: any loss anywhere in the Spark side's deflate→inflate→
+    // unfilter→pool chain breaks the hash.
+    Some("""
+      WITH imgs AS MATERIALIZED (
+        SELECT doc_id,
+               16 + (doc_id*31+7) % 48 AS w, 16 + (doc_id*17+3) % 32 AS h,
+               1 + doc_id % 7 AS a, 1 + doc_id % 11 AS b,
+               doc_id % 256 AS c
+        FROM documents),
+      ys AS (SELECT doc_id, w, h, a, b, c,
+                    CAST(unnest(range(0, h)) AS BIGINT) AS y FROM imgs),
+      xys AS (SELECT doc_id, w, h, a, b, c, y,
+                     CAST(unnest(range(0, w)) AS BIGINT) AS x FROM ys),
+      cells AS MATERIALIZED (
+        SELECT doc_id,
+               ((8*(y+1)-1) // h) * 9 + (9*(x+1)-1) // w AS j,
+               CAST(SUM((x*a + y*b + c) % 256) // COUNT(*) AS BIGINT) AS p
+        FROM xys GROUP BY doc_id, j),
+      cat AS (
+        SELECT doc_id AS img_id, j, p FROM cells
+        UNION ALL
+        SELECT doc_id + 10000000, j, p FROM cells WHERE doc_id % 5 = 0),
+      bitvals AS (
+        SELECT a.img_id, a.j // 9 * 8 + a.j % 9 AS bit,
+               CASE WHEN b.p > a.p THEN 1 ELSE 0 END AS v
+        FROM cat a JOIN cat b ON a.img_id = b.img_id AND b.j = a.j + 1
+        WHERE a.j % 9 < 8),
+      sig AS MATERIALIZED (
+        SELECT img_id,
+               CAST(SUM(CASE WHEN bit // 16 = 0
+                 THEN v * (1::BIGINT << CAST(bit % 16 AS INT)) ELSE 0 END)
+                 AS BIGINT) AS b0,
+               CAST(SUM(CASE WHEN bit // 16 = 1
+                 THEN v * (1::BIGINT << CAST(bit % 16 AS INT)) ELSE 0 END)
+                 AS BIGINT) AS b1,
+               CAST(SUM(CASE WHEN bit // 16 = 2
+                 THEN v * (1::BIGINT << CAST(bit % 16 AS INT)) ELSE 0 END)
+                 AS BIGINT) AS b2,
+               CAST(SUM(CASE WHEN bit // 16 = 3
+                 THEN v * (1::BIGINT << CAST(bit % 16 AS INT)) ELSE 0 END)
+                 AS BIGINT) AS b3
+        FROM bitvals GROUP BY img_id),
+      bands AS (
+        SELECT img_id, unnest([b0, b1, b2, b3]) AS bv,
+               generate_subscripts([b0, b1, b2, b3], 1) AS band
+        FROM sig),
+      ok AS (SELECT band, bv FROM bands GROUP BY band, bv
+             HAVING COUNT(*) > 1 AND COUNT(*) <= 256),
+      bnd AS (SELECT bands.* FROM bands JOIN ok USING (band, bv)),
+      cand AS (
+        SELECT DISTINCT x.img_id AS da, y.img_id AS db
+        FROM bnd x JOIN bnd y
+          ON x.band = y.band AND x.bv = y.bv AND x.img_id < y.img_id),
+      ham AS (
+        SELECT da, db,
+               CAST(bit_count(xor(sa.b0, sb.b0)) + bit_count(xor(sa.b1, sb.b1))
+                  + bit_count(xor(sa.b2, sb.b2)) + bit_count(xor(sa.b3, sb.b3))
+                 AS BIGINT) AS hamming
+        FROM cand
+        JOIN sig sa ON sa.img_id = da
+        JOIN sig sb ON sb.img_id = db)
+      SELECT da, db, hamming FROM ham WHERE hamming <= 3 ORDER BY da, db""")
+  )
+
+  val all: Seq[Q] = Seq(q50, q51, q70, q126, q150, q173, q174, q177, q183)
 }

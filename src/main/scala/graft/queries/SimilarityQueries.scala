@@ -2047,7 +2047,7 @@ object SimilarityQueries {
     (s, dir) => mmrDiversify(embeddings(s, dir)),
     Some {
       def step(n: Int) = s"""
-      c$n AS (
+      c$n AS MATERIALIZED (
         SELECT cand.query_id, cand.neighbor_id, cand.rel,
                MAX(ps.sim) AS maxsim
         FROM cand
@@ -2058,13 +2058,13 @@ object SimilarityQueries {
                           WHERE x.query_id = cand.query_id
                             AND x.neighbor_id = cand.neighbor_id)
         GROUP BY cand.query_id, cand.neighbor_id, cand.rel),
-      s$n AS (
+      s$n AS MATERIALIZED (
         SELECT query_id, neighbor_id, CAST($n AS BIGINT) AS mmr_rank FROM (
           SELECT query_id, neighbor_id,
                  ROW_NUMBER() OVER (PARTITION BY query_id
                    ORDER BY rel * 2 - maxsim DESC, neighbor_id) AS r
           FROM c$n) WHERE r = 1),
-      a$n AS (SELECT query_id, neighbor_id FROM a${n - 1}
+      a$n AS MATERIALIZED (SELECT query_id, neighbor_id FROM a${n - 1}
               UNION ALL SELECT query_id, neighbor_id FROM s$n)"""
       s"""
       WITH eu AS MATERIALIZED (
@@ -2121,13 +2121,13 @@ object SimilarityQueries {
         FROM dots
         JOIN nrm na ON na.query_id = dots.query_id AND na.neighbor_id = a
         JOIN nrm nb ON nb.query_id = dots.query_id AND nb.neighbor_id = b),
-      s1 AS (
+      s1 AS MATERIALIZED (
         SELECT query_id, neighbor_id, CAST(1 AS BIGINT) AS mmr_rank FROM (
           SELECT query_id, neighbor_id,
                  ROW_NUMBER() OVER (PARTITION BY query_id
                    ORDER BY rel DESC, neighbor_id) AS r
           FROM cand) WHERE r = 1),
-      a1 AS (SELECT query_id, neighbor_id FROM s1),
+      a1 AS MATERIALIZED (SELECT query_id, neighbor_id FROM s1),
       ${step(2)}, ${step(3)}, ${step(4)}, ${step(5)}
       SELECT query_id, neighbor_id, mmr_rank
       FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
