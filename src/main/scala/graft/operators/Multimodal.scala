@@ -395,6 +395,215 @@ object Multimodal {
       Some((w, h, gray))
     }
 
+    /** 9×8 average pool over a row-major grayscale image — the shared
+      * real-pixel front half of [[dhashBands]]: cell (r,c) is the exact
+      * integer mean of pixel rows [⌊r·h/8⌋, ⌊(r+1)·h/8⌋) × cols
+      * [⌊c·w/9⌋, ⌊(c+1)·w/9⌋). Requires w ≥ 9 and h ≥ 8 (every cell
+      * pools ≥ 1 pixel); callers gate on that. */
+    private def pool72(w: Int, h: Int, gray: Array[Byte]): Array[Int] = {
+      val p = new Array[Int](72)
+      var r = 0
+      while (r < 8) {
+        val y0 = (r.toLong * h / 8).toInt
+        val y1 = ((r + 1).toLong * h / 8).toInt
+        var c = 0
+        while (c < 9) {
+          val x0 = (c.toLong * w / 9).toInt
+          val x1 = ((c + 1).toLong * w / 9).toInt
+          var s = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) { s += gray(y * w + x) & 0xff; x += 1 }
+            y += 1
+          }
+          p(r * 9 + c) = (s / ((y1 - y0).toLong * (x1 - x0))).toInt
+          c += 1
+        }
+        r += 1
+      }
+      p
+    }
+
+    /** REAL GIF pixel decode (GIF89a spec + its LZW variant): header +
+      * logical screen descriptor, global color table, extension skip,
+      * first image descriptor, LZW decompress of the sub-block stream
+      * (LSB-first codes, clear/end codes, dictionary growth to 12 bits),
+      * Adam-style 4-pass de-interlace when flagged, palette → integer
+      * luminance (299·R + 587·G + 114·B)/1000. Returns (width, height,
+      * row-major gray bytes); None for anything the decoder can't prove
+      * it read right — and deliberately STRICT about shape: only a
+      * full-canvas first frame (left = top = 0, frame = screen size)
+      * decodes, so the q173 container fixtures (text bytes behind a real
+      * 13-byte header) can never alias into pixels and always take the
+      * documented byte-pool fallback. */
+    private[graft] def gifGray(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+      if (!(b.length >= 13 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')) return None
+      val w = le16(b, 6); val h = le16(b, 8)
+      if (w <= 0 || h <= 0 || w.toLong * h > (64L << 20)) return None
+      val packed = b(10) & 0xff
+      var i = 13
+      var gct: Array[Byte] = null
+      if ((packed & 0x80) != 0) {
+        val n = 3 * (1 << ((packed & 7) + 1))
+        if (i + n > b.length) return None
+        gct = java.util.Arrays.copyOfRange(b, i, i + n)
+        i += n
+      }
+      // block walk to the first image descriptor
+      while (i < b.length) {
+        (b(i) & 0xff) match {
+          case 0x21 => // extension: label + length-prefixed sub-blocks
+            i += 2
+            var len = if (i < b.length) b(i) & 0xff else return None
+            while (len != 0) {
+              i += 1 + len
+              if (i >= b.length) return None
+              len = b(i) & 0xff
+            }
+            i += 1
+          case 0x2c =>
+            if (i + 10 > b.length) return None
+            val left = le16(b, i + 1); val top = le16(b, i + 3)
+            val fw = le16(b, i + 5); val fh = le16(b, i + 7)
+            val fp = b(i + 9) & 0xff
+            // full-canvas first frame only (see scaladoc)
+            if (left != 0 || top != 0 || fw != w || fh != h) return None
+            i += 10
+            var pal = gct
+            if ((fp & 0x80) != 0) {
+              val n = 3 * (1 << ((fp & 7) + 1))
+              if (i + n > b.length) return None
+              pal = java.util.Arrays.copyOfRange(b, i, i + n)
+              i += n
+            }
+            if (pal == null) return None
+            val interlaced = (fp & 0x40) != 0
+            if (i >= b.length) return None
+            val minCode = b(i) & 0xff
+            i += 1
+            if (minCode < 1 || minCode > 11) return None
+            // concatenate the LZW sub-blocks
+            val data = new java.io.ByteArrayOutputStream()
+            var len = if (i < b.length) b(i) & 0xff else return None
+            while (len != 0) {
+              if (i + 1 + len > b.length) return None
+              data.write(b, i + 1, len)
+              i += 1 + len
+              if (i >= b.length) return None
+              len = b(i) & 0xff
+            }
+            val idx = lzwDecode(data.toByteArray, minCode, w * h)
+              .getOrElse(return None)
+            // de-interlace + palette → luminance
+            val gray = new Array[Byte](w * h)
+            val rowOrder: Array[Int] =
+              if (!interlaced) Array.tabulate(h)(identity)
+              else {
+                val rows = new Array[Int](h)
+                var k = 0
+                Seq((0, 8), (4, 8), (2, 4), (1, 2)).foreach { case (start, step) =>
+                  var y = start
+                  while (y < h) { rows(k) = y; k += 1; y += step }
+                }
+                rows
+              }
+            var r = 0
+            while (r < h) {
+              val y = rowOrder(r)
+              var x = 0
+              while (x < w) {
+                val ix = idx(r * w + x) & 0xff
+                if (3 * ix + 2 >= pal.length) return None
+                val g8 = (299 * (pal(3 * ix) & 0xff) + 587 * (pal(3 * ix + 1) & 0xff)
+                  + 114 * (pal(3 * ix + 2) & 0xff)) / 1000
+                gray(y * w + x) = g8.toByte
+                x += 1
+              }
+              r += 1
+            }
+            return Some((w, h, gray))
+          case 0x3b => return None // trailer before any image
+          case _ => return None
+        }
+      }
+      None
+    }
+
+    /** GIF-variant LZW decode: codes LSB-first, initial width
+      * minCode+1, clear = 2^minCode, end = clear+1, dictionary grows one
+      * entry per emitted code up to 12 bits. Returns exactly `expected`
+      * indices; None on any malformed stream (out-of-range code, early
+      * exhaustion, overflow past expected). */
+    private def lzwDecode(
+        data: Array[Byte], minCode: Int, expected: Int): Option[Array[Byte]] = {
+      val clear = 1 << minCode
+      val end = clear + 1
+      val prefix = new Array[Int](4096)
+      val suffix = new Array[Byte](4096)
+      val out = new Array[Byte](expected)
+      var outN = 0
+      var dictSize = end + 1
+      var codeWidth = minCode + 1
+      var oldCode = -1
+      var bitPos = 0L
+      val totalBits = data.length.toLong * 8
+      val stack = new Array[Byte](4096)
+      def emitCode(code: Int): Boolean = {
+        var sp = 0
+        var c = code
+        while (c >= clear) { // walk the chain (initials are < clear)
+          if (sp >= stack.length || c >= dictSize) return false
+          stack(sp) = suffix(c); sp += 1; c = prefix(c)
+        }
+        stack(sp) = c.toByte; sp += 1
+        if (outN + sp > expected) return false
+        while (sp > 0) { sp -= 1; out(outN) = stack(sp); outN += 1 }
+        true
+      }
+      def firstOf(code: Int): Int = {
+        var c = code
+        while (c >= clear) c = prefix(c)
+        c
+      }
+      while (outN < expected) {
+        if (bitPos + codeWidth > totalBits) return None
+        var code = 0
+        var k = 0
+        while (k < codeWidth) {
+          val bp = bitPos + k
+          if ((data((bp >> 3).toInt) >> (bp & 7).toInt & 1) != 0)
+            code |= 1 << k
+          k += 1
+        }
+        bitPos += codeWidth
+        if (code == clear) {
+          dictSize = end + 1; codeWidth = minCode + 1; oldCode = -1
+        } else if (code == end) {
+          return if (outN == expected) Some(out) else None
+        } else if (oldCode < 0) {
+          if (code >= clear) return None // first code must be a literal
+          if (!emitCode(code)) return None
+          oldCode = code
+        } else {
+          if (code > dictSize || (code == dictSize && code >= 4096)) return None
+          val kFirst =
+            if (code == dictSize) firstOf(oldCode) else firstOf(code)
+          // new dictionary entry: oldCode + first(code or oldCode)
+          if (dictSize < 4096) {
+            prefix(dictSize) = oldCode
+            suffix(dictSize) = kFirst.toByte
+            dictSize += 1
+            if (dictSize == (1 << codeWidth) && codeWidth < 12) codeWidth += 1
+          }
+          if (!emitCode(code)) return None
+          oldCode = code
+        }
+      }
+      Some(out)
+    }
+
     /** dHash — the classic perceptual image fingerprint (Krawetz's public
       * difference-hash formulation): average-pool the image down to a 9×8
       * grayscale grid, emit one gradient bit per horizontally-adjacent
@@ -408,9 +617,13 @@ object Multimodal {
       * same pixels hash identically no matter the zlib level or filter
       * choices (the recompression-invariance law, Round13PngSpec).
       *
+      * GIF payloads get the same real treatment through [[gifGray]]
+      * (LZW + palette + de-interlace), so one pixel field hashes
+      * identically through the PNG/zlib and GIF/LZW stacks (q184's law).
+      *
       * For formats without a from-spec decoder in this offline container
-      * (JPEG/GIF — their entropy coding is a documented gap) and for
-      * PNGs the decoder rejects, the pixel source falls back to the
+      * (JPEG — its entropy coding is the remaining documented gap) and
+      * for PNGs/GIFs the decoders reject, the pixel source falls back to the
       * deterministic stand-in — the container body's bytes act as the
       * grayscale buffer, grid cell j pooling the exact integer
       * mean of bytes [⌊j·n/72⌋, ⌊(j+1)·n/72⌋); a real pipeline swaps only
@@ -433,33 +646,13 @@ object Multimodal {
       if (fmt != "png" && fmt != "jpeg" && fmt != "gif") None
       else {
         // real-pixel road: a decodable PNG pools true luminance rectangles
-        val real: Option[Array[Int]] =
-          if (fmt != "png") None
-          else pngGray(payload).collect {
-            case (w, h, gray) if w >= 9 && h >= 8 =>
-              val p = new Array[Int](72)
-              var r = 0
-              while (r < 8) {
-                val y0 = (r.toLong * h / 8).toInt
-                val y1 = ((r + 1).toLong * h / 8).toInt
-                var c = 0
-                while (c < 9) {
-                  val x0 = (c.toLong * w / 9).toInt
-                  val x1 = ((c + 1).toLong * w / 9).toInt
-                  var s = 0L
-                  var y = y0
-                  while (y < y1) {
-                    var x = x0
-                    while (x < x1) { s += gray(y * w + x) & 0xff; x += 1 }
-                    y += 1
-                  }
-                  p(r * 9 + c) = (s / ((y1 - y0).toLong * (x1 - x0))).toInt
-                  c += 1
-                }
-                r += 1
-              }
-              p
-          }
+        val real: Option[Array[Int]] = (fmt match {
+          case "png" => pngGray(payload)
+          case "gif" => gifGray(payload)
+          case _ => None
+        }).collect { case (w, h, gray) if w >= 9 && h >= 8 =>
+          pool72(w, h, gray)
+        }
         val cells: Option[Array[Int]] = real.orElse {
           val off = bodyOffset(payload, fmt)
           val n = payload.length - off
@@ -730,6 +923,111 @@ object Multimodal {
       }
       System.arraycopy(body, 0, out, 21, body.length)
       out
+    }
+
+    /** REAL GIF encoder (GIF89a + its LZW variant) — the write complement
+      * of [[MediaCodec.gifGray]]: gray-8 pixels become header + logical
+      * screen descriptor + 256-entry gray global color table + one
+      * full-canvas image (optionally interlaced) whose index stream is
+      * REAL LZW (dictionary growth, width bumps at 2^n, clear on a full
+      * table), chunked into ≤255-byte sub-blocks, + trailer. Indices ARE
+      * the gray values (identity palette), so encode→decode is lossless —
+      * the degree of freedom q184 exercises: the same pixels through the
+      * PNG/zlib stack and the GIF/LZW stack must land on one dHash. */
+    def gifGray8(
+        w: Int, h: Int, pixels: Array[Byte], interlaced: Boolean): Array[Byte] = {
+      require(pixels.length == w * h, "bad pixel buffer")
+      // transmitted row order (4-pass interlace when flagged)
+      val rowOrder: Array[Int] =
+        if (!interlaced) Array.tabulate(h)(identity)
+        else {
+          val rows = new Array[Int](h)
+          var k = 0
+          Seq((0, 8), (4, 8), (2, 4), (1, 2)).foreach { case (start, step) =>
+            var y = start
+            while (y < h) { rows(k) = y; k += 1; y += step }
+          }
+          rows
+        }
+      val idx = new Array[Byte](w * h)
+      var r = 0
+      while (r < h) {
+        System.arraycopy(pixels, rowOrder(r) * w, idx, r * w, w)
+        r += 1
+      }
+      // ---- LZW compress (minCode = 8: 256 literals)
+      val minCode = 8
+      val clear = 1 << minCode
+      val end = clear + 1
+      val bits = new java.io.ByteArrayOutputStream()
+      var cur = 0L; var curBits = 0
+      var codeWidth = minCode + 1
+      def put(code: Int): Unit = {
+        cur |= code.toLong << curBits
+        curBits += codeWidth
+        while (curBits >= 8) {
+          bits.write((cur & 0xff).toInt); cur >>>= 8; curBits -= 8
+        }
+      }
+      val dict = new java.util.HashMap[Long, Integer]()
+      var dictSize = end + 1
+      put(clear)
+      var prefixCode = -1
+      var i = 0
+      while (i < idx.length) {
+        val k = idx(i) & 0xff
+        if (prefixCode < 0) prefixCode = k
+        else {
+          val key = prefixCode.toLong << 12 | k
+          val hit = dict.get(key)
+          if (hit != null) prefixCode = hit.intValue()
+          else {
+            put(prefixCode)
+            if (dictSize < 4096) {
+              dict.put(key, Integer.valueOf(dictSize))
+              dictSize += 1
+              // width bump one entry AFTER 2^w: the decoder's dictionary
+              // runs one entry behind the encoder's (its first data code
+              // adds nothing), so it widens exactly when ours reaches
+              // 2^w + 1 — bumping at 2^w would desynchronize the stream
+              if (dictSize == (1 << codeWidth) + 1 && codeWidth < 12)
+                codeWidth += 1
+            } else {
+              put(clear)
+              dict.clear(); dictSize = end + 1; codeWidth = minCode + 1
+            }
+            prefixCode = k
+          }
+        }
+        i += 1
+      }
+      if (prefixCode >= 0) put(prefixCode)
+      put(end)
+      if (curBits > 0) bits.write((cur & 0xff).toInt)
+      val z = bits.toByteArray
+      // ---- container
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write("GIF89a".getBytes(StandardCharsets.US_ASCII))
+      def le16w(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+      le16w(w); le16w(h)
+      bos.write(0x80 | 7) // GCT present, 256 entries
+      bos.write(0); bos.write(0)
+      var v = 0
+      while (v < 256) { bos.write(v); bos.write(v); bos.write(v); v += 1 }
+      bos.write(0x2c) // image descriptor: full canvas
+      le16w(0); le16w(0); le16w(w); le16w(h)
+      bos.write(if (interlaced) 0x40 else 0x00)
+      bos.write(minCode)
+      var off = 0
+      while (off < z.length) {
+        val take = math.min(255, z.length - off)
+        bos.write(take)
+        bos.write(z, off, take)
+        off += take
+      }
+      bos.write(0) // sub-block terminator
+      bos.write(0x3b) // trailer
+      bos.toByteArray
     }
 
     /** GIF89a logical screen descriptor = 13-byte header. */

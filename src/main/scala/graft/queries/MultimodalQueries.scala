@@ -859,5 +859,95 @@ object MultimodalQueries {
       SELECT da, db, hamming FROM ham WHERE hamming <= 3 ORDER BY da, db""")
   )
 
-  val all: Seq[Q] = Seq(q50, q51, q70, q126, q150, q173, q174, q177, q183)
+  /** Cross-format pixel fingerprint — q183's discipline extended across
+    * COMPRESSION STACKS: every document's pixel field (a linear
+    * (x·a + y·b + c) mod 256 ramp from doc_id, different constants from
+    * q183's) is encoded BOTH as a real PNG (zlib, doc_id-chosen level +
+    * per-row filters) and as a real GIF (LZW with dictionary growth,
+    * 4-pass interlace for odd doc_ids), each decoded back through its own
+    * real road ([[Multimodal.MediaCodec.pngGray]] /
+    * [[Multimodal.MediaCodec.gifGray]]), and the row carries the PNG-side
+    * dHash bands plus `agree` = 1 iff the GIF-side hash is bit-identical.
+    * The oracle computes the bands from the PIXEL ARITHMETIC alone and
+    * asserts agree = 1 — so BOTH codec stacks must be lossless and exact,
+    * per document, or the gate hash diverges. Per-row map work; no
+    * payload ever shuffles. */
+  val q184 = Q(
+    "q184_gif_cross_format",
+    (s, dir) => {
+      import s.implicits._
+      import Multimodal.{Containers, MediaCodec}
+      Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val w = (16 + math.floorMod(id * 13 + 5, 40L)).toInt
+            val h = (16 + math.floorMod(id * 7 + 1, 24L)).toInt
+            val a = (1 + math.floorMod(id, 5L)).toInt
+            val b = (1 + math.floorMod(id, 9L)).toInt
+            val c = math.floorMod(id * 3, 256L).toInt
+            val px = new Array[Byte](w * h)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                px(y * w + x) = ((x * a + y * b + c) % 256).toByte
+                x += 1
+              }
+              y += 1
+            }
+            val png = Containers.pngGray8(w, h, px, (id % 3).toInt * 4 + 1,
+              y0 => ((id + y0) % 5).toInt)
+            val gif = Containers.gifGray8(w, h, px, interlaced = id % 2 == 1)
+            val pb = MediaCodec.dhashBands(png).get
+            val gb = MediaCodec.dhashBands(gif).get
+            val agree =
+              if (pb(0) == gb(0) && pb(1) == gb(1) && pb(2) == gb(2) &&
+                pb(3) == gb(3)) 1L
+              else 0L
+            (id, pb(0).toLong, pb(1).toLong, pb(2).toLong, pb(3).toLong, agree)
+          }
+        }
+        .toDF("doc_id", "b0", "b1", "b2", "b3", "agree")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH imgs AS MATERIALIZED (
+        SELECT doc_id,
+               16 + (doc_id*13+5) % 40 AS w, 16 + (doc_id*7+1) % 24 AS h,
+               1 + doc_id % 5 AS a, 1 + doc_id % 9 AS b,
+               (doc_id*3) % 256 AS c
+        FROM documents),
+      ys AS (SELECT doc_id, w, h, a, b, c,
+                    CAST(unnest(range(0, h)) AS BIGINT) AS y FROM imgs),
+      xys AS (SELECT doc_id, w, h, a, b, c, y,
+                     CAST(unnest(range(0, w)) AS BIGINT) AS x FROM ys),
+      cells AS MATERIALIZED (
+        SELECT doc_id,
+               ((8*(y+1)-1) // h) * 9 + (9*(x+1)-1) // w AS j,
+               CAST(SUM((x*a + y*b + c) % 256) // COUNT(*) AS BIGINT) AS p
+        FROM xys GROUP BY doc_id, j),
+      bitvals AS (
+        SELECT a.doc_id, a.j // 9 * 8 + a.j % 9 AS bit,
+               CASE WHEN b.p > a.p THEN 1 ELSE 0 END AS v
+        FROM cells a JOIN cells b ON a.doc_id = b.doc_id AND b.j = a.j + 1
+        WHERE a.j % 9 < 8)
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN bit // 16 = 0
+               THEN v * (1::BIGINT << CAST(bit % 16 AS INT)) ELSE 0 END)
+               AS BIGINT) AS b0,
+             CAST(SUM(CASE WHEN bit // 16 = 1
+               THEN v * (1::BIGINT << CAST(bit % 16 AS INT)) ELSE 0 END)
+               AS BIGINT) AS b1,
+             CAST(SUM(CASE WHEN bit // 16 = 2
+               THEN v * (1::BIGINT << CAST(bit % 16 AS INT)) ELSE 0 END)
+               AS BIGINT) AS b2,
+             CAST(SUM(CASE WHEN bit // 16 = 3
+               THEN v * (1::BIGINT << CAST(bit % 16 AS INT)) ELSE 0 END)
+               AS BIGINT) AS b3,
+             CAST(1 AS BIGINT) AS agree
+      FROM bitvals GROUP BY doc_id ORDER BY doc_id""")
+  )
+
+  val all: Seq[Q] =
+    Seq(q50, q51, q70, q126, q150, q173, q174, q177, q183, q184)
 }
