@@ -395,6 +395,321 @@ object Multimodal {
       Some((w, h, gray))
     }
 
+    // ---------------------------------------------------------- JPEG
+
+    /** Zig-zag order (T.81 Figure 5): natural position of the k-th
+      * coefficient in scan order. */
+    private val ZigZag: Array[Int] = Array(
+      0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+      12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+      35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+      58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+    /** cos((2x+1)·u·π/16) table for the 8-point IDCT. Doubles are
+      * deterministic on Java 17+ (strict FP everywhere), so the decode is
+      * bit-reproducible across executors. */
+    private val Cos: Array[Array[Double]] = Array.tabulate(8, 8) { (x, u) =>
+      math.cos((2 * x + 1) * u * math.Pi / 16)
+    }
+    private val Alpha: Array[Double] =
+      Array.tabulate(8)(u => if (u == 0) 1.0 / math.sqrt(2.0) else 1.0)
+    /** α(u)·α(v) with the (0,0) entry pinned to the EXACT 0.5 — in doubles
+      * (1/√2)² is 0.5000000000000001, which would nudge a DC-only block's
+      * half-integer pixel across its rounding boundary; mathematically the
+      * product IS one half, and exactness there is what lets q185's oracle
+      * replay the whole decode in integers. */
+    private val AlphaProd: Array[Array[Double]] = Array.tabulate(8, 8) {
+      (u, v) => if (u == 0 && v == 0) 0.5 else Alpha(u) * Alpha(v)
+    }
+
+    private final class JpegAbort extends RuntimeException
+
+    /** Canonical Huffman table per T.81 Annex C / F.2.2.3. */
+    private final class HuffTable(counts: Array[Int], symbols: Array[Int]) {
+      private val minCode = new Array[Int](17)
+      private val maxCode = new Array[Int](17)
+      private val valPtr = new Array[Int](17)
+      locally {
+        var code = 0
+        var k = 0
+        var l = 1
+        while (l <= 16) {
+          if (counts(l - 1) == 0) maxCode(l) = -1
+          else {
+            valPtr(l) = k
+            minCode(l) = code
+            code += counts(l - 1)
+            k += counts(l - 1)
+            maxCode(l) = code - 1
+          }
+          code <<= 1
+          l += 1
+        }
+      }
+      def decode(r: JpegBits): Int = {
+        var code = r.nextBit()
+        var l = 1
+        while (maxCode(l) < 0 || code > maxCode(l)) {
+          l += 1
+          if (l > 16) throw new JpegAbort
+          code = (code << 1) | r.nextBit()
+        }
+        symbols(valPtr(l) + code - minCode(l))
+      }
+    }
+
+    /** Entropy-segment bit reader with 0xFF00 byte unstuffing; any bare
+      * marker inside a coefficient read aborts the decode. */
+    private final class JpegBits(b: Array[Byte], var pos: Int) {
+      private var cur = 0
+      private var nbits = 0
+      def nextBit(): Int = {
+        if (nbits == 0) {
+          if (pos >= b.length) throw new JpegAbort
+          var v = b(pos) & 0xff
+          pos += 1
+          if (v == 0xff) {
+            if (pos >= b.length) throw new JpegAbort
+            val m = b(pos) & 0xff
+            if (m == 0) pos += 1 // stuffed 0xFF data byte
+            else throw new JpegAbort // marker mid-symbol
+          }
+          cur = v
+          nbits = 8
+        }
+        nbits -= 1
+        (cur >> nbits) & 1
+      }
+      def receive(n: Int): Int = {
+        var v = 0
+        var i = 0
+        while (i < n) { v = (v << 1) | nextBit(); i += 1 }
+        v
+      }
+      def align(): Unit = nbits = 0
+      /** Consume an RSTn marker if one sits at the (aligned) cursor. */
+      def restart(): Boolean = {
+        if (pos + 1 < b.length && (b(pos) & 0xff) == 0xff &&
+          (b(pos + 1) & 0xff) >= 0xd0 && (b(pos + 1) & 0xff) <= 0xd7) {
+          pos += 2; true
+        } else false
+      }
+    }
+
+    /** T.81 F.2.2.1 EXTEND: map a `t`-bit magnitude to its signed value. */
+    private def extend(v: Int, t: Int): Int =
+      if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+
+    /** REAL baseline JPEG decode (ITU T.81): marker walk (DQT/DHT/DRI/
+      * SOF0/SOF1/SOS), canonical Huffman tables, per-MCU entropy decode
+      * of every component's blocks (DC diff + EXTEND, AC run/size with
+      * EOB/ZRL, restart markers, 0xFF00 unstuffing), dequantize,
+      * de-zigzag, separable double-precision IDCT (+128 level shift,
+      * clamp). Output is the LUMA plane as 8-bit gray — chroma blocks
+      * are fully entropy-decoded (the bitstream demands it) and
+      * discarded, so 4:4:4 / 4:2:2 / 4:2:0 all decode without
+      * upsampling machinery. None for anything the decoder can't prove
+      * it read right — progressive (SOF2+), arithmetic coding,
+      * 12-bit precision, a luma that is not the max-sampled component,
+      * truncated or marker-corrupt streams. */
+    private[graft] def jpegGray(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+      if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+        return None
+      try {
+        val qt = new Array[Array[Int]](4)
+        val dcTab = new Array[HuffTable](4)
+        val acTab = new Array[HuffTable](4)
+        var restartInterval = 0
+        var w = 0; var h = 0
+        // per component: (id, hSamp, vSamp, quantId)
+        var comps: Array[Array[Int]] = null
+        var i = 2
+        while (i + 4 <= b.length) {
+          if ((b(i) & 0xff) != 0xff) return None
+          val marker = b(i + 1) & 0xff
+          if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) {
+            i += 2 // standalone
+          } else if (marker == 0xd9) {
+            return None // EOI before any scan
+          } else {
+            val len = be16(b, i + 2)
+            if (len < 2 || i + 2 + len > b.length) return None
+            val seg = i + 4
+            val segEnd = i + 2 + len
+            marker match {
+              case 0xdb => // DQT: one or more (pq/tq, 64 values)
+                var p = seg
+                while (p < segEnd) {
+                  val pq = (b(p) >> 4) & 0x0f
+                  val tq = b(p) & 0x0f
+                  if (pq != 0 || tq > 3 || p + 65 > segEnd) return None
+                  qt(tq) = Array.tabulate(64)(k => b(p + 1 + k) & 0xff)
+                  p += 65
+                }
+              case 0xc4 => // DHT: one or more tables
+                var p = seg
+                while (p < segEnd) {
+                  val tc = (b(p) >> 4) & 0x0f
+                  val th = b(p) & 0x0f
+                  if (tc > 1 || th > 3 || p + 17 > segEnd) return None
+                  val counts = Array.tabulate(16)(k => b(p + 1 + k) & 0xff)
+                  val total = counts.sum
+                  if (p + 17 + total > segEnd) return None
+                  val syms = Array.tabulate(total)(k => b(p + 17 + k) & 0xff)
+                  val t = new HuffTable(counts, syms)
+                  if (tc == 0) dcTab(th) = t else acTab(th) = t
+                  p += 17 + total
+                }
+              case 0xdd => // DRI
+                if (len != 4) return None
+                restartInterval = be16(b, seg)
+              case 0xc0 | 0xc1 => // SOF0 / SOF1 (both Huffman sequential)
+                if ((b(seg) & 0xff) != 8) return None // 8-bit precision only
+                h = be16(b, seg + 1); w = be16(b, seg + 3)
+                val nc = b(seg + 5) & 0xff
+                if (w <= 0 || h <= 0 || w.toLong * h > (64L << 20)) return None
+                if (nc < 1 || nc > 4 || seg + 6 + 3 * nc > segEnd) return None
+                comps = Array.tabulate(nc) { k =>
+                  val o = seg + 6 + 3 * k
+                  Array(b(o) & 0xff, (b(o + 1) >> 4) & 0x0f,
+                    b(o + 1) & 0x0f, b(o + 2) & 0xff)
+                }
+              case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+                  0xcd | 0xce | 0xcf =>
+                return None // progressive/lossless/arithmetic: not baseline
+              case 0xda => // SOS → entropy decode
+                if (comps == null) return None
+                val ns = b(seg) & 0xff
+                if (ns != comps.length || seg + 1 + 2 * ns + 3 > segEnd)
+                  return None
+                // component scan order with table assignments
+                val scan = Array.tabulate(ns) { k =>
+                  val cid = b(seg + 1 + 2 * k) & 0xff
+                  val tt = b(seg + 2 + 2 * k) & 0xff
+                  val ci = comps.indexWhere(_(0) == cid)
+                  if (ci < 0) return None
+                  (ci, (tt >> 4) & 0x0f, tt & 0x0f)
+                }
+                val hmax = comps.map(_(1)).max
+                val vmax = comps.map(_(2)).max
+                if (hmax < 1 || hmax > 4 || vmax < 1 || vmax > 4) return None
+                // luma = first scan component; must be max-sampled so its
+                // blocks place 1:1 on the pixel grid
+                val (li, _, _) = scan(0)
+                if (comps(li)(1) != hmax || comps(li)(2) != vmax) return None
+                val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+                val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+                val gray = new Array[Byte](w * h)
+                val r = new JpegBits(b, segEnd)
+                val pred = new Array[Int](ns)
+                val coef = new Array[Int](64)
+                val px = new Array[Double](64)
+                var mcu = 0
+                val totalMcus = mcusX * mcusY
+                while (mcu < totalMcus) {
+                  if (restartInterval > 0 && mcu > 0 &&
+                    mcu % restartInterval == 0) {
+                    r.align()
+                    if (!r.restart()) throw new JpegAbort
+                    java.util.Arrays.fill(pred, 0)
+                  }
+                  val mx = mcu % mcusX
+                  val my = mcu / mcusX
+                  var sIdx = 0
+                  while (sIdx < ns) {
+                    val (ci, dcId, acId) = scan(sIdx)
+                    val ch = comps(ci)(1); val cv = comps(ci)(2)
+                    val q = qt(comps(ci)(3))
+                    if (q == null || dcTab(dcId) == null || acTab(acId) == null)
+                      throw new JpegAbort
+                    var by = 0
+                    while (by < cv) {
+                      var bx = 0
+                      while (bx < ch) {
+                        java.util.Arrays.fill(coef, 0)
+                        val t = dcTab(dcId).decode(r)
+                        if (t > 15) throw new JpegAbort
+                        pred(sIdx) += extend(r.receive(t), t)
+                        coef(0) = pred(sIdx) * q(0)
+                        var k = 1
+                        var eob = false
+                        while (k < 64 && !eob) {
+                          val rs = acTab(acId).decode(r)
+                          val run = (rs >> 4) & 0x0f
+                          val size = rs & 0x0f
+                          if (size == 0) {
+                            if (run == 15) k += 16 // ZRL
+                            else eob = true
+                          } else {
+                            k += run
+                            if (k > 63) throw new JpegAbort
+                            coef(ZigZag(k)) = extend(r.receive(size), size) * q(k)
+                            k += 1
+                          }
+                        }
+                        if (ci == li) {
+                          // IDCT (separable would be faster; direct double
+                          // sum is exact and plenty at fingerprint scales)
+                          var y0 = 0
+                          while (y0 < 8) {
+                            var x0 = 0
+                            while (x0 < 8) {
+                              var s = 0.0
+                              var v = 0
+                              while (v < 8) {
+                                var u = 0
+                                while (u < 8) {
+                                  val f = coef(v * 8 + u)
+                                  if (f != 0)
+                                    s += AlphaProd(u)(v) * f *
+                                      Cos(x0)(u) * Cos(y0)(v)
+                                  u += 1
+                                }
+                                v += 1
+                              }
+                              px(y0 * 8 + x0) = s / 4.0
+                              x0 += 1
+                            }
+                            y0 += 1
+                          }
+                          val baseX = (mx * ch + bx) * 8
+                          val baseY = (my * cv + by) * 8
+                          var yy = 0
+                          while (yy < 8) {
+                            val gy = baseY + yy
+                            if (gy < h) {
+                              var xx = 0
+                              while (xx < 8) {
+                                val gx = baseX + xx
+                                if (gx < w) {
+                                  val v0 = Math.round(px(yy * 8 + xx)).toInt + 128
+                                  gray(gy.toInt * w + gx) =
+                                    math.max(0, math.min(255, v0)).toByte
+                                }
+                                xx += 1
+                              }
+                            }
+                            yy += 1
+                          }
+                        }
+                        bx += 1
+                      }
+                      by += 1
+                    }
+                    sIdx += 1
+                  }
+                  mcu += 1
+                }
+                return Some((w, h, gray))
+              case _ => () // APPn, COM, others: skip
+            }
+            i = segEnd
+          }
+        }
+        None
+      } catch { case _: JpegAbort | _: ArrayIndexOutOfBoundsException => None }
+    }
+
     /** 9×8 average pool over a row-major grayscale image — the shared
       * real-pixel front half of [[dhashBands]]: cell (r,c) is the exact
       * integer mean of pixel rows [⌊r·h/8⌋, ⌊(r+1)·h/8⌋) × cols
@@ -649,6 +964,7 @@ object Multimodal {
         val real: Option[Array[Int]] = (fmt match {
           case "png" => pngGray(payload)
           case "gif" => gifGray(payload)
+          case "jpeg" => jpegGray(payload)
           case _ => None
         }).collect { case (w, h, gray) if w >= 9 && h >= 8 =>
           pool72(w, h, gray)
@@ -1027,6 +1343,105 @@ object Multimodal {
       }
       bos.write(0) // sub-block terminator
       bos.write(0x3b) // trailer
+      bos.toByteArray
+    }
+
+    /** REAL baseline JPEG encoder, DC-only (ITU T.81) — the write
+      * complement of [[MediaCodec.jpegGray]] for the one coefficient
+      * whose quantization arithmetic is exactly replayable: each 8×8
+      * block (edge-replicated at the borders) carries its true DCT DC
+      * coefficient, quantized round-half-up as
+      * dcQ = ⌊(2·S + 8·q0) / (16·q0)⌋ with S = Σ(p−128), followed by an
+      * immediate EOB — so the decoded block is the constant
+      * ⌊(dcQ·q0 + 4) / 8⌋ + 128, clamped. The container is fully real:
+      * DQT, SOF0 (single gray component), custom canonical DHT tables
+      * (12 four-bit DC categories; a two-bit EOB-only AC table), optional
+      * DRI + RSTn restarts, Huffman-coded scan with 0xFF00 byte
+      * stuffing, EOI. q185 pins this whole road against a pixel/integer
+      * oracle. */
+    def jpegGray8Dc(
+        w: Int, h: Int, pixels: Array[Byte], q0: Int,
+        restartEvery: Int = 0): Array[Byte] = {
+      require(pixels.length == w * h, "bad pixel buffer")
+      require(q0 >= 1 && q0 <= 255, "bad quantizer")
+      val bos = new java.io.ByteArrayOutputStream()
+      def m(marker: Int): Unit = { bos.write(0xff); bos.write(marker) }
+      def be16w(v: Int): Unit = { bos.write((v >> 8) & 0xff); bos.write(v & 0xff) }
+      m(0xd8) // SOI
+      m(0xdb); be16w(2 + 65); bos.write(0x00) // DQT, table 0, 8-bit
+      var k = 0
+      while (k < 64) { bos.write(q0); k += 1 }
+      m(0xc0); be16w(2 + 6 + 3) // SOF0: 8-bit, 1 component
+      bos.write(8); be16w(h); be16w(w); bos.write(1)
+      bos.write(1); bos.write(0x11); bos.write(0) // id 1, 1x1, qt 0
+      // DHT DC0: 12 categories, all 4-bit codes (canonical 0000..1011)
+      m(0xc4); be16w(2 + 17 + 12); bos.write(0x00)
+      (1 to 16).foreach(l => bos.write(if (l == 4) 12 else 0))
+      (0 until 12).foreach(bos.write)
+      // DHT AC0: EOB only, one 2-bit code
+      m(0xc4); be16w(2 + 17 + 1); bos.write(0x10)
+      (1 to 16).foreach(l => bos.write(if (l == 2) 1 else 0))
+      bos.write(0x00)
+      if (restartEvery > 0) { m(0xdd); be16w(4); be16w(restartEvery) }
+      m(0xda); be16w(2 + 1 + 2 + 3) // SOS
+      bos.write(1); bos.write(1); bos.write(0x00)
+      bos.write(0); bos.write(63); bos.write(0)
+      // ---- entropy-coded data
+      var acc = 0; var accBits = 0
+      def putBits(v: Int, n: Int): Unit = {
+        var i = n - 1
+        while (i >= 0) {
+          acc = (acc << 1) | ((v >> i) & 1)
+          accBits += 1
+          if (accBits == 8) {
+            bos.write(acc & 0xff)
+            if ((acc & 0xff) == 0xff) bos.write(0) // stuff
+            acc = 0; accBits = 0
+          }
+          i -= 1
+        }
+      }
+      def flushOnes(): Unit = while (accBits != 0) putBits(1, 1)
+      val bw = (w + 7) / 8
+      val bh = (h + 7) / 8
+      var pred = 0
+      var rstIdx = 0
+      var blk = 0
+      val total = bw * bh
+      while (blk < total) {
+        if (restartEvery > 0 && blk > 0 && blk % restartEvery == 0) {
+          flushOnes()
+          m(0xd0 + rstIdx)
+          rstIdx = (rstIdx + 1) % 8
+          pred = 0
+        }
+        val bx = blk % bw
+        val by = blk / bw
+        var s = 0
+        var y = 0
+        while (y < 8) {
+          val gy = math.min(by * 8 + y, h - 1)
+          var x = 0
+          while (x < 8) {
+            val gx = math.min(bx * 8 + x, w - 1)
+            s += (pixels(gy * w + gx) & 0xff) - 128
+            x += 1
+          }
+          y += 1
+        }
+        val dcQ = Math.floorDiv(2 * s + 8 * q0, 16 * q0)
+        val diff = dcQ - pred
+        pred = dcQ
+        val t = 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+        require(t <= 11, "DC category out of baseline range")
+        putBits(t, 4) // DC category symbol = its own 4-bit code
+        if (t > 0)
+          putBits(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+        putBits(0, 2) // EOB (the AC table's single 2-bit code 00)
+        blk += 1
+      }
+      flushOnes()
+      m(0xd9) // EOI
       bos.toByteArray
     }
 

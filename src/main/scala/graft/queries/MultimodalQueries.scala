@@ -948,6 +948,130 @@ object MultimodalQueries {
       FROM bitvals GROUP BY doc_id ORDER BY doc_id""")
   )
 
+  /** Baseline-JPEG roundtrip — the q183/q184 discipline for the LOSSY
+    * format: every document's pixel field goes through a REAL baseline
+    * JPEG (DC-only quantization at a doc_id-chosen quantizer, custom
+    * canonical Huffman tables, restart markers every 3 MCUs for
+    * doc_id ≡ 0 mod 4, 0xFF00 byte stuffing) and back through the full
+    * entropy decoder + IDCT ([[Multimodal.MediaCodec.jpegGray]]). DC-only
+    * keeps the loss EXACTLY replayable: the decoded block is the integer
+    * ⌊(dcQ·q0 + 4)/8⌋ + 128 of the quantized block mean, so the oracle
+    * recomputes every pixel, the decode checksum AND the dHash bands from
+    * integer arithmetic alone — markers, Huffman codes, bit stuffing,
+    * restarts, dequant and the IDCT's DC path all have to be exact for
+    * the gate hash to land. Per-row map work; payloads never shuffle. */
+  val q185 = Q(
+    "q185_jpeg_dc_roundtrip",
+    (s, dir) => {
+      import s.implicits._
+      import Multimodal.{Containers, MediaCodec}
+      Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val w = (16 + math.floorMod(id * 11 + 3, 40L)).toInt
+            val h = (16 + math.floorMod(id * 5 + 7, 24L)).toInt
+            val a = (1 + math.floorMod(id, 6L)).toInt
+            val b = (1 + math.floorMod(id, 8L)).toInt
+            val c = math.floorMod(id * 7, 256L).toInt
+            val q0 = (1 + math.floorMod(id, 7L)).toInt
+            val px = new Array[Byte](w * h)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                px(y * w + x) = ((x * a + y * b + c) % 256).toByte
+                x += 1
+              }
+              y += 1
+            }
+            val jpg = Containers.jpegGray8Dc(w, h, px, q0,
+              restartEvery = if (id % 4 == 0) 3 else 0)
+            val (gw, gh, gray) = MediaCodec.jpegGray(jpg).get
+            var sum = 0L
+            var i = 0
+            while (i < gray.length) { sum += gray(i) & 0xff; i += 1 }
+            val bands = MediaCodec.dhashBands(jpg).get
+            (id, gw.toLong, gh.toLong, sum,
+              bands(0).toLong, bands(1).toLong, bands(2).toLong,
+              bands(3).toLong)
+          }
+        }
+        .toDF("doc_id", "w", "h", "gray_sum", "b0", "b1", "b2", "b3")
+        .orderBy("doc_id")
+    },
+    // Integer replay of the lossy road: S = Σ(p−128) per edge-replicated
+    // 8×8 block, dcQ = ⌊(2S + 8q0)/(16q0)⌋ (floor(), NOT // — DuckDB's //
+    // truncates toward zero on negatives), decoded pixel =
+    // clamp(⌊(dcQ·q0+4)/8⌋+128); the dHash pools the blockwise-constant
+    // plane. The float divisions are exact: numerators are small integers
+    // and true non-integer quotients sit ≥ 1/(16·q0) from any integer.
+    Some("""
+      WITH imgs AS MATERIALIZED (
+        SELECT doc_id,
+               16 + (doc_id*11+3) % 40 AS w, 16 + (doc_id*5+7) % 24 AS h,
+               1 + doc_id % 6 AS a, 1 + doc_id % 8 AS b,
+               (doc_id*7) % 256 AS c, 1 + doc_id % 7 AS q0
+        FROM documents),
+      pys AS (SELECT doc_id, w, h, a, b, c, q0,
+                     CAST(unnest(range(0, ((h+7)//8)*8)) AS BIGINT) AS y
+              FROM imgs),
+      pxy AS (SELECT doc_id, w, h, a, b, c, q0, y,
+                     CAST(unnest(range(0, ((w+7)//8)*8)) AS BIGINT) AS x
+              FROM pys),
+      bsum AS MATERIALIZED (
+        -- padded plane: coordinates past the edge replicate the edge pixel
+        SELECT doc_id, w, h, q0, x // 8 AS bx, y // 8 AS by,
+               CAST(SUM((least(x, w-1)*a + least(y, h-1)*b + c) % 256 - 128)
+                 AS BIGINT) AS s
+        FROM pxy GROUP BY doc_id, w, h, q0, bx, by),
+      bpix AS MATERIALIZED (
+        SELECT doc_id, w, h, bx, by,
+               greatest(0, least(255,
+                 CAST(floor((CAST(floor((2*s + 8*q0) / (16.0*q0)) AS BIGINT)
+                             * q0 + 4) / 8.0) AS BIGINT) + 128)) AS pv
+        FROM bsum),
+      gpx AS MATERIALIZED (
+        SELECT p.doc_id, p.y, p.x, b.pv
+        FROM (SELECT doc_id, w, h, y, x FROM pxy WHERE x < w AND y < h) p
+        JOIN bpix b ON b.doc_id = p.doc_id
+                   AND b.bx = p.x // 8 AND b.by = p.y // 8),
+      sums AS (
+        SELECT doc_id, CAST(SUM(pv) AS BIGINT) AS gray_sum FROM gpx
+        GROUP BY doc_id),
+      cells AS MATERIALIZED (
+        SELECT g.doc_id,
+               ((8*(g.y+1)-1) // i.h) * 9 + (9*(g.x+1)-1) // i.w AS j,
+               CAST(SUM(g.pv) // COUNT(*) AS BIGINT) AS p
+        FROM gpx g JOIN imgs i ON i.doc_id = g.doc_id
+        GROUP BY g.doc_id, j),
+      bitvals AS (
+        SELECT a.doc_id, a.j // 9 * 8 + a.j % 9 AS bit,
+               CASE WHEN b.p > a.p THEN 1 ELSE 0 END AS v
+        FROM cells a JOIN cells b ON a.doc_id = b.doc_id AND b.j = a.j + 1
+        WHERE a.j % 9 < 8),
+      sig AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN bit // 16 = 0
+                 THEN v * (1::BIGINT << CAST(bit % 16 AS INT)) ELSE 0 END)
+                 AS BIGINT) AS b0,
+               CAST(SUM(CASE WHEN bit // 16 = 1
+                 THEN v * (1::BIGINT << CAST(bit % 16 AS INT)) ELSE 0 END)
+                 AS BIGINT) AS b1,
+               CAST(SUM(CASE WHEN bit // 16 = 2
+                 THEN v * (1::BIGINT << CAST(bit % 16 AS INT)) ELSE 0 END)
+                 AS BIGINT) AS b2,
+               CAST(SUM(CASE WHEN bit // 16 = 3
+                 THEN v * (1::BIGINT << CAST(bit % 16 AS INT)) ELSE 0 END)
+                 AS BIGINT) AS b3
+        FROM bitvals GROUP BY doc_id)
+      SELECT i.doc_id, CAST(i.w AS BIGINT) AS w, CAST(i.h AS BIGINT) AS h,
+             sums.gray_sum, sig.b0, sig.b1, sig.b2, sig.b3
+      FROM imgs i
+      JOIN sums ON sums.doc_id = i.doc_id
+      JOIN sig ON sig.doc_id = i.doc_id
+      ORDER BY i.doc_id""")
+  )
+
   val all: Seq[Q] =
-    Seq(q50, q51, q70, q126, q150, q173, q174, q177, q183, q184)
+    Seq(q50, q51, q70, q126, q150, q173, q174, q177, q183, q184, q185)
 }
