@@ -38,7 +38,15 @@ object BulkIngest {
     * deliberately so: every CellRow.path can be fed back to [[FsIO]] or
     * `spark.read` as-is. Callers joining against scheme-less catalogs
     * (e.g. `ParserAnswer.filePath`) should compare on
-    * `FsIO.hpath(p).toUri.getPath`. */
+    * `FsIO.hpath(p).toUri.getPath`.
+    *
+    * `row_idx` contract for the big-`.warc.gz` split road: records number
+    * as firstMember + offset-within-batch — identical to the whole-file
+    * numbering on CONFORMING archives (one record per gzip member, the
+    * ISO 28500 annex layout CommonCrawl ships). A non-conforming archive
+    * that packs several records into one member numbers its tail records
+    * differently from the file-grain road; (path, sheet, row_idx)
+    * uniqueness and record order still hold. */
   final case class CellRow(
       path: String,
       engine: String,
@@ -339,6 +347,10 @@ object BulkIngest {
     val warcDfs: Seq[DataFrame] = bigWarcGz.map { p =>
       warcBatches(p) match {
         case None | Some(Seq()) => failedRow(p, "ImportWARC")
+        // a single member past Int.MaxValue compressed bytes cannot ride
+        // the ranged read — refuse (one Failed row) rather than truncate
+        case Some(batches) if batches.exists(_.length > Int.MaxValue.toLong) =>
+          failedRow(p, "ImportWARC")
         case Some(batches) =>
           implicit val e3 = Encoders.product[(Long, Long, Long)]
           val units = batches.map(b => (b.offset, b.length, b.firstMember))

@@ -279,7 +279,10 @@ object Multimodal {
           interlace = b(i + 20) & 0xff
           seenIhdr = true
         } else if (t0 == 'P' && t1 == 'L' && t2 == 'T' && t3 == 'E') {
-          if (len % 3 != 0 || len > 768) return None
+          // a palette arriving AFTER the image data it colors is spec-
+          // invalid (§5.6) and far likelier corruption than leniency —
+          // refuse rather than decode with it
+          if (len % 3 != 0 || len > 768 || idat.size() > 0) return None
           plte = java.util.Arrays.copyOfRange(b, i + 8, i + 8 + len)
         } else if (t0 == 'I' && t1 == 'D' && t2 == 'A' && t3 == 'T') {
           idat.write(b, i + 8, len)

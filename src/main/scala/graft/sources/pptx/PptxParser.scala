@@ -56,11 +56,22 @@ object PptxParser {
       pres <- loadXml("ppt/presentation.xml")
       rels <- loadXml("ppt/_rels/presentation.xml.rels")
     } yield {
+      // resolve the target against the source part's base (ppt/) with
+      // dot-segment handling (OPC §9.3 relative references): both
+      // "slides/slide1.xml" and "../ppt/slides/slide1.xml" are legal
+      def partName(t: String): String = {
+        val raw = if (t.startsWith("/")) t.substring(1) else s"ppt/$t"
+        raw.split("/").foldLeft(List.empty[String]) {
+          case (acc, "..") => if (acc.nonEmpty) acc.tail else acc
+          case (acc, ".") => acc
+          case (acc, seg) => seg :: acc
+        }.reverse.mkString("/")
+      }
       val rid2part: Map[String, String] = (rels \\ "Relationship").flatMap { r =>
         for {
           id <- r.attribute("Id").map(_.text)
           t <- r.attribute("Target").map(_.text)
-        } yield id -> (if (t.startsWith("/")) t.substring(1) else s"ppt/$t")
+        } yield id -> partName(t)
       }.toMap
       val orderedParts: Seq[String] = (pres \ "sldIdLst" \ "sldId")
         .flatMap(_.attribute(RelNs, "id")).map(_.text)

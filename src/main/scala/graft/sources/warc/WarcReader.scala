@@ -116,9 +116,19 @@ object WarcReader {
               val xl = lo | (hi << 8)
               while (j < xl) { if (read1() < 0) throw truncated(); j += 1 }
             }
-            if ((flg & 8) != 0) { var c = read1(); while (c > 0) c = read1() }
-            if ((flg & 16) != 0) { var c = read1(); while (c > 0) c = read1() }
-            if ((flg & 2) != 0) { read1(); read1() } // FHCRC
+            if ((flg & 8) != 0) { // FNAME: NUL-terminated; EOF is truncation
+              var c = read1()
+              while (c > 0) c = read1()
+              if (c < 0) throw truncated()
+            }
+            if ((flg & 16) != 0) { // FCOMMENT
+              var c = read1()
+              while (c > 0) c = read1()
+              if (c < 0) throw truncated()
+            }
+            if ((flg & 2) != 0) { // FHCRC
+              if (read1() < 0 || read1() < 0) throw truncated()
+            }
             // ---- raw deflate body: inflate-and-discard, count consumption
             val inf = new java.util.zip.Inflater(true)
             try {

@@ -125,6 +125,24 @@ class PptxImporterSpec extends SparkSpec {
     assert(AnyFile.parse(spark, extra).map(_.sheetName) ==
       Seq("slide2", "slide1"))
 
+    // dot-segment targets (OPC §9.3) resolve like plain relative ones
+    val dotted = dir.resolve("dotted.pptx").toString
+    writePptx(dotted,
+      "ppt/presentation.xml" ->
+        s"""<p:presentation xmlns:p="$presNs" xmlns:r="$relNs">
+           |<p:sldIdLst><p:sldId id="256" r:id="rId2"/>
+           |<p:sldId id="257" r:id="rId1"/></p:sldIdLst>
+           |</p:presentation>""".stripMargin,
+      "ppt/_rels/presentation.xml.rels" ->
+        """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+          |<Relationship Id="rId1" Type="t" Target="../ppt/slides/slide1.xml"/>
+          |<Relationship Id="rId2" Type="t" Target="./slides/slide2.xml"/>
+          |</Relationships>""".stripMargin,
+      "ppt/slides/slide1.xml" -> slide(sp("one")),
+      "ppt/slides/slide2.xml" -> slide(sp("two")))
+    assert(AnyFile.parse(spark, dotted).map(_.sheetName) ==
+      Seq("slide2", "slide1"))
+
     // damaged rels → numeric fallback, never a throw
     val broken = dir.resolve("broken.pptx").toString
     writePptx(broken,

@@ -88,6 +88,21 @@ class Round13IngestSpec extends SparkSpec {
       rows.head.getString(3) == "Failed")
   }
 
+  test("a member truncated inside its FNAME field throws, answering Failed") {
+    val dir = tmpDir("warcfname")
+    // gzip header with FNAME flag set, cut inside the name
+    val cut = Array[Byte](0x1f, 0x8b.toByte, 8, 8, 0, 0, 0, 0, 0, 0,
+      'c', 'r', 'a', 'w')
+    val p = dir.resolve("f.warc.gz")
+    java.nio.file.Files.write(p, memberArchive(2) ++ cut)
+    intercept[java.io.IOException] {
+      WarcReader.gzMemberBatches(p.toString, targetBatchBytes = 1L)
+    }
+    val rows = BulkIngest.parseTreeAuto(spark, dir.toString, bigBytes = 1L)
+      .collect()
+    assert(rows.length == 1 && rows.head.getString(3) == "Failed")
+  }
+
   test("trailing non-gzip garbage ends the member walk leniently") {
     val dir = tmpDir("warctail")
     val archive = memberArchive(4) ++ "not gzip at all".getBytes(StandardCharsets.US_ASCII)

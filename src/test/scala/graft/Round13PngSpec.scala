@@ -249,5 +249,21 @@ class Round13PngSpec extends SparkSpec {
     val base = MediaCodec.dhashBands(good).get
     val twin = MediaCodec.dhashBands(good, dither = true).get
     assert(ham(base, twin) <= 5)
+    // PLTE arriving AFTER the image data it colors (spec-invalid §5.6):
+    // reassemble a palette PNG with the chunks swapped → refuse
+    val plte = new Array[Byte](768)
+    var v = 0
+    while (v < 256) { plte(3 * v) = v.toByte; plte(3 * v + 1) = v.toByte; plte(3 * v + 2) = v.toByte; v += 1 }
+    val okPal = encode(12, 10, 8, 3, grayImage(12, 10), _ => 0, 6, plte = Some(plte))
+    assert(MediaCodec.pngGray(okPal).isDefined)
+    // chunk layout: sig(8) IHDR(25) PLTE(12+768) IDAT(...) IEND(12)
+    val pStart = 33
+    val pLen = 12 + 768
+    val iEnd = okPal.length - 12
+    val swapped = okPal.slice(0, pStart) ++
+      okPal.slice(pStart + pLen, iEnd) ++ // IDAT first
+      okPal.slice(pStart, pStart + pLen) ++ // then PLTE
+      okPal.slice(iEnd, okPal.length)
+    assert(MediaCodec.pngGray(swapped).isEmpty)
   }
 }

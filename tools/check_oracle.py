@@ -127,9 +127,12 @@ def main(sf_dir: str, out_dir: str) -> int:
     print(f"\n{len(results) - fails}/{len(results)} pass; "
           f"oracle wall total {total_oracle:.1f}s over {len(oracle_secs)} oracles")
     if slow:
+        # lines must NOT start with a query name: correctness_artifact.py
+        # parses "qNNN <status>" lines and a bare name here would overwrite
+        # the real status
         print(f"SLOW oracles (> {ORACLE_SOFT_CEILING_SEC:.0f}s soft ceiling):")
         for sec, k in sorted(slow, reverse=True):
-            print(f"  {k:32s} {sec:6.2f}s")
+            print(f"  slow: {k:32s} {sec:6.2f}s")
     return 1 if fails else 0
 
 
