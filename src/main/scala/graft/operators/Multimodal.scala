@@ -491,9 +491,13 @@ object Multimodal {
       }
       def align(): Unit = nbits = 0
       /** Consume an RSTn marker if one sits at the (aligned) cursor. */
-      def restart(): Boolean = {
+      /** Consume an RSTn marker at the (aligned) cursor — and VALIDATE n
+        * against the expected mod-8 cycle (T.81 B.2.4.4): the cycle
+        * exists precisely so a lost/duplicated restart interval is
+        * detected instead of silently misplacing every later MCU. */
+      def restart(expected: Int): Boolean = {
         if (pos + 1 < b.length && (b(pos) & 0xff) == 0xff &&
-          (b(pos + 1) & 0xff) >= 0xd0 && (b(pos + 1) & 0xff) <= 0xd7) {
+          (b(pos + 1) & 0xff) == 0xd0 + (expected & 7)) {
           pos += 2; true
         } else false
       }
@@ -613,7 +617,8 @@ object Multimodal {
                   if (restartInterval > 0 && mcu > 0 &&
                     mcu % restartInterval == 0) {
                     r.align()
-                    if (!r.restart()) throw new JpegAbort
+                    if (!r.restart(mcu / restartInterval - 1))
+                      throw new JpegAbort
                     java.util.Arrays.fill(pred, 0)
                   }
                   val mx = mcu % mcusX

@@ -151,6 +151,14 @@ class Round13JpegSpec extends SparkSpec {
       (restarted(i) & 0xff) == 0xff && (restarted(i + 1) & 0xff) >= 0xd0 &&
         (restarted(i + 1) & 0xff) <= 0xd7))
     assert(MediaCodec.jpegGray(restarted).get._3.toSeq == plain.toSeq)
+    // an out-of-sequence restart index (a lost interval's signature) must
+    // refuse, not silently misplace every later MCU (T.81 B.2.4.4 cycle)
+    val bad = restarted.clone()
+    val rst = (0 until bad.length - 1).find(i =>
+      (bad(i) & 0xff) == 0xff && (bad(i + 1) & 0xff) >= 0xd0 &&
+        (bad(i + 1) & 0xff) <= 0xd7).get
+    bad(rst + 1) = (0xd0 + (((bad(rst + 1) & 0x07) + 3) % 8)).toByte
+    assert(MediaCodec.jpegGray(bad).isEmpty)
   }
 
   test("AC path: arbitrary coefficient blocks decode within ±1 of the reference IDCT") {
