@@ -359,6 +359,16 @@ object Multimodal {
       val gray = new Array[Byte](w * h)
       val maxv = (1 << math.min(depth, 8)) - 1
       def luma(r: Int, g: Int, bl: Int): Int = (299 * r + 587 * g + 114 * bl) / 1000
+      // channel sample → 8 bits: depth-16 samples rescale by the
+      // correctly-rounded 255/65535 (an exact 8→16 expansion v = g·257
+      // maps back to g precisely) rather than high-byte truncation,
+      // which differs by one gray level on half the range
+      def chan(off: Int, stride: Int): Int =
+        if (stride == 1) px(off) & 0xff
+        else {
+          val v16 = ((px(off) & 0xff) << 8) | (px(off + 1) & 0xff)
+          (v16 * 255 + 32767) / 65535
+        }
       y = 0
       while (y < h) {
         val dst = y * rb
@@ -370,11 +380,11 @@ object Multimodal {
               val v = (px(dst + (bit >> 3)) >> (8 - d - (bit & 7))) & maxv
               v * 255 / maxv
             case (0, 8) => px(dst + x) & 0xff
-            case (0, 16) => px(dst + 2 * x) & 0xff
+            case (0, 16) => chan(dst + 2 * x, 2)
             case (2, d) =>
               val s = if (d == 8) 1 else 2
-              luma(px(dst + 3 * s * x) & 0xff, px(dst + 3 * s * x + s) & 0xff,
-                px(dst + 3 * s * x + 2 * s) & 0xff)
+              luma(chan(dst + 3 * s * x, s), chan(dst + 3 * s * x + s, s),
+                chan(dst + 3 * s * x + 2 * s, s))
             case (3, d) =>
               val idx = if (d == 8) px(dst + x) & 0xff
                 else { val bit = x * d; (px(dst + (bit >> 3)) >> (8 - d - (bit & 7))) & maxv }
@@ -383,11 +393,11 @@ object Multimodal {
                 plte(3 * idx + 2) & 0xff)
             case (4, d) =>
               val s = if (d == 8) 1 else 2
-              px(dst + 2 * s * x) & 0xff
+              chan(dst + 2 * s * x, s)
             case (6, d) =>
               val s = if (d == 8) 1 else 2
-              luma(px(dst + 4 * s * x) & 0xff, px(dst + 4 * s * x + s) & 0xff,
-                px(dst + 4 * s * x + 2 * s) & 0xff)
+              luma(chan(dst + 4 * s * x, s), chan(dst + 4 * s * x + s, s),
+                chan(dst + 4 * s * x + 2 * s, s))
             case _ => return None
           }
           gray(y * w + x) = g8.toByte

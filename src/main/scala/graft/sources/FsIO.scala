@@ -180,10 +180,24 @@ object FsIO {
     * layer Spark's text/json scans decompress through, so a sniff or a
     * byte-level parse over `x.csv.gz` sees the same decoded bytes the
     * scan will. Plain [[open]] when no codec claims the suffix. */
+  // codec registry walk is conf-derived and stable per installed conf —
+  // built once, not per file (a 10^7-file sweep calls openDecoded per file)
+  @volatile private var cachedCodecs
+      : (Configuration, org.apache.hadoop.io.compress.CompressionCodecFactory) = null
+  private def codecFactory()
+      : org.apache.hadoop.io.compress.CompressionCodecFactory = {
+    val c = conf()
+    val cached = cachedCodecs
+    if (cached != null && (cached._1 eq c)) cached._2
+    else {
+      val f = new org.apache.hadoop.io.compress.CompressionCodecFactory(c)
+      cachedCodecs = (c, f)
+      f
+    }
+  }
+
   def openDecoded(path: String): InputStream = {
-    val codec =
-      new org.apache.hadoop.io.compress.CompressionCodecFactory(conf())
-        .getCodec(hpath(path))
+    val codec = codecFactory().getCodec(hpath(path))
     if (codec == null) open(path) else codec.createInputStream(open(path))
   }
 

@@ -166,7 +166,9 @@ class Round13PngSpec extends SparkSpec {
       rgb(3 * i) = img(i); rgb(3 * i + 1) = img(i); rgb(3 * i + 2) = img(i)
       rgba(4 * i) = img(i); rgba(4 * i + 1) = img(i); rgba(4 * i + 2) = img(i)
       rgba(4 * i + 3) = 0xff.toByte
-      g16(2 * i) = img(i); g16(2 * i + 1) = 0x5a // low byte ignored
+      // exact 8→16 expansion v = g·257 = (g<<8)|g: the correctly-rounded
+      // 255/65535 rescale maps it back to g precisely
+      g16(2 * i) = img(i); g16(2 * i + 1) = img(i)
       i += 1
     }
     // palette road: 256-entry gray palette, indices = pixels
@@ -183,6 +185,13 @@ class Round13PngSpec extends SparkSpec {
     assert(ham(base, asRgba) == 0)
     assert(ham(base, asG16) == 0)
     assert(ham(base, asPal) == 0)
+    // 16-bit rescale is correctly rounded, not high-byte truncation:
+    // 0xFFFE → 255, 0x00FF → 1 (truncation would answer 254 and 0)
+    val two16 = Array[Byte](0xff.toByte, 0xfe.toByte, 0x00, 0xff.toByte)
+    val png16 = encode(2, 1, 16, 0, two16, _ => 0, 6)
+    val g = MediaCodec.pngGray(png16)
+    // (2×1 is under the dHash grid but pngGray itself must decode it)
+    assert(g.isDefined && (g.get._3(0) & 0xff) == 255 && (g.get._3(1) & 0xff) == 1)
   }
 
   test("sub-byte depths: 1/2/4-bit gray expand by max-value scaling") {
