@@ -733,6 +733,31 @@ object Multimodal {
       * integer mean of pixel rows [⌊r·h/8⌋, ⌊(r+1)·h/8⌋) × cols
       * [⌊c·w/9⌋, ⌊(c+1)·w/9⌋). Requires w ≥ 9 and h ≥ 8 (every cell
       * pools ≥ 1 pixel); callers gate on that. */
+    /** dHash bands straight from an already-decoded gray plane — for
+      * callers that hold the pixels anyway (q185 decodes once for its
+      * checksum and fingerprints the same plane). None under the 9×8
+      * grid minimum, identical bits to [[dhashBands]]'s real road. */
+    private[graft] def bandsOfGray(
+        w: Int, h: Int, gray: Array[Byte]): Option[Array[Int]] =
+      if (w < 9 || h < 8) None
+      else {
+        val p = pool72(w, h, gray)
+        val bands = new Array[Int](4)
+        var r = 0
+        while (r < 8) {
+          var c = 0
+          while (c < 8) {
+            if (p(r * 9 + c + 1) > p(r * 9 + c)) {
+              val bit = r * 8 + c
+              bands(bit / 16) |= 1 << (bit % 16)
+            }
+            c += 1
+          }
+          r += 1
+        }
+        Some(bands)
+      }
+
     private def pool72(w: Int, h: Int, gray: Array[Byte]): Array[Int] = {
       val p = new Array[Int](72)
       var r = 0

@@ -990,7 +990,9 @@ object MultimodalQueries {
             var sum = 0L
             var i = 0
             while (i < gray.length) { sum += gray(i) & 0xff; i += 1 }
-            val bands = MediaCodec.dhashBands(jpg).get
+            // fingerprint the plane already decoded for the checksum —
+            // bandsOfGray is bit-identical to dhashBands' real road
+            val bands = MediaCodec.bandsOfGray(gw, gh, gray).get
             (id, gw.toLong, gh.toLong, sum,
               bands(0).toLong, bands(1).toLong, bands(2).toLong,
               bands(3).toLong)
