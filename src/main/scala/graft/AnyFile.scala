@@ -44,6 +44,13 @@ import org.apache.spark.sql.SparkSession
   *  - `.gz .bz2` over a stream-decodable inner extension (`.jsonl.gz`,
   *    `.csv.gz`, `.tsv.gz`, …) → the inner format's importer; the Hadoop
   *    codec layer decompresses inline for scans and sniffers alike
+  *  - `.zst .zstd` over `.warc` → [[WarcImporter]] (its record catalog
+  *    is a BYTE road through `FsIO.openDecoded`, which routes zstd via
+  *    zstd-jni). The text/json inner forms stay gz/bz2-only HERE: this
+  *    one-file road parses through Spark's native text/json scans, and
+  *    Hadoop's ZStandardCodec needs a native lib this container lacks —
+  *    `.jsonl.zst`-style corpora go through [[graft.operators.BulkIngest]],
+  *    whose per-file byte roads decode zstd for text/jsonl/warc/sqlite.
   *  - `.pk1` and `.pickle` → [[PickleImporter]] (documented gap). The
   *    reference matches the literal `"pickle"` without a dot, which
   *    `Path.suffix` can never produce (`main.py:161` bug); per SURVEY.md §7
@@ -70,6 +77,13 @@ object AnyFile {
         extOf(name.dropRight(last.length)) match {
           case inner @ (".txt" | ".csv" | ".ini" | ".tsv" | ".ant" |
               ".jsonl" | ".ndjson" | ".json" | ".warc") => inner
+          case _ => last
+        }
+      } else if (last == ".zst" || last == ".zstd") {
+        // zstd peel covers only the byte-road importer (.warc); the
+        // Spark-scan importers can't decode zstd here (see scaladoc)
+        extOf(name.dropRight(last.length)) match {
+          case inner @ ".warc" => inner
           case _ => last
         }
       } else last

@@ -27,6 +27,19 @@ import org.apache.spark.sql.SparkSession
   *   - the JSON line is written to a file as well as stdout (round 1's
   *     stdout-only line was lost to sbt log interleaving: "parsed": null).
   *
+  * Timeout-proofing (VERDICT r13 #1 — BENCH_r13 landed rc 124 with no
+  * parsed artifact because the JSON was written only after all passes):
+  * the artifact file is REWRITTEN after every query of every pass, each
+  * intermediate line a valid min-estimator over the samples taken so far
+  * (warm-pass times seed the estimate; `passes` counts completed TIMED
+  * passes so a reader can see how settled the numbers are). A session
+  * killed at any point leaves the latest consistent artifact on disk —
+  * the write is tmp-file + atomic move, so even a kill mid-write cannot
+  * leave a torn line. `Reps` defaults to 2 (the min estimator gains
+  * little from a third sample) and is env-tunable via
+  * `SPARK_GRAFT_BENCH_REPS`; the untimed warm pass can be skipped with
+  * `SPARK_GRAFT_BENCH_WARM=0` when the session budget is tight.
+  *
   * A query that throws is reported with time -1.0 in `queries`, listed in
   * `failed`, and excluded from `value` — a fast failure must not masquerade
   * as a fast query.
@@ -45,7 +58,9 @@ import org.apache.spark.sql.SparkSession
   * bounded: the three loop-riders share ~3 s of the 127 s sf0.1 suite.
   */
 object Bench {
-  private val Reps = 3
+  private def Reps: Int =
+    sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption)
+      .filter(_ >= 1).getOrElse(2)
 
   /** Intentional exact-proof queries: kept quadratic ON PURPOSE as oracle
     * ground truth for their scale-shaped twins (q42 ⇄ q94/q41/q43/q45).
@@ -90,39 +105,76 @@ object Bench {
       ok
     }
 
-    // Untimed warm pass: JIT-compile every query's generated code.
-    suite.foreach { case (_, fn) => runOnce(fn) }
+    // best-so-far sample per query (min over all samples taken, warm
+    // included), plus attempt/failure counts — the incremental artifact
+    // is rendered from this state after EVERY query completion
+    val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val attempts = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    val failures = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
 
-    val passes: Seq[Map[String, Option[Double]]] = (1 to Reps).map { _ =>
-      suite.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        val ok = runOnce(fn)
-        name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
-      }.toMap
-    }
-    val results = suite.map { case (name, _) =>
-      val good = passes.flatMap(_(name)).sorted
-      if (good.size < Reps)
-        System.err.println(s"[bench] $name failed ${Reps - good.size}/$Reps runs")
-      // min of successful samples; -1 sentinel when every run threw
-      name -> (if (good.isEmpty) -1.0 else good.head)
-    }
-    val failed = results.collect { case (n, t) if t < 0 => n }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
-      .mkString("{", ",", "}")
-    val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    // tier subtotals: "scale" = everything designed to survive 100×;
-    // "exact_proof" = the labeled intentional-quadratic oracle twins
-    val exactProof = results
-      .collect { case (n, t) if t >= 0 && ExactProofTier(n) => t }.sum
-    val line =
+    def renderLine(timedPassesDone: Int): String = {
+      // queries attempted at least once, in suite order; min successful
+      // sample or the -1 sentinel when every attempt so far threw
+      val results = suite.collect {
+        case (name, _) if attempts(name) > 0 =>
+          name -> best.getOrElse(name, -1.0)
+      }
+      val failed = results.collect { case (n, t) if t < 0 => n }
+      val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+        .mkString("{", ",", "}")
+      val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val total = results.map(_._2).filter(_ >= 0).sum
+      // tier subtotals: "scale" = everything designed to survive 100×;
+      // "exact_proof" = the labeled intentional-quadratic oracle twins
+      val exactProof = results
+        .collect { case (n, t) if t >= 0 && ExactProofTier(n) => t }.sum
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$fs,""" +
         f""""tiers":{"scale":${total - exactProof}%.3f,"exact_proof":$exactProof%.3f},""" +
-        f""""sf":"$sfDir"}"""
-    println(line)
-    try Files.writeString(Paths.get(outFile), line + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] write $outFile: ${e.getMessage}") }
+        f""""passes":$timedPassesDone,"reps":$Reps,"covered":${results.size},""" +
+        f""""suite":${suite.size},"sf":"$sfDir"}"""
+    }
+
+    def writeArtifact(timedPassesDone: Int): Unit =
+      try {
+        val tmp = Paths.get(outFile + ".tmp")
+        Files.writeString(tmp, renderLine(timedPassesDone) + "\n")
+        Files.move(tmp, Paths.get(outFile),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] write $outFile: ${e.getMessage}")
+      }
+
+    def timedRun(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        passesDone: Int): Unit = {
+      val t0 = System.nanoTime()
+      val ok = runOnce(fn)
+      attempts(name) += 1
+      if (ok) {
+        val t = (System.nanoTime() - t0) / 1e9
+        if (!best.contains(name) || t < best(name)) best(name) = t
+      } else failures(name) += 1
+      writeArtifact(passesDone)
+    }
+
+    // Warm pass (JIT-compile every query's generated code): untimed in
+    // the sense that its samples only SEED the estimate — JIT + cold-IO
+    // inflation can only raise a sample, and later passes take the min —
+    // but each completion still lands an artifact, so a session killed
+    // mid-warm already leaves a parseable line.
+    val warm = !sys.env.get("SPARK_GRAFT_BENCH_WARM").contains("0")
+    if (warm) suite.foreach { case (name, fn) => timedRun(name, fn, 0) }
+
+    for (rep <- 1 to Reps)
+      suite.foreach { case (name, fn) => timedRun(name, fn, rep - 1) }
+    suite.foreach { case (name, _) =>
+      if (failures(name) > 0)
+        System.err.println(s"[bench] $name failed ${failures(name)}/${attempts(name)} runs")
+    }
+    writeArtifact(Reps)
+    println(renderLine(Reps))
     spark.stop()
   }
 }

@@ -430,7 +430,7 @@ object BulkIngest {
   /** One file → cell rows; pure, runs inside executor tasks. Exposed for
     * the per-format parity tests against `AnyFile.parse`. */
   private[graft] def parseOne(path: String): Seq[CellRow] = {
-    val suffix = {
+    val (suffix, zstd) = {
       val name = FsIO.fileName(path).toLowerCase
       def extOf(n: String): String = {
         val dot = n.lastIndexOf('.')
@@ -443,10 +443,26 @@ object BulkIngest {
       if (last == ".gz" || last == ".bz2") {
         extOf(name.dropRight(last.length)) match {
           case inner @ (".txt" | ".csv" | ".ini" | ".tsv" | ".ant" |
-              ".jsonl" | ".ndjson" | ".json" | ".warc") => inner
-          case _ => last
+              ".jsonl" | ".ndjson" | ".json" | ".warc") => (inner, false)
+          case _ => (last, false)
         }
-      } else last
+      } else if (last == ".zst" || last == ".zstd") {
+        // `.zst` peel (The Pile and most modern corpora ship `.jsonl.zst`):
+        // zstd decodes through zstd-jni in FsIO.openDecoded, so every
+        // BYTE-ROAD parser here works unchanged. Spark's native json/text
+        // scans cannot decode zstd in this container (Hadoop's
+        // ZStandardCodec needs a native lib), so jsonl/ndjson leave the
+        // Native-marker road for a decoded line road, and sqlite — whose
+        // pages need random access gzip/zstd can't give — decodes to a
+        // capped byte image. `.json.zst` (one JSON DOCUMENT, not lines)
+        // has no byte road and stays unknown → Failed, honestly.
+        extOf(name.dropRight(last.length)) match {
+          case inner @ (".txt" | ".csv" | ".ini" | ".tsv" | ".ant" |
+              ".jsonl" | ".ndjson" | ".warc" |
+              ".sqlite" | ".sqlite3" | ".db") => (inner, true)
+          case _ => (last, false)
+        }
+      } else (last, false)
     }
     def failed(engine: String) =
       Seq(CellRow(path, engine, "None", "Failed", -1L, Seq.empty))
@@ -465,7 +481,7 @@ object BulkIngest {
         case ".html" | ".htm" => html(path)
         case ".docx" => docx(path)
         case ".pptx" => pptx(path)
-        case ".sqlite" | ".sqlite3" | ".db" => sqlite(path)
+        case ".sqlite" | ".sqlite3" | ".db" => sqlite(path, decoded = zstd)
         case ".warc" => warc(path)
         case ".parquet" =>
           Seq(CellRow(path, "ImportParquet", "Parquet file content",
@@ -473,6 +489,7 @@ object BulkIngest {
         case ".json" =>
           Seq(CellRow(path, "ImportJSON", "JSON file content",
             "Native", -1L, Seq.empty))
+        case ".jsonl" | ".ndjson" if zstd => jsonLinesBytes(path)
         case ".jsonl" | ".ndjson" =>
           Seq(CellRow(path, "ImportJSONL", "JSON lines content",
             "Native", -1L, Seq.empty))
@@ -493,7 +510,29 @@ object BulkIngest {
     case ".pptx" => "ImportPptx"
     case ".sqlite" | ".sqlite3" | ".db" => "ImportSqlite"
     case ".warc" => "ImportWARC"
+    // byte roads that can throw mid-decode (truncated .jsonl.zst)
+    case ".jsonl" | ".ndjson" => "ImportJSONL"
+    case ".json" => "ImportJSON"
     case _ => ""
+  }
+
+  /** JSON-lines BYTE road — only for codec suffixes Spark's native json
+    * scan cannot decode in this container (`.jsonl.zst`): one OK row per
+    * line, the raw JSON text as the single cell, the same
+    * strip-trailing-newline law as [[text]]. Plain/gz forms keep the
+    * Native marker (the scan decodes those inline and stays splittable);
+    * this road is one task per file, the shape gzip already forces. */
+  private def jsonLinesBytes(path: String): Seq[CellRow] = {
+    val raw = new String(FsIO.readAllBytesDecoded(path), StandardCharsets.UTF_8)
+    val lines = raw.split("\n", -1).toSeq match {
+      case init :+ "" => init
+      case ls => ls
+    }
+    if (lines.isEmpty || (lines.lengthIs == 1 && lines.head.isEmpty))
+      Seq(CellRow(path, "ImportJSONL", "None", "Failed", -1L, Seq.empty))
+    else lines.zipWithIndex.map { case (l, i) =>
+      CellRow(path, "ImportJSONL", "JSON lines content", "OK", i.toLong, Seq(l))
+    }
   }
 
   private def sheetRows(
@@ -661,15 +700,31 @@ object BulkIngest {
     * like [[graft.sources.SqliteImporter]] (rowid substituted for the
     * INTEGER PRIMARY KEY alias). Unreadable tables answer Failed rows.
     * Page access is ranged, so the task heap holds one page at a time. */
-  private def sqlite(path: String): Seq[CellRow] = {
+  private def sqlite(path: String, decoded: Boolean = false): Seq[CellRow] = {
     import graft.sources.sqlite.SqliteParser
     // small files (the common catalog case) decode from one byte image;
-    // per-page FS opens on tiny files cost more than the decode itself
-    val fileLen = try FsIO.len(path) catch { case _: Exception => -1L }
+    // per-page FS opens on tiny files cost more than the decode itself.
+    // `decoded` = a codec suffix (.sqlite.zst): the page tree needs
+    // random access a zstd stream can't give, so materialize the decoded
+    // image — capped at 256 MiB (a compressed db hiding a larger image
+    // must refuse, not drive a task-heap allocation; the ranged
+    // PathSource road covers big PLAIN files, and a >256 MiB db belongs
+    // uncompressed where pages read ranged).
     val src: SqliteParser.Source =
-      if (fileLen >= 512 && fileLen <= (4L << 20))
-        SqliteParser.BytesSource(FsIO.readAllBytes(path))
-      else SqliteParser.PathSource(path)
+      if (decoded) {
+        val in = FsIO.openDecoded(path)
+        val bytes =
+          try in.readNBytes((256 << 20) + 1)
+          finally in.close()
+        if (bytes.length > (256 << 20))
+          return Seq(CellRow(path, "ImportSqlite", "None", "Failed", -1L, Seq.empty))
+        SqliteParser.BytesSource(bytes)
+      } else {
+        val fileLen = try FsIO.len(path) catch { case _: Exception => -1L }
+        if (fileLen >= 512 && fileLen <= (4L << 20))
+          SqliteParser.BytesSource(FsIO.readAllBytes(path))
+        else SqliteParser.PathSource(path)
+      }
     SqliteParser.header(src) match {
       case None => Seq(CellRow(path, "ImportSqlite", "None", "Failed", -1L, Seq.empty))
       case Some(h) =>

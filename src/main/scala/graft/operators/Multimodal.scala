@@ -316,7 +316,13 @@ object Multimodal {
         var off = 0
         while (off < raw.length && !inf.finished()) {
           val k = inf.inflate(raw, off, raw.length - off)
-          if (k == 0 && inf.needsInput()) return None // truncated stream
+          // Any zero-byte step without finishing is undecodable here: the
+          // output buffer has room, so k == 0 means either needsInput
+          // (truncated stream) or needsDictionary (zlib FDICT — which PNG
+          // §10.1 forbids, so bailing is spec-correct). Treating only
+          // needsInput as fatal left a crafted FDICT IDAT spinning this
+          // loop forever on an executor task (ADVICE r13).
+          if (k == 0) return None
           off += k
         }
         if (off != raw.length) return None
@@ -979,9 +985,13 @@ object Multimodal {
       * (LZW + palette + de-interlace), so one pixel field hashes
       * identically through the PNG/zlib and GIF/LZW stacks (q184's law).
       *
-      * For formats without a from-spec decoder in this offline container
-      * (JPEG — its entropy coding is the remaining documented gap) and
-      * for PNGs/GIFs the decoders reject, the pixel source falls back to the
+      * JPEG payloads take the same real-pixel road through [[jpegGray]]
+      * (T.81 baseline: Huffman entropy decode + dequant + IDCT), with
+      * q185 pinning the lossy roundtrip — so ALL THREE formats decode
+      * real pixels whenever the payload is decodable. Only for payloads
+      * the decoders honestly reject (progressive/arithmetic/12-bit JPEG,
+      * truncated or corrupt containers) does
+      * the pixel source fall back to the
       * deterministic stand-in — the container body's bytes act as the
       * grayscale buffer, grid cell j pooling the exact integer
       * mean of bytes [⌊j·n/72⌋, ⌊(j+1)·n/72⌋); a real pipeline swaps only
@@ -1237,9 +1247,13 @@ object Multimodal {
       }
       val deflater = new java.util.zip.Deflater(level)
       deflater.setInput(raw); deflater.finish()
-      val zbuf = new Array[Byte](raw.length + 1024)
-      val zn = deflater.deflate(zbuf)
-      require(deflater.finished(), "deflate buffer too small")
+      // loop until finished: stored-block overhead (~5 B / 64 KiB) on an
+      // incompressible plane exceeds any fixed slack past ~13 MB, so a
+      // single deflate() into a raw.length+k buffer can't be relied on
+      val zout = new java.io.ByteArrayOutputStream(raw.length / 2 + 1024)
+      val zbuf = new Array[Byte](64 << 10)
+      while (!deflater.finished())
+        zout.write(zbuf, 0, deflater.deflate(zbuf))
       deflater.end()
       def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
         val out = new Array[Byte](12 + data.length)
@@ -1260,7 +1274,7 @@ object Multimodal {
       val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
       sig.foreach(b => bos.write(b))
       bos.write(chunk("IHDR", ihdr))
-      bos.write(chunk("IDAT", java.util.Arrays.copyOf(zbuf, zn)))
+      bos.write(chunk("IDAT", zout.toByteArray))
       bos.write(chunk("IEND", Array.emptyByteArray))
       bos.toByteArray
     }

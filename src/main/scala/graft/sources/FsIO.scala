@@ -197,6 +197,20 @@ object FsIO {
   }
 
   def openDecoded(path: String): InputStream = {
+    // `.zst`/`.zstd` decode through zstd-jni (on the Spark classpath for
+    // parquet codecs) rather than Hadoop's ZStandardCodec, which needs a
+    // native libhadoop this layer can't assume — the branch must come
+    // BEFORE the codec-factory lookup, or the factory claims the suffix
+    // and fails at read time. This is the byte-road zstd door: everything
+    // that reads via readAllBytesDecoded/readHeadDecoded (BulkIngest's
+    // text/warc/sqlite/jsonl parsers, the sniffers, WarcImporter) gets
+    // `.jsonl.zst`-style corpora for free. Spark's own text/json SCANS
+    // still can't split or decode zstd here, so the AnyFile Spark-plan
+    // roads stay gz/bz2-only (documented on AnyFile).
+    val lower = path.toLowerCase
+    if (lower.endsWith(".zst") || lower.endsWith(".zstd"))
+      return new java.io.BufferedInputStream(
+        new com.github.luben.zstd.ZstdInputStream(open(path)), 64 << 10)
     val codec = codecFactory().getCodec(hpath(path))
     if (codec == null) open(path) else codec.createInputStream(open(path))
   }

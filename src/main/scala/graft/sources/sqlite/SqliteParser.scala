@@ -98,17 +98,18 @@ object SqliteParser {
     val textEnc = u32(h, 56).toInt
     // Per fileformat2 the in-header database size (offset 28) is only
     // valid when the change counter (24) matches version-valid-for (92);
-    // a db last written by a pre-3.7.0 library carries a stale value, so
-    // trusting it would make valid page pointers fail range checks and a
-    // readable table answer Failed. Fall back to the file-derived count
-    // (and never below it) when the validity pair disagrees.
+    // a db last written by a pre-3.7.0 library carries a stale value.
+    // When the pair disagrees, use the file-derived count ALONE — a
+    // stale-LARGER declared count would otherwise let pointers past EOF
+    // pass the range check only to fail at read time (ADVICE r13), and a
+    // stale-smaller one would fail valid pointers.
     val declared = u32(h, 28)
     val changeCtr = u32(h, 24)
     val validFor = u32(h, 92)
     val fromFile = fileLen / pageSize
     val nPages =
       if (declared > 0 && changeCtr == validFor) declared
-      else math.max(declared, fromFile)
+      else fromFile
     if (textEnc < 1 || textEnc > 3) return None
     Some(Header(pageSize, reserved, textEnc, nPages))
   }

@@ -1,0 +1,125 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+
+import com.github.luben.zstd.ZstdOutputStream
+import graft.operators.{BulkIngest, WebCorpus}
+
+/** Round-14 ingestion laws: the `.zst` byte-road peel. zstd-jni (on the
+  * Spark classpath for parquet codecs) backs `FsIO.openDecoded`, so the
+  * per-file BYTE roads — text/csv/tsv, the jsonl line road, the WARC
+  * record catalog, the sqlite decoded image — handle the `.jsonl.zst`
+  * shape The Pile and most modern corpora ship. Hadoop's ZStandardCodec
+  * needs a native lib this container lacks, so the Spark-scan roads
+  * (AnyFile's text/json importers) stay gz/bz2-only, documented. */
+class Round14IngestSpec extends SparkSpec {
+
+  private def zst(bytes: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new ZstdOutputStream(bos)
+    z.write(bytes); z.close()
+    bos.toByteArray
+  }
+
+  private def cells(df: org.apache.spark.sql.DataFrame) = df.collect()
+    .map(r => (graft.sources.FsIO.fileName(r.getString(0)), r.getString(1),
+      r.getString(3), r.getLong(4), r.getSeq[String](5).toList))
+
+  test(".csv.zst / .tsv.zst parse like their plain twins (delimiter vote on decoded bytes)") {
+    val dir = tmpDir("zstcsv")
+    val csv = (1 to 9).map(i => s"r$i;v$i;w$i").mkString("\n") + "\n"
+    java.nio.file.Files.write(dir.resolve("d.csv.zst"),
+      zst(csv.getBytes(StandardCharsets.UTF_8)))
+    java.nio.file.Files.write(dir.resolve("plain.csv"),
+      csv.getBytes(StandardCharsets.UTF_8))
+    val tsv = "p\tq\n1\t2\n"
+    java.nio.file.Files.write(dir.resolve("d.tsv.zst"),
+      zst(tsv.getBytes(StandardCharsets.UTF_8)))
+    val all = cells(BulkIngest.parseTree(spark, dir.toString))
+    val zc = all.filter(_._1 == "d.csv.zst").sortBy(_._4)
+    val pl = all.filter(_._1 == "plain.csv").sortBy(_._4)
+    assert(zc.nonEmpty && zc.map(t => (t._2, t._3, t._4, t._5)).toSeq ==
+      pl.map(t => (t._2, t._3, t._4, t._5)).toSeq)
+    val zt = all.filter(_._1 == "d.tsv.zst").sortBy(_._4)
+    assert(zt.map(_._5).toSeq == Seq(List("p", "q"), List("1", "2")))
+  }
+
+  test(".jsonl.zst: one OK row per line, the raw JSON text as the cell") {
+    val dir = tmpDir("zstjsonl")
+    val lines = Seq("{\"a\":1,\"b\":\"x\"}", "{\"a\":2,\"b\":\"y\"}", "{\"a\":3}")
+    java.nio.file.Files.write(dir.resolve("corpus.jsonl.zst"),
+      zst((lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8)))
+    val rows = cells(BulkIngest.parseTree(spark, dir.toString)).sortBy(_._4)
+    assert(rows.length == 3)
+    assert(rows.forall(r => r._2 == "ImportJSONL" && r._3 == "OK"))
+    assert(rows.map(_._4).toSeq == Seq(0L, 1L, 2L))
+    assert(rows.map(_._5.head).toSeq == lines)
+  }
+
+  test(".warc.zst: record catalog ≡ plain .warc, in BulkIngest and AnyFile") {
+    val dir = tmpDir("zstwarc")
+    val bytes = WebCorpus.warcRecord(1L, "<p>alpha</p>") ++
+      WebCorpus.warcRecord(2L, "<p>beta</p>")
+    java.nio.file.Files.write(dir.resolve("c.warc"), bytes)
+    java.nio.file.Files.write(dir.resolve("c.warc.zst"), zst(bytes))
+    val all = cells(BulkIngest.parseTree(spark, dir.toString))
+    val plain = all.filter(_._1 == "c.warc").sortBy(_._4)
+    val z = all.filter(_._1 == "c.warc.zst").sortBy(_._4)
+    assert(plain.length == 2 &&
+      z.map(t => (t._2, t._3, t._4, t._5)).toSeq ==
+        plain.map(t => (t._2, t._3, t._4, t._5)).toSeq)
+    // AnyFile's one-file twin takes the same byte road
+    val a = AnyFile.parse(spark, dir.resolve("c.warc.zst").toString).head
+    assert(!a.isFailed && a.engine == "ImportWARC" &&
+      a.sheetName == "WARC records" && a.data.count() == 2L)
+  }
+
+  test(".sqlite.zst decodes the byte image and reads tables") {
+    import SqliteFixture._
+    val dir = tmpDir("zstsqlite")
+    val b = new Builder()
+    b.allocPage()
+    val root = b.allocPage()
+    b.writeMaster(Seq(("table", "t", root.toLong, "CREATE TABLE t(n INT)")))
+    b.writeTableLeaf(root, (1 to 5).map(i =>
+      b.leafCell(i.toLong, record(Seq(VInt(i.toLong * 10)), b.cs))))
+    val plain = dir.resolve("d.sqlite").toString
+    b.finish(plain)
+    java.nio.file.Files.write(dir.resolve("d.sqlite.zst"),
+      zst(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(plain))))
+    val rows = cells(BulkIngest.parseTree(spark, dir.toString))
+      .filter(_._1 == "d.sqlite.zst").sortBy(_._4)
+    assert(rows.length == 5 && rows.forall(r =>
+      r._2 == "ImportSqlite" && r._3 == "OK"))
+    assert(rows.map(_._5.head.toLong).toSeq == Seq(10L, 20L, 30L, 40L, 50L))
+  }
+
+  test("truncated .zst answers one Failed row, never throws") {
+    val dir = tmpDir("zsttrunc")
+    val body = ("{\"a\":1}\n" * 400).getBytes(StandardCharsets.UTF_8)
+    val full = zst(body)
+    java.nio.file.Files.write(dir.resolve("t.jsonl.zst"),
+      java.util.Arrays.copyOf(full, full.length - 5))
+    val warc = zst(WebCorpus.warcRecord(1L, "<p>x</p>"))
+    java.nio.file.Files.write(dir.resolve("t.warc.zst"),
+      java.util.Arrays.copyOf(warc, warc.length - 5))
+    val rows = cells(BulkIngest.parseTree(spark, dir.toString))
+    val j = rows.filter(_._1 == "t.jsonl.zst")
+    val w = rows.filter(_._1 == "t.warc.zst")
+    assert(j.length == 1 && j.head._2 == "ImportJSONL" && j.head._3 == "Failed")
+    assert(w.length == 1 && w.head._2 == "ImportWARC" && w.head._3 == "Failed")
+  }
+
+  test("zstd forms with no byte road stay Failed/unknown, never mis-parse") {
+    val dir = tmpDir("zstbad")
+    java.nio.file.Files.write(dir.resolve("w.xlsx.zst"),
+      zst(Array[Byte](1, 2, 3, 4)))
+    val rows = cells(BulkIngest.parseTree(spark, dir.toString))
+    assert(rows.length == 1 && rows.head._3 == "Failed")
+    // AnyFile: the documented Spark-scan limit — .csv.zst is NOT peeled
+    java.nio.file.Files.write(dir.resolve("d.csv.zst"),
+      zst("a;b\n1;2\n".getBytes(StandardCharsets.UTF_8)))
+    val a = AnyFile.parse(spark, dir.resolve("d.csv.zst").toString)
+    assert(a.length == 1 && a.head.isFailed)
+  }
+}
