@@ -2286,12 +2286,16 @@ object DedupQueries {
                w[i:least(i + 30, len(w))] AS cap,
                array_to_string(w[i:], chr(1)) AS s
         FROM posx),
-      sa AS (
-        SELECT doc_id, pos, cap, s,
+      -- one sort carrying the suffix strings; every later window
+      -- orders by the integer rank instead (order-identical, and the
+      -- O(suffix-bytes) payload never rides another sort)
+      sa AS MATERIALIZED (
+        SELECT doc_id, pos, cap,
+               row_number() OVER (ORDER BY s, doc_id, pos) AS sidx,
                lead(cap) OVER (ORDER BY s, doc_id, pos) AS ncap
         FROM suf),
       l1 AS (
-        SELECT doc_id, pos, s,
+        SELECT doc_id, pos, sidx,
                CASE WHEN ncap IS NULL THEN 0
                     -- list_position yields 0 (not NULL) when no slot
                     -- differs: nullif routes the all-equal case to the
@@ -2307,7 +2311,7 @@ object DedupQueries {
       l2 AS (
         SELECT doc_id,
                greatest(ln,
-                 coalesce(lag(ln) OVER (ORDER BY s, doc_id, pos), 0)) AS g
+                 coalesce(lag(ln) OVER (ORDER BY sidx), 0)) AS g
         FROM l1)
       SELECT doc_id, CAST(max(g) AS BIGINT) AS lrs_words,
              CAST(sum(CASE WHEN g >= 8 THEN 1 ELSE 0 END) AS BIGINT)
@@ -2378,12 +2382,16 @@ object DedupQueries {
                w[i:least(i + 30, len(w))] AS cap,
                array_to_string(w[i:], chr(1)) AS s
         FROM posx),
-      sa AS (
-        SELECT doc_id, pos, cap, s,
+      -- one sort carrying the suffix strings; every later window
+      -- orders by the integer rank instead (order-identical, and the
+      -- O(suffix-bytes) payload never rides another sort)
+      sa AS MATERIALIZED (
+        SELECT doc_id, pos, cap,
+               row_number() OVER (ORDER BY s, doc_id, pos) AS sidx,
                lead(cap) OVER (ORDER BY s, doc_id, pos) AS ncap
         FROM suf),
       l1 AS (
-        SELECT doc_id, pos, s,
+        SELECT doc_id, pos, sidx,
                CASE WHEN ncap IS NULL THEN 0
                     ELSE coalesce(
                       nullif(list_position(
@@ -2396,7 +2404,7 @@ object DedupQueries {
       l2 AS (
         SELECT doc_id, pos,
                greatest(ln,
-                 coalesce(lag(ln) OVER (ORDER BY s, doc_id, pos), 0)) AS g
+                 coalesce(lag(ln) OVER (ORDER BY sidx), 0)) AS g
         FROM l1),
       th AS (SELECT CAST(unnest([8, 16, 24, 31]) AS BIGINT) AS l_min),
       iv AS (
@@ -2462,12 +2470,18 @@ object DedupQueries {
                w[i:least(i + 30, len(w))] AS cap,
                array_to_string(w[i:], chr(1)) AS s
         FROM posx),
-      sa AS (
-        SELECT doc_id, pos, s, doc_id % 17 = 0 AS is_bench, cap,
+      -- one sort carrying the suffix strings (rank stamped); the
+      -- prefix-count and both gap-partitioned running-min windows then
+      -- order by the integer rank — order-identical, the O(suffix-bytes)
+      -- payload rides exactly one sort. l1 is MATERIALIZED: the scalar
+      -- benchmark-position count reads it a second time.
+      sa AS MATERIALIZED (
+        SELECT doc_id, pos, doc_id % 17 = 0 AS is_bench, cap,
+               row_number() OVER (ORDER BY s, doc_id, pos) AS sidx,
                lead(cap) OVER (ORDER BY s, doc_id, pos) AS ncap
         FROM suf),
-      l1 AS (
-        SELECT doc_id, pos, s, is_bench,
+      l1 AS MATERIALIZED (
+        SELECT doc_id, pos, sidx, is_bench,
                CASE WHEN ncap IS NULL THEN 0
                     ELSE coalesce(
                       nullif(list_position(
@@ -2478,19 +2492,19 @@ object DedupQueries {
                END AS l
         FROM sa),
       l2 AS (
-        SELECT doc_id, pos, s, is_bench, l,
+        SELECT doc_id, pos, sidx, is_bench, l,
                SUM(CASE WHEN is_bench THEN 1 ELSE 0 END)
-                 OVER (ORDER BY s, doc_id, pos ROWS UNBOUNDED PRECEDING)
+                 OVER (ORDER BY sidx ROWS UNBOUNDED PRECEDING)
                  AS pcnt
         FROM l1),
       l3 AS (
-        SELECT doc_id, pos, s, is_bench, l, pcnt AS fwdgrp,
+        SELECT doc_id, pos, sidx, is_bench, l, pcnt AS fwdgrp,
                pcnt + CASE WHEN is_bench THEN 0 ELSE 1 END AS bwdgrp
         FROM l2),
       l4 AS (
         SELECT doc_id, is_bench,
                CASE WHEN fwdgrp >= 1 THEN coalesce(
-                 MIN(l) OVER (PARTITION BY fwdgrp ORDER BY s, doc_id, pos
+                 MIN(l) OVER (PARTITION BY fwdgrp ORDER BY sidx
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                  ELSE 0 END AS fwd,
                CASE WHEN bwdgrp <=
@@ -2498,7 +2512,7 @@ object DedupQueries {
                  THEN coalesce(
                    MIN(CASE WHEN is_bench THEN 1000000 ELSE l END)
                      OVER (PARTITION BY bwdgrp
-                       ORDER BY s DESC, doc_id DESC, pos DESC
+                       ORDER BY sidx DESC
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
                  ELSE 0 END AS bwd
         FROM l3)
@@ -2548,7 +2562,7 @@ object DedupQueries {
         SELECT row_number() OVER (ORDER BY cap, doc_id, pos) AS sidx, cap,
                lead(cap) OVER (ORDER BY cap, doc_id, pos) AS ncap
         FROM suf),
-      ll AS (
+      ll AS MATERIALIZED (
         SELECT sidx, cap,
                CAST(CASE WHEN ncap IS NULL THEN 0
                     ELSE coalesce(
@@ -2559,19 +2573,41 @@ object DedupQueries {
                END AS BIGINT) AS ln
         FROM sa),
       ks AS (SELECT CAST(unnest([2, 4, 8, 16]) AS BIGINT) AS k),
-      sw AS (
-        SELECT ks.k, a.sidx, a.cap, min(b.ln) AS wmin
-        FROM ks CROSS JOIN ll a
-        JOIN ll b ON b.sidx >= a.sidx AND b.sidx <= a.sidx + ks.k - 2
-        GROUP BY ks.k, a.sidx, a.cap
-        HAVING count(*) = ks.k - 1 AND min(b.ln) >= 1),
-      mx AS (SELECT k, max(wmin) AS max_len FROM sw GROUP BY k),
-      top AS (
-        SELECT sw.k, mx.max_len, CAST(count(*) AS BIGINT) AS n_max,
-               min(array_to_string(sw.cap[1:CAST(mx.max_len AS INT)], ' '))
+      -- Per-tier sliding-window min via a WINDOW frame (CURRENT ROW .. k-2
+      -- FOLLOWING over the suffix order) instead of the k × n² range
+      -- self-join the r13 gate shipped — same rows (the range [a.sidx,
+      -- a.sidx+k-2] IS that frame; count(*)=k-1 ⇔ the frame is full),
+      -- hash-identical output, O(n·k) instead of join-explosion (40 s →
+      -- ~2 s at sf0.1). ll is MATERIALIZED: four tiers read it, and
+      -- DuckDB's CTE inlining would re-sort the suffix array per tier.
+      -- the window pass carries only (sidx, ln) — threading the 31-token
+      -- cap lists through four window sorts dominated the wall; caps are
+      -- joined back from the materialized ll for just the max-achieving
+      -- rows (sidx is unique, so the join changes no multiplicities)
+      lns AS MATERIALIZED (SELECT sidx, ln FROM ll),
+      ${List(2, 4, 8, 16).map { k =>
+        s"""sw_$k AS (
+        SELECT sidx,
+               min(ln) OVER (ORDER BY sidx
+                 ROWS BETWEEN CURRENT ROW AND ${k - 2} FOLLOWING) AS wmin,
+               count(*) OVER (ORDER BY sidx
+                 ROWS BETWEEN CURRENT ROW AND ${k - 2} FOLLOWING) AS wcnt
+        FROM lns),
+      swf_$k AS (
+        SELECT sidx, wmin FROM sw_$k
+        WHERE wcnt = ${k - 1} AND wmin >= 1),
+      mx_$k AS (SELECT max(wmin) AS max_len FROM swf_$k),
+      top_$k AS (
+        SELECT CAST($k AS BIGINT) AS k, mx.max_len,
+               CAST(count(*) AS BIGINT) AS n_max,
+               min(array_to_string(ll.cap[1:CAST(mx.max_len AS INT)], ' '))
                  AS phrase
-        FROM sw JOIN mx ON sw.k = mx.k AND sw.wmin = mx.max_len
-        GROUP BY sw.k, mx.max_len)
+        FROM swf_$k f JOIN mx_$k mx ON f.wmin = mx.max_len
+        JOIN ll ON ll.sidx = f.sidx
+        GROUP BY mx.max_len)"""
+      }.mkString(",\n      ")},
+      top AS (SELECT * FROM top_2 UNION ALL SELECT * FROM top_4
+              UNION ALL SELECT * FROM top_8 UNION ALL SELECT * FROM top_16)
       SELECT ks.k, coalesce(top.max_len, 0) AS max_len,
              coalesce(top.n_max, 0) AS n_max,
              coalesce(top.phrase, '') AS phrase
@@ -2667,13 +2703,14 @@ object DedupQueries {
       def geom(b: Int, r: Int) = {
         val slots = (1 to r).map(k => s"sig[b*$r+$k]").mkString(", ")
         s"""
-      bands_$b AS (
+      bands_$b AS MATERIALIZED (
         SELECT doc_id, b, md5(concat_ws(',', $slots)) AS bh
         FROM sig CROSS JOIN (SELECT unnest(range(0, $b)) AS b)),
       ok_$b AS (SELECT b, bh FROM bands_$b GROUP BY b, bh
                 HAVING COUNT(*) <= $BucketCap AND COUNT(*) > 1),
-      bnd_$b AS (SELECT bands_$b.* FROM bands_$b JOIN ok_$b USING (b, bh)),
-      cand_$b AS (
+      bnd_$b AS MATERIALIZED (
+        SELECT bands_$b.* FROM bands_$b JOIN ok_$b USING (b, bh)),
+      cand_$b AS MATERIALIZED (
         SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
         FROM bnd_$b x JOIN bnd_$b y
           ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id),
@@ -2689,7 +2726,12 @@ object DedupQueries {
       idx AS (
         SELECT doc_id, w, unnest(range(1, greatest(len(w) - 4, 1) + 1)) AS i
         FROM words),
-      shd AS (
+      -- MATERIALIZED on every CTE read more than once (shd ×3, pf ×2 in
+      -- the truth self-join, sig ×3 — once per band geometry — truth ×4,
+      -- bands/bnd/cand ×2 each): DuckDB's default CTE inlining recomputed
+      -- the 64-permutation signature build once PER GEOMETRY and the
+      -- shingle scan per reader (37 s → ~8 s at sf0.1), values unchanged.
+      shd AS MATERIALIZED (
         SELECT DISTINCT doc_id, md5(array_to_string(w[i:i+4], ' ')) AS h
         FROM idx),
       hh AS (
@@ -2706,11 +2748,12 @@ object DedupQueries {
       perm AS (
         SELECT doc_id, i, MIN((pa*lo + pb*hi + pc) % $P61) AS v
         FROM hh CROSS JOIN consts GROUP BY doc_id, i),
-      sig AS (SELECT doc_id, list(v ORDER BY i) AS sig FROM perm GROUP BY doc_id),
+      sig AS MATERIALIZED (
+        SELECT doc_id, list(v ORDER BY i) AS sig FROM perm GROUP BY doc_id),
       sz AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
       shared AS (SELECT h FROM shd GROUP BY h HAVING COUNT(*) > 1),
-      pf AS (SELECT shd.* FROM shd JOIN shared USING (h)),
-      truth AS (
+      pf AS MATERIALIZED (SELECT shd.* FROM shd JOIN shared USING (h)),
+      truth AS MATERIALIZED (
         SELECT da, db FROM (
           SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS ix
           FROM pf a JOIN pf b ON a.h = b.h AND a.doc_id < b.doc_id

@@ -366,7 +366,9 @@ object MultimodalQueries {
         SELECT doc_id, hex(encode(text)) AS hx,
                CAST(strlen(text) AS BIGINT) AS n
         FROM documents WHERE doc_id % 4 < 3 AND strlen(text) >= 72),
-      px AS (
+      -- MATERIALIZED on every CTE read twice+ (px, cat, sig, bands, bnd):
+      -- CTE inlining would replay the per-byte hex expansion per reader
+      px AS MATERIALIZED (
         SELECT doc_id, (72 * (i + 1) - 1) // n AS j,
                SUM(('0x' || substr(hx, CAST(2 * i + 1 AS BIGINT),
                                    2))::BIGINT) // COUNT(*) AS p
@@ -374,7 +376,7 @@ object MultimodalQueries {
                      CAST(unnest(range(0, n)) AS BIGINT) AS i
               FROM img)
         GROUP BY doc_id, j),
-      cat AS (
+      cat AS MATERIALIZED (
         SELECT doc_id AS img_id, j, p FROM px
         UNION ALL
         SELECT doc_id + 10000000, j,
@@ -385,7 +387,7 @@ object MultimodalQueries {
                CASE WHEN b.p > a.p THEN 1 ELSE 0 END AS v
         FROM cat a JOIN cat b ON a.img_id = b.img_id AND b.j = a.j + 1
         WHERE a.j % 9 < 8),
-      sig AS (
+      sig AS MATERIALIZED (
         SELECT img_id,
                CAST(SUM(CASE WHEN bit // 16 = 0
                  THEN v * (1::BIGINT << CAST(bit % 16 AS INT)) ELSE 0 END)
@@ -498,7 +500,7 @@ object MultimodalQueries {
         SELECT doc_id, hex(encode(text)) AS hx,
                CAST(strlen(text) AS BIGINT) AS n
         FROM documents WHERE doc_id % 4 = 3 AND strlen(text) >= 65),
-      fr AS (
+      fr AS MATERIALIZED (
         SELECT doc_id, (65 * (i + 1) - 1) // n AS j,
                SUM(('0x' || substr(hx, CAST(2 * i + 1 AS BIGINT),
                                    2))::BIGINT) // COUNT(*) AS p
@@ -506,7 +508,7 @@ object MultimodalQueries {
                      CAST(unnest(range(0, n)) AS BIGINT) AS i
               FROM aud)
         GROUP BY doc_id, j),
-      cat AS (
+      cat AS MATERIALIZED (
         SELECT doc_id AS aud_id, j, p FROM fr
         UNION ALL
         SELECT doc_id + 10000000, j,
@@ -517,7 +519,7 @@ object MultimodalQueries {
                CASE WHEN b.p > a.p THEN 1 ELSE 0 END AS v
         FROM cat a JOIN cat b ON a.aud_id = b.aud_id AND b.j = a.j + 1
         WHERE a.j < 64),
-      sig AS (
+      sig AS MATERIALIZED (
         SELECT aud_id,
                CAST(SUM(CASE WHEN bit // 16 = 0
                  THEN v * (1::BIGINT << CAST(bit % 16 AS INT)) ELSE 0 END)
@@ -532,13 +534,14 @@ object MultimodalQueries {
                  THEN v * (1::BIGINT << CAST(bit % 16 AS INT)) ELSE 0 END)
                  AS BIGINT) AS b3
         FROM bitvals GROUP BY aud_id),
-      bands AS (
+      bands AS MATERIALIZED (
         SELECT aud_id, unnest([b0, b1, b2, b3]) AS bv,
                generate_subscripts([b0, b1, b2, b3], 1) AS band
         FROM sig),
       ok AS (SELECT band, bv FROM bands GROUP BY band, bv
              HAVING COUNT(*) > 1 AND COUNT(*) <= 256),
-      bnd AS (SELECT bands.* FROM bands JOIN ok USING (band, bv)),
+      bnd AS MATERIALIZED (
+        SELECT bands.* FROM bands JOIN ok USING (band, bv)),
       cand AS (
         SELECT DISTINCT x.aud_id AS da, y.aud_id AS db
         FROM bnd x JOIN bnd y
@@ -644,7 +647,11 @@ object MultimodalQueries {
               FROM (SELECT doc_id, hx, n,
                            CAST(unnest(range(0, n)) AS BIGINT) AS i
                     FROM vid))),
-      px AS (
+      -- MATERIALIZED on every CTE read more than once (px ×3, cat ×2 in
+      -- the adjacent-cell self-join, sig ×3, bands ×2, bnd ×2): DuckDB's
+      -- CTE inlining otherwise replays the per-byte hex expansion once
+      -- per reader — the whole corpus re-decoded up to four times
+      px AS MATERIALIZED (
         SELECT doc_id, f, (72 * (i - flo + 1) - 1) // (fhi - flo) AS j,
                SUM(byte) // COUNT(*) AS p
         FROM fb WHERE fhi - flo >= 72
@@ -653,7 +660,7 @@ object MultimodalQueries {
         SELECT doc_id FROM (SELECT doc_id, COUNT(DISTINCT f) AS nf
                             FROM px GROUP BY doc_id)
         WHERE nf >= 2),
-      cat AS (
+      cat AS MATERIALIZED (
         SELECT doc_id AS vid_id, f, j, p FROM px JOIN fc USING (doc_id)
         UNION ALL
         SELECT doc_id + 10000000, f, j,
@@ -669,7 +676,7 @@ object MultimodalQueries {
         SELECT vid_id, bit,
                CASE WHEN 2 * SUM(v) > COUNT(*) THEN 1 ELSE 0 END AS v
         FROM bitv GROUP BY vid_id, bit),
-      sig AS (
+      sig AS MATERIALIZED (
         SELECT vid_id,
                CAST(SUM(CASE WHEN bit // 16 = 0
                  THEN v * (1::BIGINT << CAST(bit % 16 AS INT)) ELSE 0 END)
@@ -684,13 +691,14 @@ object MultimodalQueries {
                  THEN v * (1::BIGINT << CAST(bit % 16 AS INT)) ELSE 0 END)
                  AS BIGINT) AS b3
         FROM seqbit GROUP BY vid_id),
-      bands AS (
+      bands AS MATERIALIZED (
         SELECT vid_id, unnest([b0, b1, b2, b3]) AS bv,
                generate_subscripts([b0, b1, b2, b3], 1) AS band
         FROM sig),
       ok AS (SELECT band, bv FROM bands GROUP BY band, bv
              HAVING COUNT(*) > 1 AND COUNT(*) <= 256),
-      bnd AS (SELECT bands.* FROM bands JOIN ok USING (band, bv)),
+      bnd AS MATERIALIZED (
+        SELECT bands.* FROM bands JOIN ok USING (band, bv)),
       cand AS (
         SELECT DISTINCT x.vid_id AS da, y.vid_id AS db
         FROM bnd x JOIN bnd y
@@ -1017,7 +1025,7 @@ object MultimodalQueries {
       pys AS (SELECT doc_id, w, h, a, b, c, q0,
                      CAST(unnest(range(0, ((h+7)//8)*8)) AS BIGINT) AS y
               FROM imgs),
-      pxy AS (SELECT doc_id, w, h, a, b, c, q0, y,
+      pxy AS MATERIALIZED (SELECT doc_id, w, h, a, b, c, q0, y,
                      CAST(unnest(range(0, ((w+7)//8)*8)) AS BIGINT) AS x
               FROM pys),
       bsum AS MATERIALIZED (
