@@ -800,7 +800,10 @@ object Multimodal {
       * full-canvas first frame (left = top = 0, frame = screen size)
       * decodes, so the q173 container fixtures (text bytes behind a real
       * 13-byte header) can never alias into pixels and always take the
-      * documented byte-pool fallback. */
+      * documented byte-pool fallback. This is the SINGLE-frame reader;
+      * the fingerprint road ([[dhashBands]]) rides [[gifGrayFrames]],
+      * which composites every image block and refuses what it can't
+      * prove. */
     private[graft] def gifGray(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
       if (!(b.length >= 13 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
         b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')) return None
@@ -893,6 +896,143 @@ object Multimodal {
         }
       }
       None
+    }
+
+    /** EVERY frame of a GIF, honestly composited (GIF89a §23): walks all
+      * image blocks, carrying the Graphic Control Extension state that
+      * precedes each one. Compositing scope — exactly what the spec lets
+      * this decoder PROVE without guessing renderer behavior:
+      *   - the FIRST frame must be full-canvas (left = top = 0, frame =
+      *     screen size) — same strictness as [[gifGray]], so the q173
+      *     container fixtures can never alias into pixels, and the canvas
+      *     has no undefined region;
+      *   - later frames may be sub-rectangles: disposal 0 (unspecified)
+      *     and 1 (do not dispose) paint onto the persisting canvas, with
+      *     GCE-transparent indices leaving the underlying pixel intact —
+      *     the standard delta-frame animation encoding;
+      *   - disposal 2 (restore to background) and 3 (restore to previous)
+      *     REFUSE (None): their rendered result depends on background /
+      *     history semantics real renderers disagree on, and a wrong
+      *     guess would silently corrupt the fingerprint (the byte-pool
+      *     stand-in is the honest fallback).
+      * Returns (width, height, one composited gray canvas per frame);
+      * the single-frame result is bit-identical to [[gifGray]]. */
+    private[graft] def gifGrayFrames(
+        b: Array[Byte]): Option[(Int, Int, Seq[Array[Byte]])] = {
+      if (!(b.length >= 13 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')) return None
+      val w = le16(b, 6); val h = le16(b, 8)
+      if (w <= 0 || h <= 0 || w.toLong * h > (64L << 20)) return None
+      val packed = b(10) & 0xff
+      var i = 13
+      var gct: Array[Byte] = null
+      if ((packed & 0x80) != 0) {
+        val n = 3 * (1 << ((packed & 7) + 1))
+        if (i + n > b.length) return None
+        gct = java.util.Arrays.copyOfRange(b, i, i + n)
+        i += n
+      }
+      val canvas = new Array[Byte](w * h)
+      val frames = Seq.newBuilder[Array[Byte]]
+      var nFrames = 0
+      // GCE state for the NEXT image block (reset after it renders)
+      var disposal = 0
+      var transIdx = -1
+      while (i < b.length) {
+        (b(i) & 0xff) match {
+          case 0x21 =>
+            val label = if (i + 1 < b.length) b(i + 1) & 0xff else return None
+            // Graphic Control Extension: capture disposal + transparency
+            if (label == 0xf9 && i + 7 < b.length && (b(i + 2) & 0xff) == 4) {
+              val flags = b(i + 3) & 0xff
+              disposal = (flags >> 2) & 7
+              transIdx = if ((flags & 1) != 0) b(i + 6) & 0xff else -1
+            }
+            i += 2
+            var len = if (i < b.length) b(i) & 0xff else return None
+            while (len != 0) {
+              i += 1 + len
+              if (i >= b.length) return None
+              len = b(i) & 0xff
+            }
+            i += 1
+          case 0x2c =>
+            if (i + 10 > b.length) return None
+            val left = le16(b, i + 1); val top = le16(b, i + 3)
+            val fw = le16(b, i + 5); val fh = le16(b, i + 7)
+            val fp = b(i + 9) & 0xff
+            if (fw <= 0 || fh <= 0 ||
+              left + fw > w || top + fh > h) return None
+            // first frame establishes the whole canvas (see scaladoc)
+            if (nFrames == 0 && (left != 0 || top != 0 || fw != w || fh != h))
+              return None
+            if (disposal > 1) return None // restore-to-* : unprovable
+            i += 10
+            var pal = gct
+            if ((fp & 0x80) != 0) {
+              val n = 3 * (1 << ((fp & 7) + 1))
+              if (i + n > b.length) return None
+              pal = java.util.Arrays.copyOfRange(b, i, i + n)
+              i += n
+            }
+            if (pal == null) return None
+            val interlaced = (fp & 0x40) != 0
+            if (i >= b.length) return None
+            val minCode = b(i) & 0xff
+            i += 1
+            if (minCode < 1 || minCode > 11) return None
+            val data = new java.io.ByteArrayOutputStream()
+            var len = if (i < b.length) b(i) & 0xff else return None
+            while (len != 0) {
+              if (i + 1 + len > b.length) return None
+              data.write(b, i + 1, len)
+              i += 1 + len
+              if (i >= b.length) return None
+              len = b(i) & 0xff
+            }
+            i += 1 // past the sub-block terminator
+            val idx = lzwDecode(data.toByteArray, minCode, fw * fh)
+              .getOrElse(return None)
+            // interlace order applies WITHIN the frame rectangle
+            val rowOrder: Array[Int] =
+              if (!interlaced) Array.tabulate(fh)(identity)
+              else {
+                val rows = new Array[Int](fh)
+                var k = 0
+                Seq((0, 8), (4, 8), (2, 4), (1, 2)).foreach { case (start, step) =>
+                  var y = start
+                  while (y < fh) { rows(k) = y; k += 1; y += step }
+                }
+                rows
+              }
+            var r = 0
+            while (r < fh) {
+              val y = top + rowOrder(r)
+              var x = 0
+              while (x < fw) {
+                val ix = idx(r * fw + x) & 0xff
+                if (ix != transIdx) {
+                  if (3 * ix + 2 >= pal.length) return None
+                  val g8 = (299 * (pal(3 * ix) & 0xff)
+                    + 587 * (pal(3 * ix + 1) & 0xff)
+                    + 114 * (pal(3 * ix + 2) & 0xff)) / 1000
+                  canvas(y * w + left + x) = g8.toByte
+                }
+                x += 1
+              }
+              r += 1
+            }
+            frames += canvas.clone()
+            nFrames += 1
+            disposal = 0; transIdx = -1
+          case 0x3b =>
+            return if (nFrames == 0) None else Some((w, h, frames.result()))
+          case _ => return None
+        }
+      }
+      // no trailer: accept what rendered (lenient tail, like the member
+      // walk) — but only if at least one frame decoded
+      if (nFrames == 0) None else Some((w, h, frames.result()))
     }
 
     /** GIF-variant LZW decode: codes LSB-first, initial width
@@ -1013,16 +1153,23 @@ object Multimodal {
       val (_, _, fmt) = parseHeader(payload)
       if (fmt != "png" && fmt != "jpeg" && fmt != "gif") None
       else {
-        // real-pixel road: a decodable PNG pools true luminance rectangles
-        val real: Option[Array[Int]] = (fmt match {
-          case "png" => pngGray(payload)
-          case "gif" => gifGray(payload)
-          case "jpeg" => jpegGray(payload)
+        // real-pixel road: decodable payloads pool true luminance
+        // rectangles. PNG/JPEG are single-plane; an animated GIF yields
+        // one composited plane PER FRAME ([[gifGrayFrames]]) and the
+        // final hash takes per-bit majorities across frames — the
+        // [[videoBands]] temporal pooling — so a re-encoded animation
+        // whose intro frame changed still lands on its twin (a
+        // single-frame GIF is the majority of one: bit-identical to the
+        // old first-frame hash, which keeps q184's oracle law intact).
+        val real: Option[Seq[Array[Int]]] = (fmt match {
+          case "png" => pngGray(payload).map(t => (t._1, t._2, Seq(t._3)))
+          case "gif" => gifGrayFrames(payload)
+          case "jpeg" => jpegGray(payload).map(t => (t._1, t._2, Seq(t._3)))
           case _ => None
-        }).collect { case (w, h, gray) if w >= 9 && h >= 8 =>
-          pool72(w, h, gray)
+        }).collect { case (w, h, planes) if w >= 9 && h >= 8 =>
+          planes.map(pool72(w, h, _))
         }
-        val cells: Option[Array[Int]] = real.orElse {
+        val cellFrames: Option[Seq[Array[Int]]] = real.orElse {
           val off = bodyOffset(payload, fmt)
           val n = payload.length - off
           if (off < 0 || n < 72) None
@@ -1038,26 +1185,31 @@ object Multimodal {
               p(j) = (s / (hi - lo)).toInt
               j += 1
             }
-            Some(p)
+            Some(Seq(p))
           }
         }
-        cells.map { p =>
-          if (dither) {
-            var j = 0
-            while (j < 72) { if (j % 7 == 0) p(j) += 1; j += 7 }
+        cellFrames.map { planes =>
+          val cnt = new Array[Int](64)
+          planes.foreach { p =>
+            if (dither) {
+              var j = 0
+              while (j < 72) { if (j % 7 == 0) p(j) += 1; j += 7 }
+            }
+            var r = 0
+            while (r < 8) {
+              var c = 0
+              while (c < 8) {
+                if (p(r * 9 + c + 1) > p(r * 9 + c)) cnt(r * 8 + c) += 1
+                c += 1
+              }
+              r += 1
+            }
           }
           val bands = new Array[Int](4)
-          var r = 0
-          while (r < 8) {
-            var c = 0
-            while (c < 8) {
-              if (p(r * 9 + c + 1) > p(r * 9 + c)) {
-                val bit = r * 8 + c
-                bands(bit / 16) |= 1 << (bit % 16)
-              }
-              c += 1
-            }
-            r += 1
+          var bit = 0
+          while (bit < 64) {
+            if (2 * cnt(bit) > planes.length) bands(bit / 16) |= 1 << (bit % 16)
+            bit += 1
           }
           bands
         }
@@ -1328,7 +1480,36 @@ object Multimodal {
         System.arraycopy(pixels, rowOrder(r) * w, idx, r * w, w)
         r += 1
       }
-      // ---- LZW compress (minCode = 8: 256 literals)
+      val z = gifLzwEncode(idx)
+      // ---- container
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write("GIF89a".getBytes(StandardCharsets.US_ASCII))
+      def le16w(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+      le16w(w); le16w(h)
+      bos.write(0x80 | 7) // GCT present, 256 entries
+      bos.write(0); bos.write(0)
+      var v = 0
+      while (v < 256) { bos.write(v); bos.write(v); bos.write(v); v += 1 }
+      bos.write(0x2c) // image descriptor: full canvas
+      le16w(0); le16w(0); le16w(w); le16w(h)
+      bos.write(if (interlaced) 0x40 else 0x00)
+      bos.write(8) // LZW min code size (256 literals)
+      var off = 0
+      while (off < z.length) {
+        val take = math.min(255, z.length - off)
+        bos.write(take)
+        bos.write(z, off, take)
+        off += take
+      }
+      bos.write(0) // sub-block terminator
+      bos.write(0x3b) // trailer
+      bos.toByteArray
+    }
+
+    /** GIF-variant LZW compress at min code size 8 (256 literals) — the
+      * write complement of [[MediaCodec]]'s decoder, shared by the
+      * single-frame and animated builders. */
+    private def gifLzwEncode(idx: Array[Byte]): Array[Byte] = {
       val minCode = 8
       val clear = 1 << minCode
       val end = clear + 1
@@ -1377,8 +1558,27 @@ object Multimodal {
       if (prefixCode >= 0) put(prefixCode)
       put(end)
       if (curBits > 0) bits.write((cur & 0xff).toInt)
-      val z = bits.toByteArray
-      // ---- container
+      bits.toByteArray
+    }
+
+    /** One animation frame for [[gifGray8Anim]]: a sub-rectangle painted
+      * onto the persisting canvas, gray pixel value = palette index into
+      * the 256-entry gray GCT; pixels equal to `transIdx` (when ≥ 0) are
+      * declared GCE-transparent and leave the canvas pixel intact;
+      * `disposal` is written into the GCE verbatim (1 = do not dispose —
+      * the composable kind; 2/3 exist to exercise the decoder's honest
+      * refusal). */
+    final case class GifFrame(
+        left: Int, top: Int, w: Int, h: Int, pixels: Array[Byte],
+        transIdx: Int = -1, disposal: Int = 1)
+
+    /** REAL animated-GIF encoder (GIF89a §23): logical screen + gray GCT,
+      * then per frame a Graphic Control Extension (disposal + optional
+      * transparency) and an image descriptor at the frame's offset with
+      * its own LZW-compressed index stream. The write complement of
+      * [[MediaCodec.gifGrayFrames]]. */
+    def gifGray8Anim(w: Int, h: Int, frames: Seq[GifFrame]): Array[Byte] = {
+      require(frames.nonEmpty, "no frames")
       val bos = new java.io.ByteArrayOutputStream()
       bos.write("GIF89a".getBytes(StandardCharsets.US_ASCII))
       def le16w(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
@@ -1387,19 +1587,31 @@ object Multimodal {
       bos.write(0); bos.write(0)
       var v = 0
       while (v < 256) { bos.write(v); bos.write(v); bos.write(v); v += 1 }
-      bos.write(0x2c) // image descriptor: full canvas
-      le16w(0); le16w(0); le16w(w); le16w(h)
-      bos.write(if (interlaced) 0x40 else 0x00)
-      bos.write(minCode)
-      var off = 0
-      while (off < z.length) {
-        val take = math.min(255, z.length - off)
-        bos.write(take)
-        bos.write(z, off, take)
-        off += take
+      frames.foreach { f =>
+        require(f.pixels.length == f.w * f.h, "bad frame buffer")
+        require(f.left >= 0 && f.top >= 0 &&
+          f.left + f.w <= w && f.top + f.h <= h, "frame out of canvas")
+        // Graphic Control Extension
+        bos.write(0x21); bos.write(0xf9); bos.write(4)
+        bos.write((f.disposal & 7) << 2 | (if (f.transIdx >= 0) 1 else 0))
+        le16w(0) // delay
+        bos.write(if (f.transIdx >= 0) f.transIdx else 0)
+        bos.write(0) // GCE terminator
+        bos.write(0x2c)
+        le16w(f.left); le16w(f.top); le16w(f.w); le16w(f.h)
+        bos.write(0x00) // no local palette, not interlaced
+        bos.write(8)
+        val z = gifLzwEncode(f.pixels)
+        var off = 0
+        while (off < z.length) {
+          val take = math.min(255, z.length - off)
+          bos.write(take)
+          bos.write(z, off, take)
+          off += take
+        }
+        bos.write(0)
       }
-      bos.write(0) // sub-block terminator
-      bos.write(0x3b) // trailer
+      bos.write(0x3b)
       bos.toByteArray
     }
 
