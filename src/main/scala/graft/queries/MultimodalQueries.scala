@@ -1082,6 +1082,213 @@ object MultimodalQueries {
       ORDER BY i.doc_id""")
   )
 
+  /** Animated-GIF temporal dedup — q183's discipline extended to
+    * ANIMATIONS (the round-14 pooling road): every document becomes a
+    * REAL 3-frame GIF89a animation
+    * ([[Multimodal.Containers.gifGray8Anim]]) — frame 0 a full-canvas
+    * linear ramp, frame 1 a SUB-RECT delta patch with GCE-transparent
+    * holes (do-not-dispose compositing), frame 2 a full-canvas
+    * overwrite — decoded back through the real road
+    * ([[Multimodal.MediaCodec.gifGrayFrames]]: per-frame LZW + honest
+    * canvas compositing), hashed with per-bit majorities across the
+    * three composited planes, and joined through the q173 Hamming-band
+    * capped-bucket layout. Every 5th animation gets a twin that encodes
+    * the SAME composited planes differently — the delta frame rewritten
+    * as an opaque overwrite of the composite (no transparency, different
+    * LZW stream): re-encoding an animation must land Hamming 0, which is
+    * impossible unless LZW, the GCE transparency walk, the compositing
+    * AND the majority pooling are all exact. The oracle replays the
+    * composite and the majority from pure integer arithmetic — it never
+    * sees a GIF byte.
+    *
+    * Scale shape: encode+decode is per-row map work (q183's priced
+    * shape); payload bytes never shuffle, only the four 16-bit bands
+    * enter the capped-bucket band join. */
+  val q186 = Q(
+    "q186_gif_anim_dedup",
+    (s, dir) => {
+      import s.implicits._
+      import Multimodal.{Containers, MediaCodec}
+      import Multimodal.Containers.GifFrame
+      val sig = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.flatMap { id =>
+            val w = (12 + math.floorMod(id, 16L)).toInt
+            val h = (10 + math.floorMod(id, 8L)).toInt
+            val a = (1 + math.floorMod(id, 7L)).toInt
+            val b = (1 + math.floorMod(id, 11L)).toInt
+            val c = math.floorMod(id, 256L).toInt
+            val g0 = new Array[Byte](w * h)
+            val g2 = new Array[Byte](w * h)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                g0(y * w + x) = ((x * a + y * b + c) % 256).toByte
+                g2(y * w + x) =
+                  ((x * 2 + y * 7 + (c * 3) % 256) % 256).toByte
+                x += 1
+              }
+              y += 1
+            }
+            // delta patch: rect at (l, t), painted value range 0..254,
+            // holes (transparent index 255) where (px+py+id) % 3 == 0
+            val l = math.floorMod(id, 5L).toInt
+            val t = math.floorMod(id, 4L).toInt
+            val pw = w / 2; val ph = h / 2
+            val patch = new Array[Byte](pw * ph)
+            val opaque = new Array[Byte](pw * ph) // twin: composite verbatim
+            var py = 0
+            while (py < ph) {
+              var px = 0
+              while (px < pw) {
+                val hole = math.floorMod(px + py + id, 3L) == 0L
+                val vp = (px * 3 + py * 5 + math.floorMod(id, 255L).toInt) % 255
+                patch(py * pw + px) = (if (hole) 255 else vp).toByte
+                opaque(py * pw + px) =
+                  if (hole) g0((t + py) * w + l + px) else vp.toByte
+                px += 1
+              }
+              py += 1
+            }
+            def bandsOf(delta: GifFrame): Array[Int] = {
+              val anim = Containers.gifGray8Anim(w, h, Seq(
+                GifFrame(0, 0, w, h, g0), delta, GifFrame(0, 0, w, h, g2)))
+              // a decode failure here is a codec bug — fail the task
+              // loudly, never silently diverge from the oracle
+              MediaCodec.dhashBands(anim).get
+            }
+            val bb = bandsOf(GifFrame(l, t, pw, ph, patch, transIdx = 255))
+            val rows =
+              Seq((id, bb(0).toLong, bb(1).toLong, bb(2).toLong, bb(3).toLong))
+            if (id % 5 == 0) {
+              val tb = bandsOf(GifFrame(l, t, pw, ph, opaque))
+              rows :+ ((id + 10000000L, tb(0).toLong, tb(1).toLong,
+                tb(2).toLong, tb(3).toLong))
+            } else rows
+          }
+        }.toDF("anim_id", "b0", "b1", "b2", "b3")
+        .materialized // consumers: band explode + both rerank sides
+      val bands = sig.select(col("anim_id"),
+        posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+          .as(Seq("band", "bv")))
+      val ok = bands.groupBy("band", "bv")
+        .agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") > 1 && col("bsz") <= 256)
+        .select("band", "bv")
+      val bounded = bands.join(ok, Seq("band", "bv"))
+      val cand = bounded.as("x")
+        .join(bounded.as("y"),
+          col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+            col("x.anim_id") < col("y.anim_id"))
+        .select(col("x.anim_id").as("da"), col("y.anim_id").as("db"))
+        .distinct()
+      cand
+        .join(sig.select(col("anim_id").as("da"), col("b0").as("a0"),
+          col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3")), "da")
+        .join(sig.select(col("anim_id").as("db"), col("b0").as("c0"),
+          col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3")), "db")
+        .withColumn("hamming",
+          expr("""CAST(bit_count(a0 ^ c0) + bit_count(a1 ^ c1)
+                  + bit_count(a2 ^ c2) + bit_count(a3 ^ c3) AS BIGINT)"""))
+        .filter(col("hamming") <= 3)
+        .select("da", "db", "hamming")
+        .orderBy("da", "db")
+    },
+    // The oracle replays frame 0 (ramp), frame 1 (the composite: painted
+    // value where not a hole, underlying ramp where it is) and frame 2
+    // (overwrite ramp) per PIXEL, pools the exact 9×8 cell means per
+    // frame, takes the 2·Σv > count per-bit majority across the three
+    // frames (q177's law), and runs the same band join. Twins reuse the
+    // SAME cells — re-encoding must be invisible. Not one GIF byte exists
+    // on this side.
+    Some("""
+      WITH anims AS MATERIALIZED (
+        SELECT doc_id,
+               12 + doc_id % 16 AS w, 10 + doc_id % 8 AS h,
+               1 + doc_id % 7 AS a, 1 + doc_id % 11 AS b,
+               doc_id % 256 AS c,
+               doc_id % 5 AS l, doc_id % 4 AS t
+        FROM documents),
+      ys AS (SELECT *, CAST(unnest(range(0, h)) AS BIGINT) AS y FROM anims),
+      xys AS (SELECT *, CAST(unnest(range(0, w)) AS BIGINT) AS x FROM ys),
+      -- all three frame values in ONE per-pixel pass (a ×3 frame unnest
+      -- at pixel grain tripled the heaviest stage); the frame axis is
+      -- unpivoted later at CELL grain, 72 rows per animation
+      vals AS (
+        SELECT doc_id, w, h, x, y,
+               (x*a + y*b + c) % 256 AS v0,
+               CASE WHEN x >= l AND x < l + w // 2 AND
+                         y >= t AND y < t + h // 2 AND
+                         ((x - l) + (y - t) + doc_id) % 3 <> 0
+                    THEN ((x - l)*3 + (y - t)*5 + doc_id % 255) % 255
+                    ELSE (x*a + y*b + c) % 256 END AS v1,
+               (x*2 + y*7 + (c*3) % 256) % 256 AS v2
+        FROM xys),
+      cgrid AS (
+        SELECT doc_id,
+               ((8*(y+1)-1) // h) * 9 + (9*(x+1)-1) // w AS j,
+               CAST(SUM(v0) // COUNT(*) AS BIGINT) AS p0,
+               CAST(SUM(v1) // COUNT(*) AS BIGINT) AS p1,
+               CAST(SUM(v2) // COUNT(*) AS BIGINT) AS p2
+        FROM vals GROUP BY doc_id, j),
+      cells AS MATERIALIZED (
+        SELECT doc_id, f,  j,
+               CASE f WHEN 0 THEN p0 WHEN 1 THEN p1 ELSE p2 END AS p
+        FROM cgrid CROSS JOIN
+          (SELECT CAST(unnest(range(0, 3)) AS BIGINT) AS f)),
+      cat AS MATERIALIZED (
+        SELECT doc_id AS anim_id, f, j, p FROM cells
+        UNION ALL
+        SELECT doc_id + 10000000, f, j, p FROM cells WHERE doc_id % 5 = 0),
+      bitv AS (
+        SELECT a.anim_id, a.f, a.j // 9 * 8 + a.j % 9 AS bit,
+               CASE WHEN b.p > a.p THEN 1 ELSE 0 END AS v
+        FROM cat a JOIN cat b
+          ON a.anim_id = b.anim_id AND a.f = b.f AND b.j = a.j + 1
+        WHERE a.j % 9 < 8),
+      seqbit AS (
+        SELECT anim_id, bit,
+               CASE WHEN 2 * SUM(v) > COUNT(*) THEN 1 ELSE 0 END AS v
+        FROM bitv GROUP BY anim_id, bit),
+      sig AS MATERIALIZED (
+        SELECT anim_id,
+               CAST(SUM(CASE WHEN bit // 16 = 0
+                 THEN v * (1::BIGINT << CAST(bit % 16 AS INT)) ELSE 0 END)
+                 AS BIGINT) AS b0,
+               CAST(SUM(CASE WHEN bit // 16 = 1
+                 THEN v * (1::BIGINT << CAST(bit % 16 AS INT)) ELSE 0 END)
+                 AS BIGINT) AS b1,
+               CAST(SUM(CASE WHEN bit // 16 = 2
+                 THEN v * (1::BIGINT << CAST(bit % 16 AS INT)) ELSE 0 END)
+                 AS BIGINT) AS b2,
+               CAST(SUM(CASE WHEN bit // 16 = 3
+                 THEN v * (1::BIGINT << CAST(bit % 16 AS INT)) ELSE 0 END)
+                 AS BIGINT) AS b3
+        FROM seqbit GROUP BY anim_id),
+      bands AS MATERIALIZED (
+        SELECT anim_id, unnest([b0, b1, b2, b3]) AS bv,
+               generate_subscripts([b0, b1, b2, b3], 1) AS band
+        FROM sig),
+      ok AS (SELECT band, bv FROM bands GROUP BY band, bv
+             HAVING COUNT(*) > 1 AND COUNT(*) <= 256),
+      bnd AS MATERIALIZED (
+        SELECT bands.* FROM bands JOIN ok USING (band, bv)),
+      cand AS (
+        SELECT DISTINCT x.anim_id AS da, y.anim_id AS db
+        FROM bnd x JOIN bnd y
+          ON x.band = y.band AND x.bv = y.bv AND x.anim_id < y.anim_id),
+      ham AS (
+        SELECT da, db,
+               CAST(bit_count(xor(sa.b0, sb.b0)) + bit_count(xor(sa.b1, sb.b1))
+                  + bit_count(xor(sa.b2, sb.b2)) + bit_count(xor(sa.b3, sb.b3))
+                 AS BIGINT) AS hamming
+        FROM cand
+        JOIN sig sa ON sa.anim_id = da
+        JOIN sig sb ON sb.anim_id = db)
+      SELECT da, db, hamming FROM ham WHERE hamming <= 3 ORDER BY da, db""")
+  )
+
   val all: Seq[Q] =
-    Seq(q50, q51, q70, q126, q150, q173, q174, q177, q183, q184, q185)
+    Seq(q50, q51, q70, q126, q150, q173, q174, q177, q183, q184, q185, q186)
 }

@@ -266,5 +266,70 @@ object WebQueries {
       FROM documents ORDER BY doc_id""")
   )
 
-  val all: Seq[Q] = Seq(q176, q179, q182)
+  /** Zstd corpus ingestion end-to-end — the `.zst` twin of q179/q182 for
+    * the compression The Pile-era corpora actually ship: the corpus is
+    * assembled into REAL `.tsv.zst` shards (8 docs each, zstd-jni
+    * `ZstdOutputStream` — the exact codec class `FsIO.openDecoded`
+    * routes `.zst` through), each shard written to a task-local temp
+    * file and parsed back through the REAL ingestion route
+    * ([[graft.operators.BulkIngest.parseOne]]: compression-suffix peel →
+    * `.tsv` fixed-tab road → `ZstdInputStream` decode → line split →
+    * cell grid), then deleted. Per recovered row: shard/position
+    * accounting, the doc_id/lang/text-digest/char-count cells — a single
+    * flipped byte anywhere in the compress→decode→frame chain diverges
+    * the gate hash.
+    *
+    * Scale shape: shard assembly is ONE doc_id-keyed exchange (8-doc
+    * groups, no skew) and the whole roundtrip runs inside the consuming
+    * task; payload bytes never shuffle (only the fixed-width stat/digest
+    * cells leave). At 100 TB the fixture assembly is replaced by reading
+    * real `.jsonl.zst`/`.tsv.zst` files through the same parseOne route. */
+  val q187 = Q(
+    "q187_zst_roundtrip",
+    (s, dir) => {
+      import s.implicits._
+      val rt = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+        .as[(Long, String, Long, String)]
+        .groupByKey(_._1 / WebCorpus.ShardDocs)
+        .flatMapGroups { (shard, it) =>
+          val docs = it.toSeq.sortBy(_._1)
+          val tsv = docs.map { case (id, lang, nch, text) =>
+            s"$id\t$lang\t${java.security.MessageDigest.getInstance("MD5")
+              .digest(text.getBytes(StandardCharsets.UTF_8))
+              .map("%02x".format(_)).mkString}\t$nch"
+          }.mkString("", "\n", "\n")
+          val tmp = java.nio.file.Files.createTempFile("graft_shard", ".tsv.zst")
+          try {
+            val out = new com.github.luben.zstd.ZstdOutputStream(
+              java.nio.file.Files.newOutputStream(tmp))
+            try out.write(tsv.getBytes(StandardCharsets.UTF_8))
+            finally out.close()
+            graft.operators.BulkIngest.parseOne(tmp.toString).map { r =>
+              (shard, r.row_idx, r.engine, r.parse_info,
+                r.cells.headOption.getOrElse(""),
+                if (r.cells.length > 1) r.cells(1) else "",
+                if (r.cells.length > 2) r.cells(2) else "",
+                if (r.cells.length > 3) r.cells(3) else "")
+            }.iterator
+          } finally java.nio.file.Files.deleteIfExists(tmp)
+        }
+        .toDF("shard_id", "row_idx", "engine", "status", "c0", "c1", "c2", "c3")
+      rt.select(col("shard_id"), col("row_idx"), col("engine"), col("status"),
+          col("c0").cast("long").as("doc_id"), col("c1").as("lang_rt"),
+          col("c2").as("text_md5"), col("c3").cast("long").as("n_chars_rt"))
+        .orderBy("shard_id", "row_idx")
+    },
+    // the oracle recomputes every recovered cell straight from documents
+    Some("""
+      SELECT doc_id // 8 AS shard_id,
+             ROW_NUMBER() OVER (PARTITION BY doc_id // 8 ORDER BY doc_id)
+               - 1 AS row_idx,
+             'ImportText' AS engine, 'OK' AS status,
+             doc_id, lang AS lang_rt, md5(text) AS text_md5,
+             n_chars AS n_chars_rt
+      FROM documents ORDER BY shard_id, row_idx""")
+  )
+
+  val all: Seq[Q] = Seq(q176, q179, q182, q187)
 }
