@@ -44,13 +44,15 @@ import org.apache.spark.sql.SparkSession
   *  - `.gz .bz2` over a stream-decodable inner extension (`.jsonl.gz`,
   *    `.csv.gz`, `.tsv.gz`, …) → the inner format's importer; the Hadoop
   *    codec layer decompresses inline for scans and sniffers alike
-  *  - `.zst .zstd` over `.warc` → [[WarcImporter]] (its record catalog
-  *    is a BYTE road through `FsIO.openDecoded`, which routes zstd via
-  *    zstd-jni). The text/json inner forms stay gz/bz2-only HERE: this
-  *    one-file road parses through Spark's native text/json scans, and
-  *    Hadoop's ZStandardCodec needs a native lib this container lacks —
-  *    `.jsonl.zst`-style corpora go through [[graft.operators.BulkIngest]],
-  *    whose per-file byte roads decode zstd for text/jsonl/warc/sqlite.
+  *  - `.zst .zstd` over a stream-decodable inner extension → the inner
+  *    format's importer, like the `.gz` peel: `.warc.zst` is a BYTE road
+  *    through `FsIO.openDecoded` (zstd-jni), and the text/jsonl forms
+  *    (`.csv.zst`, `.jsonl.zst`, …) ride the `graft-zstd-lines` DSv2
+  *    source ([[graft.sources.zstd.ZstdLinesDataSource]]) — Hadoop's
+  *    ZStandardCodec needs a native lib this container lacks, so the
+  *    native text/json scans can't take them directly. `.json.zst`
+  *    (a whole JSON DOCUMENT needing the multiLine scan) and compressed
+  *    container formats stay unknown → Failed.
   *  - `.pk1` and `.pickle` → [[PickleImporter]] (documented gap). The
   *    reference matches the literal `"pickle"` without a dot, which
   *    `Path.suffix` can never produce (`main.py:161` bug); per SURVEY.md §7
@@ -80,10 +82,13 @@ object AnyFile {
           case _ => last
         }
       } else if (last == ".zst" || last == ".zstd") {
-        // zstd peel covers only the byte-road importer (.warc); the
-        // Spark-scan importers can't decode zstd here (see scaladoc)
+        // zstd peel: the byte-road importer (.warc) and the line-regime
+        // importers (via the graft-zstd-lines DSv2 road — see scaladoc).
+        // The importers branch on the FULL path's .zst suffix, so the
+        // peeled inner extension only picks the importer.
         extOf(name.dropRight(last.length)) match {
-          case inner @ ".warc" => inner
+          case inner @ (".txt" | ".csv" | ".ini" | ".tsv" | ".ant" |
+              ".jsonl" | ".ndjson" | ".warc") => inner
           case _ => last
         }
       } else last

@@ -55,7 +55,18 @@ class JsonLinesImporter(val spark: SparkSession, val filePath: String)
 
   def work(): Seq[ParserAnswer] = {
     try {
-      val df = spark.read.json(filePath)
+      // `.jsonl.zst` decodes through the graft-zstd-lines DSv2 source
+      // (Spark's native json scan can't decode zstd here); the json
+      // parse then runs distributed over that Dataset[String] with the
+      // same PERMISSIVE corrupt-record semantics as the path road
+      val lower = filePath.toLowerCase
+      val df =
+        if (lower.endsWith(".zst") || lower.endsWith(".zstd"))
+          spark.read.json(
+            spark.read.format("graft-zstd-lines").load(filePath)
+              .select("value")
+              .as[String](org.apache.spark.sql.Encoders.STRING))
+        else spark.read.json(filePath)
       // PERMISSIVE mode turns a file of entirely-unparseable lines into a
       // lone corrupt-record column, not an empty schema — that is "no
       // parseable objects" too and must answer Failed, not raw garbage.

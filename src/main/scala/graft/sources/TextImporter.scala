@@ -44,9 +44,15 @@ class TextImporter(
       val encoding = Sniffers.detectEncoding(filePath).orNull
       val delimiter = delimiterArg.getOrElse(Sniffers.detectDelimiter(filePath))
 
-      val lines = spark.read
-        .option("lineSep", "\n")
-        .text(filePath)
+      // `.zst`/`.zstd` ride the graft-zstd-lines DSv2 source (zstd-jni;
+      // Spark's native text scan can't decode zstd in this container) —
+      // same `value` column, same \n-only line law, executor-side decode
+      val lower = filePath.toLowerCase
+      val rawLines =
+        if (lower.endsWith(".zst") || lower.endsWith(".zstd"))
+          spark.read.format("graft-zstd-lines").load(filePath)
+        else spark.read.option("lineSep", "\n").text(filePath)
+      val lines = rawLines
         // strip('\n').strip('\t') parity: remove leading/trailing tab runs
         // (the \n is already consumed by the line reader)
         .select(

@@ -116,10 +116,62 @@ class Round14IngestSpec extends SparkSpec {
       zst(Array[Byte](1, 2, 3, 4)))
     val rows = cells(BulkIngest.parseTree(spark, dir.toString))
     assert(rows.length == 1 && rows.head._3 == "Failed")
-    // AnyFile: the documented Spark-scan limit — .csv.zst is NOT peeled
-    java.nio.file.Files.write(dir.resolve("d.csv.zst"),
-      zst("a;b\n1;2\n".getBytes(StandardCharsets.UTF_8)))
-    val a = AnyFile.parse(spark, dir.resolve("d.csv.zst").toString)
+    // `.json.zst` (whole JSON document — needs the multiLine scan) has
+    // no zstd road either: unknown → Failed, never mis-parsed
+    java.nio.file.Files.write(dir.resolve("d.json.zst"),
+      zst("[{\"a\":1}]".getBytes(StandardCharsets.UTF_8)))
+    val a = AnyFile.parse(spark, dir.resolve("d.json.zst").toString)
     assert(a.length == 1 && a.head.isFailed)
+  }
+
+  test("AnyFile one-file road: .csv.zst / .tsv.zst parse like their plain twins") {
+    val dir = tmpDir("zstanyfile")
+    val csv = (1 to 9).map(i => s"r$i;v$i;w$i").mkString("\n") + "\n"
+    java.nio.file.Files.write(dir.resolve("d.csv.zst"),
+      zst(csv.getBytes(StandardCharsets.UTF_8)))
+    java.nio.file.Files.write(dir.resolve("plain.csv"),
+      csv.getBytes(StandardCharsets.UTF_8))
+    val az = AnyFile.parse(spark, dir.resolve("d.csv.zst").toString).head
+    val ap = AnyFile.parse(spark, dir.resolve("plain.csv").toString).head
+    // the delimiter sniff votes on DECODED bytes; cells match the plain twin
+    assert(!az.isFailed && az.engine == "ImportText" && az.separator == ";")
+    assert(az.data.columns.toSeq == ap.data.columns.toSeq)
+    assert(az.data.collect().toSeq == ap.data.collect().toSeq)
+
+    val tsv = "p\tq\n1\t2\n"
+    java.nio.file.Files.write(dir.resolve("d.tsv.zst"),
+      zst(tsv.getBytes(StandardCharsets.UTF_8)))
+    val at = AnyFile.parse(spark, dir.resolve("d.tsv.zst").toString).head
+    assert(!at.isFailed && at.separator == "\t" && at.data.count() == 2L)
+  }
+
+  test("AnyFile one-file road: .jsonl.zst parses distributed json over the DSv2 lines") {
+    val dir = tmpDir("zstjsonlany")
+    val jsonl = "{\"a\":1,\"b\":\"x\"}\n{\"a\":2,\"b\":\"y\"}\n"
+    java.nio.file.Files.write(dir.resolve("corpus.jsonl.zst"),
+      zst(jsonl.getBytes(StandardCharsets.UTF_8)))
+    val a = AnyFile.parse(spark, dir.resolve("corpus.jsonl.zst").toString).head
+    assert(!a.isFailed && a.engine == "ImportJSONL")
+    assert(a.data.columns.toSeq == Seq("a", "b") && a.data.count() == 2L)
+    // all-corrupt lines under zstd answer Failed, like the plain road
+    java.nio.file.Files.write(dir.resolve("bad.jsonl.zst"),
+      zst("not json\nat all\n".getBytes(StandardCharsets.UTF_8)))
+    val bad = AnyFile.parse(spark, dir.resolve("bad.jsonl.zst").toString)
+    assert(bad.length == 1 && bad.head.isFailed)
+  }
+
+  test("graft-zstd-lines parity with spark.read.text: \\n-only split, CR kept, no phantom row") {
+    val dir = tmpDir("zstlines")
+    val body = "a;1\r\nb;2\n\nlast"  // CRLF line, empty line, no trailing \n
+    java.nio.file.Files.write(dir.resolve("x.csv.zst"),
+      zst(body.getBytes(StandardCharsets.UTF_8)))
+    java.nio.file.Files.write(dir.resolve("x.csv"),
+      body.getBytes(StandardCharsets.UTF_8))
+    val viaZst = spark.read.format("graft-zstd-lines")
+      .load(dir.resolve("x.csv.zst").toString).collect().map(_.getString(0)).toSeq
+    val viaText = spark.read.option("lineSep", "\n")
+      .text(dir.resolve("x.csv").toString).collect().map(_.getString(0)).toSeq
+    assert(viaZst == viaText)
+    assert(viaZst == Seq("a;1\r", "b;2", "", "last"))
   }
 }
