@@ -910,11 +910,15 @@ object Multimodal {
       *     and 1 (do not dispose) paint onto the persisting canvas, with
       *     GCE-transparent indices leaving the underlying pixel intact —
       *     the standard delta-frame animation encoding;
-      *   - disposal 2 (restore to background) and 3 (restore to previous)
-      *     REFUSE (None): their rendered result depends on background /
-      *     history semantics real renderers disagree on, and a wrong
-      *     guess would silently corrupt the fingerprint (the byte-pool
-      *     stand-in is the honest fallback).
+      *   - disposal 2 (restore to background) is accepted exactly when
+      *     the restore is PROVABLY invisible: on the last frame (nothing
+      *     after it reads the canvas), or when the NEXT frame fully
+      *     covers the disposed rect with no transparency (it repaints
+      *     every restored pixel opaquely, so background semantics —
+      *     which real renderers disagree on — never show). Any other
+      *     disposal-2, and disposal 3 (restore to previous) always,
+      *     REFUSE (None): a wrong guess would silently corrupt the
+      *     fingerprint (the byte-pool stand-in is the honest fallback).
       * Returns (width, height, one composited gray canvas per frame);
       * the single-frame result is bit-identical to [[gifGray]]. */
     private[graft] def gifGrayFrames(
@@ -938,6 +942,9 @@ object Multimodal {
       // GCE state for the NEXT image block (reset after it renders)
       var disposal = 0
       var transIdx = -1
+      // a prior frame's disposal-2 rect awaiting proof of invisibility:
+      // the next frame must repaint it fully and opaquely (see scaladoc)
+      var pendingRestore: Array[Int] = null
       while (i < b.length) {
         (b(i) & 0xff) match {
           case 0x21 =>
@@ -966,7 +973,19 @@ object Multimodal {
             // first frame establishes the whole canvas (see scaladoc)
             if (nFrames == 0 && (left != 0 || top != 0 || fw != w || fh != h))
               return None
-            if (disposal > 1) return None // restore-to-* : unprovable
+            if (disposal == 3) return None // restore-to-previous: unprovable
+            if (pendingRestore != null) {
+              // the prior frame disposed-to-background: THIS frame must
+              // repaint that rect fully and opaquely or the restored
+              // pixels (renderer-dependent) would reach the canvas
+              val covered = left <= pendingRestore(0) &&
+                top <= pendingRestore(1) &&
+                left + fw >= pendingRestore(0) + pendingRestore(2) &&
+                top + fh >= pendingRestore(1) + pendingRestore(3) &&
+                transIdx < 0
+              if (!covered) return None
+              pendingRestore = null
+            }
             i += 10
             var pal = gct
             if ((fp & 0x80) != 0) {
@@ -1024,6 +1043,9 @@ object Multimodal {
             }
             frames += canvas.clone()
             nFrames += 1
+            // disposal 2 defers: the NEXT frame (or the trailer — a final
+            // frame's restore is never observed) decides acceptability
+            if (disposal == 2) pendingRestore = Array(left, top, fw, fh)
             disposal = 0; transIdx = -1
           case 0x3b =>
             return if (nFrames == 0) None else Some((w, h, frames.result()))

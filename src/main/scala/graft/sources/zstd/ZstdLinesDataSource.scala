@@ -92,25 +92,61 @@ class ZstdLinesReaderFactory(fsProps: Map[String, String])
 
 class ZstdLinesReader(path: String) extends PartitionReader[InternalRow] {
   // openDecoded routes .zst/.zstd through zstd-jni (and any other codec
-  // suffix through the Hadoop layer), so the reader itself is codec-blind
-  private val in = new java.io.InputStreamReader(
-    graft.sources.FsIO.openDecoded(path), java.nio.charset.StandardCharsets.UTF_8)
-  private val buf = new StringBuilder
-  private var line: UTF8String = _
+  // suffix through the Hadoop layer), so the reader itself is codec-blind.
+  // Lines are split on the BYTE '\n' over 64 KiB decoded chunks and
+  // emitted as raw UTF-8 (UTF8String.fromBytes — Spark's native string
+  // layout), so there is no per-char loop and no decode/re-encode round
+  // trip; '\n' is unambiguous in UTF-8 (continuation bytes have the high
+  // bit set), and '\r' stays payload, matching spark.read.text with
+  // lineSep "\n" exactly.
+  private val in = graft.sources.FsIO.openDecoded(path)
+  private val chunk = new Array[Byte](64 << 10)
+  private var len = 0
+  private var pos = 0
   private var eof = false
+  // carry-over for lines spanning chunk boundaries
+  private val carry = new java.io.ByteArrayOutputStream()
+  private var line: UTF8String = _
+
+  private def refill(): Unit = {
+    len = in.read(chunk)
+    pos = 0
+    if (len < 0) { eof = true; len = 0 }
+  }
 
   override def next(): Boolean = {
-    if (eof) return false
-    buf.setLength(0)
-    var c = in.read()
-    // split on '\n' ONLY — '\r' is payload (see scaladoc)
-    while (c != -1 && c != '\n') { buf.append(c.toChar); c = in.read() }
-    if (c == -1) {
-      eof = true
-      if (buf.isEmpty) return false // trailing newline: no phantom row
+    if (eof && pos >= len && carry.size() == 0) return false
+    while (true) {
+      var k = pos
+      while (k < len && chunk(k) != '\n') k += 1
+      if (k < len) { // newline inside the current chunk
+        if (carry.size() == 0) {
+          // copy the slice: fromBytes WRAPS the array, and `chunk` is
+          // reused on the next refill — a retained row must stay valid
+          line = UTF8String.fromBytes(
+            java.util.Arrays.copyOfRange(chunk, pos, k))
+        } else {
+          carry.write(chunk, pos, k - pos)
+          line = UTF8String.fromBytes(carry.toByteArray)
+          carry.reset()
+        }
+        pos = k + 1
+        return true
+      }
+      // no newline: stash the tail and refill
+      if (pos < len) carry.write(chunk, pos, len - pos)
+      if (eof) {
+        // final line without a trailing newline; a trailing newline
+        // leaves carry empty → no phantom row
+        if (carry.size() == 0) return false
+        line = UTF8String.fromBytes(carry.toByteArray)
+        carry.reset()
+        pos = len
+        return true
+      }
+      refill()
     }
-    line = UTF8String.fromString(buf.toString)
-    true
+    false // unreachable
   }
 
   override def get(): InternalRow = InternalRow(line)

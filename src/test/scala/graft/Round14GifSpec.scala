@@ -95,14 +95,44 @@ class Round14GifSpec extends AnyFunSuite {
     assert(hamming(ba, bb) <= 3)
   }
 
-  test("restore-to-background / restore-previous disposals refuse honestly") {
-    for (d <- Seq(2, 3)) {
-      val anim = Containers.gifGray8Anim(W, H,
-        Seq(full(grad(0)).copy(disposal = d), full(grad(1))))
-      assert(MediaCodec.gifGrayFrames(anim).isEmpty)
-      // the hash still answers — through the byte-pool stand-in road
-      assert(MediaCodec.dhashBands(anim).isDefined)
-    }
+  test("restore-to-previous always refuses; unprovable restore-to-background refuses") {
+    // disposal 3: never provable
+    val d3 = Containers.gifGray8Anim(W, H,
+      Seq(full(grad(0)).copy(disposal = 3), full(grad(1))))
+    assert(MediaCodec.gifGrayFrames(d3).isEmpty)
+    assert(MediaCodec.dhashBands(d3).isDefined) // byte-pool stand-in road
+    // disposal 2 followed by a PARTIAL next frame: the restored pixels
+    // outside the repaint would reach the canvas — refuse
+    val partialNext = Containers.gifGray8Anim(W, H,
+      Seq(full(grad(0)).copy(disposal = 2),
+        GifFrame(2, 2, 8, 6, new Array[Byte](48))))
+    assert(MediaCodec.gifGrayFrames(partialNext).isEmpty)
+    // disposal 2 followed by a covering frame WITH transparency: holes
+    // would show the restored background — refuse
+    val transNext = Containers.gifGray8Anim(W, H,
+      Seq(full(grad(0)).copy(disposal = 2),
+        full(grad(1)).copy(transIdx = 7)))
+    assert(MediaCodec.gifGrayFrames(transNext).isEmpty)
+  }
+
+  test("restore-to-background is accepted exactly when provably invisible") {
+    // covered by a full opaque next frame: the restore is a no-op
+    val covered = Containers.gifGray8Anim(W, H,
+      Seq(full(grad(0)).copy(disposal = 2), full(grad(1))))
+    val Some((_, _, fs)) = MediaCodec.gifGrayFrames(covered)
+    assert(fs.length == 2)
+    assert(fs(0).toSeq == grad(0).toSeq && fs(1).toSeq == grad(1).toSeq)
+    // on the LAST frame: nothing after it reads the canvas
+    val last = Containers.gifGray8Anim(W, H,
+      Seq(full(grad(0)), full(grad(1)).copy(disposal = 2)))
+    val Some((_, _, fs2)) = MediaCodec.gifGrayFrames(last)
+    assert(fs2.length == 2 && fs2(1).toSeq == grad(1).toSeq)
+    // and the accepted disposal-2 animation hashes like its disposal-1
+    // twin — the restore never influenced any composited plane
+    val plain = Containers.gifGray8Anim(W, H,
+      Seq(full(grad(0)), full(grad(1))))
+    assert(MediaCodec.dhashBands(covered).get.toSeq ==
+      MediaCodec.dhashBands(plain).get.toSeq)
   }
 
   test("a partial FIRST frame refuses (undefined canvas)") {
