@@ -136,7 +136,11 @@ object BulkIngest {
       spark: SparkSession,
       root: String,
       bigBytes: Long = 64L << 20,
-      partitions: Int = 0): DataFrame = {
+      partitions: Int = 0,
+      // target COMPRESSED bytes per ranged batch on the split roads
+      // (.warc.gz member batches, .jsonl.zst frame batches); tests lower
+      // it to force multi-batch splits on small fixtures
+      splitBatchBytes: Long = 8L << 20): DataFrame = {
     import graft.sources.xlsx.{ExcelTable, XlsxParser}
     import graft.sources.xlsb.XlsbStream
     import org.apache.spark.sql.functions.{array, col, lit, typedLit}
@@ -151,7 +155,9 @@ object BulkIngest {
       len >= bigBytes &&
         (l.endsWith(".xlsx") || l.endsWith(".xlsb") || l.endsWith(".xml") ||
           l.endsWith(".ods") || l.endsWith(".odf") || l.endsWith(".odt") ||
-          l.endsWith(".warc.gz"))
+          l.endsWith(".warc.gz") ||
+          l.endsWith(".jsonl.zst") || l.endsWith(".ndjson.zst") ||
+          l.endsWith(".jsonl.zstd") || l.endsWith(".ndjson.zstd"))
     }
 
     // Distributed listing with lengths: one listStatus on the driver
@@ -175,7 +181,12 @@ object BulkIngest {
       .filter((e: (String, Long)) => isBig(e._1, e._2))
       .map(_._1)(Encoders.STRING)
       .collect().toSeq.sorted
-    val (bigWarcGz, restW) = big.partition(_.toLowerCase.endsWith(".warc.gz"))
+    val (bigZstJsonl, restZ) = big.partition { p =>
+      val l = p.toLowerCase
+      l.endsWith(".jsonl.zst") || l.endsWith(".ndjson.zst") ||
+        l.endsWith(".jsonl.zstd") || l.endsWith(".ndjson.zstd")
+    }
+    val (bigWarcGz, restW) = restZ.partition(_.toLowerCase.endsWith(".warc.gz"))
     val (bigXlsx, rest0) = restW.partition(_.toLowerCase.endsWith(".xlsx"))
     val (bigXlsb, rest1) = rest0.partition(_.toLowerCase.endsWith(".xlsb"))
     val (bigXml, bigOds) = rest1.partition(_.toLowerCase.endsWith(".xml"))
@@ -339,7 +350,8 @@ object BulkIngest {
         .map { p =>
           FsIO.install(props)
           val r =
-            try Some(graft.sources.warc.WarcReader.gzMemberBatches(p))
+            try Some(graft.sources.warc.WarcReader.gzMemberBatches(p,
+              targetBatchBytes = splitBatchBytes))
             catch { case _: Exception => None }
           (p, r)
         }
@@ -373,7 +385,162 @@ object BulkIngest {
             }.toDF()
       }
     }
-    (bigDfs ++ xmlDfs ++ odsDfs ++ warcDfs).foldLeft(base)(_ union _)
+    // big .jsonl.zst corpora (the Pile / pzstd shape): zstd has no random
+    // access WITHIN a frame, but parallel compressors cut input into many
+    // independent frames — so the planner's index job walks the RFC 8878
+    // block headers once at I/O speed (NO decompression,
+    // ZstdFrames.frameBatches), then two parallel passes over ranged
+    // whole-frame batches: (1) a line-COUNT pass (decode own range, count
+    // newlines; prefix sums on the ≤|batches| counts give each batch its
+    // global first row_idx — lines carry no intrinsic ids the way WARC
+    // members do), and (2) the parse pass, Hadoop text-split ownership:
+    // batch k owns line starts in (S_k, E_k] of the decoded stream
+    // (batch 0 also owns start 0), reading past its end into the
+    // continuation frames to finish a spanning line. row_idx therefore
+    // reproduces the whole-file numbering exactly (split ≡ file-grain
+    // law, Round14IngestSpec). A single-frame file indexes to one batch —
+    // honestly the same one-task shape gzip forces. A corrupt index or
+    // count answers one Failed row.
+    val zstBatches: Map[String, Option[Seq[graft.sources.zstd.ZstdFrames.Batch]]] =
+      if (bigZstJsonl.isEmpty) Map.empty
+      else spark.sparkContext
+        .parallelize(bigZstJsonl, batched(bigZstJsonl.length))
+        .map { p =>
+          FsIO.install(props)
+          val r =
+            try Some(graft.sources.zstd.ZstdFrames.frameBatches(p,
+              targetBatchBytes = splitBatchBytes))
+            catch { case _: Exception => None }
+          (p, r)
+        }
+        .collect().toMap
+    val zstDfs: Seq[DataFrame] = bigZstJsonl.map { p =>
+      zstBatches(p) match {
+        case None | Some(Seq()) => failedRow(p, "ImportJSONL")
+        // a batch past Int.MaxValue compressed bytes cannot ride the
+        // ranged read — refuse (one Failed row) rather than truncate
+        case Some(bs) if bs.exists(_.length > Int.MaxValue.toLong) =>
+          failedRow(p, "ImportJSONL")
+        case Some(bs) =>
+          implicit val eI = Encoders.product[(Int, Long, Long)]
+          val units = bs.zipWithIndex.map { case (b, i) => (i, b.offset, b.length) }
+          val nParts = math.max(1, math.min(units.length, parts))
+          // count pass: newlines per batch, each batch guarded — one bad
+          // range fails the FILE into one Failed row, not the query
+          // (-1 = the count sentinel; Option has no Spark encoder here)
+          val counts: Map[Int, Long] = {
+            implicit val eC = Encoders.product[(Int, Long)]
+            spark.createDataset(units)
+              .repartition(nParts)
+              .mapPartitions { it =>
+                FsIO.install(props)
+                it.map { case (i, off, len) =>
+                  (i, try zstCountNewlines(p, off, len.toInt)
+                      catch { case _: Exception => -1L })
+                }
+              }
+              .collect().toMap
+          }
+          if (counts.valuesIterator.exists(_ < 0L)) failedRow(p, "ImportJSONL")
+          else {
+            val nl = (0 until bs.length).map(counts)
+            // batch 0 owns line 0; batch k's first owned line follows
+            // every start before S_k: 1 + Σ_{j<k} nl_j
+            val scan = nl.scanLeft(1L)(_ + _)
+            val firstLine = bs.indices.map(i => if (i == 0) 0L else scan(i))
+            implicit val eP = Encoders.product[(Long, Long, Long, Boolean, Boolean)]
+            val work = bs.zipWithIndex.map { case (b, i) =>
+              (b.offset, b.length, firstLine(i), i == 0, i == bs.length - 1)
+            }
+            spark.createDataset(work)
+              .repartition(nParts)
+              .mapPartitions { it =>
+                FsIO.install(props)
+                it.flatMap { case (off, len, fl, isFirst, isLast) =>
+                  zstJsonlLines(p, off, len.toInt, fl, isFirst, isLast)
+                }
+              }.toDF()
+          }
+      }
+    }
+    (bigDfs ++ xmlDfs ++ odsDfs ++ warcDfs ++ zstDfs).foldLeft(base)(_ union _)
+  }
+
+  /** Count pass for the big-`.jsonl.zst` road: newlines in ONE batch's
+    * decoded stream (ranged read of whole frames → zstd decode → byte
+    * scan; nothing is retained). */
+  private def zstCountNewlines(path: String, off: Long, len: Int): Long = {
+    val in = new com.github.luben.zstd.ZstdInputStream(
+      new java.io.ByteArrayInputStream(FsIO.readRange(path, off, len)))
+    try {
+      val buf = new Array[Byte](64 << 10)
+      var n = 0L
+      var k = in.read(buf)
+      while (k > 0) {
+        var i = 0
+        while (i < k) { if (buf(i) == '\n') n += 1; i += 1 }
+        k = in.read(buf)
+      }
+      n
+    } finally in.close()
+  }
+
+  /** Parse pass for the big-`.jsonl.zst` road: one batch's OWNED lines
+    * (starts in (S_k, E_k] of the decoded stream; batch 0 also owns
+    * start 0), Hadoop text-split boundary semantics — a non-first batch
+    * discards up to its first in-range newline (that prefix belongs to
+    * the previous batch), and a line spanning the batch end is finished
+    * from a continuation decode of the following frames. `row_idx` is
+    * `firstLine + position`, reproducing whole-file numbering. */
+  private def zstJsonlLines(
+      path: String, off: Long, len: Int, firstLine: Long,
+      isFirst: Boolean, isLast: Boolean): Iterator[CellRow] = {
+    val own = new java.io.BufferedInputStream(
+      new com.github.luben.zstd.ZstdInputStream(
+        new java.io.ByteArrayInputStream(FsIO.readRange(path, off, len))),
+      64 << 10)
+    val rows = Seq.newBuilder[CellRow]
+    var idx = firstLine
+    def row(acc: java.io.ByteArrayOutputStream): Unit = {
+      rows += CellRow(path, "ImportJSONL", "JSON lines content", "OK", idx,
+        Seq(new String(acc.toByteArray, StandardCharsets.UTF_8)))
+      idx += 1
+      acc.reset()
+    }
+    try {
+      var b = own.read()
+      var noLines = false
+      if (!isFirst) {
+        // discard the previous batch's tail up to the first own newline;
+        // a batch wholly inside one line owns nothing
+        while (b >= 0 && b != '\n') b = own.read()
+        if (b < 0) noLines = true else b = own.read()
+      }
+      if (!noLines) {
+        val acc = new java.io.ByteArrayOutputStream()
+        while (b >= 0) {
+          if (b == '\n') row(acc) else acc.write(b)
+          b = own.read()
+        }
+        // own range exhausted with a pending OWNED start (mid-line, or a
+        // start exactly at the batch end): finish it from the
+        // continuation frames; at file end an empty pending start is the
+        // no-phantom-trailing-row law
+        var sawCont = false
+        if (!isLast) {
+          val cont = new java.io.BufferedInputStream(
+            new com.github.luben.zstd.ZstdInputStream(
+              FsIO.openAt(path, off + len.toLong)), 64 << 10)
+          try {
+            var c = cont.read()
+            while (c >= 0 && c != '\n') { acc.write(c); sawCont = true; c = cont.read() }
+            if (c == '\n') sawCont = true
+          } finally cont.close()
+        }
+        if (acc.size() > 0 || sawCont) row(acc)
+      }
+    } finally own.close()
+    rows.result().iterator
   }
 
   def parseFiles(spark: SparkSession, paths: Seq[String], partitions: Int = 0): DataFrame = {

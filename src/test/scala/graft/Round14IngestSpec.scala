@@ -160,6 +160,113 @@ class Round14IngestSpec extends SparkSpec {
     assert(bad.length == 1 && bad.head.isFailed)
   }
 
+  // ---- big multi-frame .jsonl.zst split road (the Pile / pzstd shape)
+
+  /** pzstd-like container: each chunk an independent zstd frame. */
+  private def frameFile(chunks: Seq[Array[Byte]]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    chunks.foreach(c => bos.write(zst(c)))
+    bos.toByteArray
+  }
+
+  /** RFC 8878 skippable frame: magic 0x184D2A50 LE + size + payload. */
+  private def skippable(n: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(0x50); bos.write(0x2a); bos.write(0x4d); bos.write(0x18)
+    bos.write(n & 0xff); bos.write((n >> 8) & 0xff)
+    bos.write((n >> 16) & 0xff); bos.write((n >> 24) & 0xff)
+    (0 until n).foreach(i => bos.write(i))
+    bos.toByteArray
+  }
+
+  private def corpusBody(trailingNl: Boolean): Array[Byte] = {
+    // empty lines included; line lengths vary so frame cuts land mid-line
+    val lines = (0 until 57).map {
+      case i if i % 19 == 7 => ""
+      case i => s"""{"id":$i,"v":"${"x" * (i % 23)}"}"""
+    }
+    (lines.mkString("\n") + (if (trailingNl) "\n" else ""))
+      .getBytes(StandardCharsets.UTF_8)
+  }
+
+  /** Cut `bytes` into frames at mid-line positions; one frame sits wholly
+    * inside a single long line; a skippable frame rides in the middle. */
+  private def cutIntoFrames(bytes: Array[Byte]): Array[Byte] = {
+    val cuts = (Seq(0, 13, 14, 150, 152, 153, 400, 680, bytes.length)
+      .filter(_ <= bytes.length) :+ bytes.length).distinct.sorted
+    val frames = cuts.sliding(2).collect { case Seq(a, b) if b > a =>
+      java.util.Arrays.copyOfRange(bytes, a, b)
+    }.toSeq
+    val bos = new java.io.ByteArrayOutputStream()
+    frames.zipWithIndex.foreach { case (f, i) =>
+      if (i == 2) bos.write(skippable(11))
+      bos.write(zst(f))
+    }
+    bos.toByteArray
+  }
+
+  test("ZstdFrames: frame ranges tile the file exactly; skippables flagged") {
+    val dir = tmpDir("zstframes")
+    val container = cutIntoFrames(corpusBody(trailingNl = true))
+    val p = dir.resolve("c.jsonl.zst")
+    java.nio.file.Files.write(p, container)
+    val ranges = graft.sources.zstd.ZstdFrames.frameRanges(p.toString)
+    assert(ranges.head._1 == 0L)
+    ranges.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._1 + a._2 == b._1)
+    }
+    assert(ranges.last._1 + ranges.last._2 == container.length)
+    assert(ranges.count(!_._3) == 1) // the one skippable frame
+    // per-frame batches tile too
+    val bs = graft.sources.zstd.ZstdFrames.frameBatches(p.toString, 1L)
+    assert(bs.head.offset == 0L && bs.map(_.length).sum == container.length)
+  }
+
+  test("big .jsonl.zst split road ≡ file-grain road, row_idx and cells alike") {
+    for (trailingNl <- Seq(true, false)) {
+      val dir = tmpDir(s"zstsplit$trailingNl")
+      val body = corpusBody(trailingNl)
+      java.nio.file.Files.write(dir.resolve("big.jsonl.zst"), cutIntoFrames(body))
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getString(1), r.getString(2), r.getString(3),
+          r.getLong(4), r.getSeq[String](5).toList)).sortBy(_._4).toSeq
+      // bigBytes=1 + splitBatchBytes=1 force per-frame ranged batches
+      val split = rows(BulkIngest.parseTreeAuto(spark, dir.toString,
+        bigBytes = 1L, splitBatchBytes = 1L))
+      val whole = rows(BulkIngest.parseTree(spark, dir.toString))
+      assert(split == whole, s"trailingNl=$trailingNl")
+      assert(split.forall(r => r._1 == "ImportJSONL" && r._3 == "OK"))
+      assert(split.map(_._4) == (0L until split.length.toLong))
+      // and the cells are the exact line texts, empties included
+      val expect = new String(body, StandardCharsets.UTF_8)
+        .split("\n", -1).toSeq match {
+        case init :+ "" if trailingNl => init
+        case ls => ls
+      }
+      assert(split.map(_._5.head) == expect)
+    }
+  }
+
+  test("single-frame big .jsonl.zst still parses (one honest batch)") {
+    val dir = tmpDir("zstsingle")
+    val body = corpusBody(trailingNl = true)
+    java.nio.file.Files.write(dir.resolve("one.jsonl.zst"), zst(body))
+    val rows = cells(BulkIngest.parseTreeAuto(spark, dir.toString,
+      bigBytes = 1L)).sortBy(_._4)
+    assert(rows.length == 57 && rows.forall(_._3 == "OK"))
+  }
+
+  test("truncated big .jsonl.zst answers one Failed row, never throws") {
+    val dir = tmpDir("zstsplittrunc")
+    val container = cutIntoFrames(corpusBody(trailingNl = true))
+    java.nio.file.Files.write(dir.resolve("t.jsonl.zst"),
+      java.util.Arrays.copyOf(container, container.length - 7))
+    val rows = cells(BulkIngest.parseTreeAuto(spark, dir.toString,
+      bigBytes = 1L, splitBatchBytes = 1L))
+    assert(rows.length == 1)
+    assert(rows.head._2 == "ImportJSONL" && rows.head._3 == "Failed")
+  }
+
   test("graft-zstd-lines parity with spark.read.text: \\n-only split, CR kept, no phantom row") {
     val dir = tmpDir("zstlines")
     val body = "a;1\r\nb;2\n\nlast"  // CRLF line, empty line, no trailing \n
