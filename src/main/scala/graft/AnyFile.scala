@@ -50,7 +50,9 @@ import org.apache.spark.sql.SparkSession
   *    (`.csv.zst`, `.jsonl.zst`, …) ride the `graft-zstd-lines` DSv2
   *    source ([[graft.sources.zstd.ZstdLinesDataSource]]) — Hadoop's
   *    ZStandardCodec needs a native lib this container lacks, so the
-  *    native text/json scans can't take them directly. `.json.zst`
+  *    native text/json scans can't take them directly; `.sqlite.zst`
+  *    decodes to a capped byte image (no random access in a zstd
+  *    stream), parity with BulkIngest's road. `.json.zst`
   *    (a whole JSON DOCUMENT needing the multiLine scan) and compressed
   *    container formats stay unknown → Failed.
   *  - `.pk1` and `.pickle` → [[PickleImporter]] (documented gap). The
@@ -88,7 +90,8 @@ object AnyFile {
         // peeled inner extension only picks the importer.
         extOf(name.dropRight(last.length)) match {
           case inner @ (".txt" | ".csv" | ".ini" | ".tsv" | ".ant" |
-              ".jsonl" | ".ndjson" | ".warc") => inner
+              ".jsonl" | ".ndjson" | ".warc" |
+              ".sqlite" | ".sqlite3" | ".db") => inner
           case _ => last
         }
       } else last

@@ -421,6 +421,11 @@ object BulkIngest {
         // ranged read — refuse (one Failed row) rather than truncate
         case Some(bs) if bs.exists(_.length > Int.MaxValue.toLong) =>
           failedRow(p, "ImportJSONL")
+        // one frame ⇒ one batch ⇒ the split machinery (count pass + the
+        // ownership protocol) is pure overhead over the identical
+        // one-task file-grain parse — including its Failed semantics
+        case Some(bs) if bs.length == 1 =>
+          parseFiles(spark, Seq(p), partitions = 1)
         case Some(bs) =>
           implicit val eI = Encoders.product[(Int, Long, Long)]
           val units = bs.zipWithIndex.map { case (b, i) => (i, b.offset, b.length) }
@@ -442,7 +447,15 @@ object BulkIngest {
               .collect().toMap
           }
           if (counts.valuesIterator.exists(_ < 0L)) failedRow(p, "ImportJSONL")
-          else {
+          else if (counts.valuesIterator.sum < 2L) {
+            // fewer than two newlines ⇒ at most two lines: the split
+            // machinery buys nothing (one line is one task's work either
+            // way), and only the file-grain road can answer the
+            // degenerate empty / lone-"\n" shapes with its documented
+            // Failed row — route through it so split ≡ file-grain holds
+            // on EVERY input
+            parseFiles(spark, Seq(p), partitions = 1)
+          } else {
             val nl = (0 until bs.length).map(counts)
             // batch 0 owns line 0; batch k's first owned line follows
             // every start before S_k: 1 + Σ_{j<k} nl_j
@@ -495,33 +508,47 @@ object BulkIngest {
   private def zstJsonlLines(
       path: String, off: Long, len: Int, firstLine: Long,
       isFirst: Boolean, isLast: Boolean): Iterator[CellRow] = {
-    val own = new java.io.BufferedInputStream(
-      new com.github.luben.zstd.ZstdInputStream(
-        new java.io.ByteArrayInputStream(FsIO.readRange(path, off, len))),
-      64 << 10)
+    // 64 KiB chunked scan splitting on the '\n' BYTE (unambiguous in
+    // UTF-8) — a per-byte read() loop costs tens of millions of virtual
+    // calls per batch on the big-corpus road's hot path
+    val own = new com.github.luben.zstd.ZstdInputStream(
+      new java.io.ByteArrayInputStream(FsIO.readRange(path, off, len)))
     val rows = Seq.newBuilder[CellRow]
     var idx = firstLine
-    def row(acc: java.io.ByteArrayOutputStream): Unit = {
+    val acc = new java.io.ByteArrayOutputStream()
+    def row(): Unit = {
       rows += CellRow(path, "ImportJSONL", "JSON lines content", "OK", idx,
         Seq(new String(acc.toByteArray, StandardCharsets.UTF_8)))
       idx += 1
       acc.reset()
     }
     try {
-      var b = own.read()
-      var noLines = false
-      if (!isFirst) {
-        // discard the previous batch's tail up to the first own newline;
-        // a batch wholly inside one line owns nothing
-        while (b >= 0 && b != '\n') b = own.read()
-        if (b < 0) noLines = true else b = own.read()
-      }
-      if (!noLines) {
-        val acc = new java.io.ByteArrayOutputStream()
-        while (b >= 0) {
-          if (b == '\n') row(acc) else acc.write(b)
-          b = own.read()
+      val chunk = new Array[Byte](64 << 10)
+      // !isFirst: still discarding the previous batch's tail (up to the
+      // first own newline); a batch wholly inside one line owns nothing
+      var skipping = !isFirst
+      var sawOwnNl = false
+      var n = own.read(chunk)
+      while (n > 0) {
+        var pos = 0
+        while (pos < n) {
+          var k = pos
+          while (k < n && chunk(k) != '\n') k += 1
+          if (k < n) { // newline at k
+            if (skipping) skipping = false
+            else { acc.write(chunk, pos, k - pos); row() }
+            sawOwnNl = true
+            pos = k + 1
+          } else {
+            if (!skipping) acc.write(chunk, pos, n - pos)
+            pos = n
+          }
         }
+        n = own.read(chunk)
+      }
+      if (skipping && !sawOwnNl) {
+        // no newline in the whole own range: owns nothing
+      } else {
         // own range exhausted with a pending OWNED start (mid-line, or a
         // start exactly at the batch end): finish it from the
         // continuation frames; at file end an empty pending start is the
@@ -537,7 +564,7 @@ object BulkIngest {
             if (c == '\n') sawCont = true
           } finally cont.close()
         }
-        if (acc.size() > 0 || sawCont) row(acc)
+        if (acc.size() > 0 || sawCont) row()
       }
     } finally own.close()
     rows.result().iterator

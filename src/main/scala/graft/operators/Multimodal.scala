@@ -916,9 +916,16 @@ object Multimodal {
       *     covers the disposed rect with no transparency (it repaints
       *     every restored pixel opaquely, so background semantics —
       *     which real renderers disagree on — never show). Any other
-      *     disposal-2, and disposal 3 (restore to previous) always,
+      *     disposal-2, disposal 3 (restore to previous) always, and the
+      *     reserved disposals 4-7,
       *     REFUSE (None): a wrong guess would silently corrupt the
-      *     fingerprint (the byte-pool stand-in is the honest fallback).
+      *     fingerprint (the byte-pool stand-in is the honest fallback);
+      *   - FIRST-frame transparency is painted from the palette (there
+      *     is no composited underlay — the canvas would be undefined,
+      *     renderer-dependent background), which is [[gifGray]]'s
+      *     deterministic behavior and what keeps the single-frame
+      *     bit-identity law below; later frames honor transparency
+      *     against the real underlay they composite onto.
       * Returns (width, height, one composited gray canvas per frame);
       * the single-frame result is bit-identical to [[gifGray]]. */
     private[graft] def gifGrayFrames(
@@ -973,7 +980,17 @@ object Multimodal {
             // first frame establishes the whole canvas (see scaladoc)
             if (nFrames == 0 && (left != 0 || top != 0 || fw != w || fh != h))
               return None
-            if (disposal == 3) return None // restore-to-previous: unprovable
+            // disposal 3 (restore to previous) is unprovable; 4-7 are
+            // reserved ("to be defined", §23) — refuse both rather than
+            // guess what a future/foreign renderer would composite
+            if (disposal >= 3) return None
+            // frame 0's transparency has NO composited underlay — the
+            // canvas is undefined there, a renderer-dependent background.
+            // Paint every first-frame pixel from the palette instead
+            // (gifGray's deterministic behavior, keeping the documented
+            // single-frame bit-identity law); later frames honor
+            // transparency against the REAL underlay they composite onto.
+            if (nFrames == 0) transIdx = -1
             if (pendingRestore != null) {
               // the prior frame disposed-to-background: THIS frame must
               // repaint that rect fully and opaquely or the restored

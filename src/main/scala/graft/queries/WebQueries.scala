@@ -294,10 +294,14 @@ object WebQueries {
         .groupByKey(_._1 / WebCorpus.ShardDocs)
         .flatMapGroups { (shard, it) =>
           val docs = it.toSeq.sortBy(_._1)
+          // one digest instance per GROUP, reset between docs — a JCA
+          // provider lookup per document is pure churn at corpus scale
+          val md5 = java.security.MessageDigest.getInstance("MD5")
           val tsv = docs.map { case (id, lang, nch, text) =>
-            s"$id\t$lang\t${java.security.MessageDigest.getInstance("MD5")
-              .digest(text.getBytes(StandardCharsets.UTF_8))
-              .map("%02x".format(_)).mkString}\t$nch"
+            md5.reset()
+            val hx = md5.digest(text.getBytes(StandardCharsets.UTF_8))
+              .map("%02x".format(_)).mkString
+            s"$id\t$lang\t$hx\t$nch"
           }.mkString("", "\n", "\n")
           val tmp = java.nio.file.Files.createTempFile("graft_shard", ".tsv.zst")
           try {

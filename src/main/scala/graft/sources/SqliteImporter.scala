@@ -45,8 +45,19 @@ class SqliteImporter(val spark: SparkSession, val filePath: String)
       // files stay on the ranged road (and their leaf decode runs as a
       // Spark job below).
       val fileLen = try FsIO.len(filePath) catch { case _: Exception => -1L }
+      val lower = filePath.toLowerCase
       val driverSrc: SqliteParser.Source =
-        if (fileLen >= 512 && fileLen <= DriverDecodeBytes)
+        if (lower.endsWith(".zst") || lower.endsWith(".zstd")) {
+          // .sqlite.zst: the page tree needs random access a zstd stream
+          // can't give — materialize the decoded image, capped at
+          // 256 MiB (BulkIngest's sqlite zst road, same refusal law)
+          val in = FsIO.openDecoded(filePath)
+          val bytes =
+            try in.readNBytes((256 << 20) + 1)
+            finally in.close()
+          if (bytes.length > (256 << 20)) return failedAnswer()
+          SqliteParser.BytesSource(bytes)
+        } else if (fileLen >= 512 && fileLen <= DriverDecodeBytes)
           SqliteParser.BytesSource(FsIO.readAllBytes(filePath))
         else SqliteParser.PathSource(filePath)
       SqliteParser.header(driverSrc) match {
@@ -94,7 +105,12 @@ class SqliteImporter(val spark: SparkSession, val filePath: String)
         ParserAnswer(spark.createDataFrame(Seq.empty[Row].asJava, schema),
           filePath, sheetName = t.name, engine = engineName,
           knownRowCount = Some(0L))
-      } else if (h.nPages * h.pageSize.toLong <= DriverDecodeBytes) {
+      } else if (driverSrc.isInstanceOf[SqliteParser.BytesSource] ||
+          h.nPages * h.pageSize.toLong <= DriverDecodeBytes) {
+        // BytesSource stays on the in-image road regardless of size: a
+        // decoded-from-zstd image has NO path the executor road could
+        // ranged-read (the file on disk is compressed bytes) — and the
+        // image is ≤ the 256 MiB decode cap by construction
         val rows = leaves.flatMap(pg =>
           SqliteParser.leafRows(driverSrc, h, pg)
             .map { case (rid, cs) => toRow(rid, cs) })

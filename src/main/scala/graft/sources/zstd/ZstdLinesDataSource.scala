@@ -35,7 +35,10 @@ import scala.jdk.CollectionConverters._
   * EXECUTOR-side: the driver never touches payload bytes. */
 class ZstdLinesDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-zstd-lines"
-  override def supportsExternalMetadata(): Boolean = true
+  // the schema is FIXED (value: STRING): refusing external metadata makes
+  // Spark itself reject a user-supplied schema instead of this provider
+  // silently discarding it
+  override def supportsExternalMetadata(): Boolean = false
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     ZstdLinesDataSource.Schema

@@ -115,6 +115,33 @@ class Round14GifSpec extends AnyFunSuite {
     assert(MediaCodec.gifGrayFrames(transNext).isEmpty)
   }
 
+  test("reserved disposals 4-7 refuse (never composited as a guess)") {
+    for (d <- 4 to 7) {
+      val anim = Containers.gifGray8Anim(W, H,
+        Seq(full(grad(0)).copy(disposal = d), full(grad(1))))
+      assert(MediaCodec.gifGrayFrames(anim).isEmpty, s"disposal $d")
+    }
+  }
+
+  test("first-frame transparency paints from the palette (no undefined canvas)") {
+    val p = grad(0)
+    // declare index 7 transparent on a SINGLE-frame GIF: there is no
+    // underlay, so the decode must keep gifGray's deterministic palette
+    // paint — and hash bit-identically to the flag-less encoding
+    val trans = Containers.gifGray8Anim(W, H, Seq(full(p).copy(transIdx = 7)))
+    val plain = Containers.gifGray8(W, H, p, interlaced = false)
+    val Some((_, _, fs)) = MediaCodec.gifGrayFrames(trans)
+    assert(fs.length == 1 && fs.head.toSeq == p.toSeq)
+    assert(MediaCodec.dhashBands(trans).get.toSeq ==
+      MediaCodec.dhashBands(plain).get.toSeq)
+    // on a LATER frame the same flag composites against the real underlay
+    val patch = Array.fill[Byte](8 * 6)(7) // all-transparent patch
+    val anim = Containers.gifGray8Anim(W, H,
+      Seq(full(p), GifFrame(3, 3, 8, 6, patch, transIdx = 7)))
+    val Some((_, _, fs2)) = MediaCodec.gifGrayFrames(anim)
+    assert(fs2(1).toSeq == p.toSeq) // nothing painted: canvas unchanged
+  }
+
   test("restore-to-background is accepted exactly when provably invisible") {
     // covered by a full opaque next frame: the restore is a no-op
     val covered = Containers.gifGray8Anim(W, H,

@@ -92,6 +92,12 @@ class Round14IngestSpec extends SparkSpec {
     assert(rows.length == 5 && rows.forall(r =>
       r._2 == "ImportSqlite" && r._3 == "OK"))
     assert(rows.map(_._5.head.toLong).toSeq == Seq(10L, 20L, 30L, 40L, 50L))
+    // AnyFile parity: the one-file road answers the same table
+    val a = AnyFile.parse(spark, dir.resolve("d.sqlite.zst").toString)
+    assert(a.length == 1 && !a.head.isFailed &&
+      a.head.engine == "ImportSqlite" && a.head.sheetName == "t")
+    assert(a.head.data.collect().map(_.getString(0).toLong).sorted.toSeq ==
+      Seq(10L, 20L, 30L, 40L, 50L))
   }
 
   test("truncated .zst answers one Failed row, never throws") {
@@ -254,6 +260,24 @@ class Round14IngestSpec extends SparkSpec {
     val rows = cells(BulkIngest.parseTreeAuto(spark, dir.toString,
       bigBytes = 1L)).sortBy(_._4)
     assert(rows.length == 57 && rows.forall(_._3 == "OK"))
+  }
+
+  test("degenerate big .jsonl.zst shapes keep split ≡ file-grain (Failed, not vanished)") {
+    // empty decoded content and a lone "\n" both answer the file-grain
+    // road's one Failed row — the split road must not let the file
+    // silently vanish or emit a phantom OK row
+    for ((name, body) <- Seq(("empty", ""), ("lonenl", "\n"))) {
+      val dir = tmpDir(s"zstdegen$name")
+      // several frames so the split road engages past the 1-batch bypass
+      val b = body.getBytes(StandardCharsets.UTF_8)
+      val frames = frameFile(Seq(b, Array.emptyByteArray, Array.emptyByteArray))
+      java.nio.file.Files.write(dir.resolve("d.jsonl.zst"), frames)
+      val split = cells(BulkIngest.parseTreeAuto(spark, dir.toString,
+        bigBytes = 1L, splitBatchBytes = 1L))
+      val whole = cells(BulkIngest.parseTree(spark, dir.toString))
+      assert(split.toSeq == whole.toSeq, name)
+      assert(split.length == 1 && split.head._3 == "Failed", name)
+    }
   }
 
   test("truncated big .jsonl.zst answers one Failed row, never throws") {
