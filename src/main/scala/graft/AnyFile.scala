@@ -41,6 +41,9 @@ import org.apache.spark.sql.SparkSession
   *    declaration)
   *  - `.warc .warc.gz` → [[WarcImporter]] (beyond the reference's table —
   *    ISO 28500 record catalog, the BulkIngest route's one-file twin)
+  *  - `.tar .tar.gz .tgz .tar.bz2 .tar.zst` → [[TarImporter]] (beyond the
+  *    reference's table — from-spec ustar member catalog for WebDataset
+  *    training shards, the BulkIngest route's one-file twin)
   *  - `.gz .bz2` over a stream-decodable inner extension (`.jsonl.gz`,
   *    `.csv.gz`, `.tsv.gz`, …) → the inner format's importer; the Hadoop
   *    codec layer decompresses inline for scans and sniffers alike
@@ -52,9 +55,10 @@ import org.apache.spark.sql.SparkSession
   *    ZStandardCodec needs a native lib this container lacks, so the
   *    native text/json scans can't take them directly; `.sqlite.zst`
   *    decodes to a capped byte image (no random access in a zstd
-  *    stream), parity with BulkIngest's road. `.json.zst`
-  *    (a whole JSON DOCUMENT needing the multiLine scan) and compressed
-  *    container formats stay unknown → Failed.
+  *    stream), parity with BulkIngest's road; `.json.zst` (a whole JSON
+  *    DOCUMENT the multiLine scan can't decode here) likewise parses
+  *    from a capped decoded image. Compressed container formats with no
+  *    streaming road (`.xlsx.zst`, …) stay unknown → Failed.
   *  - `.pk1` and `.pickle` → [[PickleImporter]] (documented gap). The
   *    reference matches the literal `"pickle"` without a dot, which
   *    `Path.suffix` can never produce (`main.py:161` bug); per SURVEY.md §7
@@ -80,9 +84,13 @@ object AnyFile {
       if (last == ".gz" || last == ".bz2") {
         extOf(name.dropRight(last.length)) match {
           case inner @ (".txt" | ".csv" | ".ini" | ".tsv" | ".ant" |
-              ".jsonl" | ".ndjson" | ".json" | ".warc") => inner
+              ".jsonl" | ".ndjson" | ".json" | ".warc" | ".tar") => inner
           case _ => last
         }
+      } else if (last == ".tgz") {
+        // the conventional .tar.gz contraction; TarImporter supplies the
+        // explicit gzip stream (no codec claims the suffix)
+        ".tar"
       } else if (last == ".zst" || last == ".zstd") {
         // zstd peel: the byte-road importer (.warc) and the line-regime
         // importers (via the graft-zstd-lines DSv2 road — see scaladoc).
@@ -90,7 +98,7 @@ object AnyFile {
         // peeled inner extension only picks the importer.
         extOf(name.dropRight(last.length)) match {
           case inner @ (".txt" | ".csv" | ".ini" | ".tsv" | ".ant" |
-              ".jsonl" | ".ndjson" | ".warc" |
+              ".jsonl" | ".ndjson" | ".json" | ".warc" | ".tar" |
               ".sqlite" | ".sqlite3" | ".db") => inner
           case _ => last
         }
@@ -126,6 +134,7 @@ object AnyFile {
       case ".pptx" => new PptxImporter(spark, path)
       case ".sqlite" | ".sqlite3" | ".db" => new SqliteImporter(spark, path)
       case ".warc" => new WarcImporter(spark, path)
+      case ".tar" => new TarImporter(spark, path)
       case ".pdf"     => new PdfImporter(spark, path, concat = true)
       case ".parquet" => new ParquetImporter(spark, path)
       case ".json"    => new JsonImporter(spark, path)

@@ -174,7 +174,14 @@ object Bench {
         System.err.println(s"[bench] $name failed ${failures(name)}/${attempts(name)} runs")
     }
     writeArtifact(Reps)
-    println(renderLine(Reps))
+    // The JSON line must be the ABSOLUTE LAST stdout line (VERDICT r14
+    // #2/#3: every round's artifact landed `parsed: null` because
+    // Spark/sbt shutdown logging interleaved after it). Stop the session
+    // FIRST — its shutdown chatter goes to stderr/log4j, but ordering it
+    // before the print removes the race entirely — then emit the line and
+    // flush so a driver reading the stdout tail sees valid JSON last.
     spark.stop()
+    println(renderLine(Reps))
+    System.out.flush()
   }
 }

@@ -155,7 +155,7 @@ object BulkIngest {
       len >= bigBytes &&
         (l.endsWith(".xlsx") || l.endsWith(".xlsb") || l.endsWith(".xml") ||
           l.endsWith(".ods") || l.endsWith(".odf") || l.endsWith(".odt") ||
-          l.endsWith(".warc.gz") ||
+          l.endsWith(".warc.gz") || l.endsWith(".tar") ||
           l.endsWith(".jsonl.zst") || l.endsWith(".ndjson.zst") ||
           l.endsWith(".jsonl.zstd") || l.endsWith(".ndjson.zstd"))
     }
@@ -187,7 +187,8 @@ object BulkIngest {
         l.endsWith(".jsonl.zstd") || l.endsWith(".ndjson.zstd")
     }
     val (bigWarcGz, restW) = restZ.partition(_.toLowerCase.endsWith(".warc.gz"))
-    val (bigXlsx, rest0) = restW.partition(_.toLowerCase.endsWith(".xlsx"))
+    val (bigTar, restT) = restW.partition(_.toLowerCase.endsWith(".tar"))
+    val (bigXlsx, rest0) = restT.partition(_.toLowerCase.endsWith(".xlsx"))
     val (bigXlsb, rest1) = rest0.partition(_.toLowerCase.endsWith(".xlsb"))
     val (bigXml, bigOds) = rest1.partition(_.toLowerCase.endsWith(".xml"))
 
@@ -385,6 +386,55 @@ object BulkIngest {
             }.toDF()
       }
     }
+    // big plain-.tar shards (the WebDataset corpus shape): tar IS randomly
+    // accessible once the header chain is walked, so the index job streams
+    // header blocks only (payload skips seek — metadata-speed I/O), groups
+    // whole members into ranged batches, and each batch re-walks its slice
+    // with the identical member-cell digest the file-grain road uses.
+    // row_idx = firstMember + position reproduces whole-file numbering
+    // exactly (member ordinals are intrinsic). Compressed tars
+    // (.tar.gz/.tgz/.tar.zst) have no random access and stay file-grain.
+    // A corrupt index answers one Failed row.
+    val tarBatches: Map[String, Option[Seq[graft.sources.tar.TarWalk.Batch]]] =
+      if (bigTar.isEmpty) Map.empty
+      else spark.sparkContext
+        .parallelize(bigTar, batched(bigTar.length))
+        .map { p =>
+          FsIO.install(props)
+          val r =
+            try Some(graft.sources.tar.TarWalk.memberBatches(p,
+              targetBatchBytes = splitBatchBytes))
+            catch { case _: Exception => None }
+          (p, r)
+        }
+        .collect().toMap
+    val tarDfs: Seq[DataFrame] = bigTar.map { p =>
+      tarBatches(p) match {
+        case None | Some(Seq()) => failedRow(p, "ImportTar")
+        // a single member past Int.MaxValue bytes cannot ride the ranged
+        // read — refuse (one Failed row) rather than truncate
+        case Some(batches) if batches.exists(_.length > Int.MaxValue.toLong) =>
+          failedRow(p, "ImportTar")
+        case Some(batches) =>
+          implicit val e3 = Encoders.product[(Long, Long, Long)]
+          val units = batches.map(b => (b.offset, b.length, b.firstMember))
+          spark.createDataset(units)
+            .repartition(math.max(1, math.min(units.length, parts)))
+            .mapPartitions { it =>
+              FsIO.install(props)
+              import graft.sources.tar.TarWalk
+              it.flatMap { case (off, len, firstMember) =>
+                val slice = new java.io.ByteArrayInputStream(
+                  FsIO.readRange(p, off, len.toInt))
+                TarWalk.walk(slice)(TarWalk.memberCells).zipWithIndex.map {
+                  case (cells, i) =>
+                    CellRow(p, "ImportTar", "TAR members", "OK",
+                      firstMember + i, cells)
+                }
+              }
+            }.toDF()
+      }
+    }
     // big .jsonl.zst corpora (the Pile / pzstd shape): zstd has no random
     // access WITHIN a frame, but parallel compressors cut input into many
     // independent frames — so the planner's index job walks the RFC 8878
@@ -476,7 +526,8 @@ object BulkIngest {
           }
       }
     }
-    (bigDfs ++ xmlDfs ++ odsDfs ++ warcDfs ++ zstDfs).foldLeft(base)(_ union _)
+    (bigDfs ++ xmlDfs ++ odsDfs ++ warcDfs ++ tarDfs ++ zstDfs)
+      .foldLeft(base)(_ union _)
   }
 
   /** Count pass for the big-`.jsonl.zst` road: newlines in ONE batch's
@@ -637,22 +688,27 @@ object BulkIngest {
       if (last == ".gz" || last == ".bz2") {
         extOf(name.dropRight(last.length)) match {
           case inner @ (".txt" | ".csv" | ".ini" | ".tsv" | ".ant" |
-              ".jsonl" | ".ndjson" | ".json" | ".warc") => (inner, false)
+              ".jsonl" | ".ndjson" | ".json" | ".warc" | ".tar") =>
+            (inner, false)
           case _ => (last, false)
         }
+      } else if (last == ".tgz") {
+        // the conventional contraction of .tar.gz; tar() decodes through
+        // an explicit gzip stream (no codec claims the .tgz suffix)
+        (".tar", false)
       } else if (last == ".zst" || last == ".zstd") {
         // `.zst` peel (The Pile and most modern corpora ship `.jsonl.zst`):
         // zstd decodes through zstd-jni in FsIO.openDecoded, so every
         // BYTE-ROAD parser here works unchanged. Spark's native json/text
         // scans cannot decode zstd in this container (Hadoop's
         // ZStandardCodec needs a native lib), so jsonl/ndjson leave the
-        // Native-marker road for a decoded line road, and sqlite — whose
-        // pages need random access gzip/zstd can't give — decodes to a
-        // capped byte image. `.json.zst` (one JSON DOCUMENT, not lines)
-        // has no byte road and stays unknown → Failed, honestly.
+        // Native-marker road for a decoded line road; sqlite — whose
+        // pages need random access gzip/zstd can't give — and `.json`
+        // (one JSON DOCUMENT, not lines) decode to a capped byte image;
+        // `.tar.zst` streams through the member walk like `.tar.gz`.
         extOf(name.dropRight(last.length)) match {
           case inner @ (".txt" | ".csv" | ".ini" | ".tsv" | ".ant" |
-              ".jsonl" | ".ndjson" | ".warc" |
+              ".jsonl" | ".ndjson" | ".json" | ".warc" | ".tar" |
               ".sqlite" | ".sqlite3" | ".db") => (inner, true)
           case _ => (last, false)
         }
@@ -677,9 +733,11 @@ object BulkIngest {
         case ".pptx" => pptx(path)
         case ".sqlite" | ".sqlite3" | ".db" => sqlite(path, decoded = zstd)
         case ".warc" => warc(path)
+        case ".tar" => tar(path)
         case ".parquet" =>
           Seq(CellRow(path, "ImportParquet", "Parquet file content",
             "Native", -1L, Seq.empty))
+        case ".json" if zstd => jsonDocBytes(path)
         case ".json" =>
           Seq(CellRow(path, "ImportJSON", "JSON file content",
             "Native", -1L, Seq.empty))
@@ -704,10 +762,28 @@ object BulkIngest {
     case ".pptx" => "ImportPptx"
     case ".sqlite" | ".sqlite3" | ".db" => "ImportSqlite"
     case ".warc" => "ImportWARC"
+    case ".tar" => "ImportTar"
     // byte roads that can throw mid-decode (truncated .jsonl.zst)
     case ".jsonl" | ".ndjson" => "ImportJSONL"
     case ".json" => "ImportJSON"
     case _ => ""
+  }
+
+  /** Decoded-image cap shared by the compressed byte roads that must
+    * materialize a whole decoded stream in one task (`.jsonl.zst` lines,
+    * `.sqlite.zst` page images, `.json.zst` documents): zstd ratios run
+    * past 100×, so a file under the planner's COMPRESSED big-file
+    * threshold can still inflate far beyond a task heap — refuse (one
+    * Failed row) past 256 MiB decoded rather than drive the allocation
+    * (ADVICE r14 #2). Reads cap+1 so overflow is detected, never
+    * truncated into a silently-partial parse. */
+  private final val DecodedCapBytes: Int = 256 << 20
+  private def readDecodedCapped(path: String): Option[Array[Byte]] = {
+    val in = FsIO.openDecoded(path)
+    val bytes =
+      try in.readNBytes(DecodedCapBytes + 1)
+      finally in.close()
+    if (bytes.length > DecodedCapBytes) None else Some(bytes)
   }
 
   /** JSON-lines BYTE road — only for codec suffixes Spark's native json
@@ -715,18 +791,37 @@ object BulkIngest {
     * line, the raw JSON text as the single cell, the same
     * strip-trailing-newline law as [[text]]. Plain/gz forms keep the
     * Native marker (the scan decodes those inline and stays splittable);
-    * this road is one task per file, the shape gzip already forces. */
+    * this road is one task per file, the shape gzip already forces.
+    * Lines split on the '\n' BYTE (unambiguous in UTF-8) straight off the
+    * decoded image — one copy per line, no whole-file String or split
+    * array; decoded size past the cap refuses into one Failed row (a big
+    * CONFORMING corpus takes the frame-split road in [[parseTreeAuto]]). */
   private def jsonLinesBytes(path: String): Seq[CellRow] = {
-    val raw = new String(FsIO.readAllBytesDecoded(path), StandardCharsets.UTF_8)
-    val lines = raw.split("\n", -1).toSeq match {
-      case init :+ "" => init
-      case ls => ls
+    def failed = Seq(CellRow(path, "ImportJSONL", "None", "Failed", -1L, Seq.empty))
+    val bytes = readDecodedCapped(path).getOrElse(return failed)
+    if (bytes.isEmpty) return failed
+    val rows = Seq.newBuilder[CellRow]
+    var idx = 0L
+    var pos = 0
+    while (pos <= bytes.length) {
+      var k = pos
+      while (k < bytes.length && bytes(k) != '\n') k += 1
+      // trailing newline: no phantom last row (pos == length with nothing
+      // pending only happens after a final '\n')
+      if (k < bytes.length || pos < bytes.length) {
+        rows += CellRow(path, "ImportJSONL", "JSON lines content", "OK", idx,
+          Seq(new String(bytes, pos, k - pos, StandardCharsets.UTF_8)))
+        idx += 1
+      }
+      pos = k + 1
     }
-    if (lines.isEmpty || (lines.lengthIs == 1 && lines.head.isEmpty))
-      Seq(CellRow(path, "ImportJSONL", "None", "Failed", -1L, Seq.empty))
-    else lines.zipWithIndex.map { case (l, i) =>
-      CellRow(path, "ImportJSONL", "JSON lines content", "OK", i.toLong, Seq(l))
-    }
+    val out = rows.result()
+    // a lone "\n" (one empty line) answers Failed, matching the text
+    // road's no-content law — same answer the file gave before round 15
+    if (out.isEmpty ||
+      (out.lengthIs == 1 && out.head.cells.headOption.forall(_.isEmpty)))
+      failed
+    else out
   }
 
   private def sheetRows(
@@ -906,12 +1001,8 @@ object BulkIngest {
     // uncompressed where pages read ranged).
     val src: SqliteParser.Source =
       if (decoded) {
-        val in = FsIO.openDecoded(path)
-        val bytes =
-          try in.readNBytes((256 << 20) + 1)
-          finally in.close()
-        if (bytes.length > (256 << 20))
-          return Seq(CellRow(path, "ImportSqlite", "None", "Failed", -1L, Seq.empty))
+        val bytes = readDecodedCapped(path).getOrElse(
+          return Seq(CellRow(path, "ImportSqlite", "None", "Failed", -1L, Seq.empty)))
         SqliteParser.BytesSource(bytes)
       } else {
         val fileLen = try FsIO.len(path) catch { case _: Exception => -1L }
@@ -946,6 +1037,55 @@ object BulkIngest {
             }
           } catch { case _: Exception => bad }
         }
+    }
+  }
+
+  /** Whole-document JSON BYTE road — only for codec suffixes Spark's
+    * multiLine json scan cannot decode in this container (`.json.zst`):
+    * the decoded document (capped, see [[readDecodedCapped]]) as ONE OK
+    * row whose single cell is the raw JSON text, after the same
+    * first-structural-char gate the AnyFile importer applies (`[` records
+    * orient or `{` columns orient; anything else answers Failed). */
+  private def jsonDocBytes(path: String): Seq[CellRow] = {
+    def failed = Seq(CellRow(path, "ImportJSON", "None", "Failed", -1L, Seq.empty))
+    val bytes = readDecodedCapped(path).getOrElse(return failed)
+    var i = 0
+    while (i < bytes.length &&
+      Character.isWhitespace((bytes(i) & 0xff).toChar)) i += 1
+    if (i >= bytes.length || (bytes(i) != '[' && bytes(i) != '{')) return failed
+    Seq(CellRow(path, "ImportJSON", "JSON file content", "OK", 0L,
+      Seq(new String(bytes, StandardCharsets.UTF_8))))
+  }
+
+  /** Tar member catalog (WebDataset shard layout — the dominant container
+    * multimodal training corpora ship in: `key.jpg` + `key.txt` +
+    * `key.json` member groups): one row per REGULAR member — name,
+    * typeflag, size, payload md5 — via the from-spec ustar walk
+    * ([[graft.sources.tar.TarWalk]]: 512-byte headers, octal/base-256
+    * sizes, checksum verification, GNU 'L' longnames, PAX 'x' path/size
+    * overrides). Payloads stream through the digest without ever being
+    * materialized, so the task heap holds one 64 KiB chunk regardless of
+    * member size. Compressed forms (`.tar.gz`/`.tgz`/`.tar.bz2`/
+    * `.tar.zst`) decode inline; `.tgz` needs the explicit gzip stream (no
+    * Hadoop codec claims that contraction). An archive with no members,
+    * or one whose header walk breaks (truncated header, bad checksum,
+    * short payload), answers ONE Failed row — the reference's per-file
+    * isolation contract. Member PAIRING into samples is the consumer's
+    * job ([[WebDataset.samples]]; q188 runs the image decode + caption
+    * stats over paired groups). */
+  private def tar(path: String): Seq[CellRow] = {
+    import graft.sources.tar.TarWalk
+    val in =
+      if (FsIO.fileName(path).toLowerCase.endsWith(".tgz"))
+        new java.io.BufferedInputStream(
+          new java.util.zip.GZIPInputStream(FsIO.open(path)), 64 << 10)
+      else FsIO.openDecoded(path)
+    val rows =
+      try TarWalk.walk(in)(TarWalk.memberCells) finally in.close()
+    if (rows.isEmpty)
+      Seq(CellRow(path, "ImportTar", "None", "Failed", -1L, Seq.empty))
+    else rows.zipWithIndex.map { case (cells, i) =>
+      CellRow(path, "ImportTar", "TAR members", "OK", i.toLong, cells)
     }
   }
 

@@ -910,16 +910,17 @@ object Multimodal {
       *     and 1 (do not dispose) paint onto the persisting canvas, with
       *     GCE-transparent indices leaving the underlying pixel intact —
       *     the standard delta-frame animation encoding;
-      *   - disposal 2 (restore to background) is accepted exactly when
-      *     the restore is PROVABLY invisible: on the last frame (nothing
-      *     after it reads the canvas), or when the NEXT frame fully
-      *     covers the disposed rect with no transparency (it repaints
-      *     every restored pixel opaquely, so background semantics —
-      *     which real renderers disagree on — never show). Any other
-      *     disposal-2, disposal 3 (restore to previous) always, and the
-      *     reserved disposals 4-7,
-      *     REFUSE (None): a wrong guess would silently corrupt the
-      *     fingerprint (the byte-pool stand-in is the honest fallback);
+      *   - disposal 2 (restore to background) and disposal 3 (restore to
+      *     previous) are accepted exactly when the restore is PROVABLY
+      *     invisible: on the last frame (nothing after it reads the
+      *     canvas), or when the NEXT frame fully covers the disposed rect
+      *     with no transparency (it repaints every restored pixel
+      *     opaquely, so the restored content — background semantics real
+      *     renderers disagree on for 2, the folklore-divergent "previous"
+      *     state for 3 — never reaches a composited frame). Any other
+      *     disposal-2/3, and the reserved disposals 4-7, REFUSE (None): a
+      *     wrong guess would silently corrupt the fingerprint (the
+      *     byte-pool stand-in is the honest fallback);
       *   - FIRST-frame transparency is painted from the palette (there
       *     is no composited underlay — the canvas would be undefined,
       *     renderer-dependent background), which is [[gifGray]]'s
@@ -980,10 +981,10 @@ object Multimodal {
             // first frame establishes the whole canvas (see scaladoc)
             if (nFrames == 0 && (left != 0 || top != 0 || fw != w || fh != h))
               return None
-            // disposal 3 (restore to previous) is unprovable; 4-7 are
-            // reserved ("to be defined", §23) — refuse both rather than
-            // guess what a future/foreign renderer would composite
-            if (disposal >= 3) return None
+            // disposals 4-7 are reserved ("to be defined", §23) — refuse
+            // rather than guess what a future renderer would composite;
+            // 2 and 3 defer to the provable-invisibility check below
+            if (disposal >= 4) return None
             // frame 0's transparency has NO composited underlay — the
             // canvas is undefined there, a renderer-dependent background.
             // Paint every first-frame pixel from the palette instead
@@ -992,9 +993,9 @@ object Multimodal {
             // transparency against the REAL underlay they composite onto.
             if (nFrames == 0) transIdx = -1
             if (pendingRestore != null) {
-              // the prior frame disposed-to-background: THIS frame must
-              // repaint that rect fully and opaquely or the restored
-              // pixels (renderer-dependent) would reach the canvas
+              // the prior frame disposed to background/previous: THIS
+              // frame must repaint that rect fully and opaquely or the
+              // restored pixels (renderer-dependent) would reach the canvas
               val covered = left <= pendingRestore(0) &&
                 top <= pendingRestore(1) &&
                 left + fw >= pendingRestore(0) + pendingRestore(2) &&
@@ -1060,9 +1061,10 @@ object Multimodal {
             }
             frames += canvas.clone()
             nFrames += 1
-            // disposal 2 defers: the NEXT frame (or the trailer — a final
+            // disposal 2/3 defer: the NEXT frame (or the trailer — a final
             // frame's restore is never observed) decides acceptability
-            if (disposal == 2) pendingRestore = Array(left, top, fw, fh)
+            if (disposal == 2 || disposal == 3)
+              pendingRestore = Array(left, top, fw, fh)
             disposal = 0; transIdx = -1
           case 0x3b =>
             return if (nFrames == 0) None else Some((w, h, frames.result()))

@@ -90,9 +90,27 @@ class JsonImporter(val spark: SparkSession, val filePath: String)
   def work(): Seq[ParserAnswer] = {
     try {
       val head = firstStructuralChar(filePath)
+      val lower = filePath.toLowerCase
+      val zst = lower.endsWith(".zst") || lower.endsWith(".zstd")
       val df = head match {
+        case Some('[') if zst =>
+          // Spark's multiLine json scan can't decode zstd here (native
+          // ZStandardCodec), so the records orient parses from a capped
+          // decoded byte image — the `.sqlite.zst` pattern. The json
+          // reader explodes a root array into one row per element, the
+          // same rows the path scan yields; a document past the cap
+          // refuses (Failed) rather than drive a driver-heap allocation.
+          val in = FsIO.openDecoded(filePath)
+          val cap = 256 << 20
+          val bytes = try in.readNBytes(cap + 1) finally in.close()
+          if (bytes.length > cap) return failedAnswer()
+          import spark.implicits._
+          spark.read.json(spark.createDataset(Seq(
+            new String(bytes, java.nio.charset.StandardCharsets.UTF_8))))
         case Some('[') =>
           spark.read.option("multiLine", "true").json(filePath)
+        // the columns orient reads through openDecoded already — the
+        // driver-side pivot is codec-blind
         case Some('{') => pivotColumnsOrient()
         case _         => return failedAnswer()
       }

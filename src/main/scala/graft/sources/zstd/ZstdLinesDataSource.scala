@@ -73,10 +73,22 @@ class ZstdLinesTable(path: String) extends Table with SupportsRead {
           Array(ZstdLinesPartition(path))
         override def createReaderFactory(): PartitionReaderFactory = {
           // ship the driver's Hadoop conf so executor-side byte access
-          // works on hdfs:/s3a: URIs (factories serialize to executors)
-          val props = org.apache.spark.sql.SparkSession.getActiveSession
-            .map(graft.sources.FsIO.captureProps)
-            .getOrElse(Map.empty[String, String])
+          // works on hdfs:/s3a: URIs (factories serialize to executors).
+          // Planning can run on a thread with no ACTIVE session (AQE /
+          // thread pools) — fall back to the default session; with NO
+          // session at all, a remote URI must fail fast HERE with a clear
+          // message, not executor-side with an obscure empty-conf FS
+          // error (ADVICE r14 #4)
+          val sess = org.apache.spark.sql.SparkSession.getActiveSession
+            .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+          val props = sess.map(graft.sources.FsIO.captureProps).getOrElse {
+            val scheme = graft.sources.FsIO.hpath(path).toUri.getScheme
+            if (scheme != null && scheme != "file")
+              throw new IllegalStateException(
+                "graft-zstd-lines: no SparkSession on the planning thread " +
+                s"to capture Hadoop conf for remote URI $path")
+            Map.empty[String, String]
+          }
           new ZstdLinesReaderFactory(props)
         }
       }

@@ -95,10 +95,14 @@ class Round14GifSpec extends AnyFunSuite {
     assert(hamming(ba, bb) <= 3)
   }
 
-  test("restore-to-previous always refuses; unprovable restore-to-background refuses") {
-    // disposal 3: never provable
+  test("unprovable restore-to-previous and restore-to-background refuse") {
+    // disposal 3 followed by a PARTIAL next frame: the restored pixels
+    // (renderer folklore diverges on "previous") would reach the canvas —
+    // refuse (round 15 extends the disposal-2 invisibility proof to 3;
+    // the ACCEPTED cases live in Round15GifSpec)
     val d3 = Containers.gifGray8Anim(W, H,
-      Seq(full(grad(0)).copy(disposal = 3), full(grad(1))))
+      Seq(full(grad(0)).copy(disposal = 3),
+        GifFrame(2, 2, 8, 6, new Array[Byte](48))))
     assert(MediaCodec.gifGrayFrames(d3).isEmpty)
     assert(MediaCodec.dhashBands(d3).isDefined) // byte-pool stand-in road
     // disposal 2 followed by a PARTIAL next frame: the restored pixels

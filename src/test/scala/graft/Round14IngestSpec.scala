@@ -122,12 +122,8 @@ class Round14IngestSpec extends SparkSpec {
       zst(Array[Byte](1, 2, 3, 4)))
     val rows = cells(BulkIngest.parseTree(spark, dir.toString))
     assert(rows.length == 1 && rows.head._3 == "Failed")
-    // `.json.zst` (whole JSON document — needs the multiLine scan) has
-    // no zstd road either: unknown → Failed, never mis-parsed
-    java.nio.file.Files.write(dir.resolve("d.json.zst"),
-      zst("[{\"a\":1}]".getBytes(StandardCharsets.UTF_8)))
-    val a = AnyFile.parse(spark, dir.resolve("d.json.zst").toString)
-    assert(a.length == 1 && a.head.isFailed)
+    // (`.json.zst` gained a capped decoded-image road in round 15 —
+    // Round15IngestSpec owns its laws now)
   }
 
   test("AnyFile one-file road: .csv.zst / .tsv.zst parse like their plain twins") {

@@ -56,7 +56,9 @@ class ShuffleAuditSpec extends SparkSpec {
     "q179_warc_ingest" -> ((1024.0,
       "record: WARC shard assembly IS the corpus-write exchange — each page moves to its shard exactly once")),
     "q182_sqlite_roundtrip" -> ((1024.0,
-      "record: SQLite shard assembly IS the corpus-write exchange (q179's shape) — each doc moves to its shard exactly once; bodies reduce to md5 before the presentation sort")))
+      "record: SQLite shard assembly IS the corpus-write exchange (q179's shape) — each doc moves to its shard exactly once; bodies reduce to md5 before the presentation sort")),
+    "q188_tar_webdataset" -> ((1024.0,
+      "record: tar shard assembly IS the corpus-write exchange (q179's shape) — each doc moves to its shard exactly once; payloads reduce to digests/bands before the presentation sort (measured 124 B/rec at sf0.001 — the override is compression-variance headroom)")))
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     val (ceiling, why) = ceilingOverrides.getOrElse(name, (DefaultCeiling, "digest-grain default"))
