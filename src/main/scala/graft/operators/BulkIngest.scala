@@ -156,6 +156,7 @@ object BulkIngest {
         (l.endsWith(".xlsx") || l.endsWith(".xlsb") || l.endsWith(".xml") ||
           l.endsWith(".ods") || l.endsWith(".odf") || l.endsWith(".odt") ||
           l.endsWith(".warc.gz") || l.endsWith(".tar") ||
+          l.endsWith(".tar.zst") || l.endsWith(".tar.zstd") ||
           l.endsWith(".jsonl.zst") || l.endsWith(".ndjson.zst") ||
           l.endsWith(".jsonl.zstd") || l.endsWith(".ndjson.zstd"))
     }
@@ -186,7 +187,11 @@ object BulkIngest {
       l.endsWith(".jsonl.zst") || l.endsWith(".ndjson.zst") ||
         l.endsWith(".jsonl.zstd") || l.endsWith(".ndjson.zstd")
     }
-    val (bigWarcGz, restW) = restZ.partition(_.toLowerCase.endsWith(".warc.gz"))
+    val (bigTarZst, restTz) = restZ.partition { p =>
+      val l = p.toLowerCase
+      l.endsWith(".tar.zst") || l.endsWith(".tar.zstd")
+    }
+    val (bigWarcGz, restW) = restTz.partition(_.toLowerCase.endsWith(".warc.gz"))
     val (bigTar, restT) = restW.partition(_.toLowerCase.endsWith(".tar"))
     val (bigXlsx, rest0) = restT.partition(_.toLowerCase.endsWith(".xlsx"))
     val (bigXlsb, rest1) = rest0.partition(_.toLowerCase.endsWith(".xlsb"))
@@ -435,6 +440,127 @@ object BulkIngest {
             }.toDF()
       }
     }
+    // big .tar.zst shards: zstd frames with DECLARED decoded sizes
+    // (Frame_Content_Size — pzstd and one-shot compressors write it)
+    // admit DECODED-offset ranged access: the index job walks the frame
+    // table (ZstdFrames.frames, no decompression) and the tar header
+    // chain (one decode-and-discard pass at I/O speed — the
+    // gzMemberBatches precedent), then each batch of whole members
+    // becomes a ranged task over its covering frames: read the
+    // compressed slice, decode, drop the lead bytes, walk the members.
+    // row_idx = firstMember + position ≡ whole-file numbering. Frames
+    // WITHOUT a declared decoded size (streaming-mode compressors) fall
+    // back to the one-task file-grain road, honestly — with no FCS there
+    // is no decoded-offset arithmetic to split on. (`.tar.gz` is a
+    // single gzip stream: no random access at all, always file-grain.)
+    // A corrupt index answers one Failed row.
+    val tarZstIdx: Map[String,
+        Option[Option[(Seq[graft.sources.zstd.ZstdFrames.Frame],
+          Seq[graft.sources.tar.TarWalk.Extent])]]] =
+      if (bigTarZst.isEmpty) Map.empty
+      else spark.sparkContext
+        .parallelize(bigTarZst, batched(bigTarZst.length))
+        .map { p =>
+          FsIO.install(props)
+          // outer None = corrupt (Failed row); Some(None) = valid but
+          // unsplittable (no FCS) → file-grain; Some(Some(_)) = split
+          val r =
+            try {
+              val frames = graft.sources.zstd.ZstdFrames.frames(p)
+              if (frames.exists(f => f.isData && f.decoded < 0)) Some(None)
+              else {
+                val in = new java.io.BufferedInputStream(
+                  new com.github.luben.zstd.ZstdInputStream(FsIO.open(p)),
+                  64 << 10)
+                val extents =
+                  try graft.sources.tar.TarWalk.memberExtents(in)
+                  finally in.close()
+                Some(Some((frames, extents)))
+              }
+            } catch { case _: Exception => None }
+          (p, r)
+        }
+        .collect().toMap
+    val tarZstDfs: Seq[DataFrame] = bigTarZst.map { p =>
+      tarZstIdx(p) match {
+        case None => failedRow(p, "ImportTar")
+        case Some(None) => parseFiles(spark, Seq(p), partitions = 1)
+        // no regular members: only the file-grain road answers the
+        // documented Failed semantics
+        case Some(Some((_, extents))) if extents.isEmpty =>
+          parseFiles(spark, Seq(p), partitions = 1)
+        // one data frame ⇒ every ranged task would decode from the same
+        // frame start (no parallel decode exists) — one honest task
+        case Some(Some((frames, _))) if frames.count(_.isData) <= 1 =>
+          parseFiles(spark, Seq(p), partitions = 1)
+        case Some(Some((frames, extents))) =>
+          // group member extents (DECODED offsets) into batches
+          val mb = Seq.newBuilder[(Long, Long, Long)]
+          var bs = -1L; var be = -1L; var bf = 0L; var mIdx = 0L
+          extents.foreach { e =>
+            if (bs < 0) { bs = e.start; bf = mIdx }
+            be = e.end
+            if (be - bs >= splitBatchBytes) { mb += ((bs, be, bf)); bs = -1L }
+            mIdx += 1
+          }
+          if (bs >= 0) mb += ((bs, be, bf))
+          val memBatches = mb.result()
+          val decStart = frames.scanLeft(0L)((a, f) => a + math.max(0L, f.decoded))
+          def frameAt(dOff: Long): Int = {
+            var i = 0
+            while (i < frames.length) {
+              if (frames(i).isData && dOff >= decStart(i) &&
+                dOff < decStart(i) + frames(i).decoded) return i
+              i += 1
+            }
+            -1
+          }
+          // (compressedOff, compressedLen, leadSkip, decodedLen, firstMember)
+          val units = memBatches.map { case (dStart, dEnd, firstMember) =>
+            val f0 = frameAt(dStart)
+            val f1 = frameAt(dEnd - 1)
+            if (f0 < 0 || f1 < 0) null // FCS lied about the decoded size
+            else {
+              val cOff = frames(f0).offset
+              val cLen = frames(f1).offset + frames(f1).length - cOff
+              (cOff, cLen, dStart - decStart(f0), dEnd - dStart, firstMember)
+            }
+          }
+          if (memBatches.length <= 1) parseFiles(spark, Seq(p), partitions = 1)
+          else if (units.contains(null) ||
+            units.exists(_._2 > Int.MaxValue.toLong))
+            failedRow(p, "ImportTar")
+          else {
+            implicit val e5 = Encoders.product[(Long, Long, Long, Long, Long)]
+            spark.createDataset(units)
+              .repartition(math.max(1, math.min(units.length, parts)))
+              .mapPartitions { it =>
+                FsIO.install(props)
+                import graft.sources.tar.TarWalk
+                it.flatMap { case (cOff, cLen, lead, dLen, firstMember) =>
+                  val in = new java.io.BufferedInputStream(
+                    new com.github.luben.zstd.ZstdInputStream(
+                      new java.io.ByteArrayInputStream(
+                        FsIO.readRange(p, cOff, cLen.toInt))), 64 << 10)
+                  try {
+                    var left = lead
+                    while (left > 0) {
+                      val k = in.skip(left)
+                      if (k > 0) left -= k
+                      else if (in.read() >= 0) left -= 1
+                      else throw new java.io.EOFException("tar.zst lead skip")
+                    }
+                    TarWalk.walk(new LimitStream(in, dLen))(TarWalk.memberCells)
+                      .zipWithIndex.map { case (cells, i) =>
+                        CellRow(p, "ImportTar", "TAR members", "OK",
+                          firstMember + i, cells)
+                      }
+                  } finally in.close()
+                }
+              }.toDF()
+          }
+      }
+    }
     // big .jsonl.zst corpora (the Pile / pzstd shape): zstd has no random
     // access WITHIN a frame, but parallel compressors cut input into many
     // independent frames — so the planner's index job walks the RFC 8878
@@ -526,7 +652,7 @@ object BulkIngest {
           }
       }
     }
-    (bigDfs ++ xmlDfs ++ odsDfs ++ warcDfs ++ tarDfs ++ zstDfs)
+    (bigDfs ++ xmlDfs ++ odsDfs ++ warcDfs ++ tarDfs ++ tarZstDfs ++ zstDfs)
       .foldLeft(base)(_ union _)
   }
 
@@ -1086,6 +1212,28 @@ object BulkIngest {
       Seq(CellRow(path, "ImportTar", "None", "Failed", -1L, Seq.empty))
     else rows.zipWithIndex.map { case (cells, i) =>
       CellRow(path, "ImportTar", "TAR members", "OK", i.toLong, cells)
+    }
+  }
+
+  /** Reads at most `limit` bytes then answers EOF — the decoded-range
+    * view the big-`.tar.zst` road hands [[graft.sources.tar.TarWalk]], so
+    * a batch's walk ends at its last member's padded end (the lenient
+    * block-boundary EOF) instead of running into the next batch's
+    * members. */
+  private final class LimitStream(in: java.io.InputStream, limit: Long)
+      extends java.io.InputStream {
+    private var left = limit
+    override def read(): Int = {
+      if (left <= 0) return -1
+      val v = in.read()
+      if (v >= 0) left -= 1
+      v
+    }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      if (left <= 0) return -1
+      val n = in.read(b, off, math.min(len.toLong, left).toInt)
+      if (n > 0) left -= n
+      n
     }
   }
 

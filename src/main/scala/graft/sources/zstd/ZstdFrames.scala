@@ -28,15 +28,31 @@ object ZstdFrames {
   /** One batch of whole frames: `offset`/`length` in COMPRESSED bytes. */
   final case class Batch(offset: Long, length: Long)
 
+  /** One frame: compressed `offset`/`length`, and `decoded` = the frame's
+    * DECODED size when its header declares it (Frame_Content_Size —
+    * one-shot compressors and pzstd write it; streaming-mode frames may
+    * omit it → -1; skippable frames are 0). A declared decoded size is
+    * what makes DECODED-offset ranged access possible (the big-`.tar.zst`
+    * road): prefix sums over `decoded` map any decoded offset to the
+    * frame that materializes it. */
+  final case class Frame(
+      offset: Long, length: Long, isData: Boolean, decoded: Long)
+
   private val DataMagic = 0xfd2fb528L
   private val SkippableBase = 0x184d2a50L
 
   /** Compressed byte ranges of every frame, in file order; data frames
     * and skippable frames both appear (`isData` distinguishes). */
-  def frameRanges(path: String): Seq[(Long, Long, Boolean)] = {
+  def frameRanges(path: String): Seq[(Long, Long, Boolean)] =
+    frames(path).map(f => (f.offset, f.length, f.isData))
+
+  /** Every frame with its declared decoded size — same walk, FCS parsed
+    * instead of skipped (RFC 8878 §3.1.1.1: 2-byte fields store
+    * value − 256). */
+  def frames(path: String): Seq[Frame] = {
     val in = new BufferedInputStream(FsIO.open(path), 256 << 10)
     try {
-      val out = Seq.newBuilder[(Long, Long, Boolean)]
+      val out = Seq.newBuilder[Frame]
       var pos = 0L
       var magic0 = readMagic(in)
       while (magic0 >= 0) {
@@ -46,7 +62,7 @@ object ZstdFrames {
         if ((magic & 0xfffffff0L) == SkippableBase) {
           val sz = readLE(in, 4); pos += 4
           skipFully(in, sz); pos += sz
-          out += ((start, pos - start, false))
+          out += Frame(start, pos - start, isData = false, decoded = 0L)
         } else if (magic == DataMagic) {
           // frame header: descriptor, window, dictionary id, FCS
           val desc = read1(in); pos += 1
@@ -61,7 +77,13 @@ object ZstdFrames {
             case 1 => 2; case 2 => 4; case _ => 8
           }
           if (!singleSegment) { read1(in); pos += 1 } // window descriptor
-          skipFully(in, didBytes + fcsBytes); pos += didBytes + fcsBytes
+          skipFully(in, didBytes); pos += didBytes
+          val decoded =
+            if (fcsBytes == 0) -1L
+            else {
+              val raw = readLE(in, fcsBytes); pos += fcsBytes
+              if (fcsBytes == 2) raw + 256L else raw
+            }
           // block walk: 3-byte LE header = last(1) | type(2) | size(21)
           var last = false
           while (!last) {
@@ -78,13 +100,13 @@ object ZstdFrames {
             skipFully(in, payload); pos += payload
           }
           if ((desc & 0x04) != 0) { skipFully(in, 4); pos += 4 } // checksum
-          out += ((start, pos - start, true))
+          out += Frame(start, pos - start, isData = true, decoded)
         } else bad(f"not a zstd frame magic: 0x$magic%08x")
         magic0 = readMagic(in)
       }
-      val frames = out.result()
-      if (!frames.exists(_._3)) bad("no data frames")
-      frames
+      val all = out.result()
+      if (!all.exists(_.isData)) bad("no data frames")
+      all
     } finally in.close()
   }
 

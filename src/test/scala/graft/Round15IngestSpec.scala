@@ -204,13 +204,16 @@ class Round15IngestSpec extends SparkSpec {
     assert(!az.isFailed && az.data.count() == members.length.toLong)
   }
 
-  test("big-tar split road ≡ file-grain (ranged member batches)") {
-    val dir = tmpDir("tarsplit")
-    val many = (0 until 40).flatMap { i =>
+  private def manyMembers: Seq[(String, Array[Byte])] =
+    (0 until 40).flatMap { i =>
       val key = "%06d".format(i)
       Seq(s"$key.txt" -> utf8(s"caption $i " * 50),
         s"$key.bin" -> Array.tabulate[Byte](1500)(j => ((i * 31 + j) % 256).toByte))
     }
+
+  test("big-tar split road ≡ file-grain (ranged member batches)") {
+    val dir = tmpDir("tarsplit")
+    val many = manyMembers
     val p = dir.resolve("big.tar")
     java.nio.file.Files.write(p, TarBuild.archive(many))
     // the index pass really splits at these thresholds
@@ -226,6 +229,62 @@ class Round15IngestSpec extends SparkSpec {
       .sortBy(_._1)
     assert(auto.length == many.length)
     assert(auto.toSeq == fileGrain.toSeq)
+  }
+
+  test("big .tar.zst split road ≡ file-grain (FCS-declared decoded ranges)") {
+    val dir = tmpDir("tarzstsplit")
+    val tar = TarBuild.archive(manyMembers)
+    // multi-frame ONE-SHOT compression (the pzstd shape): every frame
+    // declares its decoded size, which is what admits the decoded-offset
+    // ranged access the split road runs on
+    val bos = new java.io.ByteArrayOutputStream()
+    val chunks = tar.grouped(24 << 10).toSeq
+    chunks.foreach(c => bos.write(com.github.luben.zstd.Zstd.compress(c)))
+    val p = dir.resolve("big.tar.zst")
+    java.nio.file.Files.write(p, bos.toByteArray)
+    val fs = graft.sources.zstd.ZstdFrames.frames(p.toString)
+    assert(fs.count(_.isData) == chunks.length)
+    assert(fs.filter(_.isData).map(_.decoded) == chunks.map(_.length.toLong))
+    val auto = graft.operators.BulkIngest.parseTreeAuto(spark, dir.toString,
+      bigBytes = 4096, splitBatchBytes = 16 << 10)
+      .collect().map(r => (r.getLong(4), r.getSeq[String](5).toList))
+      .sortBy(_._1)
+    val fileGrain = BulkIngest.parseFiles(spark, Seq(p.toString))
+      .collect().map(r => (r.getLong(4), r.getSeq[String](5).toList))
+      .sortBy(_._1)
+    assert(auto.length == manyMembers.length)
+    assert(auto.toSeq == fileGrain.toSeq)
+  }
+
+  test("streaming-compressed .tar.zst falls back to file-grain, rows identical") {
+    val dir = tmpDir("tarzstnofcs")
+    val tar = TarBuild.archive(manyMembers)
+    // ZstdOutputStream streams: one frame, content size not known upfront
+    java.nio.file.Files.write(dir.resolve("s.tar.zst"), zst(tar))
+    val auto = graft.operators.BulkIngest.parseTreeAuto(spark, dir.toString,
+      bigBytes = 4096, splitBatchBytes = 16 << 10)
+      .collect().map(r => (r.getLong(4), r.getSeq[String](5).toList))
+      .sortBy(_._1)
+    assert(auto.length == manyMembers.length)
+    val expect = manyMembers.zipWithIndex.map { case ((n, d), i) =>
+      (i.toLong, List(n, "0", d.length.toString, md5hex(d)))
+    }
+    assert(auto.toSeq == expect)
+  }
+
+  test("truncated big .tar.zst answers ONE Failed row from the split road") {
+    val dir = tmpDir("tarzstcut")
+    val tar = TarBuild.archive(manyMembers)
+    val bos = new java.io.ByteArrayOutputStream()
+    tar.grouped(24 << 10).foreach(c =>
+      bos.write(com.github.luben.zstd.Zstd.compress(c)))
+    val whole = bos.toByteArray
+    java.nio.file.Files.write(dir.resolve("cut.tar.zst"),
+      java.util.Arrays.copyOf(whole, whole.length - 7))
+    val rows = graft.operators.BulkIngest.parseTreeAuto(spark, dir.toString,
+      bigBytes = 4096, splitBatchBytes = 16 << 10).collect()
+    assert(rows.length == 1 && rows.head.getString(3) == "Failed" &&
+      rows.head.getString(1) == "ImportTar")
   }
 
   test(".json.zst: records orient parses; garbage refuses (BulkIngest + AnyFile)") {
