@@ -415,11 +415,14 @@ object BulkIngest {
         .collect().toMap
     val tarDfs: Seq[DataFrame] = bigTar.map { p =>
       tarBatches(p) match {
-        case None | Some(Seq()) => failedRow(p, "ImportTar")
-        // a single member past Int.MaxValue bytes cannot ride the ranged
-        // read — refuse (one Failed row) rather than truncate
+        case None => failedRow(p, "ImportTar")
+        case Some(Seq()) => parseFiles(spark, Seq(p), partitions = 1)
+        // a member past Int.MaxValue bytes cannot ride the ranged read —
+        // but the file-grain walk STREAMS payloads (64 KiB digest
+        // chunks), so the valid archive falls back to one honest task
+        // instead of a false Failed row
         case Some(batches) if batches.exists(_.length > Int.MaxValue.toLong) =>
-          failedRow(p, "ImportTar")
+          parseFiles(spark, Seq(p), partitions = 1)
         case Some(batches) =>
           implicit val e3 = Encoders.product[(Long, Long, Long)]
           val units = batches.map(b => (b.offset, b.length, b.firstMember))
@@ -494,17 +497,11 @@ object BulkIngest {
         case Some(Some((frames, _))) if frames.count(_.isData) <= 1 =>
           parseFiles(spark, Seq(p), partitions = 1)
         case Some(Some((frames, extents))) =>
-          // group member extents (DECODED offsets) into batches
-          val mb = Seq.newBuilder[(Long, Long, Long)]
-          var bs = -1L; var be = -1L; var bf = 0L; var mIdx = 0L
-          extents.foreach { e =>
-            if (bs < 0) { bs = e.start; bf = mIdx }
-            be = e.end
-            if (be - bs >= splitBatchBytes) { mb += ((bs, be, bf)); bs = -1L }
-            mIdx += 1
-          }
-          if (bs >= 0) mb += ((bs, be, bf))
-          val memBatches = mb.result()
+          // group member extents (DECODED offsets) into batches — the
+          // same grouping the plain-.tar road uses, by construction
+          val memBatches = graft.sources.tar.TarWalk
+            .groupExtents(extents, splitBatchBytes)
+            .map(b => (b.offset, b.offset + b.length, b.firstMember))
           val decStart = frames.scanLeft(0L)((a, f) => a + math.max(0L, f.decoded))
           def frameAt(dOff: Long): Int = {
             var i = 0
@@ -527,9 +524,12 @@ object BulkIngest {
             }
           }
           if (memBatches.length <= 1) parseFiles(spark, Seq(p), partitions = 1)
-          else if (units.contains(null) ||
-            units.exists(_._2 > Int.MaxValue.toLong))
-            failedRow(p, "ImportTar")
+          // an FCS that lies about a frame's decoded size is corruption;
+          // a batch past Int.MaxValue compressed bytes is merely
+          // unsplittable — the streaming file-grain walk handles it
+          else if (units.contains(null)) failedRow(p, "ImportTar")
+          else if (units.exists(_._2 > Int.MaxValue.toLong))
+            parseFiles(spark, Seq(p), partitions = 1)
           else {
             implicit val e5 = Encoders.product[(Long, Long, Long, Long, Long)]
             spark.createDataset(units)
@@ -895,22 +895,14 @@ object BulkIngest {
     case _ => ""
   }
 
-  /** Decoded-image cap shared by the compressed byte roads that must
+  /** Decoded-image cap for the compressed byte roads that must
     * materialize a whole decoded stream in one task (`.jsonl.zst` lines,
-    * `.sqlite.zst` page images, `.json.zst` documents): zstd ratios run
-    * past 100×, so a file under the planner's COMPRESSED big-file
-    * threshold can still inflate far beyond a task heap — refuse (one
-    * Failed row) past 256 MiB decoded rather than drive the allocation
-    * (ADVICE r14 #2). Reads cap+1 so overflow is detected, never
-    * truncated into a silently-partial parse. */
-  private final val DecodedCapBytes: Int = 256 << 20
-  private def readDecodedCapped(path: String): Option[Array[Byte]] = {
-    val in = FsIO.openDecoded(path)
-    val bytes =
-      try in.readNBytes(DecodedCapBytes + 1)
-      finally in.close()
-    if (bytes.length > DecodedCapBytes) None else Some(bytes)
-  }
+    * `.sqlite.zst` page images, `.json.zst` documents): refuse (one
+    * Failed row) past [[FsIO.DecodedCapBytes]] rather than drive the
+    * allocation (ADVICE r14 #2) — the shared reader keeps the threshold
+    * identical across every format, AnyFile importers included. */
+  private def readDecodedCapped(path: String): Option[Array[Byte]] =
+    FsIO.readAllBytesDecodedCapped(path)
 
   /** JSON-lines BYTE road — only for codec suffixes Spark's native json
     * scan cannot decode in this container (`.jsonl.zst`): one OK row per
@@ -1201,11 +1193,8 @@ object BulkIngest {
     * stats over paired groups). */
   private def tar(path: String): Seq[CellRow] = {
     import graft.sources.tar.TarWalk
-    val in =
-      if (FsIO.fileName(path).toLowerCase.endsWith(".tgz"))
-        new java.io.BufferedInputStream(
-          new java.util.zip.GZIPInputStream(FsIO.open(path)), 64 << 10)
-      else FsIO.openDecoded(path)
+    // openDecoded covers every codec form, the .tgz contraction included
+    val in = FsIO.openDecoded(path)
     val rows =
       try TarWalk.walk(in)(TarWalk.memberCells) finally in.close()
     if (rows.isEmpty)

@@ -211,8 +211,35 @@ object FsIO {
     if (lower.endsWith(".zst") || lower.endsWith(".zstd"))
       return new java.io.BufferedInputStream(
         new com.github.luben.zstd.ZstdInputStream(open(path)), 64 << 10)
+    // the conventional `.tar.gz` contraction: no Hadoop codec claims the
+    // `.tgz` suffix, so route it through an explicit gzip stream HERE —
+    // every byte road (the tar catalog, the sniffers) then sees decoded
+    // bytes from this one door instead of each caller special-casing it
+    if (lower.endsWith(".tgz"))
+      return new java.io.BufferedInputStream(
+        new java.util.zip.GZIPInputStream(open(path)), 64 << 10)
     val codec = codecFactory().getCodec(hpath(path))
     if (codec == null) open(path) else codec.createInputStream(open(path))
+  }
+
+  /** Decoded-image cap shared by every byte road that must materialize a
+    * whole DECODED stream in one task or on the driver (`.sqlite.zst`
+    * page images, `.jsonl.zst` line roads, `.json.zst` documents): zstd
+    * ratios run past 100×, so a small compressed file can inflate far
+    * beyond a task heap — refuse (None) past 256 MiB rather than drive
+    * the allocation. One constant, one reader, so the threshold cannot
+    * drift between formats. */
+  final val DecodedCapBytes: Int = 256 << 20
+
+  /** The whole decoded stream, or None past [[DecodedCapBytes]] (reads
+    * cap+1 so overflow is detected, never truncated into a
+    * silently-partial parse). */
+  def readAllBytesDecodedCapped(path: String): Option[Array[Byte]] = {
+    val in = openDecoded(path)
+    val bytes =
+      try in.readNBytes(DecodedCapBytes + 1)
+      finally in.close()
+    if (bytes.length > DecodedCapBytes) None else Some(bytes)
   }
 
   /** [[readAllBytes]] through [[openDecoded]]. */

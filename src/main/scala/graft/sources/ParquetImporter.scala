@@ -89,31 +89,41 @@ class JsonImporter(val spark: SparkSession, val filePath: String)
 
   def work(): Seq[ParserAnswer] = {
     try {
-      val head = firstStructuralChar(filePath)
       val lower = filePath.toLowerCase
       val zst = lower.endsWith(".zst") || lower.endsWith(".zstd")
-      val df = head match {
-        case Some('[') if zst =>
+      val df =
+        if (zst) {
           // Spark's multiLine json scan can't decode zstd here (native
-          // ZStandardCodec), so the records orient parses from a capped
-          // decoded byte image — the `.sqlite.zst` pattern. The json
-          // reader explodes a root array into one row per element, the
-          // same rows the path scan yields; a document past the cap
-          // refuses (Failed) rather than drive a driver-heap allocation.
-          val in = FsIO.openDecoded(filePath)
-          val cap = 256 << 20
-          val bytes = try in.readNBytes(cap + 1) finally in.close()
-          if (bytes.length > cap) return failedAnswer()
-          import spark.implicits._
-          spark.read.json(spark.createDataset(Seq(
-            new String(bytes, java.nio.charset.StandardCharsets.UTF_8))))
-        case Some('[') =>
-          spark.read.option("multiLine", "true").json(filePath)
-        // the columns orient reads through openDecoded already — the
-        // driver-side pivot is codec-blind
-        case Some('{') => pivotColumnsOrient()
-        case _         => return failedAnswer()
-      }
+          // ZStandardCodec), so BOTH orients parse from ONE capped
+          // decoded byte image (FsIO.readAllBytesDecodedCapped — the
+          // shared 256 MiB refusal; a decompression bomb must refuse
+          // BEFORE any parse, columns orient included, not drive a
+          // driver-heap allocation). The json reader explodes a root
+          // array into one row per element — the same rows the path
+          // scan's multiLine road yields.
+          val bytes = FsIO.readAllBytesDecodedCapped(filePath)
+            .getOrElse(return failedAnswer())
+          var i = 0
+          while (i < bytes.length &&
+            Character.isWhitespace((bytes(i) & 0xff).toChar)) i += 1
+          if (i >= bytes.length) return failedAnswer()
+          bytes(i) match {
+            case '[' =>
+              import spark.implicits._
+              spark.read.json(spark.createDataset(Seq(
+                new String(bytes, java.nio.charset.StandardCharsets.UTF_8))))
+            case '{' => pivotColumnsOrient(
+              new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes))
+            case _ => return failedAnswer()
+          }
+        } else firstStructuralChar(filePath) match {
+          case Some('[') =>
+            spark.read.option("multiLine", "true").json(filePath)
+          case Some('{') => pivotColumnsOrient(
+            new com.fasterxml.jackson.databind.ObjectMapper()
+              .readTree(FsIO.openDecoded(filePath)))
+          case _ => return failedAnswer()
+        }
       Seq(
         ParserAnswer(
           data = df,
@@ -138,12 +148,14 @@ class JsonImporter(val spark: SparkSession, val filePath: String)
 
   /** `{"a":{"0":1,"1":2},"b":{"0":"x","1":"y"}}` → rows `(1,"x"),(2,"y")`
     * — pandas columns-orient semantics (`pd.read_json` default for a
-    * top-level object whose values are objects). */
-  private def pivotColumnsOrient(): org.apache.spark.sql.DataFrame = {
+    * top-level object whose values are objects). The caller supplies the
+    * parsed root so the zst road's capped byte image and the plain road's
+    * stream share one pivot. */
+  private def pivotColumnsOrient(
+      root: com.fasterxml.jackson.databind.JsonNode): org.apache.spark.sql.DataFrame = {
     import com.fasterxml.jackson.databind.ObjectMapper
     import scala.jdk.CollectionConverters._
     val mapper = new ObjectMapper()
-    val root = mapper.readTree(graft.sources.FsIO.openDecoded(filePath))
     require(root.isObject, "columns-orient JSON must be an object")
     val cols = root.fieldNames().asScala.toSeq
     // row index keys in first-appearance order across columns

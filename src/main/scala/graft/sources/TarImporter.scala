@@ -28,11 +28,8 @@ class TarImporter(val spark: SparkSession, val filePath: String)
 
   def work(): Seq[ParserAnswer] = {
     try {
-      val in =
-        if (FsIO.fileName(filePath).toLowerCase.endsWith(".tgz"))
-          new java.io.BufferedInputStream(
-            new java.util.zip.GZIPInputStream(FsIO.open(filePath)), 64 << 10)
-        else FsIO.openDecoded(filePath)
+      // openDecoded covers every codec form, the .tgz contraction included
+      val in = FsIO.openDecoded(filePath)
       val cells =
         try TarWalk.walk(in)(TarWalk.memberCells)
         finally in.close()

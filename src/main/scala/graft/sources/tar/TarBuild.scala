@@ -57,7 +57,13 @@ object TarBuild {
       System.arraycopy(nameBytes, 0, longData, 0, nameBytes.length)
       out.write(header("././@LongLink", 'L', longData.length.toLong))
       writePadded(out, longData)
-      out.write(header(name.take(100), typeflag, data.length.toLong))
+      // the real header carries the BYTE-truncated name (GNU tar's
+      // behavior) — cut at a UTF-8 boundary so re-encoding can't expand
+      // a split trailing character past the field
+      var end = 100
+      while (end > 0 && (nameBytes(end) & 0xc0) == 0x80) end -= 1
+      out.write(header(new String(nameBytes, 0, end, StandardCharsets.UTF_8),
+        typeflag, data.length.toLong))
     } else out.write(header(name, typeflag, data.length.toLong))
     writePadded(out, data)
     out.toByteArray

@@ -114,6 +114,14 @@ object TarWalk {
   def memberBatches(path: String, targetBatchBytes: Long): Seq[Batch] = {
     val in = graft.sources.FsIO.open(path)
     val extents = try memberExtents(in) finally in.close()
+    groupExtents(extents, targetBatchBytes)
+  }
+
+  /** Groups consecutive member extents into ~`targetBatchBytes` batches —
+    * ONE grouping shared by the plain-`.tar` road (compressed offsets)
+    * and the `.tar.zst` road (decoded offsets), so the two can never
+    * silently diverge on a threshold rule. */
+  def groupExtents(extents: Seq[Extent], targetBatchBytes: Long): Seq[Batch] = {
     val out = Seq.newBuilder[Batch]
     var batchStart = -1L
     var batchEnd = -1L
@@ -241,9 +249,15 @@ object TarWalk {
             pos += bounded.consumed // bounded reads bypass skipFully's count
             skipFully(size - bounded.consumed + (padded(size) - size))
           } else {
-            // dirs / links / devices / fifos carry either no payload or
-            // one a corpus consumer never reads — skip it in full
-            skipFully(padded(size))
+            // POSIX: typeflags '1'-'6' (links, char/block devices, dirs,
+            // fifos) carry NO data records even when the size field is
+            // nonzero (historic writers store link-target sizes and
+            // directory subtree hints there) — consuming padded(size)
+            // would desynchronize the walk mid-archive. Anything else
+            // (trailing-slash '0' dirs, vendor typeflags) is laid out
+            // like a regular file per POSIX; its data is skipped.
+            val dataless = tf >= '1' && tf <= '6'
+            if (!dataless) skipFully(padded(size))
           }
           longName = null; paxPath = null; paxSize = -1L; chainStart = -1L
       }

@@ -112,7 +112,9 @@ class Round15IngestSpec extends SparkSpec {
     val out = new java.io.ByteArrayOutputStream()
     out.write(TarBuild.entry("d/", Array.empty[Byte], typeflag = '5'))
     out.write(TarBuild.entry("d/f.txt", utf8("x")))
-    out.write(TarBuild.entry("d/link", utf8("target"), typeflag = '2'))
+    // a symlink is header-only per POSIX: the target lives in the
+    // linkname field, never in data records
+    out.write(TarBuild.header("d/link", '2', 0L))
     out.write(new Array[Byte](1024))
     val got = walkAll(out.toByteArray)
     assert(got.map(_._1) == Seq("d/f.txt"))
@@ -134,6 +136,27 @@ class Round15IngestSpec extends SparkSpec {
     assert(walkAll(noTerm).map(_._1) == members.map(_._1))
     // empty stream is not a tar
     assertThrows[Exception](walkAll(Array.empty[Byte]))
+  }
+
+  test("typeflags 1-6 carry no data records even with a nonzero size field") {
+    // historic writers store link-target sizes / directory subtree hints
+    // in the size field of dataless entries; consuming them would
+    // desynchronize the walk (POSIX: no data records for typeflags 1-6)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(TarBuild.header("d/", '5', 4096L)) // dir with a size hint
+    out.write(TarBuild.header("link", '1', 1500L)) // hard link, target size
+    out.write(TarBuild.entry("d/f.txt", utf8("payload")))
+    out.write(new Array[Byte](1024))
+    val got = walkAll(out.toByteArray)
+    assert(got.map(_._1) == Seq("d/f.txt"))
+    assert(got.head._4 == utf8("payload").toSeq)
+  }
+
+  test("multibyte longnames truncate the header field at a UTF-8 byte boundary") {
+    val long = "目录" * 30 + "/样本.txt" // far past 100 UTF-8 bytes
+    assert(long.getBytes(StandardCharsets.UTF_8).length > 100)
+    val got = walkAll(TarBuild.archive(Seq(long -> utf8("x"))))
+    assert(got.map(_._1) == Seq(long))
   }
 
   test("WebDataset splitKey: first dot of the basename, directories kept") {
@@ -317,6 +340,30 @@ class Round15IngestSpec extends SparkSpec {
     val got = a.data.orderBy("a").collect()
       .map(r => (r.getLong(r.fieldIndex("a")), r.getString(r.fieldIndex("b"))))
     assert(got.toSeq == Seq((1L, "x"), (2L, "y")))
+  }
+
+  test("decompression bomb: a decoded stream past 256 MiB refuses in EVERY capped road") {
+    val dir = tmpDir("zstbomb")
+    // ~257 MiB decoded from a few hundred KiB compressed
+    def bomb(name: String, head: String): java.nio.file.Path = {
+      val p = dir.resolve(name)
+      val out = new ZstdOutputStream(java.nio.file.Files.newOutputStream(p))
+      try {
+        out.write(utf8(head))
+        val chunk = utf8("{\"k\":\"" + "x" * 8185 + "\"}\n")
+        var written = head.length.toLong
+        while (written <= (256L << 20)) { out.write(chunk); written += chunk.length }
+      } finally out.close()
+      p
+    }
+    // the jsonl line road
+    val jl = bomb("bomb.jsonl.zst", "")
+    assert(BulkIngest.parseOne(jl.toString).map(_.parse_info) == Seq("Failed"))
+    // the whole-document roads — columns orient included (the review
+    // finding: the pivot must refuse BEFORE building a driver-side DOM)
+    val jc = bomb("bomb.json.zst", "{")
+    assert(BulkIngest.parseOne(jc.toString).map(_.parse_info) == Seq("Failed"))
+    assert(AnyFile.parse(spark, jc.toString).head.isFailed)
   }
 
   test(".jsonl.zst past the decoded cap refuses instead of allocating (ADVICE r14 #2)") {
