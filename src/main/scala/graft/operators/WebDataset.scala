@@ -2,6 +2,9 @@ package graft.operators
 
 import java.io.InputStream
 
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+
+import graft.sources.FsIO
 import graft.sources.tar.TarWalk
 
 /** WebDataset sample pairing — the consumption side of the tar shard
@@ -42,6 +45,83 @@ object WebDataset {
     val dot = name.indexOf('.', slash + 1)
     if (dot < 0) (name, "")
     else (name.substring(0, dot), name.substring(dot + 1))
+  }
+
+  /** One member's row in the DISTRIBUTED sample catalog: sample
+    * coordinates plus the payload reduced to size/md5 — member bytes
+    * never leave the consuming task. A shard that fails to walk answers
+    * ONE row with `status = "Failed"` and `sample_idx = -1` (the
+    * reference's per-file isolation, `main.py:139-144`). */
+  final case class CatalogRow(
+      shard: String,
+      sample_idx: Long,
+      key: String,
+      ext: String,
+      size: Long,
+      md5: String,
+      status: String)
+
+  private val ShardSuffixes =
+    Seq(".tar", ".tar.gz", ".tgz", ".tar.bz2", ".tar.zst", ".tar.zstd")
+
+  /** The distributed sample catalog over a TREE of WebDataset shards —
+    * what a training pipeline runs first against a corpus root: every
+    * `.tar`/`.tar.gz`/`.tgz`/`.tar.bz2`/`.tar.zst` under `root` is
+    * paired in its consuming executor task (streaming walk, payloads
+    * digested in 64 KiB chunks, never materialized) and emits one
+    * [[CatalogRow]] per member with contiguous-run `sample_idx`
+    * coordinates.
+    *
+    * Scale shape: the shard is the unit of parallelism — one narrow
+    * mapPartitions over the repartitioned shard list, no shuffle at all
+    * (BulkIngest.parseFiles' shape); a million-shard corpus fans out
+    * file-grain and the catalog rows are fixed-width. Joining the
+    * catalog back to decoded payloads (e.g. the q188 image road) stays
+    * in the SAME task in a real pipeline — this operator deliberately
+    * ships only coordinates and digests. */
+  def catalog(spark: SparkSession, root: String, partitions: Int = 0): DataFrame = {
+    val shards = FsIO.listFilesRecursive(root)
+      .filter(p => ShardSuffixes.exists(p.toLowerCase.endsWith)).toSeq.sorted
+    val parts =
+      if (partitions > 0) partitions
+      else math.max(1, math.min(math.max(shards.length, 1),
+        spark.sparkContext.defaultParallelism))
+    val props = FsIO.captureProps(spark)
+    implicit val enc = Encoders.product[CatalogRow]
+    spark.createDataset(shards)(Encoders.STRING)
+      .repartition(parts)
+      .mapPartitions { it =>
+        FsIO.install(props)
+        it.flatMap(catalogOne)
+      }
+      .toDF()
+  }
+
+  /** One shard → catalog rows; pure, runs inside executor tasks. */
+  private[graft] def catalogOne(path: String): Seq[CatalogRow] = {
+    try {
+      val in = FsIO.openDecoded(path)
+      val rows =
+        try {
+          var curKey: String = null
+          var sampleIdx = -1L
+          TarWalk.walk(in) { (e, data) =>
+            val (key, ext) = splitKey(e.name)
+            if (key != curKey) { sampleIdx += 1; curKey = key }
+            val md5 = java.security.MessageDigest.getInstance("MD5")
+            val buf = new Array[Byte](64 << 10)
+            var n = data.read(buf)
+            while (n > 0) { md5.update(buf, 0, n); n = data.read(buf) }
+            CatalogRow(path, sampleIdx, key, ext, e.size,
+              md5.digest().map("%02x".format(_)).mkString, "OK")
+          }
+        } finally in.close()
+      if (rows.isEmpty) Seq(CatalogRow(path, -1L, "", "", -1L, "", "Failed"))
+      else rows
+    } catch {
+      case _: Exception =>
+        Seq(CatalogRow(path, -1L, "", "", -1L, "", "Failed"))
+    }
   }
 
   /** Pair a (decoded) tar stream's regular members into samples. One

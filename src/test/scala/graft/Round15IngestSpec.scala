@@ -178,6 +178,41 @@ class Round15IngestSpec extends SparkSpec {
       Seq(utf8("t1").toSeq, utf8("g1").toSeq))
   }
 
+  test("WebDataset.catalog: distributed sample catalog over a shard tree, per-shard isolation") {
+    val dir = tmpDir("wdscatalog")
+    val m1 = Seq(
+      "0001.txt" -> utf8("cap one"), "0001.gif" -> utf8("img1"),
+      "0002.txt" -> utf8("cap two"), "0002.gif" -> utf8("img2"))
+    val whole = TarBuild.archive(m1)
+    java.nio.file.Files.write(dir.resolve("a.tar"), whole)
+    java.nio.file.Files.write(dir.resolve("b.tar.gz"), gz(whole))
+    java.nio.file.Files.write(dir.resolve("cut.tar"),
+      java.util.Arrays.copyOf(whole, 700))
+    java.nio.file.Files.write(dir.resolve("notes.txt"), utf8("not a shard"))
+    val rows = graft.operators.WebDataset.catalog(spark, dir.toString)
+      .collect()
+      .map(r => (graft.sources.FsIO.fileName(r.getString(0)), r.getLong(1),
+        r.getString(2), r.getString(3), r.getLong(4), r.getString(5),
+        r.getString(6)))
+    // non-shard files are not listed; the corrupt shard answers ONE
+    // Failed row without touching its siblings
+    assert(!rows.exists(_._1 == "notes.txt"))
+    assert(rows.filter(_._1 == "cut.tar").toSeq ==
+      Seq(("cut.tar", -1L, "", "", -1L, "", "Failed")))
+    // both codec forms catalog identically: contiguous sample_idx runs,
+    // member md5s matching the parseOne catalog road cell-for-cell
+    val expectMd5 = m1.map { case (n, d) => (n, md5hex(d)) }.toMap
+    for (shard <- Seq("a.tar", "b.tar.gz")) {
+      val s = rows.filter(_._1 == shard)
+      assert(s.map(x => (x._2, x._3, x._4)).sorted.toSeq == Seq(
+        (0L, "0001", "gif"), (0L, "0001", "txt"),
+        (1L, "0002", "gif"), (1L, "0002", "txt")), shard)
+      assert(s.forall(x => x._7 == "OK" &&
+        x._6 == expectMd5(s"${x._3}.${x._4}") &&
+        x._5 == m1.toMap.apply(s"${x._3}.${x._4}").length.toLong), shard)
+    }
+  }
+
   test("parseOne catalogs .tar/.tar.gz/.tgz/.tar.zst identically (codec peel)") {
     val dir = tmpDir("tarroutes")
     val plain = TarBuild.archive(members)
