@@ -108,12 +108,8 @@ object WebDataset {
           TarWalk.walk(in) { (e, data) =>
             val (key, ext) = splitKey(e.name)
             if (key != curKey) { sampleIdx += 1; curKey = key }
-            val md5 = java.security.MessageDigest.getInstance("MD5")
-            val buf = new Array[Byte](64 << 10)
-            var n = data.read(buf)
-            while (n > 0) { md5.update(buf, 0, n); n = data.read(buf) }
             CatalogRow(path, sampleIdx, key, ext, e.size,
-              md5.digest().map("%02x".format(_)).mkString, "OK")
+              TarWalk.streamMd5Hex(data), "OK")
           }
         } finally in.close()
       if (rows.isEmpty) Seq(CatalogRow(path, -1L, "", "", -1L, "", "Failed"))

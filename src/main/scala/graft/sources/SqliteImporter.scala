@@ -49,13 +49,11 @@ class SqliteImporter(val spark: SparkSession, val filePath: String)
       val driverSrc: SqliteParser.Source =
         if (lower.endsWith(".zst") || lower.endsWith(".zstd")) {
           // .sqlite.zst: the page tree needs random access a zstd stream
-          // can't give — materialize the decoded image, capped at
-          // 256 MiB (BulkIngest's sqlite zst road, same refusal law)
-          val in = FsIO.openDecoded(filePath)
-          val bytes =
-            try in.readNBytes((256 << 20) + 1)
-            finally in.close()
-          if (bytes.length > (256 << 20)) return failedAnswer()
+          // can't give — materialize the decoded image through the
+          // SHARED cap reader (BulkIngest's sqlite zst road, same
+          // refusal law, same constant)
+          val bytes = FsIO.readAllBytesDecodedCapped(filePath)
+            .getOrElse(return failedAnswer())
           SqliteParser.BytesSource(bytes)
         } else if (fileLen >= 512 && fileLen <= DriverDecodeBytes)
           SqliteParser.BytesSource(FsIO.readAllBytes(filePath))

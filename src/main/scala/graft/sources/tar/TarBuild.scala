@@ -48,8 +48,14 @@ object TarBuild {
 
   /** Header + payload padded to the 512-byte block grid; a name past the
     * 100-byte field is carried by a preceding GNU 'L' meta entry (name
-    * `././@LongLink`, payload = the full name NUL-terminated). */
+    * `././@LongLink`, payload = the full name NUL-terminated). Dataless
+    * typeflags '1'-'6' (links, devices, dirs, fifos) must carry NO data —
+    * POSIX stores no records for them and [[TarWalk]] faithfully consumes
+    * none, so building one with a payload would desynchronize every
+    * reader; the require makes that misuse loud at build time. */
   def entry(name: String, data: Array[Byte], typeflag: Char = '0'): Array[Byte] = {
+    require(data.isEmpty || typeflag < '1' || typeflag > '6',
+      s"typeflag '$typeflag' entries carry no data records (POSIX)")
     val out = new ByteArrayOutputStream(Block + data.length + Block)
     val nameBytes = name.getBytes(StandardCharsets.UTF_8)
     if (nameBytes.length > 100) {

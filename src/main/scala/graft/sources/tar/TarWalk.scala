@@ -82,13 +82,19 @@ object TarWalk {
     * every catalog road (BulkIngest file-grain, the big-shard split road,
     * the AnyFile importer) so all of them are cell-identical by
     * construction. */
-  def memberCells(e: Entry, data: InputStream): Seq[String] = {
+  def memberCells(e: Entry, data: InputStream): Seq[String] =
+    Seq(e.name, e.typeflag.toString, e.size.toString, streamMd5Hex(data))
+
+  /** Streaming 64 KiB-chunk md5 of a payload stream — the one digest
+    * loop every catalog road shares ([[memberCells]],
+    * [[graft.operators.WebDataset.catalog]]), so their digests cannot
+    * diverge. */
+  def streamMd5Hex(data: InputStream): String = {
     val md5 = java.security.MessageDigest.getInstance("MD5")
     val buf = new Array[Byte](64 << 10)
     var n = data.read(buf)
     while (n > 0) { md5.update(buf, 0, n); n = data.read(buf) }
-    val hx = md5.digest().map("%02x".format(_)).mkString
-    Seq(e.name, e.typeflag.toString, e.size.toString, hx)
+    md5.digest().map("%02x".format(_)).mkString
   }
 
   /** Index pass for the big-shard split road: the block-aligned extent of
