@@ -417,12 +417,6 @@ object BulkIngest {
       tarBatches(p) match {
         case None => failedRow(p, "ImportTar")
         case Some(Seq()) => parseFiles(spark, Seq(p), partitions = 1)
-        // a member past Int.MaxValue bytes cannot ride the ranged read —
-        // but the file-grain walk STREAMS payloads (64 KiB digest
-        // chunks), so the valid archive falls back to one honest task
-        // instead of a false Failed row
-        case Some(batches) if batches.exists(_.length > Int.MaxValue.toLong) =>
-          parseFiles(spark, Seq(p), partitions = 1)
         case Some(batches) =>
           implicit val e3 = Encoders.product[(Long, Long, Long)]
           val units = batches.map(b => (b.offset, b.length, b.firstMember))
@@ -432,13 +426,28 @@ object BulkIngest {
               FsIO.install(props)
               import graft.sources.tar.TarWalk
               it.flatMap { case (off, len, firstMember) =>
-                val slice = new java.io.ByteArrayInputStream(
-                  FsIO.readRange(p, off, len.toInt))
-                TarWalk.walk(slice)(TarWalk.memberCells).zipWithIndex.map {
-                  case (cells, i) =>
-                    CellRow(p, "ImportTar", "TAR members", "OK",
-                      firstMember + i, cells)
-                }
+                // STREAM the batch (a batch can hold one giant member —
+                // the task heap must stay at the 64 KiB digest chunk,
+                // never a batch-sized byte image). `remaining` then
+                // distinguishes a fully-walked range from a file that
+                // ended early: the index promised `len` bytes, and
+                // anything less is truncation that must FAIL, not a
+                // silently short catalog.
+                val raw = new java.io.BufferedInputStream(
+                  FsIO.openAt(p, off), 64 << 10)
+                try {
+                  val range = new TarWalk.RangeStream(raw, len)
+                  val rows = TarWalk.walk(range)(TarWalk.memberCells)
+                    .zipWithIndex.map { case (cells, i) =>
+                      CellRow(p, "ImportTar", "TAR members", "OK",
+                        firstMember + i, cells)
+                    }
+                  if (range.remaining > 0)
+                    throw new java.io.EOFException(
+                      s"$p: ranged tar batch at $off ended " +
+                        s"${range.remaining} bytes early")
+                  rows
+                } finally raw.close()
               }
             }.toDF()
       }
@@ -524,12 +533,9 @@ object BulkIngest {
             }
           }
           if (memBatches.length <= 1) parseFiles(spark, Seq(p), partitions = 1)
-          // an FCS that lies about a frame's decoded size is corruption;
-          // a batch past Int.MaxValue compressed bytes is merely
-          // unsplittable — the streaming file-grain walk handles it
+          // an FCS that maps a member outside the declared decoded total
+          // is corruption — refuse up front
           else if (units.contains(null)) failedRow(p, "ImportTar")
-          else if (units.exists(_._2 > Int.MaxValue.toLong))
-            parseFiles(spark, Seq(p), partitions = 1)
           else {
             implicit val e5 = Encoders.product[(Long, Long, Long, Long, Long)]
             spark.createDataset(units)
@@ -538,24 +544,33 @@ object BulkIngest {
                 FsIO.install(props)
                 import graft.sources.tar.TarWalk
                 it.flatMap { case (cOff, cLen, lead, dLen, firstMember) =>
-                  val in = new java.io.BufferedInputStream(
-                    new com.github.luben.zstd.ZstdInputStream(
-                      new java.io.ByteArrayInputStream(
-                        FsIO.readRange(p, cOff, cLen.toInt))), 64 << 10)
+                  // STREAM the compressed slice (bounded view over a
+                  // positioned open — a batch spanning a giant member
+                  // must not materialize), decode, drop the lead
+                  // exactly, then walk a decoded-length bounded view.
+                  // `remaining` catches an FCS that OVERSTATED a frame's
+                  // decoded size: the decode ends early and the batch
+                  // must FAIL loudly, never answer a silently short
+                  // catalog (the plain road's short-read law).
+                  val raw = new java.io.BufferedInputStream(
+                    FsIO.openAt(p, cOff), 64 << 10)
                   try {
-                    var left = lead
-                    while (left > 0) {
-                      val k = in.skip(left)
-                      if (k > 0) left -= k
-                      else if (in.read() >= 0) left -= 1
-                      else throw new java.io.EOFException("tar.zst lead skip")
-                    }
-                    TarWalk.walk(new LimitStream(in, dLen))(TarWalk.memberCells)
+                    val dec = new java.io.BufferedInputStream(
+                      new com.github.luben.zstd.ZstdInputStream(
+                        new TarWalk.RangeStream(raw, cLen)), 64 << 10)
+                    TarWalk.skipExactly(dec, lead)
+                    val range = new TarWalk.RangeStream(dec, dLen)
+                    val rows = TarWalk.walk(range)(TarWalk.memberCells)
                       .zipWithIndex.map { case (cells, i) =>
                         CellRow(p, "ImportTar", "TAR members", "OK",
                           firstMember + i, cells)
                       }
-                  } finally in.close()
+                    if (range.remaining > 0)
+                      throw new java.io.EOFException(
+                        s"$p: tar.zst batch at $cOff decoded " +
+                          s"${range.remaining} bytes short of its FCS claim")
+                    rows
+                  } finally raw.close()
                 }
               }.toDF()
           }
@@ -1201,28 +1216,6 @@ object BulkIngest {
       Seq(CellRow(path, "ImportTar", "None", "Failed", -1L, Seq.empty))
     else rows.zipWithIndex.map { case (cells, i) =>
       CellRow(path, "ImportTar", "TAR members", "OK", i.toLong, cells)
-    }
-  }
-
-  /** Reads at most `limit` bytes then answers EOF — the decoded-range
-    * view the big-`.tar.zst` road hands [[graft.sources.tar.TarWalk]], so
-    * a batch's walk ends at its last member's padded end (the lenient
-    * block-boundary EOF) instead of running into the next batch's
-    * members. */
-  private final class LimitStream(in: java.io.InputStream, limit: Long)
-      extends java.io.InputStream {
-    private var left = limit
-    override def read(): Int = {
-      if (left <= 0) return -1
-      val v = in.read()
-      if (v >= 0) left -= 1
-      v
-    }
-    override def read(b: Array[Byte], off: Int, len: Int): Int = {
-      if (left <= 0) return -1
-      val n = in.read(b, off, math.min(len.toLong, left).toInt)
-      if (n > 0) left -= n
-      n
     }
   }
 

@@ -27,12 +27,14 @@ import graft.sources.tar.TarWalk
   * in the archive starts a NEW sample — faithfully, rather than silently
   * merging what a streaming consumer would see as two.
   *
-  * Scale shape: the shard is the unit of parallelism (BulkIngest lists
-  * and fans shards out file-grain; one task pairs one shard), and pairing
-  * itself is a single streaming pass — but each SAMPLE's payloads are
-  * materialized for the consumer (that is the operator's contract: a
-  * caption-image pair is consumed together), so the per-task memory bound
-  * is one sample, not one shard. */
+  * Scale shape: the shard is the unit of parallelism (one task pairs
+  * one shard). [[WebDataset.samples]] RETURNS the shard's samples with
+  * their payloads — its per-task bound is the decoded shard, the right
+  * contract for the in-task consumers that decode members immediately
+  * (q188's shape). The sweep that must scale past that bound is
+  * [[WebDataset.catalog]]: a single streaming pass per shard whose
+  * payloads go straight through the 64 KiB digest — per-task memory is
+  * one chunk, and only fixed-width coordinate rows leave the task. */
 object WebDataset {
 
   /** One paired sample: the shared key and the members in archive order
@@ -80,15 +82,29 @@ object WebDataset {
     * in the SAME task in a real pipeline — this operator deliberately
     * ships only coordinates and digests. */
   def catalog(spark: SparkSession, root: String, partitions: Int = 0): DataFrame = {
-    val shards = FsIO.listFilesRecursive(root)
-      .filter(p => ShardSuffixes.exists(p.toLowerCase.endsWith)).toSeq.sorted
+    // distributed listing (BulkIngest.parseTreeDistributed's fan-out):
+    // the driver lists only the root's immediate children; each subtree
+    // is swept INSIDE an executor task, so a million-shard corpus never
+    // funnels its metadata walk through the driver
+    val children = FsIO.listChildren(root)
+    val seedDirs = children.collect { case (p, true) => p }
+    val rootFiles = children.collect { case (p, false) => p }
+    // a plain val so the filter closure ships only the suffix list, not
+    // the enclosing method frame
+    val suffixes = ShardSuffixes
     val parts =
       if (partitions > 0) partitions
-      else math.max(1, math.min(math.max(shards.length, 1),
-        spark.sparkContext.defaultParallelism))
+      else math.max(1, spark.sparkContext.defaultParallelism)
     val props = FsIO.captureProps(spark)
     implicit val enc = Encoders.product[CatalogRow]
-    spark.createDataset(shards)(Encoders.STRING)
+    spark.createDataset(seedDirs)(Encoders.STRING)
+      .repartition(math.max(1, math.min(math.max(seedDirs.length, 1), parts)))
+      .mapPartitions { dirs =>
+        FsIO.install(props)
+        dirs.flatMap(FsIO.listFilesRecursive)
+      }(Encoders.STRING)
+      .union(spark.createDataset(rootFiles)(Encoders.STRING))
+      .filter((p: String) => suffixes.exists(p.toLowerCase.endsWith))
       .repartition(parts)
       .mapPartitions { it =>
         FsIO.install(props)

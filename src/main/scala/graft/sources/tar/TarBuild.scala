@@ -19,6 +19,12 @@ object TarBuild {
   def header(name: String, typeflag: Char, size: Long): Array[Byte] = {
     val nameBytes = name.getBytes(StandardCharsets.UTF_8)
     require(nameBytes.length <= 100, s"name too long for a ustar header: $name")
+    // the 12-byte size field holds 11 octal digits = sizes < 8 GiB; a
+    // longer rendering would silently overrun into the mtime field and
+    // still checksum clean — fail loudly instead (bigger members need
+    // the base-256 / PAX encodings this writer deliberately omits)
+    require(size >= 0 && size < (1L << 33),
+      s"size $size exceeds the 11-digit octal field (8 GiB)")
     val h = new Array[Byte](Block)
     System.arraycopy(nameBytes, 0, h, 0, nameBytes.length)
     def octal(v: Long, off: Int, len: Int): Unit = {

@@ -191,8 +191,21 @@ object TarWalk {
 
     def padded(size: Long): Long = ((size + Block - 1) / Block) * Block
 
+    // a consumed 'L'/'x' entry PROMISES a following member: ending the
+    // archive (zero block or EOF) with the promise unkept is truncation
+    // mid logical member — it must throw, or a catalog cut right after a
+    // meta entry would come back silently short
+    def requireNoPendingMeta(where: String): Unit =
+      if (longName != null || paxPath != null || paxSize >= 0)
+        throw new EOFException(
+          s"tar ends at $where with a dangling longname/PAX chain " +
+            s"(a meta entry promised a member that never followed)")
+
     while (readBlock()) {
-      if (isZeroBlock(hdr)) return // end-of-archive marker
+      if (isZeroBlock(hdr)) { // end-of-archive marker
+        requireNoPendingMeta("the zero terminator")
+        return
+      }
       nHeaders += 1
       val headerStart = pos - Block
       if (chainStart < 0) chainStart = headerStart
@@ -269,9 +282,11 @@ object TarWalk {
       }
     }
     // EOF at a block boundary with no zero terminator: lenient end — but
-    // only past at least one header (an empty stream is not a tar)
+    // only past at least one header (an empty stream is not a tar) and
+    // never with an unkept meta-chain promise
     if (nHeaders == 0)
       throw new EOFException("empty stream is not a tar archive")
+    requireNoPendingMeta("EOF")
   }
 
   /** Exactly `n` bytes or throw — meta-entry payloads are small by the
@@ -369,6 +384,44 @@ object TarWalk {
       i += len
     }
     out.result()
+  }
+
+  /** A bounded VIEW of `in`: reads at most `limit` bytes then answers
+    * EOF (-1), exposing `remaining` so a caller can distinguish a fully
+    * consumed range from an underlying stream that ended early — the
+    * ranged split roads' truncation check (an index promised `limit`
+    * decoded bytes; fewer means the file or a declared frame size lied,
+    * and the walk must FAIL rather than answer a silently short
+    * catalog). Unlike the private payload view below, hitting EOF early
+    * here is the CALLER's condition to check, not an exception. */
+  final class RangeStream(in: InputStream, limit: Long) extends InputStream {
+    private var left = limit
+    def remaining: Long = left
+    override def read(): Int = {
+      if (left <= 0) return -1
+      val v = in.read()
+      if (v >= 0) left -= 1
+      v
+    }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      if (left <= 0) return -1
+      val n = in.read(b, off, math.min(len.toLong, left).toInt)
+      if (n > 0) left -= n
+      n
+    }
+  }
+
+  /** Skip exactly `n` bytes of `in` or throw — the ranged roads' lead
+    * skip (skip() may legally return 0; EOF inside the lead is
+    * truncation). */
+  def skipExactly(in: InputStream, n: Long): Unit = {
+    var left = n
+    while (left > 0) {
+      val k = in.skip(left)
+      if (k > 0) left -= k
+      else if (in.read() >= 0) left -= 1
+      else throw new EOFException(s"stream ended inside a ${n}-byte skip")
+    }
   }
 
   /** Reads at most `limit` bytes of the underlying stream — the payload

@@ -138,6 +138,23 @@ class Round15IngestSpec extends SparkSpec {
     assertThrows[Exception](walkAll(Array.empty[Byte]))
   }
 
+  test("a meta entry with no following member is truncation, not a short catalog") {
+    // an 'L'/'x' entry PROMISES a member; an archive ending (terminator
+    // or EOF) on the unkept promise must throw — a cut right after the
+    // meta entry must never come back as a silently short member list
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(TarBuild.entry("a.txt", utf8("x")))
+    out.write(TarBuild.paxEntry(Seq("path" -> "ghost.bin")))
+    val noTerm = out.toByteArray
+    out.write(new Array[Byte](1024))
+    assertThrows[Exception](walkAll(out.toByteArray))
+    assertThrows[Exception](walkAll(noTerm))
+    val dir = tmpDir("tarmeta")
+    java.nio.file.Files.write(dir.resolve("m.tar"), out.toByteArray)
+    assert(BulkIngest.parseOne(dir.resolve("m.tar").toString)
+      .map(_.parse_info) == Seq("Failed"))
+  }
+
   test("typeflags 1-6 carry no data records even with a nonzero size field") {
     // historic writers store link-target sizes / directory subtree hints
     // in the size field of dataless entries; consuming them would
