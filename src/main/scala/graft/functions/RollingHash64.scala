@@ -84,6 +84,22 @@ object GraftFunctions {
   /** (lo, hi) 32-bit md5 halves of a string column. */
   def md5_halves(c: Column): (Column, Column) = halves64(md5_prefix64(c))
 
+  /** Last 8 md5 digest bytes as a big-endian long (see [[Md5Suffix64]]). */
+  def md5_suffix64(c: Column): Column =
+    ColumnBridge.column(Md5Suffix64(ColumnBridge.expression(c)))
+
+  /** The full 128-bit md5 digest as two big-endian longs (h1 = bytes
+    * 0-7, h2 = bytes 8-15) — bijective with the 32-char hex string, so
+    * grouping/joining on (h1, h2) is EXACTLY the same equality relation
+    * as on `md5(c)` at half the shuffle bytes (guide §2.3). ONE digest
+    * pass per row ([[Md5Pair]] + two getFields, deduplicated by codegen
+    * subexpression elimination). For internal keys only; oracles that
+    * mirror the hex value must keep the string form. */
+  def md5_128(c: Column): (Column, Column) = {
+    val p = ColumnBridge.column(Md5Pair(ColumnBridge.expression(c)))
+    (p.getField("h1"), p.getField("h2"))
+  }
+
   def winnow_min(c: Column, k: Int): Column =
     ColumnBridge.column(WinnowExtreme(ColumnBridge.expression(c), k, takeMin = true))
 

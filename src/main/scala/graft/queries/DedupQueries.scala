@@ -45,6 +45,20 @@ object DedupQueries {
     if (dedup) sh.distinct() else sh
   }
 
+  /** Per-doc DISTINCT shingle digests as (doc_id, h1, h2) — the full
+    * 128-bit md5 in two big-endian longs ([[graft.functions.Md5Suffix64]]).
+    * Bijective with the 32-char hex digest, so every distinct/group/join
+    * keyed on (h1, h2) computes exactly the sets the hex form computed, at
+    * ~half the shuffle bytes with primitive-typed keys (guide §2.3); the
+    * distinct runs AFTER the digest map, so no exchange ever carries
+    * shingle text. */
+  private[queries] def shingleDigests(docs: DataFrame, nWords: Int = 5): DataFrame = {
+    val (h1c, h2c) = graft.functions.GraftFunctions.md5_128(col("sh"))
+    shingles(docs, nWords, dedup = false)
+      .select(col("doc_id"), h1c.as("h1"), h2c.as("h2"))
+      .distinct()
+  }
+
   /** Exact dedup via hash-groupBy: survivors = min doc_id per content hash.
     * Joining survivors back on doc_id (not on text) keeps the join key
     * narrow; md5 matches byte-for-byte across Spark and DuckDB. */
@@ -86,30 +100,42 @@ object DedupQueries {
     * hash check proves the filter's completeness end-to-end. Shuffles
     * carry 32-byte digests, never shingle text. */
   private def jaccardPairs(docs: DataFrame): DataFrame = {
-    val sh = shingles(docs)
-      .select(col("doc_id"), md5(col("sh")).as("h"))
+    // Digest = the FULL 128-bit md5 as two longs (md5_128) instead of the
+    // 32-char hex string: bijective with the hex form, so every distinct/
+    // window/join below computes the SAME sets at ~half the shuffle bytes
+    // with primitive-typed comparisons (guide §2.3 "narrower types"). The
+    // distinct also moved AFTER the digest map, so the dedup exchange
+    // carries 24-byte (doc_id, h1, h2) rows, never shingle text. The
+    // rank's df-tie ordering flips from hex-lexicographic to signed-long —
+    // a different but still CONSISTENT total order, and the PPJoin prefix
+    // filter is lossless under any fixed total order (the exact j ≥ 0.05
+    // recount over full shingle sets is unchanged), so the emitted pairs
+    // are identical — the DuckDB oracle re-proves that on every gate run.
+    val sh = shingleDigests(docs)
       .materialized // consumers: ranking, candidate recount both sides
     // df + per-doc rank/size via window counts: one exchange on h, one on
     // doc_id (rank and n share the doc_id partitioning)
     val ranked = sh
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("h1", "h2")))
       .withColumn("rk", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("df"), col("h"))))
+        Window.partitionBy("doc_id").orderBy(col("df"), col("h1"), col("h2"))))
       .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
     // prefix length for j ≥ 0.05: n − ceil(n/20) + 1
     val prefix = ranked
       .filter(expr("rk <= n - ((n + 19) div 20) + 1"))
-      .select("doc_id", "h")
+      .select("doc_id", "h1", "h2")
     val cand = prefix.as("a")
       .join(prefix.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        col("a.h1") === col("b.h1") && col("a.h2") === col("b.h2") &&
+          col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = cand
       .join(sh.as("xa"), col("doc_a") === col("xa.doc_id"))
       .join(sh.as("xb"),
-        col("doc_b") === col("xb.doc_id") && col("xa.h") === col("xb.h"))
+        col("doc_b") === col("xb.doc_id") && col("xa.h1") === col("xb.h1") &&
+          col("xa.h2") === col("xb.h2"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("inter"))
     pairs
@@ -239,27 +265,34 @@ object DedupQueries {
       // shingle pipeline. The checkpoint truncates lineage at a table of
       // n_docs × 64 longs — tiny at any corpus size.
       val sigs = minhashSignatures(documents(s, dir)).materialized
+      // Band key = md5_128 of the SAME comma-joined slot string the hex
+      // form hashed, kept as two longs: bijective with the hex string, so
+      // the bucket partition (and thus the candidate set) is provably
+      // identical, while the band exchange + capped self-join carry
+      // 16-byte primitive keys instead of 32-char strings (guide §2.3).
       val bands = sigs.select(
         col("doc_id"),
         explode(array((0 until Bands).map { b =>
-          struct(lit(b).as("band"),
-            md5(concat_ws(",",
-              (0 until 4).map(r => element_at(col("sig"), b * 4 + r + 1)): _*))
-              .as("bh"))
+          val slotStr = concat_ws(",",
+            (0 until 4).map(r => element_at(col("sig"), b * 4 + r + 1)): _*)
+          val (bh1, bh2) = graft.functions.GraftFunctions.md5_128(slotStr)
+          struct(lit(b).as("band"), bh1.as("bh1"), bh2.as("bh2"))
         }: _*)).as("bb"))
-        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+        .select(col("doc_id"), col("bb.band").as("band"),
+          col("bb.bh1").as("bh1"), col("bb.bh2").as("bh2"))
       // Over-full bucket guard — see q23's BucketCap note. No broadcast
       // hint: the qualifying-bucket list grows with the corpus, so the
       // join strategy is AQE's call (broadcasts while small, shuffles at
       // the scale where a forced broadcast would OOM the driver).
-      val okBuckets = bands.groupBy("band", "bh")
+      val okBuckets = bands.groupBy("band", "bh1", "bh2")
         .agg(count(lit(1)).as("bsz"))
         .filter(col("bsz") <= BucketCap && col("bsz") > 1)
-        .select("band", "bh")
-      val bounded = bands.join(okBuckets, Seq("band", "bh"))
+        .select("band", "bh1", "bh2")
+      val bounded = bands.join(okBuckets, Seq("band", "bh1", "bh2"))
       val cand = bounded.as("x")
         .join(bounded.as("y"),
-          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.band") === col("y.band") && col("x.bh1") === col("y.bh1") &&
+            col("x.bh2") === col("y.bh2") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct()
@@ -442,8 +475,16 @@ object DedupQueries {
     val sym = edges
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .materialized
-    var labels = docs.select(col("doc_id").as("node"),
-      col("doc_id").as("lbl")).materialized
+    // The propagation loop runs over EDGE-TOUCHED nodes only: a doc with
+    // no similarity edge can neither receive a lower label (no incoming
+    // edge) nor lower anyone else's (no outgoing edge), so its label is
+    // its own id at every round — carrying those rows through every
+    // round's join + checkpoint + convergence count shuffled the whole
+    // corpus per round for rows that never change (guide §2.3 "shuffle
+    // fewer bytes"). Isolated docs re-enter as their own singleton
+    // cluster in the left-join read-off; the fixpoint is unchanged.
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node")).materialized
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 50) {
@@ -452,7 +493,10 @@ object DedupQueries {
       labels = next.select(col("node"), col("nxt").as("lbl"))
       rounds += 1
     }
-    labels.select(col("node").as("doc_id"), col("lbl").as("cluster"))
+    docs.select(col("doc_id"))
+      .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("cluster"))
   }
 
   /** One min-label-propagation round, factored out so its plan shape is
@@ -575,7 +619,17 @@ object DedupQueries {
         .filter(col("hi") > col("lo"))
         .distinct()
         .materialized
-      changed = next.except(edges).union(edges.except(next)).count()
+      // Symmetric difference in ONE counted aggregate instead of two
+      // except subtrees (each of which is itself a shuffle over both
+      // tables — 4 edge-table exchanges per round for a boolean): both
+      // sides are distinct sets, so tagging ±1 and summing per (hi, lo)
+      // leaves non-zero exactly on rows in one side only. Only the
+      // emptiness of the difference is consumed, so the stop condition
+      // is identical.
+      changed = next.select(col("hi"), col("lo"), lit(1L).as("w"))
+        .union(edges.select(col("hi"), col("lo"), lit(-1L).as("w")))
+        .groupBy("hi", "lo").agg(sum(col("w")).as("s"))
+        .filter(col("s") =!= 0L).count()
       edges = next
       rounds += 1
     }
@@ -789,15 +843,14 @@ object DedupQueries {
   val q26 = Q(
     "q26_dup_spans",
     (s, dir) => {
-      val sh8 = shingles(documents(s, dir), nWords = 8)
-        .select(col("doc_id"), md5(col("sh")).as("h"))
+      val sh8 = shingleDigests(documents(s, dir), nWords = 8)
         .materialized // three consumers: dup set, totals, hits
-      val dup = sh8.groupBy("h")
+      val dup = sh8.groupBy("h1", "h2")
         .agg(countDistinct(col("doc_id")).as("nd"))
         .filter(col("nd") > 1)
-        .select("h")
+        .select("h1", "h2")
       val totals = sh8.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
-      val hits = sh8.join(dup, "h")
+      val hits = sh8.join(dup, Seq("h1", "h2"))
         .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
       totals.join(hits, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_spans"),
@@ -840,14 +893,13 @@ object DedupQueries {
   val q38 = Q(
     "q38_contamination",
     (s, dir) => {
-      val sh8 = shingles(documents(s, dir), nWords = 8)
-        .select(col("doc_id"), md5(col("sh")).as("h"))
+      val sh8 = shingleDigests(documents(s, dir), nWords = 8)
         .materialized // two branches (bench set + training side)
       val bench = sh8.filter(col("doc_id") % 101 === 0)
-        .select("h").distinct()
+        .select("h1", "h2").distinct()
       val train = sh8.filter(col("doc_id") % 101 =!= 0)
       val totals = train.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-      val hits = train.join(bench, "h")
+      val hits = train.join(bench, Seq("h1", "h2"))
         .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
       totals.join(hits, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_grams"),
@@ -1007,11 +1059,11 @@ object DedupQueries {
       // materialize cut: both sides of the blocking self-join read the
       // digest table — without it each side re-scans + re-shingles the
       // corpus (q22's multi-branch discipline)
-      val sh8 = shingles(docs, nWords = 8)
-        .select(col("doc_id"), md5(col("sh")).as("h"))
+      val sh8 = shingleDigests(docs, nWords = 8)
         .materialized
       val cand = sh8.as("a").join(sh8.as("b"),
-          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+          col("a.h1") === col("b.h1") && col("a.h2") === col("b.h2") &&
+            col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
       // length prefilter on the NARROW (doc_id, n_chars) projection first:
@@ -1085,8 +1137,16 @@ object DedupQueries {
   val q76 = Q(
     "q76_ppjoin",
     (s, dir) => {
-      val sh3 = shingles(documents(s, dir), nWords = 3)
+      // distinct AFTER the digest map (r15 pass, shingleDigests'
+      // discipline): shingle identity in this pipeline is ALREADY the
+      // 64-bit digest everywhere downstream (df, ranks, sizes, the sorted
+      // arrays and the intersect all key on `h`), so deduping (doc_id, h)
+      // computes exactly the per-doc digest sets the pipeline declares —
+      // while the dedup exchange carries 16-byte rows instead of 3-word
+      // shingle TEXT (the single most expensive exchange here, guide §2.3)
+      val sh3 = shingles(documents(s, dir), nWords = 3, dedup = false)
         .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+        .distinct()
         .materialized // consumers: ranking, per-doc array build
       // df and the per-doc rank/size via WINDOW counts: one exchange on h,
       // one on doc_id (rank + n share the doc_id partitioning) — vs the
@@ -1200,24 +1260,27 @@ object DedupQueries {
       val isNew = col("doc_id") % 5 === 3
       val corpusSigs = minhashSignatures(docs.filter(!isNew)).materialized
       val batchSigs = minhashSignatures(docs.filter(isNew)).materialized
+      // band key = md5_128 of the same slot string (q22's discipline):
+      // identical buckets, 16-byte primitive keys end-to-end
       def bandsOf(sigs: DataFrame): DataFrame =
         sigs.select(
           col("doc_id"),
           explode(array((0 until Bands).map { b =>
-            struct(lit(b).as("band"),
-              md5(concat_ws(",",
-                (0 until 4).map(r => element_at(col("sig"), b * 4 + r + 1)): _*))
-                .as("bh"))
+            val slotStr = concat_ws(",",
+              (0 until 4).map(r => element_at(col("sig"), b * 4 + r + 1)): _*)
+            val (bh1, bh2) = graft.functions.GraftFunctions.md5_128(slotStr)
+            struct(lit(b).as("band"), bh1.as("bh1"), bh2.as("bh2"))
           }: _*)).as("bb"))
-          .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+          .select(col("doc_id"), col("bb.band").as("band"),
+            col("bb.bh1").as("bh1"), col("bb.bh2").as("bh2"))
       val corpusBands = bandsOf(corpusSigs)
       val batchBands = bandsOf(batchSigs)
-      val okBuckets = corpusBands.groupBy("band", "bh")
+      val okBuckets = corpusBands.groupBy("band", "bh1", "bh2")
         .agg(count(lit(1)).as("bsz"))
         .filter(col("bsz") <= BucketCap)
-        .select("band", "bh")
-      val cand = corpusBands.join(okBuckets, Seq("band", "bh")).as("o")
-        .join(batchBands.as("n"), Seq("band", "bh"))
+        .select("band", "bh1", "bh2")
+      val cand = corpusBands.join(okBuckets, Seq("band", "bh1", "bh2")).as("o")
+        .join(batchBands.as("n"), Seq("band", "bh1", "bh2"))
         .select(col("o.doc_id").as("doc_old"), col("n.doc_id").as("doc_new"))
         .distinct()
       val agreement = (0 until MinhashK).map(i =>
@@ -1469,16 +1532,23 @@ object DedupQueries {
       val cand = probes
         .join(ranked.select(col("doc_id").as("doc_b"), col("rank")), "rank")
         .select("doc_a", "doc_b")
-      // exact token-set Jaccard verify (set semantics: distinct tokens)
+      // exact token-set Jaccard verify (set semantics: distinct tokens).
+      // Token identity = the full 128-bit md5 as two longs (the
+      // shingleDigests discipline — bijective with the token string, so
+      // the intersect counts are identical): the verify join then keys
+      // on primitives instead of token text.
+      val (t1c, t2c) = graft.functions.GraftFunctions.md5_128(col("t"))
       val tok = keyed.select(col("doc_id"),
           explode(array_distinct(
             filter(split(col("text"), "\\s+"), x => length(x) > 0))).as("t"))
+        .select(col("doc_id"), t1c.as("t1"), t2c.as("t2"))
         .materialized
       val counts = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = cand
         .join(tok.as("ta"), col("doc_a") === col("ta.doc_id"))
         .join(tok.as("tb"),
-          col("doc_b") === col("tb.doc_id") && col("ta.t") === col("tb.t"))
+          col("doc_b") === col("tb.doc_id") && col("ta.t1") === col("tb.t1") &&
+            col("ta.t2") === col("tb.t2"))
         .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
       cand
         .join(inter, Seq("doc_a", "doc_b"), "left")
@@ -1570,15 +1640,20 @@ object DedupQueries {
         .select(concat_ws("|", try_element_at(col("ws"), lit(1)),
           expr("cast(n_chars div 32 as string)")).as("key"), col("doc_id"))
       val cand = blockPairs(b1).union(blockPairs(b2)).distinct().materialized
+      // token identity = md5_128 longs (q103's verify discipline):
+      // identical intersect counts, primitive join keys
+      val (t1c, t2c) = graft.functions.GraftFunctions.md5_128(col("t"))
       val tok = docs.select(col("doc_id"),
           explode(array_distinct(
             filter(split(col("text"), "\\s+"), x => length(x) > 0))).as("t"))
+        .select(col("doc_id"), t1c.as("t1"), t2c.as("t2"))
         .materialized
       val counts = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = cand
         .join(tok.as("ta"), col("doc_a") === col("ta.doc_id"))
         .join(tok.as("tb"),
-          col("doc_b") === col("tb.doc_id") && col("ta.t") === col("tb.t"))
+          col("doc_b") === col("tb.doc_id") && col("ta.t1") === col("tb.t1") &&
+            col("ta.t2") === col("tb.t2"))
         .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
       val lens = docs.select(col("doc_id"), col("n_chars"))
       val edges = inter
@@ -1593,8 +1668,11 @@ object DedupQueries {
       val sym = edges
         .union(edges.select(col("dst").as("src"), col("src").as("dst")))
         .materialized
-      var labels = docs.select(col("doc_id").as("node"),
-        col("doc_id").as("lbl")).materialized
+      // edge-touched nodes only — the jaccardComponents discipline:
+      // isolated docs never change label, so they skip the loop and
+      // re-enter as singleton clusters in the left-join read-off
+      var labels = sym.select(col("src").as("node")).distinct()
+        .withColumn("lbl", col("node")).materialized
       var changed = 1L
       var rounds = 0
       while (changed > 0 && rounds < 50) {
@@ -1603,7 +1681,10 @@ object DedupQueries {
         labels = next.select(col("node"), col("nxt").as("lbl"))
         rounds += 1
       }
-      val comp = labels.select(col("node").as("doc_id"), col("lbl").as("cluster"))
+      val comp = docs.select(col("doc_id"))
+        .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("lbl"), col("doc_id")).as("cluster"))
       val sizes = comp.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
       val best = comp.join(lens, "doc_id")
         .withColumn("rn", row_number().over(
@@ -1796,10 +1877,18 @@ object DedupQueries {
               .otherwise(signum(col("lbl") * 2 +
                 coalesce(col("vote"), lit(0))).cast("int")).as("lbl"))
       }
-      val l0 = seeded.select(col("doc_id"), col("seed").as("lbl"))
+      // vote rounds over edge-touched nodes only: an isolated doc gets
+      // vote = 0 every round, so l' = seed if seeded else sign(2l) = l —
+      // its label is its seed at every round and it can skip the loop
+      // (the jaccardComponents discipline); coalesce restores it at
+      // read-off. Fixpoint prefix unchanged — oracle re-proves per run.
+      val nodes = sym.select(col("dst").as("doc_id")).distinct()
+      val l0 = seeded.join(nodes, "doc_id")
+        .select(col("doc_id"), col("seed").as("lbl"))
       val l2 = round(round(l0))
-      seeded.join(l2, "doc_id")
-        .select(col("doc_id"), col("seed"), col("lbl").as("label"))
+      seeded.join(l2.withColumnRenamed("lbl", "spread"), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("seed"),
+          coalesce(col("spread"), col("seed")).as("label"))
         .orderBy("doc_id")
     },
     Some(s"""
@@ -1938,14 +2027,17 @@ object DedupQueries {
       val toks = docs.select(col("doc_id"),
         filter(split(col("text"), "\\s+"), x => length(x) > 0).as("w"))
         .select(col("doc_id"), col("w"), size(col("w")).as("n"))
-      // 16-hex-char digest prefix (64-bit entropy — collision-safe at any
-      // plausible gram count) instead of the full 32-char md5: halves the
-      // bytes every downstream exchange and compare touches
+      // 64-bit digest prefix AS A LONG (md5_prefix64 — bijective with the
+      // previous 16-hex-char substring, so every set below is identical):
+      // collision-safe at any plausible gram count, no 32-char hex string
+      // materialized per gram, and downstream exchanges/compares touch an
+      // 8-byte primitive instead of a 16-char string
       val grams = toks
         .filter(col("n") >= W)
         .select(col("doc_id"), col("n"), posexplode(
-          expr(s"transform(sequence(1, n - ${W - 1}), " +
-            s"i -> substring(md5(array_join(slice(w, i, $W), ' ')), 1, 16))")))
+          transform(expr(s"sequence(1, n - ${W - 1})"),
+            i => graft.functions.GraftFunctions.md5_prefix64(
+              array_join(slice(col("w"), i, lit(W)), " ")))))
         .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("h"))
         .materialized // consumers: dup set + position join
       val dup = grams.select("h", "doc_id").distinct()
@@ -2644,16 +2736,21 @@ object DedupQueries {
     (s, dir) => {
       val docs = documents(s, dir)
       val sigs = minhashSignatures(docs).materialized
+      // 128-bit digest as two longs — the jaccardPairs discipline: same
+      // equality relation as the hex string (bijection), half the bytes
+      // through the distinct, the postings groupBy and the truth self-join
+      val (h1c, h2c) = graft.functions.GraftFunctions.md5_128(col("sh"))
       val sh = shingles(docs, dedup = false)
-        .select(col("doc_id"), md5(col("sh")).as("h")).distinct()
+        .select(col("doc_id"), h1c.as("h1"), h2c.as("h2")).distinct()
         .materialized // truth needs postings AND per-doc sizes
       val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val shared = sh.groupBy("h").agg(count(lit(1)).as("c"))
-        .filter(col("c") > 1).select("h")
-      val pf = sh.join(shared, Seq("h"))
+      val shared = sh.groupBy("h1", "h2").agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).select("h1", "h2")
+      val pf = sh.join(shared, Seq("h1", "h2"))
       val truth = pf.as("a")
         .join(pf.as("b"),
-          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+          col("a.h1") === col("b.h1") && col("a.h2") === col("b.h2") &&
+            col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
         .agg(count(lit(1)).as("ix"))
         .join(sz.select(col("doc_id").as("da"), col("n").as("na")), "da")
@@ -2662,23 +2759,28 @@ object DedupQueries {
         .select("da", "db")
         .materialized // compared against every geometry
       val perConfig = Seq((32, 2), (16, 4), (8, 8)).map { case (b, r) =>
+        // band key = md5_128 of the same slot string (q22's discipline):
+        // identical buckets, 16-byte primitive keys through the cap
+        // groupBy and the capped self-join
         val bands = sigs.select(col("doc_id"),
           explode(array((0 until b).map { bi =>
-            struct(lit(bi).as("band"),
-              md5(concat_ws(",",
-                (0 until r).map(ri =>
-                  element_at(col("sig"), bi * r + ri + 1)): _*)).as("bh"))
+            val slotStr = concat_ws(",",
+              (0 until r).map(ri =>
+                element_at(col("sig"), bi * r + ri + 1)): _*)
+            val (bh1, bh2) = graft.functions.GraftFunctions.md5_128(slotStr)
+            struct(lit(bi).as("band"), bh1.as("bh1"), bh2.as("bh2"))
           }: _*)).as("bb"))
           .select(col("doc_id"), col("bb.band").as("band"),
-            col("bb.bh").as("bh"))
-        val ok = bands.groupBy("band", "bh")
+            col("bb.bh1").as("bh1"), col("bb.bh2").as("bh2"))
+        val ok = bands.groupBy("band", "bh1", "bh2")
           .agg(count(lit(1)).as("bsz"))
           .filter(col("bsz") <= BucketCap && col("bsz") > 1)
-          .select("band", "bh")
-        val bounded = bands.join(ok, Seq("band", "bh"))
+          .select("band", "bh1", "bh2")
+        val bounded = bands.join(ok, Seq("band", "bh1", "bh2"))
         val cand = bounded.as("x")
           .join(bounded.as("y"),
-            col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+            col("x.band") === col("y.band") && col("x.bh1") === col("y.bh1") &&
+              col("x.bh2") === col("y.bh2") &&
               col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
           .distinct()
@@ -2856,13 +2958,13 @@ object DedupQueries {
     "q168_containment_dedup",
     (s, dir) => {
       val docs = documents(s, dir)
-      val sh = shingles(docs, dedup = false)
-        .select(col("doc_id"), md5(col("sh")).as("h")).distinct()
+      val sh = shingleDigests(docs)
         .materialized // postings + per-doc set sizes
       val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       sh.as("a")
         .join(sh.as("b"),
-          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+          col("a.h1") === col("b.h1") && col("a.h2") === col("b.h2") &&
+            col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
         .agg(count(lit(1)).as("ix"))
         .join(sz.select(col("doc_id").as("da"), col("n").as("na")), "da")
@@ -2995,15 +3097,15 @@ object DedupQueries {
     "q171_bench_containment",
     (s, dir) => {
       val docs = documents(s, dir)
-      val sh = shingles(docs, nWords = 8, dedup = false)
-        .select(col("doc_id"), md5(col("sh")).as("h")).distinct()
+      val sh = shingleDigests(docs, nWords = 8)
         .materialized // split into both sides of the postings join
       val bench = sh.filter(col("doc_id") % 17 === 0)
       val bsz = bench.groupBy(col("doc_id").as("bdoc"))
         .agg(count(lit(1)).as("nb"))
       val per = sh.filter(col("doc_id") % 17 =!= 0)
-        .select(col("doc_id").as("tdoc"), col("h"))
-        .join(bench.select(col("doc_id").as("bdoc"), col("h")), Seq("h"))
+        .select(col("doc_id").as("tdoc"), col("h1"), col("h2"))
+        .join(bench.select(col("doc_id").as("bdoc"), col("h1"), col("h2")),
+          Seq("h1", "h2"))
         .groupBy("bdoc", "tdoc").agg(count(lit(1)).as("ix"))
         .join(bsz, Seq("bdoc"))
         .withColumn("cont_ppm", expr(

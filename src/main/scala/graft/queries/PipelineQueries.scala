@@ -941,12 +941,13 @@ object PipelineQueries {
     "q96_contamination_score",
     (s, dir) => {
       val docs = documents(s, dir)
-      val sh = DedupQueries.shingles(docs)
-        .select(col("doc_id"), md5(col("sh")).as("h"))
-      val benchSh = sh.filter(col("doc_id") < 50).select("h").distinct()
+      // 128-bit digest as two longs (shingleDigests) — same sets as the
+      // hex key (bijection), primitive join keys through the broadcast
+      val sh = DedupQueries.shingleDigests(docs)
+      val benchSh = sh.filter(col("doc_id") < 50).select("h1", "h2").distinct()
       val corpusSh = sh.filter(col("doc_id") >= 50)
       val perDoc = corpusSh
-        .join(broadcast(benchSh.withColumn("hit", lit(1))), Seq("h"), "left")
+        .join(broadcast(benchSh.withColumn("hit", lit(1))), Seq("h1", "h2"), "left")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_shingles"),
           sum(coalesce(col("hit"), lit(0))).as("n_overlap"))
@@ -1670,11 +1671,14 @@ object PipelineQueries {
         .filter(size(col("w")) >= 5)
         .select(col("doc_id"), col("w"),
           explode(sequence(lit(0), size(col("w")) - 5)).as("i"))
+        // md5_prefix64 longs ≡ the 16-hex-char substrings (bijection):
+        // same key sets, primitive columns through both broadcasts
         .select(col("doc_id"),
-          substring(md5(concat_ws(" ", expr("slice(w, i + 1, 5)"))), 1, 16)
-            .as("v"),
-          substring(md5(concat_ws(" ", expr("w[i]"), expr("w[i+1]"),
-            lit("*"), expr("w[i+3]"), expr("w[i+4]"))), 1, 16).as("g"))
+          graft.functions.GraftFunctions.md5_prefix64(
+            concat_ws(" ", expr("slice(w, i + 1, 5)"))).as("v"),
+          graft.functions.GraftFunctions.md5_prefix64(
+            concat_ws(" ", expr("w[i]"), expr("w[i+1]"),
+              lit("*"), expr("w[i+3]"), expr("w[i+4]"))).as("g"))
         .materialized // consumers: two bench key sets + the corpus scan
       val benchV = keyed.filter(col("doc_id") < 50).select("v").distinct()
       val benchG = keyed.filter(col("doc_id") < 50).select("g").distinct()

@@ -82,14 +82,14 @@ object ScaleQueries {
     * the Bloom-dominates-exact property test compares like with like by
     * construction. */
   private[graft] def bloomProbes(docs: DataFrame): DataFrame = {
-    val (lo, hi) = hexHalves(col("h"))
-    // dedup = false + distinct AFTER md5: the distinct's shuffle then
-    // carries 32-byte digests, not shingle text (the file-header key
-    // discipline; shingles' default distinct would key on the raw 8-word
-    // strings). Same result set — md5 is applied before the dedup.
-    DedupQueries.shingles(docs, nWords = 8, dedup = false)
-      .select(col("doc_id"), md5(col("sh")).as("h"))
-      .distinct()
+    // Digest distinct on (h1, h2) longs (DedupQueries.shingleDigests —
+    // bijective with the hex string, half the dedup-exchange bytes); the
+    // probe halves come from h1 via the documented hex↔long identity
+    // (GraftFunctions.halves64: hex chars 1-8 = high word, 9-16 = low
+    // word), so pos0/pos1 are bit-identical to the conv/substring form
+    // the oracle still uses.
+    val (lo, hi) = graft.functions.GraftFunctions.halves64(col("h1"))
+    DedupQueries.shingleDigests(docs, nWords = 8)
       .select(col("doc_id"),
         (lo % BloomBits).as("pos0"), (hi % BloomBits).as("pos1"))
       .select(col("doc_id"),
@@ -830,10 +830,17 @@ object ScaleQueries {
       var ranks = deg.select(col("src").as("node"), lit(r0).as("r"))
         .materialized
       for (_ <- 1 to 5) {
+        // attach deg to the V-sized rank table BEFORE the edge join: one
+        // V⋈V join + one E⋈V join per round instead of two E⋈V joins —
+        // the second edge-sized join carried `r` across the whole edge
+        // table just to divide it by a per-node constant (guide §2.3:
+        // shuffle small rows, and §3.1: join the small sides first).
+        // Same integer arithmetic at the same points → bit-identical.
+        val contribs = ranks.join(deg, ranks("node") === deg("src"))
+          .select(col("node"), expr("r div deg").as("contrib"))
         ranks = edges
-          .join(ranks, edges("src") === ranks("node"))
-          .join(deg, "src")
-          .select(col("dst"), expr("r div deg").as("contrib"))
+          .join(contribs, edges("src") === contribs("node"))
+          .select(col("dst"), col("contrib"))
           .groupBy(col("dst").as("node"))
           .agg(expr(s"$teleport + 85 * sum(contrib) div 100").as("r"))
           .select(col("node"), col("r"))

@@ -798,10 +798,14 @@ object TextQueries {
   val q140 = Q(
     "q140_novel_ngrams",
     (s, dir) => {
+      // 64-bit digest as a LONG (md5_prefix64 — bijective with the
+      // 16-hex-char substring): same sets, primitive keys in the
+      // distinct, the df groupBy and the join back (guide §2.3)
       val grams = documents(s, dir)
         .select(col("doc_id"),
           graft.functions.GraftFunctions.word_ngrams(col("text"), 5).as("g"))
-        .select(col("doc_id"), substring(md5(col("g")), 1, 16).as("h"))
+        .select(col("doc_id"),
+          graft.functions.GraftFunctions.md5_prefix64(col("g")).as("h"))
         .distinct()
         .materialized // consumers: gram document-frequency + per-doc join
       val dfreq = grams.groupBy("h").agg(count(lit(1)).as("df"))
@@ -863,7 +867,10 @@ object TextQueries {
       val bi = documents(s, dir)
         .select(col("doc_id"),
           graft.functions.GraftFunctions.word_ngrams(col("text"), 2).as("g"))
-        .select(col("doc_id"), substring(md5(col("g")), 1, 16).as("h"))
+        // md5_prefix64 long ≡ the 16-hex-char substring (bijection):
+        // identical counts, primitive digest keys end-to-end
+        .select(col("doc_id"),
+          graft.functions.GraftFunctions.md5_prefix64(col("g")).as("h"))
         .materialized // consumers: corpus counts + per-doc scoring join
       val counts = bi.groupBy("h").agg(count(lit(1)).as("cnt"))
       val histo = counts.groupBy("cnt").agg(count(lit(1)).as("n_b"))
@@ -1045,7 +1052,9 @@ object TextQueries {
         .select(col("source"),
           explode(filter(split(col("text"), "\\s+"),
             x => length(x) > 0)).as("word"))
-        .select(col("source"), substring(md5(col("word")), 1, 16).as("h"))
+        // md5_prefix64 long ≡ the 16-hex-char substring (bijection)
+        .select(col("source"),
+          graft.functions.GraftFunctions.md5_prefix64(col("word")).as("h"))
         .groupBy("source", "h").agg(count(lit(1)).as("cnt"))
       val histo = counts.groupBy("source", "cnt")
         .agg(count(lit(1)).as("n_typ"))

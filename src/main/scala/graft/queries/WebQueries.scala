@@ -236,23 +236,30 @@ object WebQueries {
           val t = SqliteParser.tables(src, h).head
           val leaves = SqliteParser.leafPages(src, h, t.rootPage)
             .getOrElse(sys.error("writer produced a non-table tree"))
+          // bodies reduce to md5/length INSIDE the task (one digest
+          // instance per group, q187's discipline): the recovered
+          // ~100 KB body strings never cross the Dataset encoder —
+          // previously every body was re-encoded into an UnsafeRow just
+          // so a projection could immediately digest and drop it.
+          // md5(body UTF-8 bytes) ≡ Spark's md5(StringType) and
+          // codePointCount ≡ Spark's length() — values unchanged.
+          val md = graft.functions.Md5Prefix64.md5Instance()
           leaves.flatMap(pg => SqliteParser.leafRows(src, h, pg)).map {
             case (rowid, cells) =>
               val lang = cells(1) match { case TextCell(v) => v; case _ => "" }
               val nch = cells(2) match { case IntCell(v) => v; case _ => -1L }
               val body = cells(3) match { case TextCell(v) => v; case _ => "" }
+              md.reset()
+              val hx = graft.functions.Md5Prefix64.hex(
+                md.digest(body.getBytes(StandardCharsets.UTF_8)))
               (shard, rowid, t.cols.length.toLong, t.ipk.toLong,
-                lang, nch, body)
+                lang, nch, hx,
+                body.codePointCount(0, body.length).toLong)
           }.iterator
         }
         .toDF("shard_id", "doc_id", "n_cols", "ipk_col", "lang_rt",
-          "n_chars_rt", "body")
-      rt
-        .select(col("shard_id"), col("doc_id"), col("n_cols"),
-          col("ipk_col"), col("lang_rt"), col("n_chars_rt"),
-          md5(col("body")).as("body_md5"),
-          length(col("body")).cast("long").as("body_len"))
-        .orderBy("doc_id")
+          "n_chars_rt", "body_md5", "body_len")
+      rt.orderBy("doc_id")
     },
     // the oracle recomputes every recovered field straight from
     // documents — any divergence in the writer's framing, the reader's
@@ -295,13 +302,14 @@ object WebQueries {
         .groupByKey(_._1 / WebCorpus.ShardDocs)
         .flatMapGroups { (shard, it) =>
           val docs = it.toSeq.sortBy(_._1)
-          // one digest instance per GROUP, reset between docs — a JCA
-          // provider lookup per document is pure churn at corpus scale
-          val md5 = java.security.MessageDigest.getInstance("MD5")
+          // thread-local digest + table-lookup hex (Md5Prefix64 helpers,
+          // r15 pass): the per-byte "%02x".format parsed a format string
+          // and boxed per digest byte on every document
+          val md5 = graft.functions.Md5Prefix64.md5Instance()
           val tsv = docs.map { case (id, lang, nch, text) =>
             md5.reset()
-            val hx = md5.digest(text.getBytes(StandardCharsets.UTF_8))
-              .map("%02x".format(_)).mkString
+            val hx = graft.functions.Md5Prefix64.hex(
+              md5.digest(text.getBytes(StandardCharsets.UTF_8)))
             s"$id\t$lang\t$hx\t$nch"
           }.mkString("", "\n", "\n")
           val tmp = java.nio.file.Files.createTempFile("graft_shard", ".tsv.zst")

@@ -265,10 +265,9 @@ object SqliteParser {
     case RealCell(v) => java.lang.Double.toString(v)
     case TextCell(v) => v
     case BlobCell(v) =>
-      val sb = new java.lang.StringBuilder(2 + 2 * v.length)
-      sb.append("0x")
-      v.foreach(b => sb.append(f"${b & 0xff}%02x"))
-      sb.toString
+      // table-lookup hex (Md5Prefix64.hex) — the per-byte f"%02x"
+      // interpolator re-parsed its format string per blob byte
+      "0x" + graft.functions.Md5Prefix64.hex(v)
   }
 
   // ----------------------------------------------------- sqlite_master

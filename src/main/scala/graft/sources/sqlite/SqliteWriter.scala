@@ -75,11 +75,23 @@ object SqliteWriter {
       val serialBytes = enc.map(e => varint(e._1))
       var hdrLen = 1 + serialBytes.map(_.length).sum
       if (hdrLen > 127) hdrLen += varint(hdrLen.toLong).length - 1
-      val out = mutable.ArrayBuffer.empty[Byte]
-      out ++= varint(hdrLen.toLong)
-      serialBytes.foreach(out ++= _)
-      enc.foreach(out ++= _._2)
-      out.toArray
+      // Exact-size array + arraycopy. The previous ArrayBuffer[Byte]
+      // `++=` appends boxed every byte of every payload — on q182's
+      // ~100 KB bodies that was the writer's hottest loop by far
+      // (optimization guide §1.2 step 2: per-task work).
+      val hdrVar = varint(hdrLen.toLong)
+      val out = new Array[Byte](
+        hdrVar.length + serialBytes.iterator.map(_.length).sum +
+          enc.iterator.map(_._2.length).sum)
+      var off = 0
+      System.arraycopy(hdrVar, 0, out, off, hdrVar.length); off += hdrVar.length
+      serialBytes.foreach { b =>
+        System.arraycopy(b, 0, out, off, b.length); off += b.length
+      }
+      enc.foreach { e =>
+        System.arraycopy(e._2, 0, out, off, e._2.length); off += e._2.length
+      }
+      out
     }
 
     // ---- plan cells: local sizes decide leaf packing BEFORE overflow

@@ -90,11 +90,14 @@ object TarWalk {
     * [[graft.operators.WebDataset.catalog]]), so their digests cannot
     * diverge. */
   def streamMd5Hex(data: InputStream): String = {
-    val md5 = java.security.MessageDigest.getInstance("MD5")
+    // thread-local digest + table-lookup hex (r15 optimization pass):
+    // the previous per-member getInstance + per-byte "%02x".format were
+    // the catalog road's hottest non-I/O loop at one call per member
+    val md5 = graft.functions.Md5Prefix64.md5Instance()
     val buf = new Array[Byte](64 << 10)
     var n = data.read(buf)
     while (n > 0) { md5.update(buf, 0, n); n = data.read(buf) }
-    md5.digest().map("%02x".format(_)).mkString
+    graft.functions.Md5Prefix64.hex(md5.digest())
   }
 
   /** Index pass for the big-shard split road: the block-aligned extent of

@@ -132,6 +132,41 @@ class OperatorSpec extends SparkSpec {
       org.apache.spark.unsafe.types.UTF8String.fromString("abc")))
   }
 
+  test("md5_suffix64 / md5_128 are bit-identical to the hex digest halves") {
+    import spark.implicits._
+    import graft.functions.GraftFunctions
+    // md5_128 must equal (md5_prefix64, md5_suffix64) from ONE digest
+    // pass, and each long must match the corresponding conv/substring
+    // halves of the 32-char hex digest — the bijection the r15 dedup
+    // pipelines rely on when they swap hex keys for (h1, h2) longs.
+    val inputs = Seq("", "a", "hello world", "héllo wörld", "日本語テキスト",
+      "x" * 1000, "a b c d e f g h")
+    val (h1c, h2c) = GraftFunctions.md5_128(col("s"))
+    val rows = inputs.toDF("s").select(
+      h1c.as("h1"), h2c.as("h2"),
+      GraftFunctions.md5_prefix64(col("s")).as("p"),
+      GraftFunctions.md5_suffix64(col("s")).as("q"),
+      conv(substring(md5(col("s")), 17, 8), 16, 10).cast("long").as("lo"),
+      conv(substring(md5(col("s")), 25, 8), 16, 10).cast("long").as("hi"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) === r.getLong(2)) // h1 ≡ md5_prefix64
+      assert(r.getLong(1) === r.getLong(3)) // h2 ≡ md5_suffix64
+      val q = r.getLong(1)
+      assert((q >>> 32) === r.getLong(4)) // hex chars 17-24
+      assert((q & 0xFFFFFFFFL) === r.getLong(5)) // hex chars 25-32
+    }
+    // interpreted (non-codegen) path must agree with codegen
+    val utf8 = org.apache.spark.unsafe.types.UTF8String.fromString("abc")
+    val pair = graft.functions.Md5Pair(
+      org.apache.spark.sql.catalyst.expressions.Literal(utf8,
+        org.apache.spark.sql.types.StringType))
+    val row = pair.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    assert(row.getLong(0) === graft.functions.Md5Prefix64.hash(utf8))
+    assert(row.getLong(1) === graft.functions.Md5Prefix64.hashHi(utf8))
+  }
+
   test("winnow hashes: reference fold parity, window extremes, edge cases") {
     import spark.implicits._
     import graft.functions.{GraftFunctions, WinnowHash}
