@@ -49,13 +49,23 @@ case class KmvSketch(
   override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
     new java.util.TreeSet[java.lang.Long](KmvSketch.UnsignedOrder)
 
+  // lazy: the child is unresolved at construction (copy() during analysis
+  // calls the constructor before resolution); resolved by first update
+  private lazy val childIsLong = child.dataType == LongType
+
   override def update(
       buffer: java.util.TreeSet[java.lang.Long],
       input: InternalRow): java.util.TreeSet[java.lang.Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val h = java.lang.Long.parseUnsignedLong(
-        v.asInstanceOf[UTF8String].toString, 16)
+      // LONG input = the md5 prefix as a big-endian 64-bit value
+      // (md5_prefix64) — bit-identical to parsing the first 16 hex chars,
+      // without the per-row UTF8String → String → parseUnsignedLong walk
+      // (r15 pass). The hex path stays for string-keyed callers.
+      val h =
+        if (childIsLong) v.asInstanceOf[Long]
+        else java.lang.Long.parseUnsignedLong(
+          v.asInstanceOf[UTF8String].toString, 16)
       // Only insert if it can belong to the k smallest (keeps the common
       // path O(log k) with no growth past k).
       if (buffer.size < k ||

@@ -31,7 +31,12 @@ object SketchQueries {
         .select(
           col("l_returnflag"),
           col("l_partkey"),
-          substring(md5(col("l_partkey").cast("string")), 1, 16).as("h"))
+          // md5_prefix64 long ≡ parseUnsignedLong(first 16 hex chars)
+          // (r15 pass): the sketch ingests the 64-bit value directly —
+          // same k-smallest set under unsigned order, same estimate —
+          // instead of rendering 32 hex chars per row and re-parsing 16
+          graft.functions.GraftFunctions
+            .md5_prefix64(col("l_partkey").cast("string")).as("h"))
         .groupBy("l_returnflag")
         .agg(
           KmvSketch.kmvDistinct(col("h"), 256).as("kmv_parts"),

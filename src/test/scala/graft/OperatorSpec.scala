@@ -339,6 +339,15 @@ class OperatorSpec extends SparkSpec {
       .agg(KmvSketch.kmvDistinct(col("h"), 256).as("est"))
       .collect().head.getLong(0)
     assert(math.abs(est - 100000.0) / 100000.0 < 0.25, s"KMV estimate $est")
+    // long-input lane ≡ hex-input lane: md5_prefix64 is the same 64-bit
+    // value parseUnsignedLong reads from the first 16 hex chars, and the
+    // sketch orders both unsigned — estimates must be bit-identical
+    val estLong = spark.range(100000)
+      .select(graft.functions.GraftFunctions
+        .md5_prefix64(col("id").cast("string")).as("h"))
+      .agg(KmvSketch.kmvDistinct(col("h"), 256).as("est"))
+      .collect().head.getLong(0)
+    assert(estLong === est)
   }
 
   test("KMV sketch merges partial buffers across partitions correctly") {
