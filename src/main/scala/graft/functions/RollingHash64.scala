@@ -100,6 +100,17 @@ object GraftFunctions {
     (p.getField("h1"), p.getField("h2"))
   }
 
+  /** The [[Md5Pair]] struct itself, for call sites where the two halves
+    * must ride INSIDE one larger expression (a band `struct` under an
+    * `explode(array(...))`): whole-stage codegen's subexpression
+    * elimination dedups equal subtrees ACROSS a projection's expression
+    * list, not WITHIN a single generator expression — so two getFields
+    * inlined into the same array would digest twice per band. Embedding
+    * the pair struct digests once; consumers read `.h1`/`.h2` AFTER the
+    * explode, where the struct is already materialized. */
+  def md5_pair(c: Column): Column =
+    ColumnBridge.column(Md5Pair(ColumnBridge.expression(c)))
+
   def winnow_min(c: Column, k: Int): Column =
     ColumnBridge.column(WinnowExtreme(ColumnBridge.expression(c), k, takeMin = true))
 

@@ -270,16 +270,20 @@ object DedupQueries {
       // the bucket partition (and thus the candidate set) is provably
       // identical, while the band exchange + capped self-join carry
       // 16-byte primitive keys instead of 32-char strings (guide §2.3).
+      // the pair struct rides the band struct whole (md5_pair, not two
+      // inlined getFields): inside ONE explode(array(...)) expression
+      // codegen cannot dedup equal subtrees, so the inlined form digested
+      // every band twice — fields are read after the explode instead
       val bands = sigs.select(
         col("doc_id"),
         explode(array((0 until Bands).map { b =>
           val slotStr = concat_ws(",",
             (0 until 4).map(r => element_at(col("sig"), b * 4 + r + 1)): _*)
-          val (bh1, bh2) = graft.functions.GraftFunctions.md5_128(slotStr)
-          struct(lit(b).as("band"), bh1.as("bh1"), bh2.as("bh2"))
+          struct(lit(b).as("band"),
+            graft.functions.GraftFunctions.md5_pair(slotStr).as("p"))
         }: _*)).as("bb"))
         .select(col("doc_id"), col("bb.band").as("band"),
-          col("bb.bh1").as("bh1"), col("bb.bh2").as("bh2"))
+          col("bb.p.h1").as("bh1"), col("bb.p.h2").as("bh2"))
       // Over-full bucket guard — see q23's BucketCap note. No broadcast
       // hint: the qualifying-bucket list grows with the corpus, so the
       // join strategy is AQE's call (broadcasts while small, shuffles at
@@ -1268,11 +1272,12 @@ object DedupQueries {
           explode(array((0 until Bands).map { b =>
             val slotStr = concat_ws(",",
               (0 until 4).map(r => element_at(col("sig"), b * 4 + r + 1)): _*)
-            val (bh1, bh2) = graft.functions.GraftFunctions.md5_128(slotStr)
-            struct(lit(b).as("band"), bh1.as("bh1"), bh2.as("bh2"))
+            // pair struct whole — q22's one-digest-per-band discipline
+            struct(lit(b).as("band"),
+              graft.functions.GraftFunctions.md5_pair(slotStr).as("p"))
           }: _*)).as("bb"))
           .select(col("doc_id"), col("bb.band").as("band"),
-            col("bb.bh1").as("bh1"), col("bb.bh2").as("bh2"))
+            col("bb.p.h1").as("bh1"), col("bb.p.h2").as("bh2"))
       val corpusBands = bandsOf(corpusSigs)
       val batchBands = bandsOf(batchSigs)
       val okBuckets = corpusBands.groupBy("band", "bh1", "bh2")
@@ -2767,11 +2772,12 @@ object DedupQueries {
             val slotStr = concat_ws(",",
               (0 until r).map(ri =>
                 element_at(col("sig"), bi * r + ri + 1)): _*)
-            val (bh1, bh2) = graft.functions.GraftFunctions.md5_128(slotStr)
-            struct(lit(bi).as("band"), bh1.as("bh1"), bh2.as("bh2"))
+            // pair struct whole — q22's one-digest-per-band discipline
+            struct(lit(bi).as("band"),
+              graft.functions.GraftFunctions.md5_pair(slotStr).as("p"))
           }: _*)).as("bb"))
           .select(col("doc_id"), col("bb.band").as("band"),
-            col("bb.bh1").as("bh1"), col("bb.bh2").as("bh2"))
+            col("bb.p.h1").as("bh1"), col("bb.p.h2").as("bh2"))
         val ok = bands.groupBy("band", "bh1", "bh2")
           .agg(count(lit(1)).as("bsz"))
           .filter(col("bsz") <= BucketCap && col("bsz") > 1)

@@ -830,17 +830,17 @@ object ScaleQueries {
       var ranks = deg.select(col("src").as("node"), lit(r0).as("r"))
         .materialized
       for (_ <- 1 to 5) {
-        // attach deg to the V-sized rank table BEFORE the edge join: one
-        // V⋈V join + one E⋈V join per round instead of two E⋈V joins —
-        // the second edge-sized join carried `r` across the whole edge
-        // table just to divide it by a per-node constant (guide §2.3:
-        // shuffle small rows, and §3.1: join the small sides first).
-        // Same integer arithmetic at the same points → bit-identical.
-        val contribs = ranks.join(deg, ranks("node") === deg("src"))
-          .select(col("node"), expr("r div deg").as("contrib"))
+        // Two joins, BOTH keyed on src on purpose (r15 pass note): a
+        // "join deg into ranks first" restructure (V⋈V + E⋈V instead of
+        // E⋈V + E⋈V) measured consistently ~1.1x SLOWER across three
+        // paired sessions — the two src-keyed joins below fuse into one
+        // sort-merge cascade with no intermediate exchange, while the
+        // restructure split them into two stages to save only a per-edge
+        // integer division. Kept in the original fused form.
         ranks = edges
-          .join(contribs, edges("src") === contribs("node"))
-          .select(col("dst"), col("contrib"))
+          .join(ranks, edges("src") === ranks("node"))
+          .join(deg, "src")
+          .select(col("dst"), expr("r div deg").as("contrib"))
           .groupBy(col("dst").as("node"))
           .agg(expr(s"$teleport + 85 * sum(contrib) div 100").as("r"))
           .select(col("node"), col("r"))
