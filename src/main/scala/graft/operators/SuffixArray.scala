@@ -221,28 +221,31 @@ object SuffixArray {
   def suffixRanks(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"), split(col("text"), "\\s+").as("w"))
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
-    // 4-word start (the classic wider-initial-alphabet cut, widened from
-    // 2 in the r15 optimization pass): round 0 ranks each position by its
-    // (word, +1, +2, +3) quadruple, so the ranks already encode 4-word
-    // prefix order and BOTH the k=1 and k=2 integer doubling rounds —
-    // each a full corpus-sized range exchange + sort + two jobs — never
-    // run. The extra leads ride the SAME per-doc window sort the 2-word
-    // form already paid; only round 0's range exchange widens (two more
-    // word columns). A suffix that ends early has NULLs from its first
-    // missing position on: NULL sorts FIRST (Spark's ASC default), which
-    // is exactly the shorter-is-smaller suffix rule the doubling rounds
-    // encode as r2 = -1, and once one lead is NULL all later leads are
-    // too, so the column-wise order equals true suffix order on the
-    // first 4 words. NULL cannot collide with data: split() never
-    // yields null tokens.
-    val pos = toks.select(col("doc_id"),
-      posexplode(col("w")).as(Seq("pos", "word")))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("word"))
-      .withColumn("word2", lead(col("word"), 1).over(byDoc))
-      .withColumn("word3", lead(col("word"), 2).over(byDoc))
-      .withColumn("word4", lead(col("word"), 3).over(byDoc))
+    // Lead-word start (the classic wider-initial-alphabet cut, widened
+    // 2 → 4 in the r15 optimization pass): round 0 ranks each position
+    // by its (word, +1, …, +Lead−1) tuple, so the ranks already encode
+    // Lead-word prefix order and the k = 1 … Lead/2 integer doubling
+    // rounds — each a full corpus-sized range exchange + sort + two jobs
+    // — never run. The extra leads ride the SAME per-doc window sort the
+    // 2-word form already paid; only round 0's range exchange widens. A
+    // suffix that ends early has NULLs from its first missing position
+    // on: NULL sorts FIRST (Spark's ASC default), which is exactly the
+    // shorter-is-smaller suffix rule the doubling rounds encode as
+    // r2 = -1, and once one lead is NULL all later leads are too, so the
+    // column-wise order equals true suffix order on the first Lead
+    // words. NULL cannot collide with data: split() never yields null
+    // tokens. Lead = 8 was ALSO measured (r15): flat at sf0.1 (×0.97
+    // against ×0.9–1.1 controls) while doubling round 0's corpus-sized
+    // exchange width — 4 keeps the narrow exchange and the measured win.
+    val Lead = 4
+    val leadCols = (2 to Lead).map(i => s"word$i")
+    val pos = leadCols.zipWithIndex.foldLeft(
+      toks.select(col("doc_id"),
+        posexplode(col("w")).as(Seq("pos", "word")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("word"))
+    ) { case (df, (c, i)) => df.withColumn(c, lead(col("word"), i + 1).over(byDoc)) }
     val (ranked, classes0) =
-      denseRank(pos, Seq("word", "word2", "word3", "word4"), "r")
+      denseRank(pos, "word" +: leadCols, "r")
     var classes = classes0
     var cur = ranked.select(col("doc_id"), col("pos"), col("r"))
     // Bounded scalars, one agg job: the longest document's word count
@@ -254,11 +257,11 @@ object SuffixArray {
       .map(_.asInstanceOf[Int].toLong).getOrElse(0L)
     val totalPos = Option(lenStats.get(1))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
-    var k = 4L
-    // Saturation skip: when every 4-word prefix is already distinct
+    var k = Lead.toLong
+    // Saturation skip: when every Lead-word prefix is already distinct
     // (classes0 == position count — common on real text), the ranks are
-    // final and the k=4 corpus-sized range exchange would run once just
-    // to discover nothing changed.
+    // final and the k=Lead corpus-sized range exchange would run once
+    // just to discover nothing changed.
     var fixed = classes0 == totalPos
     while (k < maxLen && !fixed) {
       // Suffix shorter than pos+2^k sorts before any continuation: -1.

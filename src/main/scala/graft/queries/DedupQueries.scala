@@ -473,8 +473,17 @@ object DedupQueries {
     * Each round is one shuffle of (node, label) pairs — label tables,
     * never documents — plus a driver-side convergence count; the
     * materialize cut truncates per-round lineage growth. */
-  private def jaccardComponents(docs: DataFrame): DataFrame = {
-    val edges = jaccardPairs(docs)
+  private def jaccardComponents(docs: DataFrame): DataFrame =
+    jaccardComponentsOf(docs, jaccardPairs(docs))
+
+  /** [[jaccardComponents]] over a caller-supplied pair table — for queries
+    * that consume BOTH the components and the pairs (q141): the caller
+    * materializes `jaccardPairs` once and feeds both consumers, instead of
+    * running the whole shingle→digest→prefix-join pipeline twice inside
+    * one query (r15 pass; within-query plan reuse, the q22-sigs
+    * discipline — nothing is shared ACROSS queries). */
+  private def jaccardComponentsOf(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val sym = edges
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
@@ -2121,10 +2130,16 @@ object DedupQueries {
     "q141_chain_audit",
     (s, dir) => {
       val docs = documents(s, dir)
-      val comp = jaccardComponents(docs)
+      // ONE pair table for both consumers (components + direct counts):
+      // previously the full shingle→digest→prefix-join pipeline ran twice
+      // inside this query (r15 pass; same rows by construction)
+      val jp = jaccardPairs(docs)
+        .select(col("doc_a"), col("doc_b"))
+        .materialized // consumers: component edges + direct-pair counts
+      val comp = jaccardComponentsOf(docs, jp)
       val sizes = comp.groupBy("cluster")
         .agg(count(lit(1)).as("n_members"))
-      val direct = jaccardPairs(docs)
+      val direct = jp
         .select(col("doc_a"))
         .join(comp.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .groupBy("cluster").agg(count(lit(1)).as("direct_pairs"))
