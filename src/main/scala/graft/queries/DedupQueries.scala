@@ -2778,49 +2778,77 @@ object DedupQueries {
         .filter(col("ix") * 2 >= col("na") + col("nb") - col("ix"))
         .select("da", "db")
         .materialized // compared against every geometry
-      val perConfig = Seq((32, 2), (16, 4), (8, 8)).map { case (b, r) =>
-        // band key = md5_128 of the same slot string (q22's discipline):
-        // identical buckets, 16-byte primitive keys through the cap
-        // groupBy and the capped self-join
-        val bands = sigs.select(col("doc_id"),
+      // ONE signature explode emits every geometry's bands (r16 pass —
+      // previously each geometry ran its own explode + cap groupBy + join
+      // + self-join + distinct + materialize over the same signature
+      // table: 3× every exchange and 9 count jobs). The geometry's band
+      // count `g` rides every key, so the bucket partition — and thus
+      // each geometry's candidate set — is exactly the per-geometry one:
+      // (g, band, digest) groups never mix rows of different geometries,
+      // and the self-join requires x.g = y.g. Band keys are the md5_128
+      // of the SAME slot strings as before (one digest per band, the
+      // struct-whole discipline), so per-geometry buckets are identical
+      // by bijection; the total band-row volume through the exchanges is
+      // unchanged (32+16+8 rows per doc either way), but every pipeline
+      // stage now runs once instead of three times.
+      val geoms = Seq((32, 2), (16, 4), (8, 8))
+      // per-geometry explode projections stay separate (56 digests in ONE
+      // generator expression overflows whole-stage codegen's method
+      // budget), but the union is narrow — no exchange — so everything
+      // from the cap groupBy down still runs once over the tagged rows
+      val bands = geoms.map { case (b, r) =>
+        sigs.select(col("doc_id"),
           explode(array((0 until b).map { bi =>
             val slotStr = concat_ws(",",
               (0 until r).map(ri =>
                 element_at(col("sig"), bi * r + ri + 1)): _*)
             // pair struct whole — q22's one-digest-per-band discipline
-            struct(lit(bi).as("band"),
+            struct(lit(b.toLong).as("g"), lit(bi).as("band"),
               graft.functions.GraftFunctions.md5_pair(slotStr).as("p"))
           }: _*)).as("bb"))
-          .select(col("doc_id"), col("bb.band").as("band"),
+          .select(col("doc_id"), col("bb.g").as("g"), col("bb.band").as("band"),
             col("bb.p.h1").as("bh1"), col("bb.p.h2").as("bh2"))
-        val ok = bands.groupBy("band", "bh1", "bh2")
-          .agg(count(lit(1)).as("bsz"))
-          .filter(col("bsz") <= BucketCap && col("bsz") > 1)
-          .select("band", "bh1", "bh2")
-        val bounded = bands.join(ok, Seq("band", "bh1", "bh2"))
-        val cand = bounded.as("x")
-          .join(bounded.as("y"),
-            col("x.band") === col("y.band") && col("x.bh1") === col("y.bh1") &&
-              col("x.bh2") === col("y.bh2") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
-          .distinct()
-          .materialized // counted twice: volume + tp semi-join
-        cand.agg(count(lit(1)).as("n_cand"))
-          .crossJoin(cand.join(truth, Seq("da", "db"), "left_semi")
-            .agg(count(lit(1)).as("tp")))
-          .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
-          .select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
-            col("n_cand"), col("tp"),
-            (col("n_truth") - col("tp")).as("fn"),
-            expr("""case when n_truth = 0 then 1000000
-                    else cast(cast(tp as decimal(38,0)) * 1000000 div n_truth
-                         as bigint) end""").as("recall_ppm"),
-            expr("""case when n_cand = 0 then 1000000
-                    else cast(cast(tp as decimal(38,0)) * 1000000 div n_cand
-                         as bigint) end""").as("precision_ppm"))
-      }
-      perConfig.reduce(_ unionByName _).orderBy(col("rows_per_band"))
+      }.reduce(_ unionByName _)
+      val ok = bands.groupBy("g", "band", "bh1", "bh2")
+        .agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") <= BucketCap && col("bsz") > 1)
+        .select("g", "band", "bh1", "bh2")
+      val bounded = bands.join(ok, Seq("g", "band", "bh1", "bh2"))
+      val cand = bounded.as("x")
+        .join(bounded.as("y"),
+          col("x.g") === col("y.g") && col("x.band") === col("y.band") &&
+            col("x.bh1") === col("y.bh1") && col("x.bh2") === col("y.bh2") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.g").as("g"),
+          col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+        .distinct()
+        .materialized // counted twice: volume + tp semi-join
+      val nCand = cand.groupBy("g").agg(count(lit(1)).as("n_cand"))
+      val tp = cand.join(truth, Seq("da", "db"), "left_semi")
+        .groupBy("g").agg(count(lit(1)).as("tp"))
+      // left joins + fill(0): a geometry whose capped buckets emit no
+      // candidate pair has no group row, but the declared result still
+      // reports it with n_cand = tp = 0 (the old per-geometry count(*)
+      // over an empty table). `g` IS the bands count, so it joins the
+      // 3-row geometry table directly.
+      import s.implicits._
+      val geomDf = geoms.map { case (b, r) => (b.toLong, r.toLong) }
+        .toDF("bands", "rows_per_band")
+      geomDf
+        .join(nCand.withColumnRenamed("g", "bands"), Seq("bands"), "left")
+        .join(tp.withColumnRenamed("g", "bands"), Seq("bands"), "left")
+        .na.fill(0L, Seq("n_cand", "tp"))
+        .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+        .select(col("bands"), col("rows_per_band"),
+          col("n_cand"), col("tp"),
+          (col("n_truth") - col("tp")).as("fn"),
+          expr("""case when n_truth = 0 then 1000000
+                  else cast(cast(tp as decimal(38,0)) * 1000000 div n_truth
+                       as bigint) end""").as("recall_ppm"),
+          expr("""case when n_cand = 0 then 1000000
+                  else cast(cast(tp as decimal(38,0)) * 1000000 div n_cand
+                       as bigint) end""").as("precision_ppm"))
+        .orderBy(col("rows_per_band"))
     },
     Some {
       def geom(b: Int, r: Int) = {
