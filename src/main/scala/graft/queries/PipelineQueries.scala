@@ -1378,13 +1378,26 @@ object PipelineQueries {
     * the boundary token is engine-exact; OOV rates are reported in basis
     * points via integer division for the same reason.
     *
-    * Scale shape: one wordcount aggregate (map-side combined, vocab-sized
-    * after), one unpartitioned window over the VOCABULARY (not the corpus
-    * — a few million rows at web scale, one node's work), then a
+    * Scale shape (r16 pass — previously a SINGLE-PARTITION window ran the
+    * cumulative sum over the whole vocabulary): one wordcount aggregate
+    * (map-side combined, vocab-sized after), then the prefix-mass test is
+    * decomposed by tf GROUP — a token's mass-before is its group's offset
+    * plus (rank-in-group − 1)·tf, so the kept set is: every token of a
+    * group whose whole span fits under the threshold, plus the first
+    * `keep_k` tokens (by token order) of the one group that straddles it.
+    * Group offsets run over the DISTINCT-tf table (O(√corpus-tokens) rows
+    * — Σ distinct tf values ≤ total) as a bitlength-PARTITIONED window
+    * plus a ≤64-row bounded bucket-offset window (the q103 shard-offset
+    * discipline); the straddling group's token ranks shard by first char
+    * (a prefix of the token order) with their own bounded offset window.
+    * No vocab-sized single-partition stage remains; every unpartitioned
+    * window left is over provably bounded rows (≤64 buckets / ≤alphabet
+    * shards). The kept SET is identical — the per-group arithmetic is the
+    * same integer test the window form evaluated row-by-row. Then a
     * broadcast anti-join of the token stream against the kept set and a
-    * source-keyed count. Document text never shuffles; the only
-    * corpus-sized exchange carries (source, token) pairs pre-aggregated
-    * by the combiner. */
+    * source-keyed count, as before. Document text never shuffles; the
+    * only corpus-sized exchange carries (source, token) pairs
+    * pre-aggregated by the combiner. */
   val q139 = Q(
     "q139_vocab_coverage",
     (s, dir) => {
@@ -1394,14 +1407,71 @@ object PipelineQueries {
         .filter(length(col("token")) > 0)
         .materialized // consumers: vocab counts, per-source totals, OOV
       val counts = toks.groupBy("token").agg(count(lit(1)).as("tf"))
-      val total = counts.agg(sum(col("tf")).as("total"))
-      val w = Window.orderBy(col("tf").desc, col("token"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val kept = counts
-        .withColumn("cum", sum(col("tf")).over(w))
-        .crossJoin(broadcast(total))
-        .filter((col("cum") - col("tf")) * 100 < col("total") * 80)
+        .materialized // consumers: group stats, full-group kept, boundary rank
+      // per-tf groups of the (tf DESC, token) order; bitlen(tf) is the
+      // q68 integer log2 — exact at power-of-two boundaries — and is
+      // monotone in tf, so (bitlen DESC, tf DESC) is the group order
+      val grp = counts.groupBy("tf").agg(count(lit(1)).as("cnt"))
+        .withColumn("mass", col("tf") * col("cnt"))
+        .withColumn("bl", length(conv(col("tf"), 10, 2)).cast("long"))
+      // two-phase group offsets: in-bucket running mass (PARTITIONED
+      // window) + bucket offsets over ≤64 rows (bounded, benign)
+      val wInB = Window.partitionBy("bl").orderBy(col("tf").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bktTot = grp.groupBy("bl").agg(sum(col("mass")).as("bmass"))
+      val wB = Window.orderBy(col("bl").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      // total rides the same ≤64-row single-partition window pass as the
+      // bucket offsets — one broadcast instead of two
+      val wAll = Window.orderBy(col("bl").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val bktOff = bktTot
+        .withColumn("boff", coalesce(sum(col("bmass")).over(wB), lit(0L)))
+        .withColumn("total", sum(col("bmass")).over(wAll))
+        .select("bl", "boff", "total")
+      // mass strictly before the group, then the group's kept count:
+      // token r (1-based, by token ASC within the group) is kept iff
+      // (off + (r−1)·tf)·100 < 80·total  ⇔  r ≤ keep_k with
+      // keep_k = min(cnt, (80·total − 100·off − 1) div (100·tf) + 1)
+      // (0 when the group starts at/past the threshold). Exact longs:
+      // 100·total fits until ~9·10^16 corpus tokens.
+      val gk = grp
+        .withColumn("loff", coalesce(sum(col("mass")).over(wInB), lit(0L)))
+        .join(broadcast(bktOff), "bl")
+        .withColumn("off", col("boff") + col("loff"))
+        .withColumn("keep_k",
+          when(col("total") * 80 - col("off") * 100 <= 0, lit(0L))
+            .otherwise(least(col("cnt"),
+              expr("(total * 80 - off * 100 - 1) div (100 * tf) + 1"))))
+        .select("tf", "cnt", "keep_k")
+      // whole groups under the threshold: every token kept. The join is
+      // vocab ⋈ distinct-tf — AQE's strategy call, no broadcast hint (the
+      // group table grows with the corpus).
+      val keptFull = counts
+        .join(gk.filter(col("keep_k") === col("cnt")).select("tf"),
+          Seq("tf"), "left_semi")
         .select("token")
+      // the (at most one) straddling group: rank by token via first-char
+      // shards — a PREFIX of the token order, so shard order composes
+      // with in-shard order (q103's pattern); offsets window runs over
+      // ≤|alphabet| rows
+      val bnd = counts
+        .join(broadcast(gk.filter(col("keep_k") > 0 && col("keep_k") < col("cnt"))),
+          "tf")
+        .withColumn("shard", substring(col("token"), 1, 1))
+      val sOff = bnd.groupBy("tf", "shard").agg(count(lit(1)).as("scnt"))
+        .withColumn("soff", coalesce(
+          sum(col("scnt")).over(Window.partitionBy("tf").orderBy("shard")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("tf", "shard", "soff")
+      val keptBnd = bnd
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("tf", "shard").orderBy("token")))
+        .join(broadcast(sOff), Seq("tf", "shard"))
+        .filter(col("soff") + col("rn") <= col("keep_k"))
+        .select("token")
+      val kept = keptFull.union(keptBnd)
+        .materialized // consumers: vocab_size + the OOV anti-join
       val vocabSize = kept.agg(count(lit(1)).as("vocab_size"))
       val perSource = toks.groupBy("source")
         .agg(count(lit(1)).as("total_tokens"))
