@@ -1,19 +1,23 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Scratch profiler: stage-by-stage counts+timings for the dedup pipelines. */
+/** Scratch profiler: stage-by-stage counts+timings for the dedup pipelines
+  * (r16: q114's ER stages under bench conditions). */
 object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    import graft.operators.Materialize.MaterializeOps
 
     def timed[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime()
@@ -22,65 +26,104 @@ object Profile {
       r
     }
 
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val sh = docs
-      .select(col("doc_id"), split(col("text"), "\\s+").as("w"))
-      .select(col("doc_id"),
-        explode(sequence(lit(1), greatest(size(col("w")) - 4, lit(1)))).as("i"),
-        col("w"))
-      .select(col("doc_id"),
-        concat_ws(" ", slice(col("w"), col("i"), lit(5))).as("sh"))
-      .distinct()
-    timed("shingles count")(println("  n=" + sh.count()))
-
-    val hs = sh.select(col("doc_id"),
-      array((0 until 64).map(i => xxhash64(lit(i), col("sh"))): _*).as("hs"))
-    import graft.functions.ArrayLongFold.arrayMinAgg
-    val sigs = hs.groupBy("doc_id").agg(arrayMinAgg(col("hs")).as("sig")).cache()
-    timed("sigs materialize")(println("  n=" + sigs.count()))
-
-    val bands = sigs.select(
-      col("doc_id"),
-      explode(array((0 until 16).map { b =>
-        struct(lit(b).as("band"),
-          xxhash64((0 until 4).map(r => element_at(col("sig"), b * 4 + r + 1)): _*)
-            .as("bh"))
-      }: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    timed("bands count")(println("  n=" + bands.count()))
-
-    val sizes = bands.groupBy("band", "bh").agg(count(lit(1)).as("bsz"))
-    timed("bucket size histogram") {
-      sizes.groupBy(
-        when(col("bsz") === 1, "1").when(col("bsz") <= 4, "2-4")
-          .when(col("bsz") <= 16, "5-16").when(col("bsz") <= 64, "17-64")
-          .when(col("bsz") <= 256, "65-256").otherwise(">256").as("bucket_size"))
-        .agg(count(lit(1)).as("n_buckets"), sum(col("bsz") * col("bsz")).as("pairs_ub"))
-        .orderBy("bucket_size").show(20, false)
+    for (pass <- 1 to 2) {
+      println(s"=== pass $pass ===")
+      val docs = timed("docs materialize") {
+        val d = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("text"), col("n_chars")).materialized
+        d.count(); d
+      }
+      def blockPairs(keyed: org.apache.spark.sql.DataFrame) = {
+        val sized = keyed
+          .withColumn("cnt", count(lit(1)).over(Window.partitionBy("key")))
+          .filter(col("cnt") <= 64)
+          .select("key", "doc_id")
+        sized.as("a").join(sized.as("b"),
+            col("a.key") === col("b.key") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      }
+      val b1 = docs.select(substring(col("text"), 1, 16).as("key"), col("doc_id"))
+      val b2 = docs
+        .select(col("doc_id"), col("n_chars"),
+          filter(split(col("text"), "\\s+"), x => length(x) > 0).as("ws"))
+        .filter(size(col("ws")) > 0)
+        .select(concat_ws("|", try_element_at(col("ws"), lit(1)),
+          expr("cast(n_chars div 32 as string)")).as("key"), col("doc_id"))
+      val cand = timed("cand materialize") {
+        val c = blockPairs(b1).union(blockPairs(b2)).distinct().materialized
+        println("  n=" + c.count()); c
+      }
+      val (t1c, t2c) = graft.functions.GraftFunctions.md5_128(col("t"))
+      val tok = timed("tok materialize") {
+        val t = docs.select(col("doc_id"),
+            explode(array_distinct(
+              filter(split(col("text"), "\\s+"), x => length(x) > 0))).as("t"))
+          .select(col("doc_id"), t1c.as("t1"), t2c.as("t2"))
+          .materialized
+        println("  n=" + t.count()); t
+      }
+      val counts = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = cand
+        .join(tok.as("ta"), col("doc_a") === col("ta.doc_id"))
+        .join(tok.as("tb"),
+          col("doc_b") === col("tb.doc_id") && col("ta.t1") === col("tb.t1") &&
+            col("ta.t2") === col("tb.t2"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+      val lens = docs.select(col("doc_id"), col("n_chars"))
+      val edges = inter
+        .join(counts.as("ca"), col("doc_a") === col("ca.doc_id"))
+        .join(counts.as("cb"), col("doc_b") === col("cb.doc_id"))
+        .join(lens.as("la"), col("doc_a") === col("la.doc_id"))
+        .join(lens.as("lb"), col("doc_b") === col("lb.doc_id"))
+        .filter(col("i") * 5 >= (col("ca.n") + col("cb.n") - col("i")) * 4)
+        .filter(least(col("la.n_chars"), col("lb.n_chars")) * 2 >=
+          greatest(col("la.n_chars"), col("lb.n_chars")))
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val sym = timed("edges+sym materialize") {
+        val sm = edges
+          .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+          .materialized
+        println("  n=" + sm.count()); sm
+      }
+      var labels = timed("labels init") {
+        val l = sym.select(col("src").as("node")).distinct()
+          .withColumn("lbl", col("node")).materialized
+        l.count(); l
+      }
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 50) {
+        timed(s"cc round $rounds") {
+          val next = graft.queries.DedupQueries.labelPropRound(sym, labels)
+            .materialized
+          changed = next.filter(col("nxt") < col("lbl")).count()
+          labels = next.select(col("node"), col("nxt").as("lbl"))
+          println("  changed=" + changed)
+        }
+        rounds += 1
+      }
+      timed("final assembly") {
+        val comp = docs.select(col("doc_id"))
+          .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("lbl"), col("doc_id")).as("cluster"))
+        val sizes = comp.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+        val best = comp.join(lens, "doc_id")
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("cluster")
+              .orderBy(col("n_chars").desc, col("doc_id"))))
+          .filter(col("rn") === 1)
+          .select(col("cluster"), col("doc_id").as("best_id"))
+        val out = comp.join(sizes, "cluster").join(best, "cluster")
+          .select(col("doc_id"), col("cluster"), col("cluster_size"),
+            col("best_id"),
+            (col("doc_id") === col("best_id")).cast("int").as("is_canonical"))
+          .orderBy("doc_id")
+        out.write.format("noop").mode("overwrite").save()
+      }
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
-
-    val okBuckets = sizes.filter(col("bsz") <= 64 && col("bsz") > 1)
-      .select("band", "bh")
-    val bounded = bands.join(broadcast(okBuckets), Seq("band", "bh"))
-    val cand = bounded.as("x")
-      .join(bounded.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    timed("candidates count")(println("  n=" + cand.count()))
-
-    val agreement = (0 until 64).map(i =>
-      when(element_at(col("sa.sig"), i + 1) === element_at(col("sb.sig"), i + 1), 1)
-        .otherwise(0)).reduce(_ + _)
-    val est = cand
-      .join(sigs.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sigs.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .select(col("doc_a"), col("doc_b"),
-        (agreement.cast("double") / 64).as("est_jaccard"))
-      .filter(col("est_jaccard") >= 0.5)
-    timed("est+filter count")(println("  n=" + est.count()))
-
     spark.stop()
   }
 }

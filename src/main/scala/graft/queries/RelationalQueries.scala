@@ -597,11 +597,18 @@ object RelationalQueries {
     * machine-checks that). Output: (group, bucket, r). */
   private[graft] def hllRegisters(df: DataFrame, key: Column,
       group: String): DataFrame = {
-    val hx = md5(key.cast("string"))
-    val hashed = df.select(
-      col(group),
-      conv(substring(hx, 1, 2), 16, 10).cast("int").as("bucket"),
-      conv(substring(hx, 3, 14), 16, 10).cast("bigint").as("w"))
+    // bucket/w from ONE md5_prefix64 digest — the first 16 hex chars as a
+    // 64-bit big-endian value, so bucket = top byte ≡ conv(substr(hx,1,2))
+    // and w = low 56 bits ≡ conv(substr(hx,3,14)): bit-identical to the
+    // hex form (Round16LawsSpec pins it), with no 32-char hex render +
+    // two substring re-parses per row (r16; the oracle keeps the hex
+    // spelling — it IS the definition).
+    val h = graft.functions.GraftFunctions.md5_prefix64(key.cast("string"))
+    val hashed = df.select(col(group), h.as("h"))
+      .select(
+        col(group),
+        expr("shiftrightunsigned(h, 56)").cast("int").as("bucket"),
+        expr(s"h & ${(1L << 56) - 1}").as("w"))
     bitlen56(hashed, "w")
       .withColumn("rho", lit(57) - col("bitlen"))
       .groupBy(col(group), col("bucket"))

@@ -92,6 +92,29 @@ class Round16LawsSpec extends SparkSpec {
     check(Seq(("only", "x x x x x x")))
   }
 
+  test("hllRegisters long lane ≡ hex lane: bucket/w from md5_prefix64") {
+    // q18/q98's register build now derives (bucket, w) by bit ops on ONE
+    // md5_prefix64 digest instead of conv(substring(md5-hex)); this pins
+    // the bit-identity on random keys, including multi-byte UTF-8.
+    val keys = (1 to 200).map(i => s"key-$i") ++
+      Seq("", " ", "üñïçødé-✓", "0", "-1", "")
+    val df = keys.toDF("k")
+    val hex = md5(col("k"))
+    val viaHex = df.select(
+      col("k"),
+      conv(substring(hex, 1, 2), 16, 10).cast("int").as("bucket"),
+      conv(substring(hex, 3, 14), 16, 10).cast("bigint").as("w"))
+    val h = graft.functions.GraftFunctions.md5_prefix64(col("k"))
+    val viaLong = df.select(col("k"), h.as("h"))
+      .select(
+        col("k"),
+        expr("shiftrightunsigned(h, 56)").cast("int").as("bucket"),
+        expr(s"h & ${(1L << 56) - 1}").as("w"))
+    val a = viaHex.orderBy("k").collect().map(_.toSeq).toSeq
+    val b = viaLong.orderBy("k").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
   test("q139: zipf-ish random corpora, several seeds") {
     val rnd = new scala.util.Random(421)
     (1 to 3).foreach { _ =>
