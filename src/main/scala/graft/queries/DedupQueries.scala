@@ -618,17 +618,31 @@ object DedupQueries {
     while (changed > 0 && rounds < 50) {
       val sym = edges.select(col("hi").as("u"), col("lo").as("v"))
         .union(edges.select(col("lo").as("u"), col("hi").as("v")))
-      val mins = sym.groupBy("u").agg(min(col("v")).as("mv"))
-        .select(col("u"), least(col("u"), col("mv")).as("m"))
-      val large = sym.join(mins, "u")
+      // r16 round restructure — same SETS per round (so the same rounds
+      // and the same fixpoint; the oracle re-proves it), fewer passes:
+      //  - each half-star's min now rides ONE window exchange on its key
+      //    instead of groupBy + join-back, which shuffled the edge table
+      //    TWICE per half-star (once into the partial agg, once into the
+      //    join) — the window's full-partition min is the same value;
+      //  - large's intermediate distinct is dropped: the small-star
+      //    window min is duplicate-insensitive and the final distinct
+      //    dedups (its partial aggregation thins duplicates map-side);
+      //  - the two star-output branches emit in ONE pass over withM via
+      //    a 1-or-2-element explode — the union form re-derived the
+      //    whole star join once per branch.
+      val large = sym
+        .withColumn("m",
+          least(col("u"), min(col("v")).over(Window.partitionBy("u"))))
         .filter(col("v") > col("u"))
         .select(col("v").as("hi"), col("m").as("lo"))
-        .distinct()
-      val sMins = large.groupBy("hi").agg(min(col("lo")).as("m"))
-      val withM = large.join(sMins, "hi")
-      val next = withM.select(col("hi"), col("m").as("lo"))
-        .union(withM.filter(col("lo") =!= col("m"))
-          .select(col("lo").as("hi"), col("m").as("lo")))
+      val withM = large
+        .withColumn("m", min(col("lo")).over(Window.partitionBy("hi")))
+      val next = withM
+        .select(explode(when(col("lo") =!= col("m"),
+            array(struct(col("hi"), col("m").as("lo")),
+              struct(col("lo").as("hi"), col("m").as("lo"))))
+          .otherwise(array(struct(col("hi"), col("m").as("lo"))))).as("e"))
+        .select(col("e.hi").as("hi"), col("e.lo").as("lo"))
         .filter(col("hi") > col("lo"))
         .distinct()
         .materialized
