@@ -139,8 +139,12 @@ object KmvSketch {
         java.lang.Long.compareUnsigned(a, b)
     }
 
-  /** KMV distinct-count estimate; `c` must be the first 16 hex chars of an
-    * md5 (see query-site usage: `substring(md5(x), 1, 16)`). */
+  /** KMV distinct-count estimate. `c` is either the first 16 hex chars of
+    * an md5 (`substring(md5(x), 1, 16)` — the original hex lane) or the
+    * same 64 bits as a LONG (`md5_prefix64(x)` — the r15 lane q27 uses;
+    * no hex render/re-parse per row). Both lanes order by the unsigned
+    * 64-bit value, so the k-smallest set and the estimate are identical
+    * (OperatorSpec pins the lane equivalence). */
   def kmvDistinct(c: Column, k: Int): Column =
     ColumnBridge.column(
       KmvSketch(ColumnBridge.expression(c), k).toAggregateExpression())

@@ -59,7 +59,16 @@ object Md5Prefix64 {
   /** Reset thread-local MD5 instance for in-task digest loops — saves the
     * JCA provider lookup per call (`MessageDigest.getInstance` walks the
     * provider list and allocates) in the catalog/roundtrip roads that
-    * digest one payload per member. */
+    * digest one payload per member.
+    *
+    * NO-INTERLEAVING INVARIANT: the returned instance is THE thread's
+    * digest — `hash`/`hashHi`/`hashPair` and every other `md5Instance()`
+    * caller share it. A caller that holds it across a long-running read
+    * loop (e.g. `TarWalk.streamMd5Hex` updating per 64 KiB chunk) must
+    * not invoke any other digest helper on the same thread until it has
+    * called `digest()`, or both digests are silently corrupted. Current
+    * call sites are straight-line loops with no nested hashing; keep it
+    * that way, or give the streaming caller its own thread-local. */
   def md5Instance(): MessageDigest = {
     val md = digests.get()
     md.reset()

@@ -1168,9 +1168,13 @@ object DedupQueries {
       // discipline): shingle identity in this pipeline is ALREADY the
       // 64-bit digest everywhere downstream (df, ranks, sizes, the sorted
       // arrays and the intersect all key on `h`), so deduping (doc_id, h)
-      // computes exactly the per-doc digest sets the pipeline declares —
-      // while the dedup exchange carries 16-byte rows instead of 3-word
-      // shingle TEXT (the single most expensive exchange here, guide §2.3)
+      // computes the per-doc digest sets the pipeline declares — exactly,
+      // MODULO an intra-document xxhash64 collision: two distinct shingles
+      // of one doc colliding to one h previously yielded two (doc_id, h)
+      // rows, now one (negligible probability, and the full-128-bit sites
+      // elsewhere use md5_128 precisely to make this a bijection). The
+      // dedup exchange carries 16-byte rows instead of 3-word shingle
+      // TEXT (the single most expensive exchange here, guide §2.3)
       val sh3 = shingles(documents(s, dir), nWords = 3, dedup = false)
         .select(col("doc_id"), xxhash64(col("sh")).as("h"))
         .distinct()

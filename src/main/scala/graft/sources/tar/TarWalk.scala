@@ -92,7 +92,11 @@ object TarWalk {
   def streamMd5Hex(data: InputStream): String = {
     // thread-local digest + table-lookup hex (r15 optimization pass):
     // the previous per-member getInstance + per-byte "%02x".format were
-    // the catalog road's hottest non-I/O loop at one call per member
+    // the catalog road's hottest non-I/O loop at one call per member.
+    // INVARIANT (see Md5Prefix64.md5Instance): the shared thread-local
+    // digest holds partial state across the read() loop below — no other
+    // Md5Prefix64 hashing helper (hash/hashHi/hashPair, or a nested
+    // streamMd5Hex) may run on this thread until digest() returns.
     val md5 = graft.functions.Md5Prefix64.md5Instance()
     val buf = new Array[Byte](64 << 10)
     var n = data.read(buf)
