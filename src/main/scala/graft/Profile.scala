@@ -26,6 +26,38 @@ object Profile {
       r
     }
 
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    // mode arg: "q160" = suffix-LCP family stage costs, default = q114 ER
+    if (args.headOption.contains("q160")) {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      for (pass <- 1 to 2) {
+        println(s"=== pass $pass ===")
+        timed("adjacentLcp alone") {
+          noop(graft.operators.SuffixArray.adjacentLcp(docs))
+        }
+        timed("wins explode only (no sort)") {
+          noop(docs.select(col("doc_id"), split(col("text"), "\\s+").as("w"))
+            .select(col("doc_id"), col("w"),
+              posexplode(col("w")).as(Seq("pos", "word")))
+            .select(col("doc_id"), col("pos").cast("long").as("pos"),
+              slice(col("w"), col("pos") + 1, lit(31)).as("win")))
+        }
+        timed("full q160 phraseContam") {
+          noop(graft.operators.SuffixArray
+            .phraseContam(docs, col("doc_id") % 17 === 0)
+            .orderBy("doc_id"))
+        }
+        timed("full q157 lrsPerDoc") {
+          noop(graft.operators.SuffixArray.lrsPerDoc(docs)
+            .orderBy("doc_id"))
+        }
+      }
+      spark.stop()
+      return
+    }
+
     for (pass <- 1 to 2) {
       println(s"=== pass $pass ===")
       val docs = timed("docs materialize") {

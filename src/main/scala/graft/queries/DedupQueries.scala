@@ -485,8 +485,15 @@ object DedupQueries {
   private def jaccardComponentsOf(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    // The loop-invariant edge table materializes PRE-PARTITIONED AND
+    // PRE-SORTED on dst — its per-round join key (r16 pass, guide §2.4):
+    // the checkpoint cut preserves outputPartitioning/outputOrdering, so
+    // every round's sym ⋈ labels sort-merge join reads sym exchange-free
+    // and sort-free; only the (changing) label table moves per round.
+    // One up-front exchange+sort, amortized over all rounds.
     val sym = edges
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("dst")).sortWithinPartitions("dst")
       .materialized
     // The propagation loop runs over EDGE-TOUCHED nodes only: a doc with
     // no similarity edge can neither receive a lower label (no incoming
@@ -1699,6 +1706,9 @@ object DedupQueries {
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       val sym = edges
         .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+        // pre-partitioned+sorted on the per-round join key — the
+        // jaccardComponentsOf invariant-table discipline (guide §2.4)
+        .repartition(col("dst")).sortWithinPartitions("dst")
         .materialized
       // edge-touched nodes only — the jaccardComponents discipline:
       // isolated docs never change label, so they skip the loop and
@@ -1898,6 +1908,9 @@ object DedupQueries {
       val e0 = jaccardPairs(docs)
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        // pre-partitioned+sorted on the per-round join key — the
+        // jaccardComponentsOf invariant-table discipline (guide §2.4)
+        .repartition(col("dst")).sortWithinPartitions("dst")
         .materialized // two vote rounds
       def round(labels: DataFrame): DataFrame = {
         val votes = sym.join(labels, col("dst") === col("doc_id"))

@@ -819,9 +819,18 @@ object ScaleQueries {
       // undirected bipartite edges, namespaced ids (parts even, supps odd)
       val fwd = li.select((col("l_partkey") * 2).as("src"),
         (col("l_suppkey") * 2 + 1).as("dst")).distinct().materialized
+      // Loop-invariant tables materialize PRE-PARTITIONED AND PRE-SORTED
+      // on the join key (r16 pass, guide §2.4): the checkpoint cut
+      // preserves outputPartitioning/outputOrdering, so each of the five
+      // rounds' sort-merge joins reads edges and deg exchange-free and
+      // sort-free — only the (changing) rank table moves per round. One
+      // up-front exchange+sort each, amortized over the rounds.
       val edges = fwd.union(fwd.select(col("dst").as("src"),
-        col("src").as("dst"))).materialized
+        col("src").as("dst")))
+        .repartition(col("src")).sortWithinPartitions("src")
+        .materialized
       val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        .repartition(col("src")).sortWithinPartitions("src")
         .materialized
       val nNodes: Long = deg.count()
       val mass = 1000000000000L
